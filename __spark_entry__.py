@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 together with its DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +11,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _registry() -> tuple[dict, dict]:
+    """Collect QUERIES/ORACLE from every plan module (import-gated so a
+    broken optional module never takes down the whole registry)."""
+    import importlib
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracle: dict[str, str] = {}
+    for mod_name in (
+        "delta_lake_health_spark.plans.analytics",
+        "delta_lake_health_spark.plans.events",
+        "delta_lake_health_spark.plans.health",
+        "delta_lake_health_spark.plans.dedup",
+        "delta_lake_health_spark.plans.text",
+        "delta_lake_health_spark.plans.similarity",
+    ):
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracle.update(getattr(mod, "ORACLE", {}))
+    return queries, oracle
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (Q1 pricing summary) on sf0.001."""
+    from delta_lake_health_spark.plans.analytics import q1_pricing_summary
+
+    return q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

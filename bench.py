@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark. Runs the flagship query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to execute via a count-style action (collect for
+small results) — timing includes the full plan execution, not just
+plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline set: one per operator family (scan-agg, multi-join, semi-join,
+# window, dedup, text, similarity, events). Kept deliberately small so the
+# per-round signal is stable; tests cover the full registry.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "topn_orders_per_customer",
+    "events_sessionization",
+    "dedup_minhash_pairs",
+    "text_quality_scores",
+    "ann_bruteforce_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from delta_lake_health_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # query, not session bootstrap.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

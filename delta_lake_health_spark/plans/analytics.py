@@ -1,0 +1,700 @@
+"""Core analytical query library (TPC-H-shaped, adapted to the testdata schema).
+
+Each query exists twice, under the same key:
+
+- ``QUERIES[key]``  — the PySpark DataFrame implementation (what we ship);
+- ``ORACLE[key]``   — the equivalent ANSI SQL, run by the driver in DuckDB
+                      over the same parquet files as the correctness gate.
+
+Conventions keeping the two hash-identical:
+- every computed column is aliased the same on both sides;
+- money/double aggregates are ``ROUND(..., 2)`` (sum order differs between
+  engines, 2-decimal rounding absorbs the float noise);
+- averages/ratios are ``ROUND(..., 6)``;
+- date-grain outputs are cast to DATE, finer timestamps formatted as strings;
+- every top-N has a unique-key tiebreaker so LIMIT is deterministic.
+
+Scale notes (100 TB): all dim joins (region/nation/supplier/part/customer)
+are explicit ``broadcast()``; fact-side filters are pure column predicates so
+they push into the parquet scan; aggregations are single-shuffle groupBys
+with map-side partial aggregation (Catalyst's HashAggregate pair).
+
+Reference parity: the reference repo has no ad-hoc query engine (it is a
+Delta health toolkit — see delta_lake_health/health_analyzers/*); this module
+plus plans/{pipeline,events}.py provide the general query surface the brief
+requires on top of the health capabilities in operators/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.sources.catalog import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary. Scan + filter + groupBy agg; the filter and the
+# 7-column projection must push into the parquet scan.
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority. customer (broadcast) ⋈ orders ⋈ lineitem, top-10.
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE)                         AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate  > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority w/ EXISTS semi-join (late shipment = >90 days after order).
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    orders_f = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        orders_f.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join, all dims broadcast, one shuffle
+# (lineitem⋈orders on orderkey) + final tiny agg.
+@query(
+    "q5_local_supplier",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nation, region = load_all(spark, sf_dir)
+    return (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def load_all(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue: the pushdown showcase; the whole WHERE must appear
+# in PushedFilters and only 3 columns in ReadSchema.
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by ship year. Two aliased
+# broadcast joins of the same dim (nation) — classic self-dim pattern.
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nation, _ = load_all(spark, sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _revenue().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned items: top-20 customers by lost revenue.
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, _, nation, _ = load_all(spark, sf_dir)
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — conditional aggregation: late (>60 days) vs on-time line counts per
+# order priority. CASE WHEN inside SUM — stays in whole-stage codegen.
+@query(
+    "q12_late_shipments",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_count,
+           SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS ontime_count,
+           ROUND(AVG(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_count"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promo effect: ratio of conditional aggregates over a part join.
+@query(
+    "q14_promo_effect",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 6).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large orders: group-by-HAVING, then join back to orders + customer.
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           ROUND(o_totalprice, 2)    AS totalprice,
+           ROUND(sum_qty, 2)         AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue: OR-of-ANDs predicate across the join — Catalyst
+# should split the common l_partkey=p_partkey conjunct out as the join key.
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join — customers that never ordered, per market segment.
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window top-N per group — 3 biggest orders per customer (bounded output:
+# only customers with ≥8 orders to keep result small at high SF).
+@query(
+    "topn_orders_per_customer",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             ROUND(o_totalprice, 2) AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             COUNT(*)    OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, totalprice, rn
+    FROM ranked WHERE rn <= 3 AND n_orders >= 20
+    ORDER BY o_custkey, rn
+    """,
+)
+def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    wc = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_orders"),
+        )
+        .where((F.col("rn") <= 3) & (F.col("n_orders") >= 20))
+        .drop("n_orders")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-dimension rollup-style aggregate: status × priority.
+@query(
+    "order_status_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           ROUND(SUM(o_totalprice), 2) AS total_revenue,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative window over monthly revenue — running total, ordered window.
+@query(
+    "running_revenue_by_month",
+    """
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           ROUND(SUM(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def running_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# Set operations: nations having customers vs having suppliers.
+@query(
+    "nation_coverage_setops",
+    """
+    SELECT n_name, 'both' AS coverage FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+      AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_name, 'customers_only' AS coverage FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+      AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+    ORDER BY coverage, n_name
+    """,
+)
+def nation_coverage_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, _, _, supp, nation, _ = load_all(spark, sf_dir)
+    has_c = nation.join(
+        cust, F.col("n_nationkey") == F.col("c_nationkey"), "left_semi"
+    )
+    both = has_c.join(
+        supp, F.col("n_nationkey") == F.col("s_nationkey"), "left_semi"
+    ).select("n_name", F.lit("both").alias("coverage"))
+    c_only = has_c.join(
+        supp, F.col("n_nationkey") == F.col("s_nationkey"), "left_anti"
+    ).select("n_name", F.lit("customers_only").alias("coverage"))
+    return both.unionAll(c_only).orderBy("coverage", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Part catalog stats — distinct-count heavy aggregate on a dim.
+@query(
+    "part_brand_stats",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_type) AS n_types,
+           COUNT(DISTINCT p_size) AS n_sizes,
+           ROUND(AVG(p_retailprice), 6) AS avg_price
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.countDistinct("p_size").alias("n_sizes"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1,0 +1,48 @@
+"""Parquet table catalog over the driver-generated testdata layout.
+
+``load(spark, sf_dir, name)`` returns a DataFrame for one table;
+``register_all`` creates temp views so every query is also runnable
+via ``spark.sql``. Reads are plain ``spark.read.parquet`` so Catalyst
+gets full predicate pushdown / column pruning on the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_many(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load(spark, sf_dir, n) for n in names)
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
