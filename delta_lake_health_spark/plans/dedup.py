@@ -1,0 +1,344 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (SURVEY §2.4).
+
+Hash family: every signature derives from ``md5`` (identical in Spark and
+DuckDB), so even the MinHash/SimHash pipelines are *exactly* reproducible by
+the SQL oracle — min-over-md5-strings is a valid min-hash permutation family.
+
+Spark-first design: signatures are computed with higher-order array
+functions (``transform``/``aggregate``/``array_min``) on the JVM — one
+narrow codegen'd pass per document, no Python, no explode until the band
+join. The only shuffles are the (band_idx, band_key) candidate join and the
+final dedup — both uniformly distributed by construction, so the plan holds
+at 100 TB (candidate buckets stay small because a bucket is keyed by four
+concatenated minhashes).
+
+MinHash/LSH per Broder 1997 / Leskovec-Rajaraman-Ullman ch.3; SimHash per
+Charikar 2002.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.sources.catalog import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands x 4 rows
+N_BANDS = N_HASHES // BAND_SIZE
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.2
+COSINE_THRESHOLD = 0.95
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# Spark-side shingle/signature expressions (0-based array indexing in expr).
+SHINGLES_EXPR = """
+  CASE WHEN size(toks) >= 3 THEN
+    transform(sequence(0, size(toks) - 3),
+              p -> concat_ws(' ', toks[p], toks[p+1], toks[p+2]))
+  ELSE array(concat_ws(' ', toks)) END
+"""
+
+MINHASH_EXPR = f"""
+  transform(sequence(0, {N_HASHES - 1}),
+            s -> array_min(transform(shingles,
+                 sh -> md5(concat(cast(s AS string), ':', sh)))))
+"""
+
+# DuckDB side (1-based list indexing).
+SQL_SHINGLES = """
+  CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(len(toks) - 2),
+                   p -> toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3])
+  ELSE [array_to_string(toks, ' ')] END
+"""
+
+SQL_MINHASH = f"""
+  list_transform(range({N_HASHES}),
+                 s -> list_min(list_transform(shingles,
+                      sh -> md5(s::VARCHAR || ':' || sh))))
+"""
+
+
+# --------------------------------------------------------------------------
+# X1 — exact duplicate clusters (content-hash groupBy, keep min doc_id).
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2 — corpus-level duplication stats (never empty, any SF).
+@query(
+    "dedup_exact_stats",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+             AS dup_ratio
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + 16-element minhash signature, one codegen pass per doc."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .withColumn("sig", F.expr(MINHASH_EXPR))
+        .select("doc_id", "sig")
+    )
+
+
+# --------------------------------------------------------------------------
+# X3 — MinHash LSH candidate pairs: 4 bands x 4 rows, band-bucket join.
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, {SQL_MINHASH} AS sig
+      FROM (
+        SELECT doc_id, {SQL_SHINGLES} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), bands AS (
+      SELECT doc_id, b.range AS band_idx,
+             md5(sig[b.range*{BAND_SIZE}+1] || sig[b.range*{BAND_SIZE}+2] ||
+                 sig[b.range*{BAND_SIZE}+3] || sig[b.range*{BAND_SIZE}+4]) AS band_key
+      FROM sigs, range({N_BANDS}) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands a JOIN bands c
+      ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+     AND a.doc_id < c.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = _signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {N_BANDS - 1}), b -> struct(
+                        b AS band_idx,
+                        md5(concat(sig[b*{BAND_SIZE}], sig[b*{BAND_SIZE}+1],
+                                   sig[b*{BAND_SIZE}+2], sig[b*{BAND_SIZE}+3]))
+                          AS band_key))"""
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    c = bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# X4 — SimHash (16-bit, md5-nibble derived) + collision-bucket sizes.
+_SPARK_SIMHASH = f"""
+  array_join(transform(sequence(0, {SIMHASH_BITS - 1}), j ->
+    CASE WHEN aggregate(toks, 0, (acc, w) -> acc +
+        2 * ((shiftright(instr('0123456789abcdef',
+                               substr(md5(w), CAST(j / 4 AS INT) + 1, 1)) - 1,
+                         j % 4)) % 2) - 1) > 0
+    THEN '1' ELSE '0' END), '')
+"""
+
+_SQL_SIMHASH = f"""
+  array_to_string(list_transform(range({SIMHASH_BITS}), j ->
+    CASE WHEN list_sum(list_transform(toks, w ->
+        2 * (((strpos('0123456789abcdef',
+                      substr(md5(w), CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+              >> (j % 4)) % 2) - 1)) > 0
+    THEN '1' ELSE '0' END), '')
+"""
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, {_SQL_SIMHASH} AS simhash
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+    FROM hashed
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    return hashed.select(
+        "doc_id",
+        "simhash",
+        F.count(F.lit(1)).over(Window.partitionBy("simhash")).alias("bucket_size"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X5 — n-gram Jaccard verification join (blocked by source to bound pairs).
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source, shingle
+      FROM (
+        SELECT doc_id, source, unnest({SQL_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6)
+             AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .select("doc_id", "source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# X6 — embedding-cosine near-duplicates (same-label blocking).
+_SQL_COS = (
+    "list_dot_product(a.emb, b.emb) / "
+    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_COS}, 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= {COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS double))").alias("emb"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(F.expr("aggregate(transform(a.emb, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    nb = F.sqrt(F.expr("aggregate(transform(b.emb, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    cos = dot / (na * nb)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,209 @@
+"""Event-stream operators in their batch form (the Structured Streaming
+variants live in ``streaming/jobs.py`` — same logic, watermarked).
+
+Determinism notes: session boundaries compare exact microsecond epochs
+(``unix_micros`` / ``epoch_us``) so Spark and DuckDB agree bit-for-bit;
+window orderings always carry ``event_id`` as a unique tiebreaker.
+
+Scale: sessionization is the canonical "one shuffle by entity, then a
+sorted window per entity" pattern — partitions by ``user_id`` only, so it
+scales to any event volume as long as a single user's history fits an
+executor (true for any sane dataset; skewed mega-users are handled by
+AQE skew splitting for the aggregation that follows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from delta_lake_health_spark.sources.catalog import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# E1 — tumbling hourly windows per event type.
+@query(
+    "events_tumbling_hourly",
+    """
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E2 — sessionization with a 30-minute inactivity gap. lag → flag → running
+# sum = session id; then one aggregate per (user, session).
+@query(
+    "events_sessionization",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, value, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_value",
+            "duration_us",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 — per-user activity profile.
+@query(
+    "events_user_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           ROUND(SUM(value), 2) AS total_value,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# E4 — view→purchase conversion funnel (conditional min-timestamp pattern).
+@query(
+    "events_purchase_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS first_view_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS n_viewers,
+           SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS n_buyers,
+           SUM(CASE WHEN first_view_us IS NOT NULL AND first_purchase_us > first_view_us
+                    THEN 1 ELSE 0 END) AS n_converted
+    FROM per_user
+    """,
+)
+def events_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_purchase_us"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_view_us").isNotNull(), 1).otherwise(0)).alias(
+            "n_viewers"
+        ),
+        F.sum(F.when(F.col("first_purchase_us").isNotNull(), 1).otherwise(0)).alias(
+            "n_buyers"
+        ),
+        F.sum(
+            F.when(
+                F.col("first_view_us").isNotNull()
+                & (F.col("first_purchase_us") > F.col("first_view_us")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )

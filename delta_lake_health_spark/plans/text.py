@@ -1,0 +1,237 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY §2.6).
+
+All token work happens on array columns with JVM-side higher-order
+functions (``split`` + ``transform``/``filter``/``aggregate``) — no Python
+UDFs, so the whole pipeline stays inside whole-stage codegen and scales
+linearly with corpus size (one narrow pass, zero shuffles until the final
+aggregate).
+
+The reference has no text operators (it is a Delta health toolkit); these
+are the LLM-data-pipeline additions the brief requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.sources.catalog import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# Pseudo language-marker sets for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "value", "table", "row"),
+    "de": ("der", "die", "das", "und", "wert"),
+    "fr": ("le", "la", "et", "valeur", "ligne"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def toks(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# --------------------------------------------------------------------------
+# T1 — token counting: whitespace tokens + BPE-ish regex tokens.
+@query(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(toks()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T2 — quality scoring: length/punct/stopword components folded into one
+# deterministic 0-1 score. Identical arithmetic on both sides.
+@query(
+    "text_quality_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_sql_list(STOPWORDS)}))) AS n_stop,
+             length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tok AS n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / n, 6) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+           ROUND(CAST(n - n_tok + 1 AS DOUBLE) / n_tok, 6) AS avg_word_len,
+           ROUND(0.4 * LEAST(1.0, CAST(n_tok AS DOUBLE) / 50)
+               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n)
+               + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok), 6) AS quality_score
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n"),
+        F.size(toks()).cast("double").alias("n_tok"),
+        F.size(F.filter(toks(), lambda t: t.isin(*STOPWORDS)))
+        .cast("double")
+        .alias("n_stop"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+        )
+        .cast("double")
+        .alias("n_punct"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.col("n_punct") / F.col("n"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tok"), 6).alias("stopword_ratio"),
+        F.round((F.col("n") - F.col("n_tok") + 1) / F.col("n_tok"), 6).alias(
+            "avg_word_len"
+        ),
+        F.round(
+            0.4 * F.least(F.lit(1.0), F.col("n_tok") / 50)
+            + 0.3 * (1.0 - F.col("n_punct") / F.col("n"))
+            + 0.3 * (1.0 - F.col("n_stop") / F.col("n_tok")),
+            6,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T3 — language ID: stopword-marker-hit heuristic with deterministic
+# argmax (ties break in en > de > fr order), compared to the labeled lang.
+@query(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), t -> t IN ({_sql_list(LANG_MARKERS['en'])}))) AS s_en,
+             len(list_filter(string_split(text,' '), t -> t IN ({_sql_list(LANG_MARKERS['de'])}))) AS s_de,
+             len(list_filter(string_split(text,' '), t -> t IN ({_sql_list(LANG_MARKERS['fr'])}))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           s_en, s_de, s_fr
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    def score(markers):
+        return F.size(F.filter(toks(), lambda t: t.isin(*markers)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        score(LANG_MARKERS["en"]).alias("s_en"),
+        score(LANG_MARKERS["de"]).alias("s_de"),
+        score(LANG_MARKERS["fr"]).alias("s_fr"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_de") == 0) & (F.col("s_fr") == 0),
+            "unknown",
+        )
+        .when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+        .alias("pred_lang"),
+        "s_en",
+        "s_de",
+        "s_fr",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T4 — document fingerprinting: full-content md5 + a prefix fingerprint
+# (first 8 whitespace tokens) that clusters near-identical openings.
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_fp,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.slice(toks(), 1, 8))).alias("prefix_fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T5 — corpus stats per (lang, source).
+@query(
+    "corpus_stats",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           COUNT(DISTINCT md5(text)) AS n_unique
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum(F.size(toks())).alias("total_tokens"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -36,6 +36,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+        # rejects. Read it as raw long nanos (runtime SQL conf, so this works
+        # under any caller's SparkSession) and cast to a micros timestamp in
+        # the scan projection — same truncation DuckDB applies.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 
