@@ -1,0 +1,337 @@
+"""Similarity-search operators over the ``embeddings`` table (SURVEY §2.5).
+
+Four operators:
+
+- ``ann_bruteforce_topk`` (S1): exact cosine top-k — the recall baseline.
+- ``ann_ivf_topk``        (S2): IVF-style ANN — label centroids act as the
+  coarse quantizer; vectors are assigned to their nearest centroid, queries
+  probe the ``NPROBE`` nearest inverted lists, candidates are reranked
+  exactly. Top-k per query with deterministic tiebreakers.
+- ``ann_lsh_buckets``     (S3): random-hyperplane LSH (Charikar 2002) with
+  the planes materialised as module-level ±1 constants (derived from md5 at
+  import time), so both engines use the *same* planes.
+- ``embedding_label_centroids`` (S4): pairwise cosine between label
+  centroids.
+
+Determinism across engines: all arithmetic is sequential double-precision
+array folds (``aggregate``/``zip_with`` in Spark, ``list_dot_product`` in
+DuckDB — both left-to-right), centroid components are rounded to 6 decimals
+before reuse so distributed-sum ulp noise can't leak into downstream
+comparisons, and every ranking carries a unique-id tiebreaker.
+
+Scale (100 TB): the query set and the centroid table are tiny and
+broadcast; the corpus side streams. Brute force is O(|Q|·N) with one
+narrow pass + a per-query top-k (window over q_id partitions — |Q|
+partitions, each trivially parallel). IVF prunes the corpus to
+``NPROBE/N_LABELS`` of the data before the expensive rerank — the classic
+inverted-file trade. LSH bucketing is a single narrow projection.
+
+The reference repo has no similarity search (it is a Delta health
+toolkit); this is part of the LLM-data-pipeline surface the brief adds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from delta_lake_health_spark.sources.catalog import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+DIM = 64
+TOP_K = 5
+N_QUERIES = 8  # query set = vec_id < 8
+NPROBE = 3
+N_PLANES = 8
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _plane(p: int) -> list[int]:
+    """Deterministic ±1 hyperplane: sign of md5 nibble parity per dim."""
+    out = []
+    for j in range(DIM):
+        h = hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()
+        out.append(1 if int(h[0], 16) % 2 == 0 else -1)
+    return out
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+# ---- shared Spark expressions ---------------------------------------------
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS double))").alias("emb"),
+    )
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.expr(f"aggregate(transform({a}, x -> x * x), 0D, (acc, v) -> acc + v)")
+    )
+
+
+def _cos(a: str, b: str):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# ---- shared SQL fragments --------------------------------------------------
+
+_SQL_E = "SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# Centroid per label, components rounded to 6 dp, ordered by dim position.
+_SQL_CENTROIDS = f"""
+  SELECT label AS cid, list(cv ORDER BY pos) AS cent FROM (
+    SELECT label, t.i AS pos, ROUND(AVG(emb[t.i + 1]), 6) AS cv
+    FROM e, range({DIM}) t(i)
+    GROUP BY label, t.i
+  ) GROUP BY label
+"""
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """label -> 64-dim centroid (avg per dim, rounded to 6 dp).
+
+    One shuffle on (label, pos) — 640 groups — then a tiny re-assembly;
+    the posexplode is a narrow map. Identical math to ``_SQL_CENTROIDS``.
+    """
+    comp = (
+        emb.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+    )
+    return comp.groupBy(F.col("label").alias("cid")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+        ).alias("cent")
+    )
+
+
+# --------------------------------------------------------------------------
+# S1 — brute-force exact cosine top-k: the baseline every ANN variant is
+# measured against. Broadcast the query set; one pass over the corpus.
+@query(
+    "ann_bruteforce_topk",
+    f"""
+    WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q_id, vec_id, {_sql_cos("q_emb", "emb")} AS cos
+      FROM q JOIN e ON vec_id <> q_id
+    ), ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cos("q_emb", "emb").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# S2 — IVF-style ANN: assign vectors to nearest label-centroid (inverted
+# lists), queries probe the NPROBE nearest lists, exact rerank inside.
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS ({_SQL_E}),
+    cent AS ({_SQL_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cos("e.emb", "cent.cent")} DESC, cent.cid) AS arn
+        FROM e CROSS JOIN cent
+      ) WHERE arn = 1
+    ),
+    qprobe AS (
+      SELECT q_id, q_emb, cid FROM (
+        SELECT e.vec_id AS q_id, e.emb AS q_emb, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cos("e.emb", "cent.cent")} DESC, cent.cid) AS prn
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE prn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT q.q_id, a.vec_id, {_sql_cos("q.q_emb", "a.emb")} AS cos
+      FROM qprobe q JOIN assign a ON q.cid = a.cid AND a.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    # nearest-centroid assignment: corpus x tiny-centroids broadcast join
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "emb", "cid", _cos("emb", "cent").alias("ccos"))
+        .withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+    qprobe = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            "cid",
+            _cos("emb", "cent").alias("ccos"),
+        )
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.col("cid"))
+            ),
+        )
+        .where(F.col("prn") <= NPROBE)
+        .select("q_id", "q_emb", "cid")
+    )
+    scored = (
+        F.broadcast(qprobe)
+        .join(assign, "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cos("q_emb", "emb").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# S3 — random-hyperplane LSH bucketing: 8 fixed ±1 planes → 8-bit bucket.
+def _sql_plane_literal(p: list[int]) -> str:
+    return "[" + ", ".join(f"{x}.0" for x in p) + "]"
+
+
+_SQL_BUCKET = " || ".join(
+    f"(CASE WHEN list_dot_product(emb, {_sql_plane_literal(p)}) > 0 "
+    f"THEN '1' ELSE '0' END)"
+    for p in PLANES
+)
+
+def _spark_bucket():
+    # built lazily: F.expr needs an active session
+    return F.concat(
+        *[
+            F.when(
+                F.expr(
+                    "aggregate(zip_with(emb, array("
+                    + ", ".join(f"{x}D" for x in p)
+                    + "), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+                )
+                > 0,
+                "1",
+            ).otherwise("0")
+            for p in PLANES
+        ]
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    f"""
+    WITH e AS ({_SQL_E}),
+    b AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM e)
+    SELECT vec_id, bucket,
+           COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+    FROM b
+    ORDER BY vec_id
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    b = emb.select("vec_id", _spark_bucket().alias("bucket"))
+    return b.select(
+        "vec_id",
+        "bucket",
+        F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_size"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# S4 — pairwise cosine between label centroids (tiny output, any SF).
+@query(
+    "embedding_label_centroids",
+    f"""
+    WITH e AS ({_SQL_E}),
+    cent AS ({_SQL_CENTROIDS})
+    SELECT a.cid AS label_a, b.cid AS label_b,
+           ROUND({_sql_cos("a.cent", "b.cent")}, 6) AS cosine
+    FROM cent a JOIN cent b ON a.cid < b.cid
+    ORDER BY label_a, label_b
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = _centroids(_emb(spark, sf_dir))
+    a = cent.select(F.col("cid").alias("label_a"), F.col("cent").alias("ca"))
+    b = cent.select(F.col("cid").alias("label_b"), F.col("cent").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(_cos("ca", "cb"), 6).alias("cosine"))
+        .orderBy("label_a", "label_b")
+    )

@@ -1,0 +1,40 @@
+"""Oracle checks + recall property for the similarity-search family."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.oracle_check import compare
+
+from delta_lake_health_spark.plans import similarity as sim
+
+
+@pytest.mark.parametrize("name", sorted(sim.ORACLE))
+def test_similarity_vs_oracle(spark, duck, name):
+    compare(spark, duck, sim.QUERIES[name], sim.ORACLE[name], SF_ORACLE)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=3 of 10 lists must recover a solid fraction of the
+    exact top-5 neighbours (recall@5 >= 0.5 on the synthetic clusters —
+    labels are cluster ids, so the coarse quantizer is well matched)."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in sim.QUERIES["ann_ivf_topk"](spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@{sim.TOP_K} too low: {recall}"
+
+
+def test_lsh_buckets_partition_corpus(spark):
+    df = sim.QUERIES["ann_lsh_buckets"](spark, SF_ORACLE)
+    rows = df.collect()
+    n = len(rows)
+    assert n == len({r.vec_id for r in rows})  # one bucket per vector
+    assert all(len(r.bucket) == sim.N_PLANES for r in rows)
+    assert sum(r.bucket_size for r in rows) >= n  # sizes consistent
