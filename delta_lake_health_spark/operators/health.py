@@ -1,0 +1,259 @@
+"""Delta-table health metrics + score — Spark-native analyzer.
+
+Same metric surface and scoring formula as the reference
+(src/delta_lake_health/health_analyzers/base_analyzer.py:17-101,
+src/delta_lake_health/health_analyzers/delta_python_analyzer.py:136-280),
+re-expressed over our distributed log reader:
+
+- every log-derived metric (ops counts, version, file sizes, record count)
+  is an aggregate over the ``_delta_log`` — NO data scan; for a 100 TB
+  table the log is GBs, so `analyze_table` costs seconds, not hours;
+- skewness runs on the snapshot as one groupBy + one tiny agg
+  (operators/skew.py) instead of the reference's to-pandas collect;
+- folder listing (orphan detection, folder size) is parallelized over
+  first-level subtrees — on object stores each executor lists its prefix.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.operators import skew as skew_ops
+from delta_lake_health_spark.sources.delta_log import LOG_DIR, DeltaLog
+
+
+class HealthStatus(str, Enum):
+    HEALTHY = "healthy"
+    UNHEALTHY = "unhealthy"
+    VERY_UNHEALTHY = "very_unhealthy"
+    UNKNOWN = "unknown"
+
+
+@dataclass
+class HealthMetrics:
+    """Mirror of the reference's DeltaAnalyzerMetrics (plain dataclass)."""
+
+    version_count: int = 0
+    partition_count: int = 0
+    record_count: int = 0
+    is_skewed: bool = False
+    skewness_max: float = 0.0
+    skewness_average: float = 0.0
+    is_compacted: bool = False
+    number_of_writes: int = 0
+    number_of_deletes: int = 0
+    number_of_optimizes: int = 0
+    table_size_bytes: int = 0
+    folder_size_bytes: int = 0
+    needs_vacuum: bool = False
+    has_orphan_files: bool = False
+    needs_optimize: bool = False
+    small_files_count: int = 0
+    avg_file_size_bytes: int = 0
+    partition_skewness: float | None = None
+    data_file_count: int = 0
+    orphan_files_count: int = 0
+    files_needing_vacuum: int = 0
+    file_size_efficiency: float | None = None
+    storage_efficiency: float | None = None
+    table_path: str = ""
+    total_file_count: int = 0
+    skew_metrics: dict = field(default_factory=dict)
+    health_score: float | None = None
+    health_status: HealthStatus | None = None
+
+
+def health_score(m: HealthMetrics) -> tuple[float, HealthStatus]:
+    """Exact formula parity with base_analyzer.py:52-101: four 25-point
+    components (freshness, maintenance, balance, storage)."""
+    max_component = 25.0
+
+    freshness_threshold = 10
+    freshness = min(
+        m.number_of_writes / freshness_threshold * max_component, max_component
+    )
+
+    optimize_ratio = m.number_of_optimizes / max(m.number_of_writes, 1)
+    optimize_score = min(optimize_ratio * 10 * (max_component / 2), max_component / 2)
+    vacuum_score = 0.0 if m.needs_vacuum else max_component / 2
+    maintenance = optimize_score + vacuum_score
+
+    skewness = (
+        m.skew_metrics.get("skewness_max", m.skewness_max)
+        if m.skew_metrics
+        else m.skewness_max
+    )
+    balance = max_component - min(skewness * 100, max_component)
+
+    small_files_ratio = m.small_files_count / max(m.number_of_writes * 2, 1)
+    small_files_penalty = min(
+        small_files_ratio * (max_component / 2), max_component / 2
+    )
+    orphan_penalty = max_component / 2 if m.has_orphan_files else 0.0
+    storage = max_component - small_files_penalty - orphan_penalty
+
+    overall = freshness + maintenance + balance + storage
+    if overall >= 80:
+        status = HealthStatus.HEALTHY
+    elif overall >= 50:
+        status = HealthStatus.UNHEALTHY
+    else:
+        status = HealthStatus.VERY_UNHEALTHY
+    m.health_score = overall
+    m.health_status = status
+    return overall, status
+
+
+def _list_folder_files(spark: SparkSession, table_path: str) -> DataFrame:
+    """(rel_path, size) of every .parquet under the table root, excluding
+    the log — the recursive walk of each first-level subtree runs on
+    executors, so a million-file table lists in parallel."""
+    table_path = os.path.abspath(table_path)
+    roots: list[str] = [table_path]
+    subdirs = [
+        os.path.join(table_path, d)
+        for d in os.listdir(table_path)
+        if os.path.isdir(os.path.join(table_path, d)) and d != LOG_DIR
+    ]
+    roots = subdirs or roots
+
+    def walk(root: str):
+        for dirpath, _dirs, files in os.walk(root):
+            if LOG_DIR in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(dirpath, f)
+                    yield (
+                        os.path.relpath(fp, table_path).replace(os.sep, "/"),
+                        os.path.getsize(fp),
+                    )
+
+    def walk_top(root: str):
+        # top-level files (non-recursive) for the root itself
+        for f in os.listdir(root):
+            fp = os.path.join(root, f)
+            if f.endswith(".parquet") and os.path.isfile(fp):
+                yield (os.path.relpath(fp, table_path).replace(os.sep, "/"),
+                       os.path.getsize(fp))
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize(roots, max(1, len(roots))).flatMap(walk)
+    if subdirs:
+        rdd = rdd.union(sc.parallelize([table_path], 1).flatMap(walk_top))
+    return spark.createDataFrame(rdd, "rel_path: string, size: long")
+
+
+class HealthAnalyzer:
+    """``HealthAnalyzer(spark).analyze_table(path)`` — the reference's
+    ``DeltaAnalyzer`` facade (delta_analyzer.py), single Spark-native
+    implementation."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def analyze_table(
+        self,
+        table_path: str,
+        skew_threshold: float = 0.1,
+        vacuum_size_ratio_threshold: float = 0.7,
+        orphan_file_ratio_threshold: float = 0.8,
+        small_file_size_mb: float = 10.0,
+        small_file_ratio_threshold: float = 0.3,
+        collect_partitions: bool = True,
+    ) -> HealthMetrics:
+        log = DeltaLog(self.spark, table_path)
+        m = HealthMetrics(table_path=os.path.abspath(table_path))
+
+        # --- history (log-only) ------------------------------------------
+        ops = log.operation_counts()
+        m.number_of_writes = ops.get("WRITE", 0)
+        m.number_of_deletes = ops.get("DELETE", 0)
+        m.number_of_optimizes = ops.get("OPTIMIZE", 0)
+        m.version_count = log.version()
+
+        # --- live-file stats (log-only) ----------------------------------
+        active = log.active_files().cache()
+        try:
+            stats_row = active.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("size").alias("total_size"),
+                F.avg("size").alias("avg_size"),
+                F.sum("num_records").alias("n_records"),
+                F.sum(
+                    F.when(F.col("num_records").isNull(), 1).otherwise(0)
+                ).alias("missing_stats"),
+                F.sum(
+                    F.when(
+                        F.col("size") < int(small_file_size_mb * 1024 * 1024), 1
+                    ).otherwise(0)
+                ).alias("small_files"),
+            ).collect()[0]
+            m.data_file_count = int(stats_row.n_files or 0)
+            m.table_size_bytes = int(stats_row.total_size or 0)
+            m.avg_file_size_bytes = int(stats_row.avg_size or 0)
+            m.small_files_count = int(stats_row.small_files or 0)
+            m.record_count = (
+                int(stats_row.n_records or 0)
+                if not stats_row.missing_stats
+                else log.snapshot().count()
+            )
+            m.needs_optimize = (
+                m.data_file_count > 0
+                and m.small_files_count
+                > m.data_file_count * small_file_ratio_threshold
+            )
+            m.is_compacted = not m.needs_optimize
+
+            # --- folder listing: orphan files + folder size (distributed)
+            folder = _list_folder_files(self.spark, table_path)
+            live_paths = active.select(F.col("path").alias("rel_path"))
+            orphans = folder.join(F.broadcast(live_paths), "rel_path", "left_anti")
+            folder_row = folder.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("size").alias("total")
+            ).collect()[0]
+            m.total_file_count = int(folder_row.n or 0)
+            m.folder_size_bytes = int(folder_row.total or 0)
+            m.orphan_files_count = orphans.count()
+        finally:
+            active.unpersist()
+
+        size_ratio = (
+            m.table_size_bytes / m.folder_size_bytes if m.folder_size_bytes else 1.0
+        )
+        m.needs_vacuum = size_ratio < vacuum_size_ratio_threshold
+        file_ratio = (
+            m.data_file_count / m.total_file_count if m.total_file_count else 1.0
+        )
+        m.has_orphan_files = file_ratio < orphan_file_ratio_threshold
+        m.files_needing_vacuum = m.orphan_files_count if m.needs_vacuum else 0
+        if m.folder_size_bytes > 0:
+            m.storage_efficiency = m.table_size_bytes / m.folder_size_bytes
+        if m.data_file_count > 0 and m.avg_file_size_bytes > 0:
+            m.file_size_efficiency = min(
+                1.0, m.avg_file_size_bytes / (128 * 1024 * 1024)
+            )
+
+        # --- skewness on the snapshot (one shuffle) ----------------------
+        partition_cols = log.partition_columns()
+        if partition_cols:
+            snap = log.snapshot()
+            m.skew_metrics = skew_ops.skew_metrics(
+                snap, partition_cols, skew_threshold, collect_partitions
+            )
+            m.skewness_max = m.skew_metrics["skewness_max"]
+            m.skewness_average = m.skew_metrics["skewness_average"]
+            m.is_skewed = m.skew_metrics["is_skewed"]
+            m.partition_skewness = m.skewness_max
+            if collect_partitions:
+                m.partition_count = len(
+                    m.skew_metrics["records_per_partition_dict"]
+                )
+
+        health_score(m)
+        return m

