@@ -1,0 +1,89 @@
+"""Sample-table population & cleanup (reference:
+src/delta_lake_health/demos/populate_sample_delta.py, clean_delta_data.py).
+
+Creates simple / skewed / complex Delta tables with our own writer so the
+analyzer, maintenance, and report operators have realistic inputs. All data
+is deterministic (hash-derived, no RNG) so demo metrics are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.operators import maintenance
+from delta_lake_health_spark.sources import delta_writer
+
+SAMPLE_DIR_DEFAULT = "/tmp/delta_lake_health_spark/tables"
+
+DAYS_EVEN = ["Mon", "Tue", "Wed", "Thu", "Fri"]
+
+
+def _rows_df(spark, n: int, day_weights: list[int], offset: int = 0):
+    """Deterministic rows: id, value, day, category."""
+    total_w = sum(day_weights)
+    df = spark.range(offset, offset + n).select(
+        F.col("id"),
+        (100 + (F.col("id") * 37 % 61) - 30.0).alias("value"),
+        F.lit(None).alias("_w"),
+    )
+    # cumulative weight bucketing on id % total_w → day
+    bounds = []
+    acc = 0
+    for d, w in zip(DAYS_EVEN, day_weights):
+        bounds.append((acc, acc + w, d))
+        acc += w
+    day = F.col("id") % total_w
+    expr = F.lit(DAYS_EVEN[-1])
+    for lo, hi, d in reversed(bounds):
+        expr = F.when((day >= lo) & (day < hi), d).otherwise(expr)
+    return df.select(
+        "id",
+        "value",
+        expr.alias("day"),
+        F.when(F.col("id") % 3 == 0, "A")
+        .when(F.col("id") % 3 == 1, "B")
+        .otherwise("C")
+        .alias("category"),
+    )
+
+
+def populate_sample_tables(
+    spark: SparkSession, base_dir: str = SAMPLE_DIR_DEFAULT
+) -> dict[str, str]:
+    simple = os.path.join(base_dir, "simple_delta")
+    skewed = os.path.join(base_dir, "skewed_delta")
+    complex_ = os.path.join(base_dir, "complex_delta")
+    clean(base_dir)
+
+    # simple: even distribution, one write + one append
+    delta_writer.write(spark, _rows_df(spark, 1000, [1, 1, 1, 1, 1]), simple,
+                       mode="overwrite", partition_by=["day"])
+    delta_writer.write(spark, _rows_df(spark, 500, [1, 1, 1, 1, 1], offset=1000),
+                       simple, mode="append", partition_by=["day"])
+
+    # skewed: 60/20/10/5/5 distribution, multiple appends
+    delta_writer.write(spark, _rows_df(spark, 1000, [12, 4, 2, 1, 1]), skewed,
+                       mode="overwrite", partition_by=["day"])
+    delta_writer.write(spark, _rows_df(spark, 500, [35, 10, 3, 1, 1], offset=1000),
+                       skewed, mode="append", partition_by=["day"])
+
+    # complex: appends + delete + compact (history with every op type)
+    delta_writer.write(spark, _rows_df(spark, 1000, [1, 1, 1, 1, 1]), complex_,
+                       mode="overwrite", partition_by=["day"])
+    for k in range(3):
+        delta_writer.write(
+            spark, _rows_df(spark, 200, [1, 1, 1, 1, 1], offset=1000 + 200 * k),
+            complex_, mode="append", partition_by=["day"],
+        )
+    delta_writer.delete(spark, complex_, "value > 120")
+    maintenance.compact(spark, complex_)
+    return {"simple": simple, "skewed": skewed, "complex": complex_}
+
+
+def clean(base_dir: str = SAMPLE_DIR_DEFAULT) -> None:
+    if os.path.isdir(base_dir):
+        shutil.rmtree(base_dir)

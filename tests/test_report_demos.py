@@ -1,0 +1,65 @@
+"""Report data-prep + demo population tests (SURVEY D19/D20)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from delta_lake_health_spark import demos
+from delta_lake_health_spark.operators import report
+from delta_lake_health_spark.operators.health import HealthAnalyzer
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+
+@pytest.fixture(scope="module")
+def sample_tables(spark):
+    base = tempfile.mkdtemp()
+    paths = demos.populate_sample_tables(spark, base)
+    yield paths
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_demo_tables_health(spark, sample_tables):
+    skew_simple = HealthAnalyzer(spark).analyze_table(
+        sample_tables["simple"], collect_partitions=False
+    )
+    skew_skewed = HealthAnalyzer(spark).analyze_table(
+        sample_tables["skewed"], collect_partitions=False
+    )
+    assert skew_simple.skewness_max < 0.05
+    assert skew_skewed.skewness_max > 0.5
+    assert skew_skewed.is_skewed and not skew_simple.is_skewed
+
+
+def test_ops_timeline(spark, sample_tables):
+    tl = report.ops_timeline(spark, sample_tables["complex"]).collect()
+    ops = [r.operation for r in tl]
+    assert ops[0] == "WRITE" and "DELETE" in ops and "OPTIMIZE" in ops
+    versions = [r.version for r in tl]
+    assert versions == sorted(versions)
+    assert all(r.num_files_added >= 0 for r in tl)
+
+
+def test_file_size_histogram(spark, sample_tables):
+    h = report.file_size_histogram(spark, sample_tables["complex"]).collect()
+    log = DeltaLog(spark, sample_tables["complex"])
+    assert sum(r.n_files for r in h) == log.active_files().count()
+    assert all(r.bin_end_mb > r.bin_start_mb for r in h)
+
+
+def test_partition_records(spark, sample_tables):
+    pr = report.partition_records(spark, sample_tables["simple"]).collect()
+    assert len(pr) == 5  # five day partitions
+    assert sum(r.n_records for r in pr) == 1500
+    assert all(r.partition_key.startswith("day=") for r in pr)
+
+
+def test_historical_trends(spark, sample_tables):
+    log = DeltaLog(spark, sample_tables["complex"])
+    tr = report.historical_trends(spark, sample_tables["complex"]).collect()
+    assert tr[-1].record_count == log.record_count()
+    assert tr[-1].data_file_count == log.active_files().count()
+    # cumulative series never negative
+    assert all(r.table_size_bytes >= 0 and r.data_file_count >= 0 for r in tr)
