@@ -1,0 +1,254 @@
+"""Multimodal column plumbing (SURVEY §2.7).
+
+Media lives in DataFrames as an opaque ``binary`` column plus a typed
+metadata struct; decode / resize / frame-sample / featurize run as
+``mapInPandas`` stages (Arrow-batched, one Python worker per partition —
+the only sanctioned Python hot path in this engine).
+
+The container has no image/audio codecs, so the actual pixel decode is
+STUBBED: payloads use a deterministic synthetic format (magic + header +
+bytes) that the stub parses for real. ``decode_media`` first tries
+Pillow (``PIL``) for real images and falls back to the stub — the Spark
+plumbing (schemas, batch iteration, partitioning) is identical either
+way, which is the part that matters at scale: a real codec swap touches
+only ``_decode_payload``.
+
+Scale: mapInPandas streams Arrow record batches — peak memory per task is
+one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
+partition; media bytes never pass through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC_IMG = b"SIMG"
+MAGIC_VID = b"SVID"
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                    StructField("source", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+EMBED_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+# --- synthetic payload codec (the deterministic stand-in for real codecs) --
+
+def encode_image(media_id: int, width: int, height: int) -> bytes:
+    body = hashlib.sha256(f"img:{media_id}".encode()).digest()
+    body = (body * ((width * height) // len(body) + 1))[: width * height]
+    return MAGIC_IMG + struct.pack("<II", width, height) + body
+
+
+def encode_video(media_id: int, width: int, height: int, n_frames: int) -> bytes:
+    frames = b"".join(
+        hashlib.sha256(f"vid:{media_id}:{f}".encode()).digest() for f in range(n_frames)
+    )
+    return MAGIC_VID + struct.pack("<III", width, height, n_frames) + frames
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Parse the synthetic header. Real-image branch: Pillow if present."""
+    if payload[:4] == MAGIC_IMG:
+        w, h = struct.unpack("<II", payload[4:12])
+        return {"width": w, "height": h, "n_frames": 1,
+                "n_bytes": len(payload) - 12}
+    if payload[:4] == MAGIC_VID:
+        w, h, nf = struct.unpack("<III", payload[4:16])
+        return {"width": w, "height": h, "n_frames": nf,
+                "n_bytes": len(payload) - 16}
+    try:  # pragma: no cover - codec not in this container
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, "n_frames": 1,
+                "n_bytes": len(payload)}
+    except ImportError:
+        raise NotImplementedError(
+            "real media decode requires an image codec (Pillow); "
+            "only the synthetic SIMG/SVID formats decode in this build"
+        )
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """n deterministic media rows (3/4 images, 1/4 videos)."""
+    rows = []
+    for i in range(n):
+        if i % 4 == 3:
+            w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
+            payload, mtype = encode_video(i, w, h, nf), "video"
+        else:
+            w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
+            payload, mtype = encode_image(i, w, h), "image"
+        rows.append((i, mtype, payload, (w, h, nf, f"synth://{i}")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- mapInPandas stages ------------------------------------------------------
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """binary payload → typed decode record (header parse, checksum)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                d = _decode_payload(bytes(payload))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": mtype,
+                        **{k: d[k] for k in ("width", "height", "n_frames")},
+                        "n_bytes": d["n_bytes"],
+                        "checksum": hashlib.md5(bytes(payload)).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """image payloads → resized payloads (synthetic re-encode; a real
+    build swaps the body for actual resampling). Videos pass through."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload, meta in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                if mtype == "image":
+                    payload = encode_image(int(mid), width, height)
+                    meta = {**meta, "width": width, "height": height}
+                rows.append(
+                    {"media_id": int(mid), "media_type": mtype,
+                     "payload": payload, "meta": meta}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """video payloads → one row per sampled frame (frame_idx, frame hash).
+    Output is exploded, so downstream per-frame featurization stays
+    embarrassingly parallel."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_checksum", StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "video":
+                    continue
+                payload = bytes(payload)
+                _w, _h, nf = struct.unpack("<III", payload[4:16])
+                frames = payload[16:]
+                fsize = len(frames) // nf if nf else 0
+                for idx in range(0, nf, every_k):
+                    fr = frames[idx * fsize : (idx + 1) * fsize]
+                    rows.append(
+                        {"media_id": int(mid), "frame_idx": idx,
+                         "frame_checksum": hashlib.md5(fr).hexdigest()}
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, schema)
+
+
+def featurize(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """payload → deterministic fake embedding (md5-seeded floats in
+    [-1, 1]); the real featurizer would run a vision model here with the
+    same signature."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.md5(bytes(payload)).digest()
+                vec = [
+                    (h[j % len(h)] / 127.5 - 1.0) * (1 if j % 2 == 0 else -1)
+                    for j in range(dim)
+                ]
+                rows.append({"media_id": int(mid), "embedding": vec})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def media_stats(decoded: DataFrame) -> DataFrame:
+    """Plain DataFrame agg over the decoded records (JVM-side)."""
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg("width").alias("avg_width"),
+            F.avg("height").alias("avg_height"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )

@@ -1,0 +1,184 @@
+"""Structured Streaming variants of the events operators (SURVEY §2.3 E4).
+
+Batch/stream parity: ``plans/events.py`` defines the batch semantics;
+these jobs express the same logic as ``readStream`` pipelines —
+
+- ``tumbling_hourly``: watermarked 1-hour windowed aggregation
+  (event-time, late data dropped past the watermark);
+- ``sessionize``: 30-minute-gap sessionization as a custom stateful
+  operator via ``applyInPandasWithState`` (event-time timeout closes idle
+  sessions once the watermark passes session_end + gap).
+
+Scale: state is keyed by user_id — Spark partitions state across
+executors by key hash; per-key state is O(1) (one open session tuple), so
+state size is bounded by |active users|, not event volume. The pandas
+function receives Arrow batches, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# raw schema of the events parquet when TIMESTAMP(NANOS) is read as long
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_hourly(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling 1-hour window per event type — the streaming
+    twin of ``events_tumbling_hourly``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "total_value",
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", DoubleType()),
+        StructField("duration_us", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _emit(user_id: int, start: int, last: int, n: int, value: float) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "session_start_us": start,
+                "n_events": n,
+                "session_value": round(value, 2),
+                "duration_us": last - start,
+            }
+        ]
+    )
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n, value = state.get
+        state.remove()
+        yield _emit(user_id, start, last, n, value)
+        return
+
+    batch = pd.concat(list(pdfs)).sort_values("ts_us")
+    if state.exists:
+        start, last, n, value = state.get
+    else:
+        start = None  # type: ignore[assignment]
+        last = n = 0
+        value = 0.0
+
+    out: list[pd.DataFrame] = []
+    for ts, v in zip(batch["ts_us"], batch["value"]):
+        ts = int(ts)
+        if start is None:
+            start, last, n, value = ts, ts, 1, float(v)
+        elif ts - last > SESSION_GAP_US:
+            out.append(_emit(user_id, start, last, n, value))
+            start, last, n, value = ts, ts, 1, float(v)
+        else:
+            last, n, value = ts, n + 1, value + float(v)
+    state.update((start, last, n, value))
+    # close the open session once the event-time watermark passes last+gap
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    if out:
+        yield pd.concat(out)
+
+
+def sessionize(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator."""
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    checkpoint_dir: str,
+) -> Any:
+    """Drive a streaming DataFrame to a memory sink with availableNow
+    (process-everything-then-stop) — the pytest harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,107 @@
+"""Streaming jobs vs their batch twins (SURVEY E4).
+
+The stream source is the sf0.001 events table split into three
+chronological parquet chunks; maxFilesPerTrigger=1 + availableNow drives
+three deterministic micro-batches, so watermarks advance between batches
+and event-time timeouts actually fire."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.plans import events as batch_events
+from delta_lake_health_spark.sources.catalog import load
+from delta_lake_health_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    # ts as long nanos, matching EVENTS_RAW_SCHEMA (the on-disk layout of
+    # the driver's events table)
+    ev = (
+        load(spark, SF, "events")
+        .withColumn("ts", F.unix_micros("ts") * 1000)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.count()
+    chunk = rows // 3 + 1
+    pdf = ev.toPandas()
+    for i in range(3):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            spark.createDataFrame(part).coalesce(1).write.parquet(
+                os.path.join(src, f"chunk_{i}")
+            )
+    # flatten: move part files into src with ordered names
+    n = 0
+    for i in range(3):
+        d = os.path.join(src, f"chunk_{i}")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(d, f), os.path.join(src, f"{n:03d}.parquet"))
+                n += 1
+        shutil.rmtree(d)
+    yield tmp, src
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_tumbling_matches_batch(spark, stream_dir):
+    tmp, src = stream_dir
+    stream = jobs.read_events_stream(spark, src)
+    agg = jobs.tumbling_hourly(stream)
+    jobs.run_to_memory(agg, "tumbling_t", "complete", os.path.join(tmp, "cp1"))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("tumbling_t").collect()
+    }
+    batch = batch_events.QUERIES["events_tumbling_hourly"](spark, SF).collect()
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch
+    }
+    assert got == want
+
+
+def test_stream_sessionize_matches_batch(spark, stream_dir):
+    tmp, src = stream_dir
+    stream = jobs.read_events_stream(spark, src, max_files_per_trigger=1)
+    sess = jobs.sessionize(stream)
+    jobs.run_to_memory(sess, "sessions_t", "append", os.path.join(tmp, "cp2"))
+    got = {
+        (r.user_id, r.n_events, r.session_value, r.duration_us)
+        for r in spark.table("sessions_t").collect()
+    }
+
+    batch = batch_events.QUERIES["events_sessionization"](spark, SF)
+    w_last = F.max("session_id").over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        )
+    )
+    closed = (
+        batch.withColumn("last_sid", w_last)
+        .where(F.col("session_id") < F.col("last_sid"))
+        .collect()
+    )
+    want = {
+        (r.user_id, r.n_events, r.session_value, r.duration_us) for r in closed
+    }
+    # every batch-closed session must have been emitted by the stream
+    # (gap-split within a batch or event-time timeout across batches);
+    # the stream never emits each user's final still-open session.
+    assert want <= got
+    open_sessions = got - want
+    n_users = len({u for (u, *_rest) in got})
+    assert len(open_sessions) <= n_users
