@@ -52,12 +52,6 @@ SHINGLES_EXPR = """
   ELSE array(concat_ws(' ', toks)) END
 """
 
-MINHASH_EXPR = f"""
-  transform(sequence(0, {N_HASHES - 1}),
-            s -> array_min(transform(shingles,
-                 sh -> md5(concat(cast(s AS string), ':', sh)))))
-"""
-
 # DuckDB side (1-based list indexing).
 SQL_SHINGLES = """
   CASE WHEN len(toks) >= 3 THEN
@@ -122,8 +116,25 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_EXPR = f"""
+  transform(sequence(0, {N_HASHES - 1}),
+            s -> array_min(transform(shingles,
+                 sh -> md5(concat(cast(s AS string), ':', sh)))))
+"""
+
+
 def _signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + 16-element minhash signature, one codegen pass per doc."""
+    """doc_id + 16-element minhash signature, one narrow pass per doc.
+
+    Formulations benchmarked at sf0.1 (32 cores):
+    - this one (nested higher-order fns): interpreted lambdas, but ZERO
+      shuffles and evaluated exactly once per row — ~1.5s;
+    - explode-shingles + 16 md5 columns + groupBy(doc_id).min: the min over
+      md5 *strings* forces SortAggregate (no codegen'd hash agg for string
+      buffers) plus a 270k-row shuffle — ~11s despite being "codegen".
+    Narrow-and-interpreted beats shuffle-and-sorted here; both scale
+    linearly but this one has no exchange at all.
+    """
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .withColumn("shingles", F.expr(SHINGLES_EXPR))
@@ -159,40 +170,58 @@ def _signatures(docs: DataFrame) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = _signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(
+                        *[F.expr(f"sig[{b * BAND_SIZE + i}]") for i in range(BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    # explode_outer: a plain explode makes Catalyst push a
+    # `size(bands)>0 AND isnotnull(bands)` filter below the Generate, which
+    # re-evaluates the whole (interpreted) signature expression a second
+    # time per row — outer explode generates no such filter.
     bands = sigs.select(
-        "doc_id",
+        "doc_id", F.explode_outer(band_structs).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    # Candidate pairs WITHOUT a self-join: a self-join re-executes the whole
+    # signature pipeline for each side; grouping by bucket computes it once
+    # and shuffles only |docs| x N_BANDS tiny rows. Buckets are dup
+    # clusters, so the in-bucket pair expansion is bounded (k docs -> k^2/2
+    # pairs — inherent to LSH output, capped by cluster size not corpus).
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
         F.explode(
             F.expr(
-                f"""transform(sequence(0, {N_BANDS - 1}), b -> struct(
-                        b AS band_idx,
-                        md5(concat(sig[b*{BAND_SIZE}], sig[b*{BAND_SIZE}+1],
-                                   sig[b*{BAND_SIZE}+2], sig[b*{BAND_SIZE}+3]))
-                          AS band_key))"""
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
-    a = bands.alias("a")
-    c = bands.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.band_key") == F.col("c.band_key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct().orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
 # X4 — SimHash (16-bit, md5-nibble derived) + collision-bucket sizes.
+# Spark side hashes each token ONCE (toks_md5 precomputed), then derives
+# the 16 bit-sums from the cached digests — the naive per-bit formulation
+# recomputes md5 16x per token (3x slower at sf0.1, worse with longer docs).
 _SPARK_SIMHASH = f"""
   array_join(transform(sequence(0, {SIMHASH_BITS - 1}), j ->
-    CASE WHEN aggregate(toks, 0, (acc, w) -> acc +
+    CASE WHEN aggregate(toks_md5, 0, (acc, h) -> acc +
         2 * ((shiftright(instr('0123456789abcdef',
-                               substr(md5(w), CAST(j / 4 AS INT) + 1, 1)) - 1,
+                               substr(h, CAST(j / 4 AS INT) + 1, 1)) - 1,
                          j % 4)) % 2) - 1) > 0
     THEN '1' ELSE '0' END), '')
 """
@@ -224,9 +253,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    hashed = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id", F.expr("transform(toks, w -> md5(w))").alias("toks_md5")
+        )
+        .select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    )
     return hashed.select(
         "doc_id",
         "simhash",
@@ -269,21 +302,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
         .withColumn("shingles", F.expr(SHINGLES_EXPR))
-        .select("doc_id", "source", F.explode("shingles").alias("shingle"))
+        .select("doc_id", "source", F.explode_outer("shingles").alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Shared-shingle counts WITHOUT a self-join (a self-join of the exploded
+    # shingle set re-runs the shingling for both sides and SMJ-sorts 2x
+    # |shingles| rows): group each (source, shingle) into its posting list
+    # and expand in-bucket pairs — identical n_shared math, one shuffle.
+    buckets = (
+        sh.groupBy("source", "shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.alias("sa")
@@ -320,18 +362,22 @@ _SQL_COS = (
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms are per-VECTOR, so compute them before the pair join — the
+    # naive per-pair norm triples the interpreted array-fold work
+    # (O(pairs) instead of O(vectors)).
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> CAST(x AS double))").alias("emb"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")),
     )
     a, b = emb.alias("a"), emb.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     )
-    na = F.sqrt(F.expr("aggregate(transform(a.emb, x -> x * x), 0D, (acc, v) -> acc + v)"))
-    nb = F.sqrt(F.expr("aggregate(transform(b.emb, x -> x * x), 0D, (acc, v) -> acc + v)"))
-    cos = dot / (na * nb)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .where(cos >= COSINE_THRESHOLD)

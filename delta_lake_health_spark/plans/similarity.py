@@ -98,6 +98,12 @@ def _cos(a: str, b: str):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _with_norm(df: DataFrame, emb_col: str, out: str) -> DataFrame:
+    """Precompute the L2 norm per vector BEFORE any pair join — per-pair
+    norm evaluation turns an O(vectors) array fold into O(pairs)."""
+    return df.withColumn(out, _norm(emb_col))
+
+
 # ---- shared SQL fragments --------------------------------------------------
 
 _SQL_E = "SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings"
@@ -160,14 +166,20 @@ def _centroids(emb: DataFrame) -> DataFrame:
     """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         F.broadcast(q)
         .join(emb, F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", _cos("q_emb", "emb").alias("cos"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
@@ -218,16 +230,17 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    cent = _centroids(emb)
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
+    cent = _with_norm(_centroids(emb), "cent", "cnrm")
+    ccos = _dot("emb", "cent") / (F.col("nrm") * F.col("cnrm"))
     # nearest-centroid assignment: corpus x tiny-centroids broadcast join
     aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
     assign = (
         emb.join(F.broadcast(cent))
-        .select("vec_id", "emb", "cid", _cos("emb", "cent").alias("ccos"))
+        .select("vec_id", "emb", "nrm", "cid", ccos.alias("ccos"))
         .withColumn("arn", F.row_number().over(aw))
         .where(F.col("arn") == 1)
-        .select("vec_id", "emb", "cid")
+        .select("vec_id", "emb", "nrm", "cid")
     )
     qprobe = (
         emb.where(F.col("vec_id") < N_QUERIES)
@@ -235,8 +248,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             "cid",
-            _cos("emb", "cent").alias("ccos"),
+            ccos.alias("ccos"),
         )
         .withColumn(
             "prn",
@@ -245,13 +259,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("prn") <= NPROBE)
-        .select("q_id", "q_emb", "cid")
+        .select("q_id", "q_emb", "q_nrm", "cid")
     )
     scored = (
         F.broadcast(qprobe)
         .join(assign, "cid")
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", _cos("q_emb", "emb").alias("cos"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
