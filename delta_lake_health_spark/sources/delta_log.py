@@ -111,17 +111,112 @@ class DeltaLog:
 
     # -- raw actions -------------------------------------------------------
 
+    def last_checkpoint(self) -> int | None:
+        """Version of the newest checkpoint, from ``_last_checkpoint``."""
+        lc = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.isfile(lc):
+            return None
+        with open(lc) as f:
+            return int(json.load(f)["version"])
+
     def actions(self) -> DataFrame:
-        """All actions from all commit JSONs, tagged with their version."""
-        df = self.spark.read.schema(ACTION_SCHEMA).json(
-            os.path.join(self.log_dir, "*.json")
+        """All actions, tagged with their version.
+
+        With a checkpoint present, reads the checkpoint parquet (the
+        compacted state at version V) plus ONLY the commit JSONs after V —
+        log-read cost is bounded by checkpoint interval, not table age.
+        """
+        ckpt_version = self.last_checkpoint()
+        json_files = sorted(
+            f
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:20].isdigit()
+            and (ckpt_version is None or int(f[:20]) > ckpt_version)
         )
-        return df.withColumn(
-            "version",
-            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1).cast(
-                "long"
-            ),
+        parts = []
+        if ckpt_version is not None:
+            ckpt = self.spark.read.parquet(
+                os.path.join(self.log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
+            )
+            for col in ("add", "remove", "metaData", "protocol", "commitInfo"):
+                if col not in ckpt.columns:
+                    ckpt = ckpt.withColumn(
+                        col, F.lit(None).cast(ACTION_SCHEMA[col].dataType)
+                    )
+            ver = (
+                F.col("version").cast("long")
+                if "version" in ckpt.columns
+                else F.lit(ckpt_version).cast("long")
+            )
+            parts.append(
+                ckpt.select(
+                    *[
+                        F.col(c).cast(ACTION_SCHEMA[c].dataType).alias(c)
+                        for c in ACTION_SCHEMA.fieldNames()
+                    ],
+                    ver.alias("version"),
+                )
+            )
+        if json_files:
+            df = self.spark.read.schema(ACTION_SCHEMA).json(
+                [os.path.join(self.log_dir, f) for f in json_files]
+            )
+            parts.append(
+                df.withColumn(
+                    "version",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"(\d{20})\.json$", 1
+                    ).cast("long"),
+                )
+            )
+        if not parts:
+            raise FileNotFoundError(f"empty delta log: {self.log_dir}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def checkpoint(self) -> int:
+        """Write a checkpoint parquet of the CURRENT reconciled state and
+        update ``_last_checkpoint``; returns the checkpointed version.
+
+        State = live adds + latest metaData/protocol + all commitInfo
+        entries (an extension over the Delta spec so history/op-count
+        metrics survive checkpoint truncation), each row keeping its
+        original ``version``.
+        """
+        version = self.version()
+        acts = self.actions()
+        cols = [*ACTION_SCHEMA.fieldNames(), "version"]
+        live = self.active_files()
+        add_rows = acts.where(F.col("add").isNotNull()).join(
+            live.select("path", F.col("version").alias("add_version")),
+            (F.col("add.path") == F.col("path"))
+            & (F.col("version") == F.col("add_version")),
+            "left_semi",
         )
+        meta = (
+            acts.where(F.col("metaData").isNotNull())
+            .orderBy(F.desc("version"))
+            .limit(1)
+        )
+        proto = (
+            acts.where(F.col("protocol").isNotNull())
+            .orderBy(F.desc("version"))
+            .limit(1)
+        )
+        infos = acts.where(F.col("commitInfo").isNotNull())
+        state = (
+            add_rows.select(*cols)
+            .unionByName(meta.select(*cols))
+            .unionByName(proto.select(*cols))
+            .unionByName(infos.select(*cols))
+        )
+        ckpt_path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+        state.coalesce(1).write.mode("overwrite").parquet(ckpt_path)
+        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
+            json.dump({"version": version, "size": state.count()}, f)
+        return version
 
     # -- snapshot ----------------------------------------------------------
 

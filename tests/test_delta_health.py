@@ -215,3 +215,34 @@ def test_health_score_uses_skew_metrics_dict():
     # freshness 25, maintenance 12.5 (vacuum half only), balance 0
     # (dict skew 0.5 -> penalty capped at 25), storage 25 (no penalties)
     assert score == pytest.approx(25 + 12.5 + 0 + 25)
+
+
+def test_checkpoint_roundtrip(spark):
+    """After checkpointing, the reader consumes checkpoint + tail JSONs
+    only, and every metric survives: snapshot rows, record count, history
+    op counts, skew."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/ckpt_me"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])
+    delta_writer.write(spark, _tips_df(spark, 5, 5, 5, offset=200), path,
+                       mode="append", partition_by=["day"])
+    delta_writer.delete(spark, path, "total_bill > 40")
+    log = DeltaLog(spark, path)
+    rows_before = sorted(log.snapshot().collect())
+    ops_before = log.operation_counts()
+    ckpt_v = log.checkpoint()
+    assert ckpt_v == log.version()
+    # commits after the checkpoint still apply
+    delta_writer.write(spark, _tips_df(spark, 2, 2, 2, offset=400), path,
+                       mode="append", partition_by=["day"])
+    log2 = DeltaLog(spark, path)
+    assert log2.last_checkpoint() == ckpt_v
+    assert log2.version() == ckpt_v + 1
+    snap = log2.snapshot()
+    assert snap.count() == len(rows_before) + 6
+    ops_after = log2.operation_counts()
+    assert ops_after["WRITE"] == ops_before["WRITE"] + 1
+    assert ops_after["DELETE"] == ops_before["DELETE"]
+    assert log2.record_count() == snap.count()
+    shutil.rmtree(tmp)
