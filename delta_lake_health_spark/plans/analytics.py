@@ -698,3 +698,155 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution: left outer join + two-level agg.
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by 6-month revenue: agg + max-subquery (rank=1).
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    supp, li = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+    )
+    # max-revenue filter as an unpartitioned max window (two-row broadcast
+    # would also do; the window avoids a second scan of `revenue`)
+    w = Window.partitionBy()
+    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        F.broadcast(supp)
+        .join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated per-part average via a
+# broadcast self-aggregate join (no subquery re-scan of lineitem).
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS avg_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) pa ON avg_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(per_part, F.col("avg_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — idle wealthy customers: scalar-subquery threshold (avg positive
+# balance, broadcast) + low-activity filter, grouped by nation.
+@query(
+    "q22_idle_customers",
+    """
+    WITH activity AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM activity
+    WHERE n_orders <= 3
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    order_counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(order_counts, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .where(F.coalesce(F.col("n_orders"), F.lit(0)) <= 3)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
