@@ -241,3 +241,77 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
     )
     _commit(table_path, version + 1, actions)
     return version + 1
+
+
+def merge(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    ) -> int:
+    """Upsert ``source`` into the table by ``key_cols`` (whole-row update
+    on match, insert otherwise) — the MERGE operation the reference counts
+    in history (delta_python_analyzer.py:168 ops_summary).
+
+    Implementation: rewrite only the files containing matched keys (same
+    file pruning as delete), dropping their matched rows, then append the
+    full source. One distributed semi-join to find hit files, one rewrite
+    job, one commit.
+    """
+    import time as _time
+
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    partition_by = log.partition_columns()
+    keys = source.select(*key_cols).distinct()
+    snap = log.snapshot().withColumn("_file", F.col("_metadata.file_path"))
+    table_abs = os.path.abspath(table_path)
+    hit_files = {
+        os.path.relpath(unquote(urlparse(r._file).path) or r._file, table_abs)
+        for r in snap.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    }
+
+    before = _list_parquet_rel(table_path)
+    if hit_files:
+        abs_hits = [os.path.join(table_path, r) for r in hit_files]
+        survivors = (
+            spark.read.option("basePath", table_path)
+            .parquet(*abs_hits)
+            .join(F.broadcast(keys), key_cols, "left_anti")
+        )
+        writer = survivors.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(table_path)
+    src_writer = source.write.mode("append")
+    if partition_by:
+        src_writer = src_writer.partitionBy(*partition_by)
+    src_writer.parquet(table_path)
+    new_files = sorted(_list_parquet_rel(table_path) - before)
+
+    now = int(_time.time() * 1000)
+    actions = [_add_action(table_path, rel) for rel in new_files]
+    actions += [
+        {"remove": {"path": rel.replace(os.sep, "/"), "deletionTimestamp": now,
+                    "dataChange": True}}
+        for rel in sorted(hit_files)
+    ]
+    actions.append(
+        _commit_info(
+            "MERGE",
+            {"matchedPredicate": json.dumps(key_cols)},
+            {"numTargetFilesRemoved": len(hit_files),
+             "numTargetFilesAdded": len(new_files)},
+        )
+    )
+    version = current_version(table_path)
+    _commit(table_path, version + 1, actions)
+    return version + 1

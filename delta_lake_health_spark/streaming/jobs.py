@@ -182,3 +182,35 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def stream_to_delta(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+) -> Any:
+    """Sink a streaming DataFrame into one of OUR Delta tables: each
+    micro-batch becomes one atomic log commit via ``foreachBatch`` +
+    ``delta_writer.write`` — so a live ingest pipeline produces exactly
+    the table layout the health analyzer and maintenance operators act on
+    (appends accumulate small files; ``compact`` then bin-packs them)."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        delta_writer.write(
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

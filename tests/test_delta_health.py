@@ -246,3 +246,23 @@ def test_checkpoint_roundtrip(spark):
     assert ops_after["DELETE"] == ops_before["DELETE"]
     assert log2.record_count() == snap.count()
     shutil.rmtree(tmp)
+
+
+def test_merge_upserts_by_key(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/merge_me"
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, k string, v double"
+    )
+    delta_writer.write(spark, base, path, mode="overwrite")
+    src = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "id int, k string, v double"
+    )
+    delta_writer.merge(spark, path, src, ["id"])
+    log = DeltaLog(spark, path)
+    rows = {r.id: (r.k, r.v) for r in log.snapshot().collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    ops = log.operation_counts()
+    assert ops.get("MERGE", 0) == 1
+    assert log.record_count() == 4
+    shutil.rmtree(tmp)

@@ -105,3 +105,31 @@ def test_stream_sessionize_matches_batch(spark, stream_dir):
     open_sessions = got - want
     n_users = len({u for (u, *_rest) in got})
     assert len(open_sessions) <= n_users
+
+
+def test_stream_to_delta_sink(spark, stream_dir):
+    """End-to-end: stream micro-batches into our Delta format, then read
+    it back through the log and analyze its health."""
+    import tempfile
+
+    from delta_lake_health_spark.operators.health import HealthAnalyzer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    tmp, src = stream_dir
+    out = os.path.join(tempfile.mkdtemp(), "events_delta")
+    stream = jobs.read_events_stream(spark, src, max_files_per_trigger=1)
+    enriched = stream.withColumn("event_date", F.to_date("ts"))
+    jobs.stream_to_delta(enriched, out, os.path.join(tmp, "cp3"),
+                         partition_by=["event_type"])
+
+    log = DeltaLog(spark, out)
+    n_src = load(spark, SF, "events").count()
+    assert log.record_count() == n_src          # log-only count, no scan
+    assert log.snapshot().count() == n_src
+    ops = log.operation_counts()
+    assert ops["WRITE"] == 3                    # one commit per micro-batch
+    m = HealthAnalyzer(spark).analyze_table(out, collect_partitions=False)
+    assert m.record_count == n_src
+    assert m.number_of_writes == 3
+    assert m.skew_metrics["partition_columns"] == ["event_type"]
+    shutil.rmtree(os.path.dirname(out))
