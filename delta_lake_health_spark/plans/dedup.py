@@ -365,19 +365,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms are per-VECTOR, so compute them before the pair join — the
     # naive per-pair norm triples the interpreted array-fold work
     # (O(pairs) instead of O(vectors)).
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS double))").alias("emb"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")),
+    from delta_lake_health_spark.functions.vector import as_double_array, dot, l2_norm
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double_array("embedding").alias("emb"))
+        .withColumn("nrm", l2_norm("emb"))
     )
     a, b = emb.alias("a"), emb.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .where(cos >= COSINE_THRESHOLD)

@@ -74,28 +74,18 @@ PLANES = [_plane(p) for p in range(N_PLANES)]
 
 # ---- shared Spark expressions ---------------------------------------------
 
+from delta_lake_health_spark.functions.vector import (
+    as_double_array,
+    cosine as _cos,
+    dot as _dot,
+    l2_norm as _norm,
+)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS double))").alias("emb"),
+        "vec_id", "label", as_double_array("embedding").alias("emb")
     )
-
-
-def _dot(a: str, b: str):
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    )
-
-
-def _norm(a: str):
-    return F.sqrt(
-        F.expr(f"aggregate(transform({a}, x -> x * x), 0D, (acc, v) -> acc + v)")
-    )
-
-
-def _cos(a: str, b: str):
-    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def _with_norm(df: DataFrame, emb_col: str, out: str) -> DataFrame:
