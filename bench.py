@@ -44,9 +44,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
-    # Warm the JVM + file listing once so per-query numbers measure the
-    # query, not session bootstrap.
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # Warm the JVM, codegen, and the file listing for every input table so
+    # per-query numbers measure the query, not session bootstrap or
+    # first-touch page cache.
+    from delta_lake_health_spark.sources.catalog import TABLES, load
+
+    for t in TABLES:
+        load(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name in names:
