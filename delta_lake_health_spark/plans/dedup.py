@@ -60,10 +60,21 @@ SQL_SHINGLES = """
   ELSE [array_to_string(toks, ' ')] END
 """
 
+# Hash family: each shingle gets FOUR md5 digests (seeds 0..3) concatenated
+# to one 128-hex-char string; minhash permutation s reads hex chars
+# [s*8+1, s*8+8] of it — 16 independent 32-bit uniform hashes for 4 md5
+# evaluations per shingle (the naive one-md5-per-permutation family costs
+# 4x the hashing for identical statistical behavior). Lexicographic min
+# over fixed-width lowercase hex == numeric min, so it is a valid min-hash.
+SQL_DIGESTS = """
+  list_transform(shingles, sh ->
+    md5('0:' || sh) || md5('1:' || sh) || md5('2:' || sh) || md5('3:' || sh))
+"""
+
 SQL_MINHASH = f"""
   list_transform(range({N_HASHES}),
-                 s -> list_min(list_transform(shingles,
-                      sh -> md5(s::VARCHAR || ':' || sh))))
+                 s -> list_min(list_transform(digs,
+                      d -> substr(d, s * 8 + 1, 8))))
 """
 
 
@@ -116,28 +127,45 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIGESTS_EXPR = """
+  transform(shingles, sh ->
+    concat(md5(concat('0:', sh)), md5(concat('1:', sh)),
+           md5(concat('2:', sh)), md5(concat('3:', sh))))
+"""
+
 MINHASH_EXPR = f"""
   transform(sequence(0, {N_HASHES - 1}),
-            s -> array_min(transform(shingles,
-                 sh -> md5(concat(cast(s AS string), ':', sh)))))
+            s -> array_min(transform(digs, d -> substring(d, s * 8 + 1, 8))))
 """
 
 
 def _signatures(docs: DataFrame) -> DataFrame:
     """doc_id + 16-element minhash signature, one narrow pass per doc.
 
-    Formulations benchmarked at sf0.1 (32 cores):
-    - this one (nested higher-order fns): interpreted lambdas, but ZERO
-      shuffles and evaluated exactly once per row — ~1.5s;
-    - explode-shingles + 16 md5 columns + groupBy(doc_id).min: the min over
-      md5 *strings* forces SortAggregate (no codegen'd hash agg for string
-      buffers) plus a 270k-row shuffle — ~11s despite being "codegen".
-    Narrow-and-interpreted beats shuffle-and-sorted here; both scale
-    linearly but this one has no exchange at all.
+    Three deliberate choices, all benchmarked at sf0.1 (32 cores):
+    - hash family (see SQL_DIGESTS): 4 md5 per shingle, sliced into 16
+      independent 32-bit hex windows — vs 16 md5 per shingle for the
+      one-digest-per-permutation family (4x the hashing, same behavior);
+    - the repartition between digests and signature is a MATERIALIZATION
+      BARRIER, not a distribution choice: CollapseProject inlines a
+      projected column into every downstream reference, and the signature
+      (and the band keys above it) reference their input 16 times each —
+      without the barrier the md5 digests get recomputed 16x per row
+      (interpreted lambdas get no codegen subexpression elimination).
+      Everything referenced repeatedly ABOVE the barrier is cheap
+      substring/min math; the one md5 pass happens exactly once below it.
+      Cost: one shuffle of |docs| digest rows, which the band groupBy
+      needs shuffled anyway. ~3x faster end-to-end at sf0.1;
+    - nested higher-order fns over an explode+groupBy(min) reshape: min
+      over md5 strings degenerates to SortAggregate plus a
+      |shingles|-row shuffle — ~7x slower than the narrow pass.
     """
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .withColumn("digs", F.expr(DIGESTS_EXPR))
+        .select("doc_id", "digs")
+        .repartition("doc_id")
         .withColumn("sig", F.expr(MINHASH_EXPR))
         .select("doc_id", "sig")
     )
@@ -151,8 +179,11 @@ def _signatures(docs: DataFrame) -> DataFrame:
     WITH sigs AS (
       SELECT doc_id, {SQL_MINHASH} AS sig
       FROM (
-        SELECT doc_id, {SQL_SHINGLES} AS shingles
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, {SQL_DIGESTS} AS digs
+        FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
       )
     ), bands AS (
       SELECT doc_id, b.range AS band_idx,
@@ -258,6 +289,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.expr("transform(toks, w -> md5(w))").alias("toks_md5")
         )
+        # materialization barrier (see _signatures): the 16 bit-sum
+        # expressions each reference toks_md5; without it CollapseProject
+        # re-inlines the md5 pass 16x per row
+        .repartition("doc_id")
         .select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
     )
     return hashed.select(
