@@ -119,14 +119,17 @@ class DeltaLog:
         with open(lc) as f:
             return int(json.load(f)["version"])
 
-    def actions(self) -> DataFrame:
+    def actions(self, use_checkpoint: bool = True) -> DataFrame:
         """All actions, tagged with their version.
 
         With a checkpoint present, reads the checkpoint parquet (the
         compacted state at version V) plus ONLY the commit JSONs after V —
         log-read cost is bounded by checkpoint interval, not table age.
+        ``use_checkpoint=False`` replays the raw JSON commits instead
+        (needed for time travel to versions at or before the checkpoint,
+        which compacts away superseded adds).
         """
-        ckpt_version = self.last_checkpoint()
+        ckpt_version = self.last_checkpoint() if use_checkpoint else None
         json_files = sorted(
             f
             for f in os.listdir(self.log_dir)
@@ -220,15 +223,19 @@ class DeltaLog:
 
     # -- snapshot ----------------------------------------------------------
 
-    def active_files(self) -> DataFrame:
+    def active_files(self, as_of: int | None = None) -> DataFrame:
         """One row per live data file: path, partitionValues, size,
         num_records, version (the commit that added it).
 
         Last-wins reconciliation: rank actions per path by (version desc,
         add-before-remove desc); a path is live iff its top-ranked action
-        is an add. One shuffle over |files| rows.
+        is an add. One shuffle over |files| rows. ``as_of`` reconstructs
+        the state as of that committed version (time travel) by replaying
+        only actions with version <= as_of from the raw JSON log.
         """
-        acts = self.actions()
+        acts = self.actions(use_checkpoint=as_of is None)
+        if as_of is not None:
+            acts = acts.where(F.col("version") <= as_of)
         adds = acts.where(F.col("add").isNotNull()).select(
             F.col("add.path").alias("path"),
             F.col("add.partitionValues").alias("partitionValues"),
@@ -322,10 +329,14 @@ class DeltaLog:
 
     # -- data access -------------------------------------------------------
 
-    def snapshot(self) -> DataFrame:
-        """The table's current data as a DataFrame — reads ONLY the live
-        files (basePath option recovers hive-style partition columns)."""
-        paths = [r.path for r in self.active_files().select("path").collect()]
+    def snapshot(self, as_of: int | None = None) -> DataFrame:
+        """The table's data as a DataFrame — reads ONLY the live files
+        (basePath option recovers hive-style partition columns). ``as_of``
+        time-travels to the state after that committed version; superseded
+        files stay readable until ``vacuum`` physically deletes them, so
+        travel depth = vacuum retention, exactly like Delta's
+        ``versionAsOf``."""
+        paths = [r.path for r in self.active_files(as_of).select("path").collect()]
         if not paths:
             schema = self.metadata().get("schema")
             if schema is None:

@@ -266,3 +266,28 @@ def test_merge_upserts_by_key(spark):
     assert ops.get("MERGE", 0) == 1
     assert log.record_count() == 4
     shutil.rmtree(tmp)
+
+
+def test_time_travel_snapshots(spark):
+    """snapshot(as_of=v) reconstructs any committed version until vacuum
+    deletes the superseded files — including versions at or before a
+    checkpoint (raw JSON replay)."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/travel_me"
+    delta_writer.write(spark, _tips_df(spark, 10, 5, 5), path,
+                       mode="overwrite", partition_by=["day"])  # v0: 20 rows
+    delta_writer.write(spark, _tips_df(spark, 3, 3, 3, offset=100), path,
+                       mode="append", partition_by=["day"])     # v1: +9
+    delta_writer.delete(spark, path, "day = 'Mon'")             # v2
+    log = DeltaLog(spark, path)
+    assert log.snapshot(as_of=0).count() == 20
+    assert log.snapshot(as_of=1).count() == 29
+    v2 = log.snapshot(as_of=2)
+    assert v2.count() == log.snapshot().count()
+    assert v2.where(F.col("day") == "Mon").count() == 0
+    # still correct when a checkpoint compacts the log
+    log.checkpoint()
+    log2 = DeltaLog(spark, path)
+    assert log2.snapshot(as_of=0).count() == 20
+    assert log2.snapshot(as_of=1).count() == 29
+    shutil.rmtree(tmp)
