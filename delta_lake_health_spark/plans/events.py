@@ -207,3 +207,33 @@ def events_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+# --------------------------------------------------------------------------
+# E5 — exact value percentiles per event type (Spark `percentile` and
+# DuckDB `quantile_cont` use the same linear interpolation).
+@query(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -291,3 +291,15 @@ def test_time_travel_snapshots(spark):
     assert log2.snapshot(as_of=0).count() == 20
     assert log2.snapshot(as_of=1).count() == 29
     shutil.rmtree(tmp)
+
+
+def test_concurrent_commit_collision_refused(spark):
+    """Two writers racing to the same version: the second commit must be
+    refused (put-if-absent on the log), never silently overwritten."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/race_me"
+    delta_writer.write(spark, _tips_df(spark, 2, 2, 2), path, mode="overwrite")
+    v = delta_writer.current_version(path)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        delta_writer._commit(path, v, [delta_writer._commit_info("WRITE", {}, {})])
+    shutil.rmtree(tmp)
