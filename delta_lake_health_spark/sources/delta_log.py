@@ -349,6 +349,58 @@ class DeltaLog:
             self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
         )
 
+    def pruned_files(self, column: str, lower, upper) -> DataFrame:
+        """Data skipping: live files whose ``[minValues, maxValues]``
+        interval for ``column`` intersects [lower, upper] — evaluated
+        entirely on the log (one tiny filter over |files| rows). Files
+        written before stats existed (no min/max) are conservatively
+        kept. Z-order clustering narrows per-file intervals, which is
+        exactly what makes this prune selective."""
+        lo_s = F.get_json_object(F.col("stats"), f"$.minValues.{column}")
+        hi_s = F.get_json_object(F.col("stats"), f"$.maxValues.{column}")
+        numeric = isinstance(lower, (int, float))
+        lo = lo_s.cast("double") if numeric else lo_s
+        hi = hi_s.cast("double") if numeric else hi_s
+        keep = (
+            lo_s.isNull()
+            | hi_s.isNull()
+            | ((hi >= F.lit(lower)) & (lo <= F.lit(upper)))
+        )
+        acts = self.actions()
+        adds = acts.where(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("path"),
+            F.col("add.stats").alias("stats"),
+            "version",
+            F.lit(1).alias("is_add"),
+        )
+        removes = acts.where(F.col("remove").isNotNull()).select(
+            F.col("remove.path").alias("path"),
+            F.lit(None).cast("string").alias("stats"),
+            "version",
+            F.lit(0).alias("is_add"),
+        )
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.asc("is_add"))
+        live = (
+            adds.unionByName(removes)
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("is_add") == 1))
+        )
+        return live.where(keep).select("path")
+
+    def scan(self, column: str, lower, upper) -> DataFrame:
+        """Snapshot restricted by data skipping on ``column`` — reads only
+        files whose stats interval intersects [lower, upper]. The caller
+        still applies the row-level filter; this prunes at FILE
+        granularity, like Delta's stats-based skipping."""
+        paths = [r.path for r in self.pruned_files(column, lower, upper).collect()]
+        if not paths:
+            schema = self.metadata().get("schema")
+            if schema is None:
+                raise ValueError("empty scan with no schema")
+            return self.spark.createDataFrame([], StructType.fromJson(schema))
+        abs_paths = [os.path.join(self.table_path, p) for p in paths]
+        return self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
+
     # -- log-only aggregates (no data scan) --------------------------------
 
     def record_count(self) -> int:

@@ -69,11 +69,45 @@ def _partition_values(rel_path: str) -> dict[str, str]:
     return vals
 
 
+def _column_minmax(md) -> tuple[dict, dict]:
+    """Per-file min/max from the parquet footer's row-group statistics —
+    no data read. Values must be JSON-encodable; bytes decode as UTF-8 or
+    are skipped."""
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            try:
+                if isinstance(lo, bytes):
+                    lo = lo.decode("utf-8")
+                if isinstance(hi, bytes):
+                    hi = hi.decode("utf-8")
+                json.dumps([lo, hi])
+            except (UnicodeDecodeError, TypeError):
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return mins, maxs
+
+
 def _add_action(table_path: str, rel: str) -> dict:
     import pyarrow.parquet as pq
 
     fp = os.path.join(table_path, rel)
-    num_records = pq.ParquetFile(fp).metadata.num_rows
+    md = pq.ParquetFile(fp).metadata
+    mins, maxs = _column_minmax(md)
+    stats = {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
     return {
         "add": {
             "path": rel.replace(os.sep, "/"),
@@ -81,7 +115,7 @@ def _add_action(table_path: str, rel: str) -> dict:
             "size": os.path.getsize(fp),
             "modificationTime": int(os.path.getmtime(fp) * 1000),
             "dataChange": True,
-            "stats": json.dumps({"numRecords": num_records}),
+            "stats": json.dumps(stats),
         }
     }
 

@@ -303,3 +303,38 @@ def test_concurrent_commit_collision_refused(spark):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         delta_writer._commit(path, v, [delta_writer._commit_info("WRITE", {}, {})])
     shutil.rmtree(tmp)
+
+
+def test_data_skipping_and_zorder_synergy(spark):
+    """Files carry min/max stats; scan() prunes at file granularity, and
+    a z-order rewrite makes the prune selective (narrow per-file ranges)."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/skip_me"
+    # 4 appends with overlapping value ranges -> every file spans ~all ids
+    rows = [(float(i), i % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "val double, bucket int")
+    for k in range(4):
+        delta_writer.write(spark, df.where(F.col("bucket") % 4 == k), path,
+                           mode="append")
+    log = DeltaLog(spark, path)
+    n_files = log.active_files().count()
+    # stats present on every add
+    stats_rows = log.active_files().select("num_records").collect()
+    assert all(r.num_records for r in stats_rows)
+
+    # before clustering: val ranges overlap, prune keeps ~everything
+    before = log.pruned_files("val", 0.0, 99.0).count()
+
+    maintenance.zorder_cluster(spark, path, ["val"], target_file_size=16 * 1024)
+    log2 = DeltaLog(spark, path)
+    clustered_files = log2.active_files().count()
+    assert clustered_files > 1
+    after = log2.pruned_files("val", 0.0, 99.0).count()
+    assert after < clustered_files  # pruning now skips files
+    # the pruned scan returns exactly the matching rows
+    got = log2.scan("val", 0.0, 99.0).where(
+        (F.col("val") >= 0.0) & (F.col("val") <= 99.0)
+    ).count()
+    assert got == len([r for r in rows if 0.0 <= r[0] <= 99.0])
+    assert before >= after  # clustering never worsens pruning here
+    shutil.rmtree(tmp)
