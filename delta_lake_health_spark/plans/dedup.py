@@ -171,12 +171,9 @@ def _signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# X3 — MinHash LSH candidate pairs: 4 bands x 4 rows, band-bucket join.
-@query(
-    "dedup_minhash_pairs",
-    f"""
-    WITH sigs AS (
+# Shared CTE text: signatures -> bands -> distinct candidate pairs.
+SQL_PAIRS_CTES = f"""
+    sigs AS (
       SELECT doc_id, {SQL_MINHASH} AS sig
       FROM (
         SELECT doc_id, {SQL_DIGESTS} AS digs
@@ -190,11 +187,22 @@ def _signatures(docs: DataFrame) -> DataFrame:
              md5(sig[b.range*{BAND_SIZE}+1] || sig[b.range*{BAND_SIZE}+2] ||
                  sig[b.range*{BAND_SIZE}+3] || sig[b.range*{BAND_SIZE}+4]) AS band_key
       FROM sigs, range({N_BANDS}) b
+    ), cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c
+        ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+       AND a.doc_id < c.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-    FROM bands a JOIN bands c
-      ON a.band_idx = c.band_idx AND a.band_key = c.band_key
-     AND a.doc_id < c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# X3 — MinHash LSH candidate pairs: 4 bands x 4 rows, band-bucket join.
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {SQL_PAIRS_CTES}
+    SELECT doc_a, doc_b FROM cand_pairs
     ORDER BY doc_a, doc_b
     """,
 )
@@ -419,3 +427,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# X7 — duplicate clusters: connected components over the LSH candidate
+# graph; each doc gets the min doc_id of its component as cluster id (the
+# canonical "keep" doc). Spark side: iterative min-label propagation —
+# O(log diameter) rounds, each one join + one min-aggregate, lineage
+# truncated by localCheckpoint so the plan does not grow exponentially.
+# Oracle: recursive-CTE transitive closure (fine at oracle scale; the
+# iterative form is what scales).
+CLUSTER_ROUNDS = 8  # components here are dup clusters: tiny diameter
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {SQL_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand_pairs
+    ),
+    reach(doc, r) AS (
+      SELECT s, s FROM edges GROUP BY s
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc
+    ),
+    labels AS (SELECT doc AS doc_id, MIN(r) AS cluster FROM reach GROUP BY doc)
+    SELECT doc_id, cluster,
+           COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+    FROM labels
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()  # pairs pipeline runs once; iterations reuse it
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    for _ in range(CLUSTER_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+    return labels.select(
+        "doc_id",
+        "cluster",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("cluster_size"),
+    ).orderBy("doc_id")

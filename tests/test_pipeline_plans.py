@@ -57,3 +57,15 @@ def test_dedup_finds_known_duplicates_at_sf01(spark):
 def test_health_vs_oracle(spark, duck, name):
     m = _mod("health")
     compare(spark, duck, m.QUERIES[name], m.ORACLE[name], SF_ORACLE)
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every candidate pair must land in the same cluster, and cluster ids
+    are the component-min doc_id."""
+    m = _mod("dedup")
+    sf = "/root/testdata/sf0.01"
+    pairs = [(r.doc_a, r.doc_b) for r in m.QUERIES["dedup_minhash_pairs"](spark, sf).collect()]
+    clusters = {r.doc_id: r.cluster for r in m.QUERIES["dedup_clusters"](spark, sf).collect()}
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], (a, b)
+    assert all(c <= d for d, c in clusters.items())  # cluster id is a min
