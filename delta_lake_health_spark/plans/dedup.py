@@ -1,17 +1,20 @@
 """Deduplication operators over ``documents`` / ``embeddings`` (SURVEY §2.4).
 
 Hash family: every signature derives from ``md5`` (identical in Spark and
-DuckDB), so even the MinHash/SimHash pipelines are *exactly* reproducible by
-the SQL oracle — min-over-md5-strings is a valid min-hash permutation family.
+DuckDB), so even the MinHash/SimHash pipelines are *exactly* reproducible
+by the SQL oracle — min over fixed-width hex windows of md5 digests is a
+valid min-hash permutation family.
 
-Spark-first design: signatures are computed with higher-order array
-functions (``transform``/``aggregate``/``array_min``) on the JVM — one
-narrow codegen'd pass per document, no Python, no explode until the band
-join. The only shuffles are the (band_idx, band_key) candidate join and the
-final dedup — both uniformly distributed by construction, so the plan holds
-at 100 TB (candidate buckets stay small because a bucket is keyed by four
-concatenated minhashes).
+Spark-first design: signatures are higher-order array expressions on the
+JVM (no Python anywhere); candidate generation NEVER self-joins — bands
+and shingles group into posting lists whose in-bucket pairs are expanded
+with an index-lambda transform, so the expensive pipeline executes once
+and the only shuffles move |docs| x bands tiny rows, uniformly keyed by
+construction. Duplicate clusters come from iterative min-label propagation
+over the candidate graph. All of it holds at 100 TB: costs scale with
+corpus size and duplicate-cluster size, never corpus^2.
 
+See ``_signatures`` for the CollapseProject materialization-barrier note.
 MinHash/LSH per Broder 1997 / Leskovec-Rajaraman-Ullman ch.3; SimHash per
 Charikar 2002.
 """
@@ -432,12 +435,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # X7 — duplicate clusters: connected components over the LSH candidate
 # graph; each doc gets the min doc_id of its component as cluster id (the
-# canonical "keep" doc). Spark side: iterative min-label propagation —
-# O(log diameter) rounds, each one join + one min-aggregate, lineage
-# truncated by localCheckpoint so the plan does not grow exponentially.
-# Oracle: recursive-CTE transitive closure (fine at oracle scale; the
-# iterative form is what scales).
-CLUSTER_ROUNDS = 8  # components here are dup clusters: tiny diameter
+# canonical "keep" doc). Spark side: min-label propagation iterated to
+# CONVERGENCE (exact for any component diameter) — each round is one join
+# + one min-aggregate over the label table, lineage truncated by
+# localCheckpoint so the convergence check costs one tiny job, not a plan
+# replay. Oracle: recursive-CTE transitive closure (fine at oracle scale;
+# the iterative form is what scales).
+CLUSTER_MAX_ROUNDS = 50  # safety bound; dup clusters converge in a few
 
 
 @query(
@@ -474,19 +478,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint()
     )
-    for _ in range(CLUSTER_ROUNDS):
+    for _ in range(CLUSTER_MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster").alias("cluster"))
         )
-        labels = (
+        new_labels = (
             labels.unionByName(neighbor_min)
             .groupBy("doc_id")
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.select(
         "doc_id",
         "cluster",
