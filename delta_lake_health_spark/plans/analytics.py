@@ -883,3 +883,65 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share: share-of-total via conditional agg over a
+# 6-way join, grouped by order year.
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nation, region = load_all(spark, sf_dir)
+    part = load(spark, sf_dir, "part")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_regionkey").alias("n1_region"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("nation"))
+    base = (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _revenue().alias("volume"),
+            "nation",
+        )
+    )
+    nation1 = F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0)
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(F.sum(nation1) / F.sum("volume"), 6).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )

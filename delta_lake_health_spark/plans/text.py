@@ -235,3 +235,39 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# T6 — PII scrubbing: redact email-like tokens and long digit runs, report
+# per-doc redaction counts + scrubbed-content fingerprint. The regexes are
+# deliberately dialect-neutral (no lookarounds) so Spark (Java regex) and
+# DuckDB (RE2) agree byte-for-byte.
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]+"
+DIGITS_RE = "[0-9]{6,}"
+
+
+@query(
+    "text_scrub_pii",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{DIGITS_RE}')) AS n_long_digit_runs,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{DIGITS_RE}', '<NUM>', 'g')) AS scrubbed_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), DIGITS_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(DIGITS_RE), 0)).alias(
+            "n_long_digit_runs"
+        ),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    ).orderBy("doc_id")
