@@ -349,6 +349,46 @@ class DeltaLog:
             self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
         )
 
+    def changes(
+        self, from_version: int = 0, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC-style change feed from the log alone: one row per file-level
+        change in [from_version, to_version] — (version, ts, change_type
+        add|remove, path, num_records, size). File-granular like Delta's
+        change-data-feed-without-CDF reads; a consumer incrementally
+        processes exactly the files each commit touched instead of
+        re-scanning the table."""
+        acts = self.actions(use_checkpoint=False).where(
+            F.col("version") >= from_version
+        )
+        if to_version is not None:
+            acts = acts.where(F.col("version") <= to_version)
+        adds = acts.where(F.col("add").isNotNull()).select(
+            "version",
+            F.lit("add").alias("change_type"),
+            F.col("add.path").alias("path"),
+            F.get_json_object("add.stats", "$.numRecords")
+            .cast("long")
+            .alias("num_records"),
+            F.col("add.size").alias("size"),
+        )
+        removes = acts.where(F.col("remove").isNotNull()).select(
+            "version",
+            F.lit("remove").alias("change_type"),
+            F.col("remove.path").alias("path"),
+            F.lit(None).cast("long").alias("num_records"),
+            F.lit(None).cast("long").alias("size"),
+        )
+        ts = acts.where(F.col("commitInfo").isNotNull()).select(
+            "version", F.timestamp_millis(F.col("commitInfo.timestamp")).alias("ts")
+        )
+        return (
+            adds.unionByName(removes)
+            .join(ts, "version", "left")
+            .select("version", "ts", "change_type", "path", "num_records", "size")
+            .orderBy("version", "change_type", "path")
+        )
+
     def pruned_files(self, column: str, lower, upper) -> DataFrame:
         """Data skipping: live files whose ``[minValues, maxValues]``
         interval for ``column`` intersects [lower, upper] — evaluated

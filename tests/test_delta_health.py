@@ -338,3 +338,30 @@ def test_data_skipping_and_zorder_synergy(spark):
     assert got == len([r for r in rows if 0.0 <= r[0] <= 99.0])
     assert before >= after  # clustering never worsens pruning here
     shutil.rmtree(tmp)
+
+
+def test_change_feed(spark):
+    """changes() replays file-level adds/removes per version with commit
+    timestamps — the incremental-consumption contract."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/cdc_me"
+    delta_writer.write(spark, _tips_df(spark, 4, 4, 4), path, mode="overwrite")
+    delta_writer.write(spark, _tips_df(spark, 2, 2, 2, offset=50), path,
+                       mode="append")
+    delta_writer.delete(spark, path, "day = 'Mon'")
+    log = DeltaLog(spark, path)
+    ch = log.changes().collect()
+    assert all(r.ts is not None for r in ch)
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r.version, []).append(r)
+    assert set(by_ver) == {0, 1, 2}
+    assert all(r.change_type == "add" for r in by_ver[0])
+    assert {r.change_type for r in by_ver[2]} == {"add", "remove"}
+    # incremental window: only version 2's changes
+    tail = log.changes(from_version=2).collect()
+    assert {r.version for r in tail} == {2}
+    # net adds minus removes == live file count
+    net = sum(1 if r.change_type == "add" else -1 for r in ch)
+    assert net == log.active_files().count()
+    shutil.rmtree(tmp)
