@@ -214,3 +214,19 @@ def stream_to_delta(
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming deduplication: keep the first event per key, tolerating
+    duplicates that arrive within the watermark window of each other
+    (``dropDuplicatesWithinWatermark``). State per key is evicted once the
+    watermark passes, so state size is bounded by keys-per-window, not by
+    stream history — the scalable contrast to an unbounded
+    ``dropDuplicates`` whose state grows forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

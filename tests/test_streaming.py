@@ -133,3 +133,29 @@ def test_stream_to_delta_sink(spark, stream_dir):
     assert m.number_of_writes == 3
     assert m.skew_metrics["partition_columns"] == ["event_type"]
     shutil.rmtree(os.path.dirname(out))
+
+
+def test_dedup_stream_drops_repeats(spark, stream_dir):
+    """Duplicate event_ids injected across micro-batches within the
+    watermark window must collapse to one row each."""
+    import tempfile
+
+    tmp, src = stream_dir
+    dup_dir = os.path.join(tempfile.mkdtemp(), "in")
+    os.makedirs(dup_dir)
+    # copy the chunks, then re-append chunk 0's file as a late duplicate
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(src, f), os.path.join(dup_dir, f"{i:03d}.parquet"))
+    shutil.copy(
+        os.path.join(src, files[0]),
+        os.path.join(dup_dir, f"{len(files):03d}.parquet"),
+    )
+    stream = jobs.read_events_stream(spark, dup_dir, max_files_per_trigger=1)
+    deduped = jobs.dedup_stream(stream, ["event_id"], watermark="10 hours")
+    jobs.run_to_memory(deduped, "dedup_t", "append", os.path.join(tmp, "cp4"))
+    got = spark.table("dedup_t")
+    n_unique = load(spark, SF, "events").count()
+    assert got.count() == n_unique
+    assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+    shutil.rmtree(os.path.dirname(dup_dir))
