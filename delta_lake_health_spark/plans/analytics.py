@@ -364,8 +364,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_count,
-           SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS ontime_count,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count,
            ROUND(AVG(l_quantity), 6) AS avg_qty
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey

@@ -177,10 +177,10 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS n_viewers,
-           SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS n_buyers,
-           SUM(CASE WHEN first_view_us IS NOT NULL AND first_purchase_us > first_view_us
-                    THEN 1 ELSE 0 END) AS n_converted
+           CAST(SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN first_view_us IS NOT NULL AND first_purchase_us > first_view_us
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM per_user
     """,
 )

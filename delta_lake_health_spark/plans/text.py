@@ -216,7 +216,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            COUNT(*) AS n_docs,
            ROUND(AVG(n_chars), 6) AS avg_chars,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT md5(text)) AS n_unique
     FROM documents
     GROUP BY lang, source
