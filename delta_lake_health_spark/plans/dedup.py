@@ -34,7 +34,18 @@ BAND_SIZE = 4  # 4 bands x 4 rows
 N_BANDS = N_HASHES // BAND_SIZE
 SIMHASH_BITS = 16
 JACCARD_THRESHOLD = 0.2
-COSINE_THRESHOLD = 0.95
+# Near-dup threshold for the LSH-bucketed cosine pass. The synthetic
+# embeddings have no pairs above ~0.6 cosine, so a "realistic" 0.95 would
+# make the operator vacuously empty; 0.40 exercises the full pipeline
+# (collide -> rerank -> filter) with a non-trivial result set.
+COSINE_THRESHOLD = 0.40
+# Deterministic per-bucket posting-list bound: a degenerate bucket (all-
+# identical boilerplate corpus) would otherwise put an unbounded array on
+# one reducer row. Keeping the lexicographically-first BUCKET_CAP ids is
+# deterministic, so the DuckDB oracles stay bit-identical whenever buckets
+# are under the cap (true for all driver SFs); beyond it the pair set is
+# truncated the same way on every run.
+BUCKET_CAP = 1024
 
 
 def query(name: str, sql: str | None):
@@ -142,6 +153,35 @@ MINHASH_EXPR = f"""
 """
 
 
+def _posting_pairs(
+    df: DataFrame, key_cols: list[str], id_col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """In-bucket candidate pairs WITHOUT a self-join.
+
+    A self-join re-executes the whole upstream pipeline for each side;
+    grouping by bucket computes it once and shuffles only the tiny
+    (key, id) rows. Posting lists are sorted then capped at BUCKET_CAP
+    (keep the smallest ids — deterministic), so a degenerate bucket is
+    bounded at cap^2/2 pairs instead of corpus^2.
+    """
+    buckets = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, BUCKET_CAP).alias("ds")
+        )
+        .where(F.size("ds") > 1)
+    )
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                f"y -> struct(x AS {out_a}, y AS {out_b}))))"
+            )
+        ).alias("p")
+    ).select(f"p.{out_a}", f"p.{out_b}")
+
+
 def _signatures(docs: DataFrame) -> DataFrame:
     """doc_id + 16-element minhash signature, one narrow pass per doc.
 
@@ -232,25 +272,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode_outer(band_structs).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
-    # Candidate pairs WITHOUT a self-join: a self-join re-executes the whole
-    # signature pipeline for each side; grouping by bucket computes it once
-    # and shuffles only |docs| x N_BANDS tiny rows. Buckets are dup
-    # clusters, so the in-bucket pair expansion is bounded (k docs -> k^2/2
-    # pairs — inherent to LSH output, capped by cluster size not corpus).
-    buckets = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    # Buckets are dup clusters, so the in-bucket pair expansion is bounded
+    # (k docs -> k^2/2 pairs — inherent to LSH output, capped by cluster
+    # size not corpus, and hard-bounded at BUCKET_CAP by _posting_pairs).
+    pairs = _posting_pairs(bands, ["band_idx", "band_key"], "doc_id", "doc_a", "doc_b")
     return pairs.distinct().orderBy("doc_a", "doc_b")
 
 
@@ -356,22 +381,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle set re-runs the shingling for both sides and SMJ-sorts 2x
     # |shingles| rows): group each (source, shingle) into its posting list
     # and expand in-bucket pairs — identical n_shared math, one shuffle.
-    buckets = (
-        sh.groupBy("source", "shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
-    )
     shared = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.doc_a", "p.doc_b")
+        _posting_pairs(sh, ["source", "shingle"], "doc_id", "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.alias("sa")
@@ -389,47 +401,103 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X6 — embedding-cosine near-duplicates (same-label blocking).
-_SQL_COS = (
-    "list_dot_product(a.emb, b.emb) / "
-    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+# X6 — embedding-cosine near-duplicates via multi-probe random-hyperplane
+# LSH. Candidate generation: each vector gets an 8-bit bucket from the
+# fixed +-1 planes shared with ``plans/similarity`` (so the oracle computes
+# the *same* buckets), then posts 9 probe keys — the exact bucket plus the
+# 8 one-bit-masked variants ('01*01101'). Two vectors share a probe key
+# iff their buckets differ in at most one bit, so candidates = Hamming<=1
+# bucket collisions — no label blocking, no corpus^2 term anywhere: the
+# shuffles move |vectors| x 9 tiny key rows, and the exact rerank touches
+# only colliding pairs. This is the scale path a 100 TB corpus needs
+# (blocking on a coarse metadata column is O(block^2)).
+_SQL_COS_AB = (
+    "list_dot_product(ea.emb, eb.emb) / "
+    "(sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))"
 )
+
+
+def _sql_bucket_expr() -> str:
+    from delta_lake_health_spark.plans.similarity import _SQL_BUCKET
+
+    return _SQL_BUCKET
 
 
 @query(
     "dedup_embedding_cosine",
-    f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_SQL_COS}, 6) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_SQL_COS} >= {COSINE_THRESHOLD}
-    ORDER BY vec_a, vec_b
-    """,
+    None,  # oracle attached below (needs similarity's plane constants)
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms are per-VECTOR, so compute them before the pair join — the
     # naive per-pair norm triples the interpreted array-fold work
     # (O(pairs) instead of O(vectors)).
     from delta_lake_health_spark.functions.vector import as_double_array, dot, l2_norm
+    from delta_lake_health_spark.plans.similarity import N_PLANES, _spark_bucket
 
     emb = (
         load(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", as_double_array("embedding").alias("emb"))
+        .select("vec_id", as_double_array("embedding").alias("emb"))
         .withColumn("nrm", l2_norm("emb"))
+        .withColumn("bucket", _spark_bucket())
+        # barrier + one-shot materialization: `bucket` is 8 interpreted
+        # array folds and is referenced by all 9 probe keys (CollapseProject
+        # would re-inline it 9x), and the pipeline below references this
+        # frame three times (keys + both rerank sides) — localCheckpoint
+        # computes the embeddings/norms/buckets exactly once.
+        .repartition("vec_id")
+        .localCheckpoint()
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(cos >= COSINE_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+    probes = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, i),
+            F.lit("*"),
+            F.substring("bucket", i + 2, N_PLANES - i - 1),
         )
+        for i in range(N_PLANES)
+    ]
+    keys = emb.select("vec_id", F.explode(F.array(*probes)).alias("bkey"))
+    cand = _posting_pairs(keys, ["bkey"], "vec_id", "vec_a", "vec_b").distinct()
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .where(cos >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _cosine_oracle_sql() -> str:
+    from delta_lake_health_spark.plans.similarity import N_PLANES, _SQL_BUCKET
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    b AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM e),
+    keys AS (
+      SELECT vec_id,
+             CASE WHEN m.range = {N_PLANES} THEN bucket
+                  ELSE substr(bucket, 1, m.range) || '*' || substr(bucket, m.range + 2)
+             END AS bkey
+      FROM b, range({N_PLANES} + 1) m
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM keys a JOIN keys c ON a.bkey = c.bkey AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND({_SQL_COS_AB}, 6) AS cosine
+    FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+    WHERE {_SQL_COS_AB} >= {COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """
+
+
+ORACLE["dedup_embedding_cosine"] = _cosine_oracle_sql()
 
 
 # --------------------------------------------------------------------------

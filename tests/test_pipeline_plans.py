@@ -53,6 +53,37 @@ def test_dedup_finds_known_duplicates_at_sf01(spark):
     assert len(pairs) >= sum(n - 1 for _, n in exact)
 
 
+def test_posting_pairs_bucket_cap_bounds_degenerate_corpus(spark):
+    """An adversarial all-identical corpus (every doc in ONE bucket) must
+    stay bounded: the posting list is capped at BUCKET_CAP, so the pair
+    count is cap*(cap-1)/2 no matter how many docs collide, and the
+    capped ids are the deterministic smallest ones."""
+    from pyspark.sql import functions as F
+
+    m = _mod("dedup")
+    n = 3 * m.BUCKET_CAP  # 3x over the cap
+    rows = spark.range(n).select(
+        F.lit("same-bucket").alias("k"), F.col("id").alias("doc_id")
+    )
+    pairs = m._posting_pairs(rows, ["k"], "doc_id", "doc_a", "doc_b")
+    cap = m.BUCKET_CAP
+    assert pairs.count() == cap * (cap - 1) // 2
+    assert pairs.agg(F.max("doc_b")).collect()[0][0] == cap - 1
+
+
+def test_dedup_embedding_cosine_plan_joins_on_lsh_buckets(spark):
+    """The near-dup cosine plan must generate candidates from LSH probe
+    keys (bkey posting lists), not a label-blocked all-pairs join: no
+    `label` column anywhere, no cartesian/nested-loop join."""
+    m = _mod("dedup")
+    df = m.QUERIES["dedup_embedding_cosine"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "label" not in plan
+    # the pair source is the capped posting-list expansion
+    assert "ds" in plan or "bkey" in plan
+
+
 @pytest.mark.parametrize("name", _names(_mod("health")))
 def test_health_vs_oracle(spark, duck, name):
     m = _mod("health")
