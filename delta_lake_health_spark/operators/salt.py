@@ -74,7 +74,19 @@ def salted_join(
     equals the plain join; the hot key's rows now spread over n_salts
     tasks. Replication multiplies the other side n_salts-fold — use when
     ``other`` is far smaller than the skewed side but too big (or too
-    skewed) to broadcast."""
+    skewed) to broadcast.
+
+    Only join types that never emit unmatched ``other`` rows are allowed:
+    replicating ``other`` n_salts-fold would duplicate every unmatched
+    right row under right/full outer semantics."""
+    allowed = ("inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}; the replicated side "
+            f"would emit unmatched rows n_salts times (allowed: inner/left/"
+            f"left_semi/left_anti)"
+        )
     s = skewed.withColumn("_salt", _salt_col(skewed, n_salts))
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

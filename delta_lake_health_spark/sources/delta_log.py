@@ -179,15 +179,23 @@ class DeltaLog:
             out = out.unionByName(p)
         return out
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, tombstone_retention_hours: float = 168.0) -> int:
         """Write a checkpoint parquet of the CURRENT reconciled state and
         update ``_last_checkpoint``; returns the checkpointed version.
 
-        State = live adds + latest metaData/protocol + all commitInfo
+        State = live adds + UNEXPIRED remove tombstones (as the Delta spec
+        requires — dropping them would make a later ``vacuum`` age
+        recently-removed files by file mtime and delete them inside the
+        retention window) + latest metaData/protocol + all commitInfo
         entries (an extension over the Delta spec so history/op-count
         metrics survive checkpoint truncation), each row keeping its
-        original ``version``.
+        original ``version``. Tombstones older than
+        ``tombstone_retention_hours`` are compacted away; keep this >= the
+        vacuum retention you intend to use (same coupling as Delta's
+        ``deletedFileRetentionDuration``).
         """
+        import time as _time
+
         version = self.version()
         acts = self.actions()
         cols = [*ACTION_SCHEMA.fieldNames(), "version"]
@@ -197,6 +205,24 @@ class DeltaLog:
             (F.col("add.path") == F.col("path"))
             & (F.col("version") == F.col("add_version")),
             "left_semi",
+        )
+        tomb_cutoff_ms = int(
+            (_time.time() - tombstone_retention_hours * 3600) * 1000
+        )
+        tomb_rows = (
+            acts.where(F.col("remove").isNotNull())
+            .join(
+                self.tombstones().select(
+                    "path", F.col("version").alias("rm_version")
+                ),
+                (F.col("remove.path") == F.col("path"))
+                & (F.col("version") == F.col("rm_version")),
+                "left_semi",
+            )
+            .where(
+                F.col("remove.deletionTimestamp").isNull()
+                | (F.col("remove.deletionTimestamp") >= tomb_cutoff_ms)
+            )
         )
         meta = (
             acts.where(F.col("metaData").isNotNull())
@@ -211,6 +237,7 @@ class DeltaLog:
         infos = acts.where(F.col("commitInfo").isNotNull())
         state = (
             add_rows.select(*cols)
+            .unionByName(tomb_rows.select(*cols))
             .unionByName(meta.select(*cols))
             .unionByName(proto.select(*cols))
             .unionByName(infos.select(*cols))
@@ -254,7 +281,9 @@ class DeltaLog:
             "version",
             F.lit(0).alias("is_add"),
         )
-        w = Window.partitionBy("path").orderBy(F.desc("version"), F.asc("is_add"))
+        # add outranks remove at the same version (add-wins, as documented:
+        # a commit that removes and re-adds a path keeps the file live)
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
         return (
             adds.unionByName(removes)
             .withColumn("rn", F.row_number().over(w))
@@ -275,7 +304,9 @@ class DeltaLog:
             F.col("remove.deletionTimestamp").alias("deletionTimestamp"),
             F.lit(0).alias("is_add"),
         )
-        w = Window.partitionBy("path").orderBy(F.desc("version"), F.asc("is_add"))
+        # add outranks remove at the same version (add-wins, as documented:
+        # a commit that removes and re-adds a path keeps the file live)
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
         return (
             adds.unionByName(removes)
             .withColumn("rn", F.row_number().over(w))
@@ -419,7 +450,9 @@ class DeltaLog:
             "version",
             F.lit(0).alias("is_add"),
         )
-        w = Window.partitionBy("path").orderBy(F.desc("version"), F.asc("is_add"))
+        # add outranks remove at the same version (add-wins, as documented:
+        # a commit that removes and re-adds a path keeps the file live)
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
         live = (
             adds.unionByName(removes)
             .withColumn("rn", F.row_number().over(w))

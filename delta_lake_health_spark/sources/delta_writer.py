@@ -176,13 +176,19 @@ def write(
 ) -> int:
     """Write ``df`` as a new Delta commit; returns the committed version."""
     partition_by = list(partition_by or [])
-    version = current_version(table_path)
-    if version < 0 and mode not in ("append", "overwrite"):
+    if mode not in ("append", "overwrite"):
         raise ValueError(f"bad mode {mode!r}")
+    version = current_version(table_path)
 
     removed: list[str] = []
+    stale_schema = False
     if mode == "overwrite" and version >= 0:
         removed = _active_rel_paths(spark, table_path)
+        from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+        meta = DeltaLog(spark, table_path).metadata()
+        logged = meta.get("schema")
+        stale_schema = logged is not None and logged != json.loads(df.schema.json())
 
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
@@ -195,6 +201,10 @@ def write(
     next_version = version + 1
     if next_version == 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(_metadata_action(df, partition_by))
+    elif stale_schema:
+        # schema-changing overwrite: re-emit metaData so snapshot() of a
+        # later-emptied table reconstructs the NEW schema, not the stale one
         actions.append(_metadata_action(df, partition_by))
     adds = [_add_action(table_path, rel) for rel in new_files]
     actions.extend(adds)

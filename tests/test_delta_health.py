@@ -5,6 +5,7 @@ golden health-score values and log-reader roundtrips."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -245,6 +246,81 @@ def test_checkpoint_roundtrip(spark):
     assert ops_after["WRITE"] == ops_before["WRITE"] + 1
     assert ops_after["DELETE"] == ops_before["DELETE"]
     assert log2.record_count() == snap.count()
+    shutil.rmtree(tmp)
+
+
+def test_vacuum_respects_retention_after_checkpoint(spark):
+    """Regression (round-1 advisor, HIGH): a file removed within the
+    retention window must survive vacuum even when a checkpoint has
+    compacted the log — the checkpoint keeps unexpired remove tombstones,
+    so the file is aged by its deletionTimestamp, not file mtime."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/ckpt_vacuum"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])
+    delta_writer.write(spark, _tips_df(spark, 5, 5, 5, offset=200), path,
+                       mode="overwrite", partition_by=["day"])  # removes v0 now
+    log = DeltaLog(spark, path)
+    removed_rel = [r.path for r in log.tombstones().collect()]
+    assert removed_rel
+    log.checkpoint()
+    log2 = DeltaLog(spark, path)
+    tombs = log2.tombstones().collect()
+    assert {r.path for r in tombs} == set(removed_rel)
+    assert all(r.deletionTimestamp is not None for r in tombs)
+    # within retention: nothing deleted, time travel still works
+    res = maintenance.vacuum(spark, path, retention_hours=168)
+    assert res["numDeletedFiles"] == 0
+    for rel in removed_rel:
+        assert os.path.isfile(os.path.join(path, rel))
+    assert DeltaLog(spark, path).snapshot(as_of=0).count() == 100
+    # past retention: the tombstoned files go
+    res0 = maintenance.vacuum(spark, path, retention_hours=0)
+    assert res0["numDeletedFiles"] >= len(removed_rel)
+    shutil.rmtree(tmp)
+
+
+def test_same_version_remove_readd_keeps_file_live(spark):
+    """Add outranks remove at the same version (documented add-wins)."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/readd"
+    delta_writer.write(spark, _tips_df(spark), path, mode="append")
+    log = DeltaLog(spark, path)
+    rel = sorted(r.path for r in log.active_files().collect())[0]
+    delta_writer._commit(
+        path,
+        delta_writer.current_version(path) + 1,
+        [
+            {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": False}},
+            delta_writer._add_action(path, rel),
+        ],
+    )
+    log2 = DeltaLog(spark, path)
+    assert rel in {r.path for r in log2.active_files().collect()}
+    assert rel not in {r.path for r in log2.tombstones().collect()}
+    shutil.rmtree(tmp)
+
+
+def test_write_mode_validated_on_existing_table(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/modes"
+    delta_writer.write(spark, _tips_df(spark), path, mode="append")
+    with pytest.raises(ValueError, match="bad mode"):
+        delta_writer.write(spark, _tips_df(spark), path, mode="ignore")
+    with pytest.raises(ValueError, match="bad mode"):
+        delta_writer.write(spark, _tips_df(spark), path, mode="error")
+    shutil.rmtree(tmp)
+
+
+def test_overwrite_schema_change_reemits_metadata(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/reschema"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite")
+    wide = _tips_df(spark).withColumn("extra", F.lit(1))
+    delta_writer.write(spark, wide, path, mode="overwrite")
+    meta = DeltaLog(spark, path).metadata()
+    fields = [f["name"] for f in meta["schema"]["fields"]]
+    assert "extra" in fields
     shutil.rmtree(tmp)
 
 

@@ -54,3 +54,13 @@ def test_salted_join_matches_plain(spark):
         for r in salted_join(li, orders, ["l_orderkey"], n_salts=8).collect()
     )
     assert salted == plain
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+    from delta_lake_health_spark.operators.salt import salted_join
+
+    df = spark.range(4)
+    for how in ("right", "rightouter", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(df, df, ["id"], how=how)
