@@ -67,6 +67,58 @@ class HealthMetrics:
     health_score: float | None = None
     health_status: HealthStatus | None = None
 
+    def calculate_health_score(self) -> tuple[float, "HealthStatus"]:
+        """Reference-API method form of :func:`health_score`
+        (base_analyzer.py:52-101)."""
+        return health_score(self)
+
+    def print_results(self) -> None:
+        """Formatted health summary — field-for-field the reference's
+        ``DeltaAnalyzerMetrics.print_results`` (base_analyzer.py:103-135),
+        the human-readable front door users actually look at."""
+        score, status = self.calculate_health_score()
+
+        print("\nDelta Table Analysis Results:")
+        print("----------------------------")
+        print(f"Health Score: {score:.1f}/100 ({status.value})")
+        print(f"Version Count: {self.version_count}")
+        print(f"Record Count: {self.record_count:,}")
+        print(
+            f"Operations: {self.number_of_writes} writes, "
+            f"{self.number_of_deletes} deletes, "
+            f"{self.number_of_optimizes} optimizes"
+        )
+        print(
+            f"Skewness: {self.skewness_max:.2f} (Max), "
+            f"{self.skewness_average:.2f} (Avg)"
+        )
+
+        if self.skew_metrics:
+            print("\nPartition Skew Metrics:")
+            if "partition_columns" in self.skew_metrics:
+                print(
+                    "Partition Columns: "
+                    + ", ".join(self.skew_metrics["partition_columns"])
+                )
+            if "records_per_partition_dict" in self.skew_metrics:
+                records = self.skew_metrics["records_per_partition_dict"]
+                print(f"Partition Count: {len(records)}")
+                if records:
+                    max_p = max(records.items(), key=lambda x: x[1])
+                    min_p = min(records.items(), key=lambda x: x[1])
+                    print(f"Max Records: {max_p[1]} (Partition: {max_p[0]})")
+                    print(f"Min Records: {min_p[1]} (Partition: {min_p[0]})")
+
+        print(f"Table Size: {self.table_size_bytes / (1024 * 1024):.2f} MB")
+        print(f"Folder Size: {self.folder_size_bytes / (1024 * 1024):.2f} MB")
+        print(f"Total Files: {self.total_file_count} files")
+        print(f"Data Files: {self.data_file_count} files")
+        print(f"Small Files: {self.small_files_count} files")
+        print(f"Orphan Files: {self.orphan_files_count} files")
+        print(f"Needs Vacuum: {self.needs_vacuum}")
+        print(f"Has Orphan Files: {self.has_orphan_files}")
+        print(f"Needs Optimize: {self.needs_optimize}")
+
 
 def health_score(m: HealthMetrics) -> tuple[float, HealthStatus]:
     """Exact formula parity with base_analyzer.py:52-101: four 25-point

@@ -104,3 +104,112 @@ def skew_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_priority", F.concat_ws("|", "o_orderstatus", "o_orderpriority")
     )
     return skewness_agg(records_per_partition(orders, ["status_priority"]))
+
+
+# --------------------------------------------------------------------------
+# D8-D14 end-to-end — the full analyzer over a deterministic Delta fixture,
+# oracle-checked: the DuckDB side re-derives every metric from the raw
+# ``_delta_log`` JSON (add/remove reconciliation as a window over versions)
+# plus a parquet glob for the folder/orphan view. The fixture is built with
+# pure pyarrow at import time (sources/fixture.py), so it exists before
+# either side of the driver's compare runs; both engines read the same
+# files, so metrics agree bit-for-bit.
+from delta_lake_health_spark.sources.fixture import FIXTURE_PATH, ensure_fixture
+
+try:  # never let a /tmp hiccup break module import
+    ensure_fixture()
+except Exception:  # pragma: no cover
+    pass
+
+_FIXTURE_LOG_COLUMNS = (
+    "{'add': 'STRUCT(path VARCHAR, partitionValues STRUCT(day VARCHAR), "
+    "size BIGINT, modificationTime BIGINT, dataChange BOOLEAN, stats VARCHAR)', "
+    "'remove': 'STRUCT(path VARCHAR, deletionTimestamp BIGINT, dataChange BOOLEAN)', "
+    "'commitInfo': 'STRUCT(timestamp BIGINT, operation VARCHAR)'}"
+)
+
+_ANALYZER_ORACLE = f"""
+    WITH acts AS (
+      SELECT *, CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+               AS version
+      FROM read_json('{FIXTURE_PATH}/_delta_log/*.json',
+                     format='newline_delimited', filename=true,
+                     columns={_FIXTURE_LOG_COLUMNS})
+    ),
+    ranked AS (
+      SELECT COALESCE(add.path, remove.path) AS path,
+             add IS NOT NULL AS is_add,
+             add.size AS size,
+             CAST(json_extract_string(add.stats, '$.numRecords') AS BIGINT)
+               AS nrec,
+             add.partitionValues.day AS day,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(add.path, remove.path)
+               ORDER BY version DESC, (add IS NOT NULL) DESC) AS rn
+      FROM acts WHERE add IS NOT NULL OR remove IS NOT NULL
+    ),
+    live AS (SELECT * FROM ranked WHERE rn = 1 AND is_add),
+    ops AS (SELECT commitInfo.operation AS op FROM acts
+            WHERE commitInfo IS NOT NULL),
+    files AS (SELECT replace(file, '{FIXTURE_PATH}/', '') AS rel
+              FROM glob('{FIXTURE_PATH}/**/*.parquet')),
+    orph AS (SELECT rel FROM files WHERE rel NOT IN (SELECT path FROM live)),
+    pc AS (SELECT day, CAST(SUM(nrec) AS BIGINT) AS cnt FROM live GROUP BY day),
+    sk AS (SELECT MAX(cnt) AS mx, MIN(cnt) AS mn, AVG(cnt) AS mean,
+                  COUNT(*) AS np FROM pc),
+    skdev AS (SELECT AVG(ABS(cnt - (SELECT mean FROM sk))) AS adev FROM pc)
+    SELECT
+      (SELECT MAX(version) FROM acts) AS version_count,
+      (SELECT COUNT(*) FROM ops WHERE op = 'WRITE') AS n_writes,
+      (SELECT COUNT(*) FROM ops WHERE op = 'DELETE') AS n_deletes,
+      (SELECT COUNT(*) FROM ops WHERE op = 'OPTIMIZE') AS n_optimizes,
+      (SELECT COUNT(*) FROM live) AS data_file_count,
+      (SELECT CAST(SUM(nrec) AS BIGINT) FROM live) AS record_count,
+      (SELECT CAST(SUM(size) AS BIGINT) FROM live) AS table_size_bytes,
+      (SELECT COUNT(*) FROM live WHERE size < 10 * 1024 * 1024)
+        AS small_files_count,
+      (SELECT COUNT(*) FROM files) AS total_file_count,
+      (SELECT COUNT(*) FROM orph) AS orphan_files_count,
+      (SELECT COUNT(*) FROM live WHERE size < 10 * 1024 * 1024)
+        > (SELECT COUNT(*) FROM live) * 0.3 AS needs_optimize,
+      (SELECT CAST(COUNT(*) AS DOUBLE) FROM live)
+        / (SELECT COUNT(*) FROM files) < 0.8 AS has_orphan_files,
+      ROUND((sk.mx - sk.mn) / CAST(sk.mx AS DOUBLE), 6) AS skewness_max,
+      ROUND((SELECT adev FROM skdev) / sk.mean, 6) AS skewness_average
+    FROM sk
+"""
+
+
+@query("health_analyzer_report", _ANALYZER_ORACLE)
+def health_analyzer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full analyzer pass over the fixture table; emits the log-derivable
+    metric row (sf_dir is unused — the fixture is scale-independent)."""
+    from delta_lake_health_spark.operators.health import HealthAnalyzer
+
+    path = ensure_fixture()
+    m = HealthAnalyzer(spark).analyze_table(path)
+    row = (
+        int(m.version_count),
+        int(m.number_of_writes),
+        int(m.number_of_deletes),
+        int(m.number_of_optimizes),
+        int(m.data_file_count),
+        int(m.record_count),
+        int(m.table_size_bytes),
+        int(m.small_files_count),
+        int(m.total_file_count),
+        int(m.orphan_files_count),
+        bool(m.needs_optimize),
+        bool(m.has_orphan_files),
+        float(m.skewness_max),
+        float(m.skewness_average),
+    )
+    return spark.createDataFrame(
+        [row],
+        "version_count long, n_writes long, n_deletes long, n_optimizes long, "
+        "data_file_count long, record_count long, table_size_bytes long, "
+        "small_files_count long, total_file_count long, "
+        "orphan_files_count long, needs_optimize boolean, "
+        "has_orphan_files boolean, skewness_max double, "
+        "skewness_average double",
+    )

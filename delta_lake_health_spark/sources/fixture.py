@@ -1,0 +1,148 @@
+"""Deterministic on-disk Delta-table fixture for the oracle-checked
+health-analyzer query.
+
+The driver's correctness gate runs a Spark query AND a DuckDB oracle over
+the same inputs. The health analyzer needs a real Delta table, so this
+module builds one — with pure pyarrow + json (no SparkSession), so it can
+run at import time and is guaranteed to exist before either side of the
+compare executes. Layout (hive-partitioned by ``day``):
+
+- v0 WRITE:  day=Mon 80 rows, day=Tue 10, day=Wed 10
+- v1 WRITE:  3 small appends (8 / 1 / 1 rows)
+- v2 DELETE: removes the 8-row Mon file, adds a 6-row rewrite
+- plus one ORPHAN parquet never referenced by the log
+
+Live state: 6 files, 108 records, Mon=86 / Tue=11 / Wed=11 (skewed).
+Every metric the query emits is derivable from the raw ``_delta_log``
+JSON plus a parquet glob, which is exactly what the DuckDB oracle does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+FIXTURE_PATH = "/tmp/delta_lake_health_spark_fixture/health_table"
+_MARKER = "_FIXTURE_COMPLETE"
+
+
+def _val(i: int) -> float:
+    return float(10 + (i * 7) % 41)
+
+
+def _write_parquet(path: str, offset: int, n: int) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "val": pa.array([_val(offset + i) for i in range(n)], pa.float64()),
+            "idx": pa.array(range(offset, offset + n), pa.int64()),
+        }
+    )
+    pq.write_table(t, path)
+    return os.path.getsize(path)
+
+
+def _add(table: str, rel: str, day: str, offset: int, n: int) -> dict:
+    size = _write_parquet(os.path.join(table, rel), offset, n)
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {"day": day},
+            "size": size,
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": n}),
+        }
+    }
+
+
+def _commit(table: str, version: int, actions: list[dict]) -> None:
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _info(op: str, ts: int) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": ts,
+            "operation": op,
+            "operationParameters": {},
+            "operationMetrics": {},
+        }
+    }
+
+
+def build_fixture(path: str = FIXTURE_PATH) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.join(path, "_delta_log"))
+    for day in ("Mon", "Tue", "Wed"):
+        os.makedirs(os.path.join(path, f"day={day}"), exist_ok=True)
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "val", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "idx", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "day", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000001",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": ["day"],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        _add(path, "day=Mon/part-00000.parquet", "Mon", 0, 80),
+        _add(path, "day=Tue/part-00001.parquet", "Tue", 100, 10),
+        _add(path, "day=Wed/part-00002.parquet", "Wed", 200, 10),
+        _info("WRITE", 1700000001000),
+    ]
+    _commit(path, 0, v0)
+
+    v1 = [
+        _add(path, "day=Mon/part-00003.parquet", "Mon", 300, 8),
+        _add(path, "day=Tue/part-00004.parquet", "Tue", 400, 1),
+        _add(path, "day=Wed/part-00005.parquet", "Wed", 500, 1),
+        _info("WRITE", 1700000002000),
+    ]
+    _commit(path, 1, v1)
+
+    v2 = [
+        {
+            "remove": {
+                "path": "day=Mon/part-00003.parquet",
+                "deletionTimestamp": 1700000003000,
+                "dataChange": True,
+            }
+        },
+        _add(path, "day=Mon/part-00006.parquet", "Mon", 600, 6),
+        _info("DELETE", 1700000003000),
+    ]
+    _commit(path, 2, v2)
+
+    # orphan data file the log never references
+    _write_parquet(os.path.join(path, "day=Mon/orphan-00000.parquet"), 700, 5)
+
+    with open(os.path.join(path, _MARKER), "w") as f:
+        f.write("v1\n")
+    return path
+
+
+def ensure_fixture(path: str = FIXTURE_PATH) -> str:
+    """Build once per machine; rebuild if missing or incomplete."""
+    if not os.path.isfile(os.path.join(path, _MARKER)):
+        build_fixture(path)
+    return path
