@@ -28,12 +28,17 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
     "topn_orders_per_customer",
     "events_sessionization",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "text_quality_scores",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -748,8 +748,6 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     supp, li = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem")
     revenue = (
         li.where(
@@ -759,10 +757,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
     )
-    # max-revenue filter as an unpartitioned max window (two-row broadcast
-    # would also do; the window avoids a second scan of `revenue`)
-    w = Window.partitionBy()
-    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).where(
+    # max-revenue filter via a broadcast one-row aggregate join: the
+    # per-supplier revenue stays distributed (an unpartitioned max window
+    # would drag every supplier row onto one partition); `revenue` is
+    # materialized once so the agg and the filter don't replay the
+    # lineitem scan twice
+    revenue = revenue.localCheckpoint()
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.join(F.broadcast(max_rev)).where(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (

@@ -48,6 +48,8 @@ TOP_K = 5
 N_QUERIES = 8  # query set = vec_id < 8
 NPROBE = 3
 N_PLANES = 8
+K_CENTROIDS = 8  # IVF coarse-quantizer size
+KMEANS_ITERS = 3  # Lloyd rounds (deterministic: init = lowest vec_ids)
 
 
 def query(name: str, sql: str | None):
@@ -180,14 +182,96 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- k-means coarse quantizer (S2) ----------------------------------------
+# Deterministic Lloyd iterations, identical on both engines: seed centroids
+# are the K_CENTROIDS lowest vec_ids, every averaged component is rounded
+# to 6 dp per round (absorbs distributed-sum ulp noise), assignment breaks
+# cosine ties by cid. A cluster that loses all members drops out (both
+# sides agree). The oracle unrolls the same KMEANS_ITERS rounds as chained
+# CTEs generated below.
+
+
+def _kmeans_centroids(emb: DataFrame) -> DataFrame:
+    """(cid, cent) after KMEANS_ITERS Lloyd rounds — broadcast centroids,
+    one corpus pass per round (assignment), one (cid, dim) shuffle per
+    round (mean recompute); the centroid table never leaves broadcast
+    size, so this scales with corpus size, not corpus x corpus."""
+    cents = emb.where(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(emb, v -> round(v, 6))").alias("cent"),
+    )
+    for _ in range(KMEANS_ITERS):
+        c = cents.withColumn("cnrm", _norm("cent"))
+        ccos = _dot("emb", "cent") / (F.col("nrm") * F.col("cnrm"))
+        aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
+        assign = (
+            emb.join(F.broadcast(c))
+            .select("vec_id", "emb", "cid", ccos.alias("ccos"))
+            .withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+        )
+        comp = (
+            assign.select("cid", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("cv"))
+        )
+        cents = (
+            comp.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+                ).alias("cent")
+            )
+            # tiny table: materialize per round so the next round's plan
+            # doesn't replay every previous round
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _sql_kmeans_ctes() -> tuple[str, str]:
+    """Unrolled Lloyd rounds as DuckDB CTE text; returns (ctes, final)."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, list_transform(emb, v -> round(v, 6)) "
+        f"AS cent FROM e WHERE vec_id < {K_CENTROIDS})"
+    ]
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cos("e.emb", "c.cent")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        SELECT cid, t.i AS pos, ROUND(AVG(emb[t.i + 1]), 6) AS cv
+        FROM a{i}, range({DIM}) t(i)
+        GROUP BY cid, t.i
+      ) GROUP BY cid
+    )"""
+        )
+        prev = f"c{i}"
+    return ",\n    ".join(parts), prev
+
+
+_KMEANS_CTES, _KMEANS_FINAL = _sql_kmeans_ctes()
+
+
 # --------------------------------------------------------------------------
-# S2 — IVF-style ANN: assign vectors to nearest label-centroid (inverted
-# lists), queries probe the NPROBE nearest lists, exact rerank inside.
+# S2 — IVF-style ANN: k-means coarse quantizer (inverted lists), queries
+# probe the NPROBE nearest lists, exact rerank inside.
 @query(
     "ann_ivf_topk",
     f"""
     WITH e AS ({_SQL_E}),
-    cent AS ({_SQL_CENTROIDS}),
+    {_KMEANS_CTES},
+    cent AS (SELECT cid, cent FROM {_KMEANS_FINAL}),
     assign AS (
       SELECT vec_id, emb, cid FROM (
         SELECT e.vec_id, e.emb, cent.cid,
@@ -220,8 +304,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
-    cent = _with_norm(_centroids(emb), "cent", "cnrm")
+    # materialize the corpus once: the k-means rounds, the final
+    # assignment, and the probe each re-reference it
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm").localCheckpoint()
+    cent = _with_norm(_kmeans_centroids(emb), "cent", "cnrm")
     ccos = _dot("emb", "cent") / (F.col("nrm") * F.col("cnrm"))
     # nearest-centroid assignment: corpus x tiny-centroids broadcast join
     aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
