@@ -776,6 +776,80 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: no l_receiptdate /
+# l_commitdate in this schema, so "late" = shipped >60 days after the
+# order date, as in Q12). The oracle keeps the classic correlated
+# EXISTS / NOT EXISTS form; the Spark plan reformulates both subqueries
+# as ONE per-order aggregate (distinct suppliers, distinct late
+# suppliers) joined back to the late lines — the correlated re-scans
+# become a single co-partitioned groupBy+join on l_orderkey, which is
+# the shape that survives 100 TB.
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l1.is_late AND n_name = 'NATION_1'
+      AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, nation = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "nation")
+    orders, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    l = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("is_late"),
+        )
+    )
+    # EXISTS other-supplier  <=> n_supp > 1
+    # NOT EXISTS other-late-supplier (given l1 late)  <=> n_late_supp = 1
+    ord_stats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    dim = supp.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_1")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        l.where(F.col("is_late"))
+        .join(ord_stats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+              "l_orderkey")
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Q17 — small-quantity-order revenue: correlated per-part average via a
 # broadcast self-aggregate join (no subquery re-scan of lineitem).
 @query(

@@ -336,9 +336,12 @@ class DeltaLog:
         row = self.actions().agg(F.max("version").alias("v")).collect()[0]
         return int(row.v) if row.v is not None else 0
 
-    def metadata(self) -> dict:
+    def metadata(self, as_of: int | None = None) -> dict:
+        acts = self.actions(use_checkpoint=as_of is None)
+        if as_of is not None:
+            acts = acts.where(F.col("version") <= as_of)
         rows = (
-            self.actions()
+            acts
             .where(F.col("metaData").isNotNull())
             .orderBy(F.desc("version"))
             .limit(1)
@@ -368,17 +371,21 @@ class DeltaLog:
         travel depth = vacuum retention, exactly like Delta's
         ``versionAsOf``."""
         paths = [r.path for r in self.active_files(as_of).select("path").collect()]
+        schema = self.metadata(as_of).get("schema")
         if not paths:
-            schema = self.metadata().get("schema")
             if schema is None:
                 raise ValueError("empty table with no schema")
             return self.spark.createDataFrame(
                 [], StructType.fromJson(schema)
             )
         abs_paths = [os.path.join(self.table_path, p) for p in paths]
-        return (
-            self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
-        )
+        reader = self.spark.read.option("basePath", self.table_path)
+        if schema is not None:
+            # read under the LOGGED schema: after schema evolution, files
+            # written before a column existed surface it as null instead of
+            # the reader picking whichever file schema it samples first
+            reader = reader.schema(StructType.fromJson(schema))
+        return reader.parquet(*abs_paths)
 
     def changes(
         self, from_version: int = 0, to_version: int | None = None

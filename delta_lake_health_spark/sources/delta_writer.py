@@ -167,28 +167,83 @@ def _active_rel_paths(spark: SparkSession, table_path: str) -> list[str]:
     ]
 
 
+def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bool):
+    """For an append whose schema differs from the logged one: either raise
+    (default) or — with ``merge_schema`` — align ``df`` to the merged
+    schema (logged fields first, cast to their logged types; new fields
+    appended). Returns (df, schema_changed)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    logged = DeltaLog(spark, table_path).metadata().get("schema")
+    cur = json.loads(df.schema.json())
+    if logged is None or logged == cur:
+        return df, False
+    if not merge_schema:
+        raise ValueError(
+            "append schema differs from the table schema; pass "
+            "merge_schema=True to evolve it"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    logged_names = {f["name"] for f in logged["fields"]}
+    merged = {
+        "type": "struct",
+        "fields": logged["fields"]
+        + [f for f in cur["fields"] if f["name"] not in logged_names],
+    }
+    mtype = StructType.fromJson(merged)
+    cols = [
+        F.col(f.name).cast(f.dataType)
+        if f.name in df.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in mtype.fields
+    ]
+    return df.select(*cols), True
+
+
 def write(
     spark: SparkSession,
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+    max_commit_retries: int = 10,
 ) -> int:
-    """Write ``df`` as a new Delta commit; returns the committed version."""
+    """Write ``df`` as a new Delta commit; returns the committed version.
+
+    Schema handling: an append whose schema differs from the logged one
+    raises unless ``merge_schema=True``, which widens the table schema
+    (old columns keep their types, new columns append; old files read as
+    null for new columns via the logged read schema in ``snapshot``).
+
+    Concurrency: the data files are written once; the commit step is an
+    optimistic put-if-absent retried up to ``max_commit_retries`` times
+    with the version (and, for overwrite, the remove set) recomputed per
+    attempt — the standard Delta optimistic-concurrency loop. On a local
+    FS the file-set diff below is not concurrency-safe for simultaneous
+    writers to the SAME directory tree; the retry protects the log, which
+    is where real log stores (put-if-absent object stores) draw the line.
+    """
     partition_by = list(partition_by or [])
     if mode not in ("append", "overwrite"):
         raise ValueError(f"bad mode {mode!r}")
     version = current_version(table_path)
 
-    removed: list[str] = []
-    stale_schema = False
-    if mode == "overwrite" and version >= 0:
-        removed = _active_rel_paths(spark, table_path)
-        from delta_lake_health_spark.sources.delta_log import DeltaLog
+    schema_changed = False
+    if version >= 0:
+        if mode == "append":
+            df, schema_changed = _merge_append_schema(
+                spark, df, table_path, merge_schema
+            )
+        else:
+            from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-        meta = DeltaLog(spark, table_path).metadata()
-        logged = meta.get("schema")
-        stale_schema = logged is not None and logged != json.loads(df.schema.json())
+            logged = DeltaLog(spark, table_path).metadata().get("schema")
+            schema_changed = (
+                logged is not None and logged != json.loads(df.schema.json())
+            )
 
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
@@ -196,37 +251,51 @@ def write(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(table_path)
     new_files = sorted(_list_parquet_rel(table_path) - before)
-
-    actions: list[dict] = []
-    next_version = version + 1
-    if next_version == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-        actions.append(_metadata_action(df, partition_by))
-    elif stale_schema:
-        # schema-changing overwrite: re-emit metaData so snapshot() of a
-        # later-emptied table reconstructs the NEW schema, not the stale one
-        actions.append(_metadata_action(df, partition_by))
     adds = [_add_action(table_path, rel) for rel in new_files]
-    actions.extend(adds)
-    now = int(time.time() * 1000)
-    for rel in removed:
+    n_records = sum(json.loads(a["add"]["stats"])["numRecords"] for a in adds)
+
+    for attempt in range(max_commit_retries + 1):
+        removed: list[str] = []
+        if mode == "overwrite" and version >= 0:
+            removed = [
+                p for p in _active_rel_paths(spark, table_path)
+                if p not in set(new_files)
+            ]
+        actions: list[dict] = []
+        next_version = version + 1
+        if next_version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(_metadata_action(df, partition_by))
+        elif schema_changed:
+            # schema-changing write: re-emit metaData so snapshot() of a
+            # later-emptied table reconstructs the NEW schema
+            actions.append(_metadata_action(df, partition_by))
+        actions.extend(adds)
+        now = int(time.time() * 1000)
+        for rel in removed:
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": now,
+                            "dataChange": True}}
+            )
         actions.append(
-            {"remove": {"path": rel, "deletionTimestamp": now, "dataChange": True}}
+            _commit_info(
+                "WRITE",
+                {"mode": "Overwrite" if mode == "overwrite" else "Append",
+                 "partitionBy": json.dumps(partition_by)},
+                {"numFiles": len(adds), "numOutputRows": n_records,
+                 "numRemovedFiles": len(removed)},
+            )
         )
-    n_records = sum(
-        json.loads(a["add"]["stats"])["numRecords"] for a in adds
-    )
-    actions.append(
-        _commit_info(
-            "WRITE",
-            {"mode": "Overwrite" if mode == "overwrite" else "Append",
-             "partitionBy": json.dumps(partition_by)},
-            {"numFiles": len(adds), "numOutputRows": n_records,
-             "numRemovedFiles": len(removed)},
-        )
-    )
-    _commit(table_path, next_version, actions)
-    return next_version
+        try:
+            _commit(table_path, next_version, actions)
+            return next_version
+        except RuntimeError:
+            if attempt == max_commit_retries:
+                raise
+            version = current_version(table_path)
+    raise AssertionError("unreachable")
 
 
 def delete(spark: SparkSession, table_path: str, predicate: str) -> int:

@@ -324,6 +324,68 @@ def test_overwrite_schema_change_reemits_metadata(spark):
     shutil.rmtree(tmp)
 
 
+def test_append_schema_evolution(spark):
+    """merge_schema append widens the table: new column reads as null for
+    old files (logged read schema), old column order preserved, metaData
+    re-emitted; without the flag a differing append raises."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/evolve"
+    delta_writer.write(spark, _tips_df(spark), path, mode="append")
+    wide = _tips_df(spark, 5, 5, 5, offset=200).withColumn("note", F.lit("new"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        delta_writer.write(spark, wide, path, mode="append")
+    delta_writer.write(spark, wide, path, mode="append", merge_schema=True)
+    log = DeltaLog(spark, path)
+    snap = log.snapshot()
+    assert snap.columns[-1] == "note"
+    assert snap.count() == 115
+    assert snap.where(F.col("note").isNull()).count() == 100  # old files
+    assert snap.where(F.col("note") == "new").count() == 15
+    # time travel reconstructs the PRE-evolution schema
+    assert "note" not in log.snapshot(as_of=0).columns
+    # a narrower append (missing new col) back-fills nulls without the flag?
+    # no — it also differs from the (now wider) schema, so it needs the flag
+    delta_writer.write(spark, _tips_df(spark, 1, 1, 1, offset=400), path,
+                       mode="append", merge_schema=True)
+    assert DeltaLog(spark, path).snapshot().count() == 118
+    shutil.rmtree(tmp)
+
+
+def test_commit_retry_on_version_collision(spark, monkeypatch):
+    """Optimistic concurrency: if another writer takes our version while
+    we are committing, the commit retries at the next version instead of
+    failing (data files are written once). Simulated by making the first
+    version read stale, as an interleaved commit would."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/retry"
+    delta_writer.write(spark, _tips_df(spark), path, mode="append")
+    v = delta_writer.current_version(path)
+
+    real_cv = delta_writer.current_version
+    calls = {"n": 0}
+
+    def stale_once(p):
+        calls["n"] += 1
+        return real_cv(p) - 1 if calls["n"] == 1 else real_cv(p)
+
+    monkeypatch.setattr(delta_writer, "current_version", stale_once)
+    got = delta_writer.write(spark, _tips_df(spark, 2, 1, 1, offset=300), path,
+                             mode="append")
+    assert got == v + 1  # landed on the REAL next version after one retry
+    assert calls["n"] >= 2
+    assert DeltaLog(spark, path).snapshot().count() == 104
+    monkeypatch.setattr(delta_writer, "current_version", real_cv)
+
+    # retries exhausted -> the collision surfaces
+    monkeypatch.setattr(
+        delta_writer, "current_version", lambda p: real_cv(p) - 1
+    )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        delta_writer.write(spark, _tips_df(spark, 1, 1, 1), path,
+                           mode="append", max_commit_retries=1)
+    shutil.rmtree(tmp)
+
+
 def test_merge_upserts_by_key(spark):
     tmp = tempfile.mkdtemp()
     path = f"{tmp}/merge_me"
