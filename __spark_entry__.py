@@ -28,6 +28,7 @@ def _registry() -> tuple[dict, dict]:
         "delta_lake_health_spark.plans.dedup",
         "delta_lake_health_spark.plans.text",
         "delta_lake_health_spark.plans.similarity",
+        "delta_lake_health_spark.plans.sketch",
     ):
         try:
             mod = importlib.import_module(mod_name)

@@ -1,0 +1,73 @@
+"""Sketch / approximate aggregation operators (the 100 TB scale path).
+
+Exact ``COUNT(DISTINCT ...)`` and exact percentiles both need a shuffle
+whose state grows with cardinality; at 100 TB the mergeable sketches are
+what you actually run:
+
+- ``sketch_approx_distinct`` — HyperLogLog++ distinct users per event
+  type (``approx_count_distinct``): fixed-size (kilobytes) mergeable
+  state per group, one map-side-combinable pass, relative error ~rsd.
+- ``sketch_approx_percentiles`` — ``percentile_approx`` (Greenwald-
+  Khanna) per event type: bounded state (accuracy parameter), mergeable,
+  vs the exact sort-based percentile.
+
+Neither sketch is bit-reproducible across engines (DuckDB's approximate
+aggregates use different algorithms/seeds), so these entries ship WITHOUT
+an oracle — the driver records the weaker rows-only check, and the error
+bounds are asserted by pytest against the exact values
+(tests/test_sketch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.sources.catalog import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+RSD = 0.02  # target relative standard deviation for HLL++
+PCT_ACCURACY = 5000  # Greenwald-Khanna accuracy (error <= 1/accuracy)
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@query("sketch_approx_distinct", None)
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", RSD).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("sketch_approx_percentiles", None)
+def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr(
+        f"percentile_approx(value, array(0.5, 0.95, 0.99), {PCT_ACCURACY})"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(pct[0], 6).alias("p50"),
+            F.round(pct[1], 6).alias("p95"),
+            F.round(pct[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,66 @@
+"""Error-bound tests for the sketch operators: the approximate answers
+must land within their configured bounds of the exact ones."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.plans import sketch
+from delta_lake_health_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_within_bound(spark):
+    approx = {
+        r.event_type: r.approx_users
+        for r in sketch.sketch_approx_distinct(spark, SF).collect()
+    }
+    exact = {
+        r.event_type: r.exact_users
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        # HLL++ rsd is a standard deviation; 5 sigma is a safe determinism
+        # margin (the sketch itself is deterministic for fixed input)
+        assert rel_err <= 5 * sketch.RSD, (k, approx[k], exact[k])
+
+
+def test_approx_percentiles_within_bound(spark):
+    approx = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in sketch.sketch_approx_percentiles(spark, SF).collect()
+    }
+    ev = load(spark, SF, "events")
+    exact = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    # GK bound is on RANK error (<= n/accuracy); translate through the
+    # empirical value spread: the approx value must sit between the exact
+    # quantiles at q +- 2/accuracy
+    for k, (a50, a95, a99) in approx.items():
+        for q, a in ((0.5, a50), (0.95, a95), (0.99, a99)):
+            lo_q, hi_q = max(q - 2.0 / sketch.PCT_ACCURACY * 100, 0.0), min(
+                q + 2.0 / sketch.PCT_ACCURACY * 100, 1.0
+            )
+            lo, hi = (
+                ev.where(F.col("event_type") == k)
+                .agg(
+                    F.expr(f"percentile(value, {lo_q})").alias("lo"),
+                    F.expr(f"percentile(value, {hi_q})").alias("hi"),
+                )
+                .collect()[0]
+            )
+            assert lo - 1e-9 <= a <= hi + 1e-9, (k, q, a, lo, hi)
