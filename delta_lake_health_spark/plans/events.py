@@ -210,6 +210,72 @@ def events_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E8 — purchase attribution: for every purchase, the LATEST view by the
+# same user within the preceding 30 minutes (backward as-of join with
+# tolerance). The oracle is the textbook range-join + row_number form;
+# the Spark plan uses operators/asof.py's union + sort + carry-forward,
+# which never materializes the |purchase x view| pair set.
+@query(
+    "events_purchase_attribution",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, view_id,
+           CAST(pt - vt AS BIGINT) AS lag_us,
+           ROUND(value, 2) AS purchase_value
+    FROM (
+      SELECT p.purchase_id, p.user_id, v.view_id, p.pt, v.vt, p.value,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.vt DESC, v.view_id DESC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id
+         AND v.vt <= p.pt AND v.vt > p.pt - {SESSION_GAP_US}
+    ) WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.asof import asof_backward_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_evt"), "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_us", "value"
+    )
+    joined = asof_backward_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload={"view_id": "view_evt"},
+        tolerance=SESSION_GAP_US,
+        right_tiebreak="view_evt",
+    )
+    return (
+        joined.where(F.col("view_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            "view_id",
+            (F.col("ts_us") - F.col("_asof_ts")).cast("long").alias("lag_us"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # E5 — exact value percentiles per event type (Spark `percentile` and
 # DuckDB `quantile_cont` use the same linear interpolation).
 @query(

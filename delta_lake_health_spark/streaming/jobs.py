@@ -216,6 +216,59 @@ def stream_to_delta(
     return q
 
 
+def attribution_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: every
+    (purchase, view) pair where the view happened within the 30 minutes
+    before the purchase by the same user — the streaming twin of the
+    batch as-of attribution (``events_purchase_attribution`` emits only
+    the latest view; the stream emits all candidates, since 'latest' is
+    not final until the watermark closes the window — downstream picks
+    min lag per purchase).
+
+    Both sides are watermarked, and the join condition bounds view-ts
+    from both directions relative to purchase-ts, so Spark can evict
+    buffered state once the watermark passes — bounded state, the
+    requirement for an unbounded stream."""
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            """
+            v_user_id = p_user_id AND
+            v_ts <= p_ts AND
+            v_ts > p_ts - INTERVAL 30 MINUTES
+            """
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "view_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

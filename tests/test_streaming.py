@@ -159,3 +159,58 @@ def test_dedup_stream_drops_repeats(spark, stream_dir):
     assert got.count() == n_unique
     assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
     shutil.rmtree(os.path.dirname(dup_dir))
+
+
+def test_stream_attribution_matches_batch_pairs(spark, stream_dir):
+    """The stream-stream join must emit exactly the batch candidate set:
+    every (purchase, view) pair by the same user with the view in the 30
+    minutes before the purchase."""
+    tmp, src = stream_dir
+    stream = jobs.read_events_stream(spark, src)
+    views = stream.where(F.col("event_type") == "view")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    out = jobs.attribution_stream(views, purchases)
+    jobs.run_to_memory(out, "attrib_t", "append", os.path.join(tmp, "cp_attrib"))
+    got = {
+        (r.purchase_id, r.view_id, r.lag_us)
+        for r in spark.table("attrib_t").collect()
+    }
+
+    ev = load(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("vt"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("pt"),
+    )
+    want = {
+        (r.purchase_id, r.view_id, r.pt - r.vt)
+        for r in p.join(
+            v,
+            (F.col("vu") == F.col("user_id"))
+            & (F.col("vt") <= F.col("pt"))
+            & (F.col("vt") > F.col("pt") - jobs.SESSION_GAP_US),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    # and the batch as-of query is exactly the min-lag pair per purchase
+    asof = {
+        (r.purchase_id, r.view_id, r.lag_us)
+        for r in batch_events.QUERIES["events_purchase_attribution"](
+            spark, SF
+        ).collect()
+    }
+    by_purchase: dict = {}
+    for pid, vid, lag in want:
+        cur = by_purchase.get(pid)
+        # latest view = smallest lag; ties broken by highest view_id
+        if cur is None or (lag, -vid) < (cur[1], -cur[0]):
+            by_purchase[pid] = (vid, lag)
+    want_asof = {(pid, vid, lag) for pid, (vid, lag) in by_purchase.items()}
+    assert asof == want_asof
