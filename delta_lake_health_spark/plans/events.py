@@ -69,6 +69,28 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_rows(ev: DataFrame) -> DataFrame:
+    """Per-event session ids: lag → new-session flag → running sum. One
+    shuffle by user_id; shared by sessionization and the interval join."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # E2 — sessionization with a 30-minute inactivity gap. lag → flag → running
 # sum = session id; then one aggregate per (user, session).
@@ -100,22 +122,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = ev.select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
-    ).withColumn(
-        "is_new",
-        F.when(
-            F.lag("ts_us").over(w).isNull()
-            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > SESSION_GAP_US),
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sessions = _session_rows(load(spark, sf_dir, "events"))
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
@@ -132,6 +139,81 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E10 — point-in-interval join: each purchase joined to the session that
+# contains it. The oracle uses the plain BETWEEN range join; the Spark
+# plan goes through operators/rangejoin.py's bucketized equi-join (the
+# range predicate becomes a (user, hour-bucket) hash-join key, so there
+# is no nested-loop pair set at any scale).
+@query(
+    "events_purchase_sessions",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), bounds AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             COUNT(*) AS session_n_events
+      FROM sessions GROUP BY user_id, session_id
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, p.user_id, session_id,
+           CAST(pt - start_us AS BIGINT) AS offset_us,
+           session_n_events
+    FROM p JOIN bounds b ON b.user_id = p.user_id
+                        AND pt BETWEEN start_us AND end_us
+    ORDER BY purchase_id, session_id
+    """,
+)
+def events_purchase_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.rangejoin import interval_point_join
+
+    ev = load(spark, sf_dir, "events")
+    bounds = (
+        _session_rows(ev)
+        .groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count(F.lit(1)).alias("session_n_events"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pt"),
+    )
+    joined = interval_point_join(
+        purchases,
+        bounds,
+        on=["user_id"],
+        point_ts="pt",
+        start_ts="start_us",
+        end_ts="end_us",
+        bucket=3_600_000_000,  # 1-hour buckets ~ typical session length
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "session_id",
+        (F.col("pt") - F.col("start_us")).cast("long").alias("offset_us"),
+        "session_n_events",
+    ).orderBy("purchase_id", "session_id")
 
 
 # --------------------------------------------------------------------------
