@@ -180,6 +180,125 @@ _ANALYZER_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# D21 end-to-end — time travel: reconstruct the table as of version 0 and
+# count actual data rows per partition. The oracle replays only the v0
+# log entries and reads the per-file numRecords stats — agreement proves
+# the raw-JSON replay selects exactly the v0 file set AND that the files
+# still hold their logged row counts (vacuum honored time travel).
+_TIME_TRAVEL_ORACLE = f"""
+    WITH acts AS (
+      SELECT *, CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+               AS version
+      FROM read_json('{FIXTURE_PATH}/_delta_log/*.json',
+                     format='newline_delimited', filename=true,
+                     columns={_FIXTURE_LOG_COLUMNS})
+    )
+    SELECT add.partitionValues.day AS day,
+           CAST(SUM(CAST(json_extract_string(add.stats, '$.numRecords')
+                         AS BIGINT)) AS BIGINT) AS n_records
+    FROM acts
+    WHERE add IS NOT NULL AND version = 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("delta_time_travel_v0", _TIME_TRAVEL_ORACLE)
+def delta_time_travel_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    path = ensure_fixture()
+    snap = DeltaLog(spark, path).snapshot(as_of=0)
+    return (
+        snap.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC change feed — one row per file-level change across the whole log;
+# the oracle reads the raw JSON directly.
+_CHANGE_FEED_ORACLE = f"""
+    WITH acts AS (
+      SELECT *, CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+               AS version
+      FROM read_json('{FIXTURE_PATH}/_delta_log/*.json',
+                     format='newline_delimited', filename=true,
+                     columns={_FIXTURE_LOG_COLUMNS})
+    )
+    SELECT version, 'add' AS change_type, add.path AS path,
+           CAST(json_extract_string(add.stats, '$.numRecords') AS BIGINT)
+             AS num_records,
+           add.size AS size
+    FROM acts WHERE add IS NOT NULL
+    UNION ALL
+    SELECT version, 'remove', remove.path, NULL, NULL
+    FROM acts WHERE remove IS NOT NULL
+    ORDER BY version, change_type, path
+"""
+
+
+@query("delta_change_feed", _CHANGE_FEED_ORACLE)
+def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    path = ensure_fixture()
+    return (
+        DeltaLog(spark, path)
+        .changes()
+        .select("version", "change_type", "path", "num_records", "size")
+        .orderBy("version", "change_type", "path")
+    )
+
+
+# --------------------------------------------------------------------------
+# D26 end-to-end — stats-based data skipping: live files whose [min, max]
+# interval for `idx` intersects [100, 250]. The oracle applies the same
+# interval test to the logged minValues/maxValues after the same
+# add/remove reconciliation.
+_SKIP_LO, _SKIP_HI = 100, 250
+
+_SKIPPING_ORACLE = f"""
+    WITH acts AS (
+      SELECT *, CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+               AS version
+      FROM read_json('{FIXTURE_PATH}/_delta_log/*.json',
+                     format='newline_delimited', filename=true,
+                     columns={_FIXTURE_LOG_COLUMNS})
+    ),
+    ranked AS (
+      SELECT COALESCE(add.path, remove.path) AS path,
+             add IS NOT NULL AS is_add,
+             CAST(json_extract_string(add.stats, '$.minValues.idx') AS DOUBLE)
+               AS lo,
+             CAST(json_extract_string(add.stats, '$.maxValues.idx') AS DOUBLE)
+               AS hi,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(add.path, remove.path)
+               ORDER BY version DESC, (add IS NOT NULL) DESC) AS rn
+      FROM acts WHERE add IS NOT NULL OR remove IS NOT NULL
+    )
+    SELECT path FROM ranked
+    WHERE rn = 1 AND is_add
+      AND (lo IS NULL OR hi IS NULL
+           OR (hi >= {_SKIP_LO} AND lo <= {_SKIP_HI}))
+    ORDER BY path
+"""
+
+
+@query("delta_skipping_prune", _SKIPPING_ORACLE)
+def delta_skipping_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    path = ensure_fixture()
+    return (
+        DeltaLog(spark, path)
+        .pruned_files("idx", _SKIP_LO, _SKIP_HI)
+        .orderBy("path")
+    )
+
+
 @query("health_analyzer_report", _ANALYZER_ORACLE)
 def health_analyzer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full analyzer pass over the fixture table; emits the log-derivable

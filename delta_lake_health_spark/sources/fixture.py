@@ -47,6 +47,12 @@ def _write_parquet(path: str, offset: int, n: int) -> int:
 
 def _add(table: str, rel: str, day: str, offset: int, n: int) -> dict:
     size = _write_parquet(os.path.join(table, rel), offset, n)
+    vals = [_val(offset + i) for i in range(n)]
+    stats = {
+        "numRecords": n,
+        "minValues": {"idx": offset, "val": min(vals)},
+        "maxValues": {"idx": offset + n - 1, "val": max(vals)},
+    }
     return {
         "add": {
             "path": rel,
@@ -54,7 +60,7 @@ def _add(table: str, rel: str, day: str, offset: int, n: int) -> dict:
             "size": size,
             "modificationTime": 1700000000000,
             "dataChange": True,
-            "stats": json.dumps({"numRecords": n}),
+            "stats": json.dumps(stats),
         }
     }
 
@@ -137,12 +143,20 @@ def build_fixture(path: str = FIXTURE_PATH) -> str:
     _write_parquet(os.path.join(path, "day=Mon/orphan-00000.parquet"), 700, 5)
 
     with open(os.path.join(path, _MARKER), "w") as f:
-        f.write("v1\n")
+        f.write(_FIXTURE_VERSION + "\n")
     return path
 
 
+_FIXTURE_VERSION = "v2"  # bump to force a rebuild of stale fixtures
+
+
 def ensure_fixture(path: str = FIXTURE_PATH) -> str:
-    """Build once per machine; rebuild if missing or incomplete."""
-    if not os.path.isfile(os.path.join(path, _MARKER)):
+    """Build once per machine; rebuild if missing, incomplete, or stale."""
+    marker = os.path.join(path, _MARKER)
+    current = None
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != _FIXTURE_VERSION:
         build_fixture(path)
     return path
