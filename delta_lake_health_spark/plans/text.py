@@ -271,3 +271,75 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(scrubbed).alias("scrubbed_fp"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T7/T8 — deterministic hash-based sampling and train/val/test splitting.
+# The sampling key is the last two hex digits of md5(text) folded to a
+# 0..255 bucket with plain strpos arithmetic — identical in both engines
+# (no RNG, no engine hash functions), stable across runs and cluster
+# sizes, and keyed on CONTENT so exact duplicates always land in the same
+# split (no train/test leakage between copies). This is the standard
+# hash-mod sampling a 100 TB corpus pipeline uses: one narrow pass, the
+# sample rate is exact in expectation with zero coordination.
+_HEX = "0123456789abcdef"
+
+def _spark_bucket256():
+    # built lazily: Column construction needs an active session
+    return (F.instr(F.lit(_HEX), F.substring(F.md5("text"), 31, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(F.md5("text"), 32, 1)) - 1
+    )
+
+_SQL_BUCKET256 = (
+    f"(strpos('{_HEX}', substr(md5(text), 31, 1)) - 1) * 16 + "
+    f"(strpos('{_HEX}', substr(md5(text), 32, 1)) - 1)"
+)
+
+
+@query(
+    "text_hash_sample",
+    f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_SQL_BUCKET256} < 26  -- ~10.2% deterministic content sample
+    ORDER BY doc_id
+    """,
+)
+def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where(_spark_bucket256() < 26)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_train_val_test_split",
+    f"""
+    SELECT source,
+           CASE WHEN {_SQL_BUCKET256} < 204 THEN 'train'
+                WHEN {_SQL_BUCKET256} < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    split = (
+        F.when(_spark_bucket256() < 204, "train")
+        .when(_spark_bucket256() < 230, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.groupBy("source", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
