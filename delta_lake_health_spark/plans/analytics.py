@@ -962,6 +962,43 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CUBE grouping sets: all four grouping combinations of status x priority
+# in one aggregate pass (ROLLUP's sibling — exercises the full grouping-
+# sets machinery).
+@query(
+    "orders_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+            "avg_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q8 — national market share: share-of-total via conditional agg over a
 # 6-way join, grouped by order year.
 @query(

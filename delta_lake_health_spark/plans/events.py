@@ -142,6 +142,48 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E11 — sliding (hopping) windows: 1-hour windows every 30 minutes, so
+# each event lands in exactly two windows. Spark's F.window(len, slide)
+# aligns window starts to epoch multiples of the slide; the oracle
+# reproduces that with floor arithmetic on epoch micros x range(2).
+_SLIDE_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "events_sliding_hourly",
+    f"""
+    SELECT STRFTIME(make_timestamp(
+             ((epoch_us(ts) // {_SLIDE_US}) - k.range) * {_SLIDE_US}),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events, range(2) k
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # E10 — point-in-interval join: each purchase joined to the session that
 # contains it. The oracle uses the plain BETWEEN range join; the Spark
 # plan goes through operators/rangejoin.py's bucketized equi-join (the

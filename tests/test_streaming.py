@@ -152,7 +152,10 @@ def test_dedup_stream_drops_repeats(spark, stream_dir):
         os.path.join(dup_dir, f"{len(files):03d}.parquet"),
     )
     stream = jobs.read_events_stream(spark, dup_dir, max_files_per_trigger=1)
-    deduped = jobs.dedup_stream(stream, ["event_id"], watermark="10 hours")
+    # watermark wider than the data's whole time span: no FIRST occurrence
+    # can ever be late-dropped (watermark commit timing varies between
+    # runs), so the only rows removed are true duplicates
+    deduped = jobs.dedup_stream(stream, ["event_id"], watermark="2000 hours")
     jobs.run_to_memory(deduped, "dedup_t", "append", os.path.join(tmp, "cp4"))
     got = spark.table("dedup_t")
     n_unique = load(spark, SF, "events").count()
