@@ -400,6 +400,69 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E12 — semi-structured JSON processing: extract props.k with JSON-path,
+# bucket it, aggregate. get_json_object stays JVM-side (Jackson) — the
+# standard pattern for schema-on-read event payloads.
+@query(
+    "events_props_json",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# E13 — pivot: per-user event-type counts as columns (explicit value list
+# so the plan is a single pass, no distinct-discovery job).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_type_pivot",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent (user, type) pairs; the SQL SUM form
+    # yields 0 — align
+    return pivoted.select(
+        "user_id", *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
 # E5 — exact value percentiles per event type (Spark `percentile` and
 # DuckDB `quantile_cont` use the same linear interpolation).
 @query(
