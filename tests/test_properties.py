@@ -63,3 +63,90 @@ def test_skewness_matches_python_reference(spark, sizes):
     assert abs(got.skewness_average - round(want_avg, 6)) < 1e-9
     assert 0.0 <= got.skewness_max <= 1.0
     assert got.n_partitions == len(sizes)
+
+
+# --- as-of / range join vs naive pure-Python references --------------------
+
+_event_lists = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # key
+        st.integers(0, 1_000),    # ts
+        st.integers(0, 10_000),   # id/tiebreak
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_event_lists, _event_lists, st.integers(1, 500))
+def test_asof_join_matches_naive(spark, lefts, rights, tol):
+    """asof_backward_join == argmax-over-qualifying-rights, per left row."""
+    from delta_lake_health_spark.operators.asof import asof_backward_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in lefts] or [(0, -1, -1)],
+        "k int, lts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rights] or [(99, -1, -1)],
+        "k int, rts long, rid long",
+    )
+    got = {
+        (r.k, r.lts, r.lid): (r._asof_ts, r.rid_out)
+        for r in asof_backward_join(
+            ldf, rdf, ["k"], "lts", "rts",
+            payload={"rid_out": "rid"}, tolerance=tol, right_tiebreak="rid",
+        ).collect()
+    }
+    for k, lt, lid in (lefts or [(0, -1, -1)]):
+        q = [
+            (rt, rid)
+            for rk, rt, rid in (rights or [(99, -1, -1)])
+            if rk == k and rt <= lt and rt > lt - tol
+        ]
+        want = max(q) if q else None
+        have = got[(k, lt, lid)]
+        if want is None:
+            assert have[0] is None, (k, lt, have)
+        else:
+            assert have == want, (k, lt, have, want)
+
+
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+             min_size=0, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500),
+                       st.integers(0, 200)),
+             min_size=0, max_size=10),
+    st.integers(1, 300),
+)
+def test_interval_point_join_matches_naive(spark, points, intervals, bucket):
+    """Bucketized interval join == plain BETWEEN filter, any bucket width."""
+    from delta_lake_health_spark.operators.rangejoin import interval_point_join
+
+    pdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)] or [(0, -1, -1)],
+        "k int, pt long, pid long",
+    )
+    ivls = [(k, s, s + d, i) for i, (k, s, d) in enumerate(intervals)]
+    idf = spark.createDataFrame(
+        ivls or [(99, -1, -1, -1)], "k int, s long, e long, iid long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_point_join(
+            pdf, idf, ["k"], "pt", "s", "e", bucket=bucket
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, (pk, pt) in enumerate(points)
+        for ik, s, e, iid in ivls
+        if ik == pk and s <= pt <= e
+    }
+    if points:
+        assert got == want
