@@ -133,16 +133,56 @@ def vacuum(
             "dryRun": dry_run}
 
 
+Z_BITS = 16  # per-column bit budget for the interleaved z-value
+
+
+def _zvalue_column(df, cluster_cols: list[str]):
+    """Bit-interleaved z-value over the cluster columns.
+
+    Each column is min/max-scaled to a Z_BITS-bit integer (one tiny agg,
+    scalars to the driver — this is a maintenance op), then the bits are
+    interleaved (col i contributes bit b to position b*ncols+i). Sorting
+    by this value gives genuine multi-dimensional locality: every
+    clustered column gets narrow per-file min/max intervals, not just the
+    leading one as with lexicographic sort."""
+    ncols = len(cluster_cols)
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cluster_cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cluster_cols)],
+    ).collect()[0]
+    max_code = (1 << Z_BITS) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cluster_cols):
+        lo = float(bounds[f"lo_{i}"] or 0.0)
+        hi = float(bounds[f"hi_{i}"] or 0.0)
+        span = (hi - lo) or 1.0
+        code = F.least(
+            F.lit(max_code),
+            ((F.col(c).cast("double") - lo) / span * max_code).cast("long"),
+        )
+        code = F.greatest(F.lit(0).cast("long"), code)
+        for b in range(Z_BITS):
+            z = z + (
+                F.shiftright(code, b).bitwiseAND(F.lit(1)).cast("long")
+                * F.lit(1 << (b * ncols + i)).cast("long")
+            )
+    return z
+
+
 def zorder_cluster(
     spark: SparkSession,
     table_path: str,
     cluster_cols: list[str],
     target_file_size: int = TARGET_FILE_SIZE,
+    interleaved: bool = True,
 ) -> dict:
-    """Z-ORDER-style clustering rewrite: range-repartition + sort within
-    partitions on the cluster columns, so min/max file stats become
-    selective for those columns (the practical effect of Databricks
-    OPTIMIZE ZORDER). Rewrites the live set, commits as OPTIMIZE."""
+    """Z-ORDER clustering rewrite. With ``interleaved`` (default) rows are
+    range-partitioned and sorted by a true bit-interleaved z-value, so
+    min/max file stats become selective for EVERY cluster column
+    (multi-dimensional locality, like Databricks OPTIMIZE ZORDER);
+    ``interleaved=False`` falls back to lexicographic range-partitioning,
+    which only narrows the leading column. Rewrites the live set, commits
+    as OPTIMIZE."""
     log = DeltaLog(spark, table_path)
     active = log.active_files()
     live = active.collect()
@@ -153,9 +193,17 @@ def zorder_cluster(
     n_out = max(1, math.ceil(total_size / target_file_size))
 
     df = log.snapshot()
-    clustered = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
-        *cluster_cols
-    )
+    if interleaved and len(cluster_cols) > 1:
+        zed = df.withColumn("_zval", _zvalue_column(df, cluster_cols))
+        clustered = (
+            zed.repartitionByRange(n_out, "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+    else:
+        clustered = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
     before = delta_writer._list_parquet_rel(table_path)
     writer = clustered.write.mode("append")
     if partition_by:

@@ -324,6 +324,44 @@ def test_overwrite_schema_change_reemits_metadata(spark):
     shutil.rmtree(tmp)
 
 
+def test_zorder_interleaving_prunes_both_columns(spark):
+    """True bit-interleaved z-order must narrow per-file min/max for BOTH
+    cluster columns; lexicographic sort only narrows the leading one, so
+    a range prune on the second column keeps (almost) every file."""
+    tmp = tempfile.mkdtemp()
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+    )
+
+    def build(path, interleaved):
+        delta_writer.write(spark, grid, path, mode="overwrite")
+        size = sum(r.size for r in DeltaLog(spark, path).active_files().collect())
+        maintenance.zorder_cluster(
+            spark, path, ["x", "y"],
+            target_file_size=max(1, size // 12), interleaved=interleaved,
+        )
+        log = DeltaLog(spark, path)
+        total = log.active_files().count()
+        pruned_y = log.pruned_files("y", 10.0, 15.0).count()
+        pruned_x = log.pruned_files("x", 10.0, 15.0).count()
+        return total, pruned_x, pruned_y
+
+    total_z, x_z, y_z = build(f"{tmp}/zed", True)
+    total_l, x_l, y_l = build(f"{tmp}/lex", False)
+    assert total_z >= 8 and total_l >= 8
+    # leading column prunes in both layouts
+    assert x_l < total_l and x_z < total_z
+    # second column: lexicographic keeps everything, z-order prunes
+    assert y_l == total_l
+    assert y_z < total_z
+    # data preserved
+    assert sorted(DeltaLog(spark, f"{tmp}/zed").snapshot().collect()) == sorted(
+        grid.collect()
+    )
+    shutil.rmtree(tmp)
+
+
 def test_append_schema_evolution(spark):
     """merge_schema append widens the table: new column reads as null for
     old files (logged read schema), old column order preserved, metaData

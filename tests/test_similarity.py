@@ -31,6 +31,22 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@{sim.TOP_K} too low: {recall}"
 
 
+def test_ivf_recall_holds_at_sf01(spark):
+    """Same recall floor at 4x the corpus (2000 vectors) — guards the
+    k-means quantizer's quality as data grows, not just at oracle SF."""
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.QUERIES["ann_bruteforce_topk"](spark, sf).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in sim.QUERIES["ann_ivf_topk"](spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@{sim.TOP_K} at sf0.1 too low: {recall}"
+
+
 def test_lsh_buckets_partition_corpus(spark):
     df = sim.QUERIES["ann_lsh_buckets"](spark, SF_ORACLE)
     rows = df.collect()
