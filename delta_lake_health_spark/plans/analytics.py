@@ -962,6 +962,113 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 7-day moving revenue: RANGE frame over day offsets (value-based window,
+# not row-based — days with no orders still bound the frame correctly).
+@query(
+    "revenue_7day_moving",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400 AS day_no,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      GROUP BY 1, 2
+    )
+    SELECT day, revenue, n_orders,
+           ROUND(SUM(revenue) OVER (ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS revenue_7d,
+           CAST(SUM(n_orders) OVER (ORDER BY day_no
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS orders_7d
+    FROM daily
+    ORDER BY day
+    """,
+)
+def revenue_7day_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("day_no"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    # one quarter of days fits one window partition trivially; at scale
+    # this would partition by month and stitch boundaries, but the frame
+    # semantics under test are the value-RANGE ones
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "revenue",
+            "n_orders",
+            F.round(F.sum("revenue").over(w), 2).alias("revenue_7d"),
+            F.sum("n_orders").over(w).cast("long").alias("orders_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Customer quartiles by account balance: ntile + percent_rank + per-tile
+# aggregate (two-pass window then groupBy).
+@query(
+    "customer_balance_quartiles",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+             PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pr
+      FROM customer
+    )
+    SELECT quartile,
+           COUNT(*) AS n_customers,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal,
+           ROUND(MAX(pr), 6) AS max_pct_rank
+    FROM ranked
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        ranked.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.round(F.max("pr"), 6).alias("max_pct_rank"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
 # CUBE grouping sets: all four grouping combinations of status x priority
 # in one aggregate pass (ROLLUP's sibling — exercises the full grouping-
 # sets machinery).
