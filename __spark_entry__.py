@@ -29,6 +29,7 @@ def _registry() -> tuple[dict, dict]:
         "delta_lake_health_spark.plans.text",
         "delta_lake_health_spark.plans.similarity",
         "delta_lake_health_spark.plans.sketch",
+        "delta_lake_health_spark.plans.media",
     ):
         try:
             mod = importlib.import_module(mod_name)

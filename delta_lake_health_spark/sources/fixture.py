@@ -149,6 +149,53 @@ def build_fixture(path: str = FIXTURE_PATH) -> str:
 
 _FIXTURE_VERSION = "v2"  # bump to force a rebuild of stale fixtures
 
+MEDIA_FIXTURE_PATH = "/tmp/delta_lake_health_spark_fixture/media.parquet"
+
+
+def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
+    """Deterministic multimodal table: binary payloads in the synthetic
+    SIMG/SVID format plus the metadata the encoder logged — written with
+    pure pyarrow so it exists before either side of the driver compare.
+    The oracle reads the LOGGED columns; the Spark query re-derives them
+    from the BINARY via the mapInPandas decode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_lake_health_spark.operators.multimodal import (
+        encode_image,
+        encode_video,
+    )
+
+    ids, types, payloads, ws, hs, nfs = [], [], [], [], [], []
+    for i in range(64):
+        if i % 4 == 3:
+            w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
+            payload, mtype = encode_video(i, w, h, nf), "video"
+        else:
+            w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
+            payload, mtype = encode_image(i, w, h), "image"
+        ids.append(i); types.append(mtype); payloads.append(payload)
+        ws.append(w); hs.append(h); nfs.append(nf)
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nfs, pa.int32()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(t, path)
+    return path
+
+
+def ensure_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
+    if not os.path.isfile(path):
+        build_media_fixture(path)
+    return path
+
 
 def ensure_fixture(path: str = FIXTURE_PATH) -> str:
     """Build once per machine; rebuild if missing, incomplete, or stale."""

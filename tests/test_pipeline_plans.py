@@ -90,6 +90,12 @@ def test_health_vs_oracle(spark, duck, name):
     compare(spark, duck, m.QUERIES[name], m.ORACLE[name], SF_ORACLE)
 
 
+@pytest.mark.parametrize("name", _names(_mod("media")))
+def test_media_vs_oracle(spark, duck, name):
+    m = _mod("media")
+    compare(spark, duck, m.QUERIES[name], m.ORACLE[name], SF_ORACLE)
+
+
 def test_dedup_clusters_consistent_with_pairs(spark):
     """Every candidate pair must land in the same cluster, and cluster ids
     are the component-min doc_id."""
