@@ -87,3 +87,22 @@ def populate_sample_tables(
 def clean(base_dir: str = SAMPLE_DIR_DEFAULT) -> None:
     if os.path.isdir(base_dir):
         shutil.rmtree(base_dir)
+
+
+def demo_health_report(
+    spark: SparkSession, base_dir: str = SAMPLE_DIR_DEFAULT
+) -> dict:
+    """The reference's end-to-end demo flow: build the sample tables,
+    analyze each, print the formatted report (the reference's
+    ``metrics.print_results()`` front door), return the metrics."""
+    from delta_lake_health_spark.analyzer import DeltaAnalyzer
+
+    tables = populate_sample_tables(spark, base_dir)
+    analyzer = DeltaAnalyzer(spark=spark)
+    out = {}
+    for name, path in tables.items():
+        metrics = analyzer.analyze(table_path=path)
+        print(f"\n=== {name} ({path}) ===")
+        metrics.print_results()
+        out[name] = metrics
+    return out

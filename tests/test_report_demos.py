@@ -63,3 +63,15 @@ def test_historical_trends(spark, sample_tables):
     assert tr[-1].data_file_count == log.active_files().count()
     # cumulative series never negative
     assert all(r.table_size_bytes >= 0 and r.data_file_count >= 0 for r in tr)
+
+
+def test_demo_health_report_prints_all_tables(spark, capsys, tmp_path):
+    out = demos.demo_health_report(spark, str(tmp_path / "samples"))
+    printed = capsys.readouterr().out
+    assert set(out) == {"simple", "skewed", "complex"}
+    assert printed.count("Delta Table Analysis Results:") == 3
+    for name, metrics in out.items():
+        assert f"=== {name} " in printed
+        assert metrics.health_score is not None
+    # the skewed table must actually read as more skewed than the simple one
+    assert out["skewed"].skewness_max > out["simple"].skewness_max
