@@ -962,6 +962,36 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# String-function surface: case mapping, reverse, pad, replace, and
+# edit distance — all JVM builtins with exact DuckDB twins.
+@query(
+    "part_name_textops",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           reverse(p_name) AS name_rev,
+           CAST(length(replace(p_name, ' ', '')) AS BIGINT) AS n_nonspace,
+           lpad(p_brand, 12, '_') AS brand_padded,
+           CAST(levenshtein(p_name, lower(p_type)) AS BIGINT) AS dist_type
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def part_name_textops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.reverse("p_name").alias("name_rev"),
+        F.length(F.replace("p_name", F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_nonspace"
+        ),
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.levenshtein("p_name", F.lower("p_type")).cast("long").alias("dist_type"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
 # 7-day moving revenue: RANGE frame over day offsets (value-based window,
 # not row-based — days with no orders still bound the frame correctly).
 @query(
@@ -1052,7 +1082,7 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cust.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
     )
     return (
