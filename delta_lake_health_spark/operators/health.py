@@ -170,14 +170,14 @@ def _list_folder_files(spark: SparkSession, table_path: str) -> DataFrame:
     subdirs = [
         os.path.join(table_path, d)
         for d in os.listdir(table_path)
-        if os.path.isdir(os.path.join(table_path, d)) and d != LOG_DIR
+        # hive convention: _-prefixed dirs are metadata (_delta_log, _deletes)
+        if os.path.isdir(os.path.join(table_path, d)) and not d.startswith("_")
     ]
     roots = subdirs or roots
 
     def walk(root: str):
-        for dirpath, _dirs, files in os.walk(root):
-            if LOG_DIR in dirpath:
-                continue
+        for dirpath, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
             for f in files:
                 if f.endswith(".parquet"):
                     fp = os.path.join(dirpath, f)
@@ -255,6 +255,9 @@ class HealthAnalyzer:
                 if not stats_row.missing_stats
                 else log.snapshot().count()
             )
+            if log.deletion_vector_paths():
+                # soft-deleted positions make raw add stats an overcount
+                m.record_count = log.record_count()
             m.needs_optimize = (
                 m.data_file_count > 0
                 and m.small_files_count

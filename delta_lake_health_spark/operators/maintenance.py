@@ -133,6 +133,76 @@ def vacuum(
             "dryRun": dry_run}
 
 
+def apply_deletion_vectors(spark: SparkSession, table_path: str) -> dict:
+    """Materialize pending deletion vectors: rewrite only the files that
+    have soft-deleted positions (dropping those rows), commit
+    remove+add. Retired vectors then reference dead files and become
+    no-ops for every reader. The rewrite cost is |affected files|, not
+    table size — the purge half of the DV bargain."""
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(spark, table_path)
+    dv = log.deletion_vectors()
+    if dv is None:
+        return {"numRewrittenFiles": 0, "numAddedFiles": 0, "skipped": True}
+    live = log.active_files().select(F.col("path").alias("rel_path"))
+    affected = sorted(
+        r.rel_path
+        for r in dv.join(F.broadcast(live), "rel_path", "left_semi")
+        .select("rel_path")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {"numRewrittenFiles": 0, "numAddedFiles": 0, "skipped": True}
+
+    table_abs = os.path.abspath(table_path)
+    prefix = "file:" + table_abs + "/"
+    abs_paths = [os.path.join(table_path, p) for p in affected]
+    src = (
+        spark.read.option("basePath", table_path)
+        .parquet(*abs_paths)
+        .withColumn(
+            "_dv_rel",
+            F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
+        )
+        .withColumn("_dv_ri", F.col("_metadata.row_index"))
+    )
+    survivors = src.join(
+        F.broadcast(
+            dv.select(
+                F.col("rel_path").alias("_dv_rel"),
+                F.col("row_index").alias("_dv_ri"),
+            )
+        ),
+        ["_dv_rel", "_dv_ri"],
+        "left_anti",
+    ).drop("_dv_rel", "_dv_ri")
+
+    partition_by = log.partition_columns()
+    before = delta_writer._list_parquet_rel(table_path)
+    writer = survivors.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    actions = [delta_writer._add_action(table_path, rel) for rel in new_files]
+    actions += [
+        {"remove": {"path": rel, "deletionTimestamp": now, "dataChange": False}}
+        for rel in affected
+    ]
+    metrics = {"numRewrittenFiles": len(affected), "numAddedFiles": len(new_files)}
+    actions.append(
+        delta_writer._commit_info("APPLY DELETION VECTORS", {}, metrics)
+    )
+    delta_writer._commit(
+        table_path, delta_writer.current_version(table_path) + 1, actions
+    )
+    return metrics
+
+
 Z_BITS = 16  # per-column bit budget for the interleaved z-value
 
 

@@ -95,6 +95,20 @@ ACTION_SCHEMA = StructType(
                 ]
             ),
         ),
+        # Deletion vector: a position-delete sidecar (directory of parquet
+        # with rel_path + row_index rows) that soft-deletes rows of live
+        # files without rewriting them. Sidecar-file based like Iceberg
+        # position deletes (the Delta spec's DVs use roaring bitmaps; the
+        # log-level semantics here are the same).
+        StructField(
+            "dv",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField("numDeletedRows", LongType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -235,12 +249,14 @@ class DeltaLog:
             .limit(1)
         )
         infos = acts.where(F.col("commitInfo").isNotNull())
+        dvs = acts.where(F.col("dv").isNotNull())
         state = (
             add_rows.select(*cols)
             .unionByName(tomb_rows.select(*cols))
             .unionByName(meta.select(*cols))
             .unionByName(proto.select(*cols))
             .unionByName(infos.select(*cols))
+            .unionByName(dvs.select(*cols))
         )
         ckpt_path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
         state.coalesce(1).write.mode("overwrite").parquet(ckpt_path)
@@ -361,6 +377,29 @@ class DeltaLog:
     def partition_columns(self) -> list[str]:
         return self.metadata().get("partition_columns", [])
 
+    # -- deletion vectors --------------------------------------------------
+
+    def deletion_vector_paths(self, as_of: int | None = None) -> list[str]:
+        acts = self.actions(use_checkpoint=as_of is None)
+        if as_of is not None:
+            acts = acts.where(F.col("version") <= as_of)
+        return [
+            r.path
+            for r in acts.where(F.col("dv").isNotNull())
+            .select(F.col("dv.path").alias("path"))
+            .collect()
+        ]
+
+    def deletion_vectors(self, as_of: int | None = None) -> DataFrame | None:
+        """(rel_path, row_index) of every soft-deleted row, or None when
+        the table has no deletion vectors. Sidecars are tiny relative to
+        the data (|deleted rows| x 2 columns)."""
+        paths = self.deletion_vector_paths(as_of)
+        if not paths:
+            return None
+        abs_paths = [os.path.join(self.table_path, p) for p in paths]
+        return self.spark.read.parquet(*abs_paths)
+
     # -- data access -------------------------------------------------------
 
     def snapshot(self, as_of: int | None = None) -> DataFrame:
@@ -385,7 +424,34 @@ class DeltaLog:
             # written before a column existed surface it as null instead of
             # the reader picking whichever file schema it samples first
             reader = reader.schema(StructType.fromJson(schema))
-        return reader.parquet(*abs_paths)
+        df = reader.parquet(*abs_paths)
+        dv = self.deletion_vectors(as_of)
+        if dv is not None:
+            # apply position deletes: anti-join on (file, row position) —
+            # the dv side is tiny, so this broadcasts; data never shuffles
+            prefix = "file:" + self.table_path + "/"
+            out_cols = df.columns
+            df = (
+                df.withColumn(
+                    "_dv_rel",
+                    F.replace(
+                        F.col("_metadata.file_path"), F.lit(prefix), F.lit("")
+                    ),
+                )
+                .withColumn("_dv_ri", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(
+                        dv.select(
+                            F.col("rel_path").alias("_dv_rel"),
+                            F.col("row_index").alias("_dv_ri"),
+                        )
+                    ),
+                    ["_dv_rel", "_dv_ri"],
+                    "left_anti",
+                )
+                .select(*out_cols)
+            )
+        return df
 
     def changes(
         self, from_version: int = 0, to_version: int | None = None
@@ -484,9 +550,11 @@ class DeltaLog:
     # -- log-only aggregates (no data scan) --------------------------------
 
     def record_count(self) -> int:
-        """Sum of add-file stats.numRecords; falls back to a scan only if
-        any live file lacks stats."""
-        row = self.active_files().agg(
+        """Sum of add-file stats.numRecords minus soft-deleted positions
+        in still-live files; falls back to a scan only if any live file
+        lacks stats."""
+        active = self.active_files()
+        row = active.agg(
             F.sum("num_records").alias("n"),
             F.sum(F.when(F.col("num_records").isNull(), 1).otherwise(0)).alias(
                 "missing"
@@ -494,7 +562,18 @@ class DeltaLog:
         ).collect()[0]
         if row.missing and row.missing > 0:
             return self.snapshot().count()
-        return int(row.n or 0)
+        total = int(row.n or 0)
+        dv = self.deletion_vectors()
+        if dv is not None:
+            # DV entries whose target file was since rewritten are no-ops
+            total -= (
+                dv.join(
+                    F.broadcast(active.select(F.col("path").alias("rel_path"))),
+                    "rel_path",
+                    "left_semi",
+                ).count()
+            )
+        return total
 
     def file_stats(self) -> dict:
         """data_file_count, table_size_bytes, avg_file_size_bytes — one

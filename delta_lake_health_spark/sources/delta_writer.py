@@ -1,7 +1,8 @@
-"""Minimal Delta-protocol writer (reader v1 / writer v2, no deletion
-vectors) — enough to create, append to, delete from, and maintain real
-``_delta_log`` tables without any delta library, so the health analyzer and
-the maintenance operators have genuine tables to act on.
+"""Minimal Delta-protocol writer (reader v1 / writer v2, plus
+position-delete deletion vectors via ``delete_with_dv``) — enough to
+create, append to, delete from, and maintain real ``_delta_log`` tables
+without any delta library, so the health analyzer and the maintenance
+operators have genuine tables to act on.
 
 The data path is pure Spark (``df.write.parquet`` — distributed, any
 scale); only the commit step is driver-side, exactly like every Delta
@@ -50,9 +51,10 @@ def current_version(table_path: str) -> int:
 
 def _list_parquet_rel(table_path: str) -> set[str]:
     out = set()
-    for dirpath, _dirnames, filenames in os.walk(table_path):
-        if LOG_DIR in dirpath:
-            continue
+    for dirpath, dirnames, filenames in os.walk(table_path):
+        # hive convention: underscore-prefixed dirs are metadata, not data
+        # (_delta_log, _deletes sidecars)
+        dirnames[:] = [d for d in dirnames if not d.startswith("_")]
         for f in filenames:
             if f.endswith(".parquet"):
                 rel = os.path.relpath(os.path.join(dirpath, f), table_path)
@@ -427,4 +429,60 @@ def merge(
     )
     version = current_version(table_path)
     _commit(table_path, version + 1, actions)
+    return version + 1
+
+
+DELETES_DIR = "_deletes"
+
+
+def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
+    """DELETE via a deletion vector: soft-delete the matching row
+    POSITIONS in a position-delete sidecar instead of rewriting data
+    files (Iceberg-style position deletes; the Delta spec's DV feature
+    with a parquet sidecar in place of the roaring bitmap).
+
+    Commit = one tiny sidecar (rel_path, row_index per deleted row) + a
+    ``dv`` action. ``DeltaLog.snapshot`` anti-joins the positions back;
+    ``maintenance.apply_deletion_vectors`` later rewrites the affected
+    files and retires the vectors. At 100 TB this turns a delete that
+    touches 1% of rows in every file from a full-table rewrite into a
+    |deleted rows|-sized append."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    table_abs = os.path.abspath(table_path)
+    prefix = "file:" + table_abs + "/"
+    snap = log.snapshot()
+    hits = (
+        snap.withColumn(
+            "rel_path",
+            F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
+        )
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.expr(predicate))
+        .select("rel_path", "row_index")
+    )
+    version = current_version(table_path)
+    n = hits.count()
+    if n == 0:
+        _commit(
+            table_path,
+            version + 1,
+            [_commit_info("DELETE", {"predicate": predicate, "mode": "dv"},
+                          {"numDeletedRows": 0})],
+        )
+        return version + 1
+    dv_rel = f"{DELETES_DIR}/dv-{version + 1:020d}"
+    hits.coalesce(1).write.parquet(os.path.join(table_path, dv_rel))
+    _commit(
+        table_path,
+        version + 1,
+        [
+            {"dv": {"path": dv_rel, "numDeletedRows": n}},
+            _commit_info("DELETE", {"predicate": predicate, "mode": "dv"},
+                         {"numDeletedRows": n, "numRewrittenFiles": 0}),
+        ],
+    )
     return version + 1

@@ -324,6 +324,52 @@ def test_overwrite_schema_change_reemits_metadata(spark):
     shutil.rmtree(tmp)
 
 
+def test_deletion_vectors_soft_delete_and_apply(spark):
+    """DELETE via deletion vector: rows vanish from the snapshot without
+    any data-file rewrite; record_count stays log-derivable; time travel
+    still sees the pre-delete rows; checkpointing preserves the vectors;
+    apply_deletion_vectors rewrites only the affected files and retires
+    the vectors."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/dv_table"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])
+    log = DeltaLog(spark, path)
+    files_before = {r.path for r in log.active_files().collect()}
+    assert log.snapshot().count() == 100
+
+    v = delta_writer.delete_with_dv(spark, path, "total_bill > 40")
+    log = DeltaLog(spark, path)
+    remaining = log.snapshot().count()
+    assert 0 < remaining < 100
+    assert log.snapshot().where("total_bill > 40").count() == 0
+    # no data file was rewritten or removed
+    assert {r.path for r in log.active_files().collect()} == files_before
+    # log-only record count sees through the vectors
+    assert log.record_count() == remaining
+    # sidecars are metadata, not orphans
+    m = HealthAnalyzer(spark).analyze_table(path)
+    assert m.orphan_files_count == 0
+    assert m.record_count == remaining
+    # time travel to before the delete
+    assert log.snapshot(as_of=v - 1).count() == 100
+
+    # vectors survive a checkpoint
+    log.checkpoint()
+    log2 = DeltaLog(spark, path)
+    assert log2.snapshot().count() == remaining
+    rows_soft = sorted(log2.snapshot().collect())
+
+    res = maintenance.apply_deletion_vectors(spark, path)
+    assert res["numRewrittenFiles"] >= 1
+    log3 = DeltaLog(spark, path)
+    assert sorted(log3.snapshot().collect()) == rows_soft
+    assert log3.record_count() == remaining
+    # second apply: vectors now reference dead files only
+    assert maintenance.apply_deletion_vectors(spark, path).get("skipped")
+    shutil.rmtree(tmp)
+
+
 def test_zorder_interleaving_prunes_both_columns(spark):
     """True bit-interleaved z-order must narrow per-file min/max for BOTH
     cluster columns; lexicographic sort only narrows the leading one, so
