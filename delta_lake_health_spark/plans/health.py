@@ -152,9 +152,18 @@ _ANALYZER_ORACLE = f"""
     ops AS (SELECT commitInfo.operation AS op FROM acts
             WHERE commitInfo IS NOT NULL),
     files AS (SELECT replace(file, '{FIXTURE_PATH}/', '') AS rel
-              FROM glob('{FIXTURE_PATH}/**/*.parquet')),
+              FROM glob('{FIXTURE_PATH}/**/*.parquet')
+              WHERE substr(replace(file, '{FIXTURE_PATH}/', ''), 1, 1) <> '_'),
     orph AS (SELECT rel FROM files WHERE rel NOT IN (SELECT path FROM live)),
-    pc AS (SELECT day, CAST(SUM(nrec) AS BIGINT) AS cnt FROM live GROUP BY day),
+    dvrows AS (SELECT rel_path, row_index
+               FROM read_parquet('{FIXTURE_PATH}/_deletes/*/*.parquet')),
+    live_dv AS (SELECT d.rel_path, COUNT(*) AS n_del
+                FROM dvrows d JOIN live ON live.path = d.rel_path
+                GROUP BY 1),
+    pc AS (SELECT day,
+                  CAST(SUM(nrec - COALESCE(n_del, 0)) AS BIGINT) AS cnt
+           FROM live LEFT JOIN live_dv ON live.path = live_dv.rel_path
+           GROUP BY day),
     sk AS (SELECT MAX(cnt) AS mx, MIN(cnt) AS mn, AVG(cnt) AS mean,
                   COUNT(*) AS np FROM pc),
     skdev AS (SELECT AVG(ABS(cnt - (SELECT mean FROM sk))) AS adev FROM pc)
@@ -164,7 +173,7 @@ _ANALYZER_ORACLE = f"""
       (SELECT COUNT(*) FROM ops WHERE op = 'DELETE') AS n_deletes,
       (SELECT COUNT(*) FROM ops WHERE op = 'OPTIMIZE') AS n_optimizes,
       (SELECT COUNT(*) FROM live) AS data_file_count,
-      (SELECT CAST(SUM(nrec) AS BIGINT) FROM live) AS record_count,
+      (SELECT CAST(SUM(cnt) AS BIGINT) FROM pc) AS record_count,
       (SELECT CAST(SUM(size) AS BIGINT) FROM live) AS table_size_bytes,
       (SELECT COUNT(*) FROM live WHERE size < 10 * 1024 * 1024)
         AS small_files_count,
@@ -296,6 +305,65 @@ def delta_skipping_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         DeltaLog(spark, path)
         .pruned_files("idx", _SKIP_LO, _SKIP_HI)
         .orderBy("path")
+    )
+
+
+# --------------------------------------------------------------------------
+# D31 end-to-end — deletion vectors applied by BOTH engines from first
+# principles: Spark reconstructs the snapshot and anti-joins the
+# position-delete sidecar via _metadata.row_index; the oracle replays the
+# log, reads the live parquet with file_row_number, anti-joins the same
+# sidecar, and aggregates the actual data (counts + sum of idx) — so a
+# row excluded or included wrongly on either side shows up in the values.
+_DV_SNAPSHOT_ORACLE = f"""
+    WITH acts AS (
+      SELECT *, CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+               AS version
+      FROM read_json('{FIXTURE_PATH}/_delta_log/*.json',
+                     format='newline_delimited', filename=true,
+                     columns={_FIXTURE_LOG_COLUMNS})
+    ),
+    ranked AS (
+      SELECT COALESCE(add.path, remove.path) AS path,
+             add IS NOT NULL AS is_add,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(add.path, remove.path)
+               ORDER BY version DESC, (add IS NOT NULL) DESC) AS rn
+      FROM acts WHERE add IS NOT NULL OR remove IS NOT NULL
+    ),
+    live AS (SELECT path FROM ranked WHERE rn = 1 AND is_add),
+    dvrows AS (SELECT rel_path, row_index
+               FROM read_parquet('{FIXTURE_PATH}/_deletes/*/*.parquet')),
+    data AS (
+      SELECT idx,
+             replace(filename, '{FIXTURE_PATH}/', '') AS rel,
+             file_row_number AS ri,
+             regexp_extract(filename, 'day=([A-Za-z]+)', 1) AS day
+      FROM read_parquet('{FIXTURE_PATH}/day=*/*.parquet',
+                        filename=true, file_row_number=true)
+    )
+    SELECT day, COUNT(*) AS n_records, CAST(SUM(idx) AS BIGINT) AS sum_idx
+    FROM data
+    WHERE rel IN (SELECT path FROM live)
+      AND NOT EXISTS (SELECT 1 FROM dvrows d
+                      WHERE d.rel_path = data.rel AND d.row_index = data.ri)
+    GROUP BY day ORDER BY day
+"""
+
+
+@query("delta_dv_snapshot", _DV_SNAPSHOT_ORACLE)
+def delta_dv_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    path = ensure_fixture()
+    snap = DeltaLog(spark, path).snapshot()
+    return (
+        snap.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("idx").cast("long").alias("sum_idx"),
+        )
+        .orderBy("day")
     )
 
 

@@ -139,6 +139,28 @@ def build_fixture(path: str = FIXTURE_PATH) -> str:
     ]
     _commit(path, 2, v2)
 
+    # v3: deletion vector — soft-delete the first 3 rows of the Tue file
+    # (position-delete sidecar + dv action, no file rewrite)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dv_rel = "_deletes/dv-00000000000000000003"
+    os.makedirs(os.path.join(path, dv_rel), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "rel_path": pa.array(["day=Tue/part-00001.parquet"] * 3),
+                "row_index": pa.array([0, 1, 2], pa.int64()),
+            }
+        ),
+        os.path.join(path, dv_rel, "part-0.parquet"),
+    )
+    v3 = [
+        {"dv": {"path": dv_rel, "numDeletedRows": 3}},
+        _info("DELETE", 1700000004000),
+    ]
+    _commit(path, 3, v3)
+
     # orphan data file the log never references
     _write_parquet(os.path.join(path, "day=Mon/orphan-00000.parquet"), 700, 5)
 
@@ -147,7 +169,7 @@ def build_fixture(path: str = FIXTURE_PATH) -> str:
     return path
 
 
-_FIXTURE_VERSION = "v2"  # bump to force a rebuild of stale fixtures
+_FIXTURE_VERSION = "v3"  # bump to force a rebuild of stale fixtures
 
 MEDIA_FIXTURE_PATH = "/tmp/delta_lake_health_spark_fixture/media.parquet"
 
