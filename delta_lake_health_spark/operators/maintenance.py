@@ -41,11 +41,11 @@ def compact(
         return {"numRemovedFiles": 0, "numAddedFiles": 0, "skipped": True}
 
     partition_by = log.partition_columns()
-    abs_paths = [os.path.join(table_path, r.path) for r in small]
     total_size = sum(r.size for r in small)
     n_out = max(1, math.ceil(total_size / target_file_size))
 
-    df = spark.read.option("basePath", table_path).parquet(*abs_paths)
+    # DV-aware read: compacting raw parquet would resurrect soft-deleted rows
+    df = log.read_data_files([r.path for r in small])
     before = delta_writer._list_parquet_rel(table_path)
     writer = df.repartition(n_out).write.mode("append")
     if partition_by:
@@ -156,28 +156,7 @@ def apply_deletion_vectors(spark: SparkSession, table_path: str) -> dict:
     if not affected:
         return {"numRewrittenFiles": 0, "numAddedFiles": 0, "skipped": True}
 
-    table_abs = os.path.abspath(table_path)
-    prefix = "file:" + table_abs + "/"
-    abs_paths = [os.path.join(table_path, p) for p in affected]
-    src = (
-        spark.read.option("basePath", table_path)
-        .parquet(*abs_paths)
-        .withColumn(
-            "_dv_rel",
-            F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
-        )
-        .withColumn("_dv_ri", F.col("_metadata.row_index"))
-    )
-    survivors = src.join(
-        F.broadcast(
-            dv.select(
-                F.col("rel_path").alias("_dv_rel"),
-                F.col("row_index").alias("_dv_ri"),
-            )
-        ),
-        ["_dv_rel", "_dv_ri"],
-        "left_anti",
-    ).drop("_dv_rel", "_dv_ri")
+    survivors = log.read_data_files(affected)
 
     partition_by = log.partition_columns()
     before = delta_writer._list_parquet_rel(table_path)

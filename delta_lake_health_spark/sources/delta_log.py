@@ -402,6 +402,19 @@ class DeltaLog:
 
     # -- data access -------------------------------------------------------
 
+    def read_data_files(self, rel_paths: list[str]) -> DataFrame:
+        """Read specific live data files WITH deletion vectors applied —
+        the reader every file-rewriting operator (compact, delete,
+        apply_deletion_vectors) must use: reading the raw parquet would
+        resurrect soft-deleted positions into the rewritten files."""
+        abs_paths = [os.path.join(self.table_path, p) for p in rel_paths]
+        df = self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
+        dv = self.deletion_vectors()
+        if dv is None:
+            return df
+        out_cols = df.columns
+        return self._apply_dv(df, dv).select(*out_cols)
+
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """The table's data as a DataFrame — reads ONLY the live files
         (basePath option recovers hive-style partition columns). ``as_of``
@@ -429,29 +442,58 @@ class DeltaLog:
         if dv is not None:
             # apply position deletes: anti-join on (file, row position) —
             # the dv side is tiny, so this broadcasts; data never shuffles
-            prefix = "file:" + self.table_path + "/"
             out_cols = df.columns
-            df = (
-                df.withColumn(
-                    "_dv_rel",
-                    F.replace(
-                        F.col("_metadata.file_path"), F.lit(prefix), F.lit("")
-                    ),
-                )
-                .withColumn("_dv_ri", F.col("_metadata.row_index"))
-                .join(
-                    F.broadcast(
-                        dv.select(
-                            F.col("rel_path").alias("_dv_rel"),
-                            F.col("row_index").alias("_dv_ri"),
-                        )
-                    ),
-                    ["_dv_rel", "_dv_ri"],
-                    "left_anti",
-                )
-                .select(*out_cols)
-            )
+            df = self._apply_dv(df, dv).select(*out_cols)
         return df
+
+    def _apply_dv(self, df: DataFrame, dv: DataFrame) -> DataFrame:
+        """Anti-join soft-deleted positions; leaves ``_rel_path`` /
+        ``_row_index`` lineage columns on the result."""
+        prefix = "file:" + self.table_path + "/"
+        return (
+            df.withColumn(
+                "_rel_path",
+                F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
+            )
+            .withColumn("_row_index", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(
+                    dv.select(
+                        F.col("rel_path").alias("_rel_path"),
+                        F.col("row_index").alias("_row_index"),
+                    )
+                ),
+                ["_rel_path", "_row_index"],
+                "left_anti",
+            )
+        )
+
+    def snapshot_with_positions(self, as_of: int | None = None) -> DataFrame:
+        """Snapshot plus ``_rel_path`` / ``_row_index`` lineage columns —
+        what DELETE-style operators need: ``_metadata`` is only resolvable
+        directly on the scan, so any caller that joins or projects first
+        must capture the position columns up front (the DV anti-join in
+        ``snapshot`` does exactly that, which is why this exists)."""
+        paths = [r.path for r in self.active_files(as_of).select("path").collect()]
+        schema = self.metadata(as_of).get("schema")
+        if not paths:
+            base = self.snapshot(as_of)
+            return base.withColumn(
+                "_rel_path", F.lit(None).cast("string")
+            ).withColumn("_row_index", F.lit(None).cast("long"))
+        abs_paths = [os.path.join(self.table_path, p) for p in paths]
+        reader = self.spark.read.option("basePath", self.table_path)
+        if schema is not None:
+            reader = reader.schema(StructType.fromJson(schema))
+        df = reader.parquet(*abs_paths)
+        dv = self.deletion_vectors(as_of)
+        if dv is not None:
+            return self._apply_dv(df, dv)
+        prefix = "file:" + self.table_path + "/"
+        return df.withColumn(
+            "_rel_path",
+            F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
+        ).withColumn("_row_index", F.col("_metadata.row_index"))
 
     def changes(
         self, from_version: int = 0, to_version: int | None = None

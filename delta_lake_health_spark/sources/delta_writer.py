@@ -308,14 +308,14 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-    from urllib.parse import unquote, urlparse
-
     log = DeltaLog(spark, table_path)
-    snap = log.snapshot().withColumn("_file", F.col("_metadata.file_path"))
-    table_abs = os.path.abspath(table_path)
+    snap = log.snapshot_with_positions()
     hit_files = {
-        os.path.relpath(unquote(urlparse(r._file).path) or r._file, table_abs)
-        for r in snap.where(F.expr(predicate)).select("_file").distinct().collect()
+        r._rel_path
+        for r in snap.where(F.expr(predicate))
+        .select("_rel_path")
+        .distinct()
+        .collect()
     }
     version = current_version(table_path)
     if not hit_files:
@@ -327,13 +327,9 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
         )
         return version + 1
 
-    # rewrite survivors of the hit files only, preserving partitioning
-    abs_hits = [os.path.join(table_path, r) for r in hit_files]
-    survivors = (
-        spark.read.option("basePath", table_path)
-        .parquet(*abs_hits)
-        .where(~F.expr(predicate))
-    )
+    # rewrite survivors of the hit files only, preserving partitioning;
+    # DV-aware read so soft-deleted positions don't resurrect
+    survivors = log.read_data_files(sorted(hit_files)).where(~F.expr(predicate))
     partition_by = log.partition_columns()
     before = _list_parquet_rel(table_path)
     writer = survivors.write.mode("append")
@@ -452,17 +448,13 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     log = DeltaLog(spark, table_path)
-    table_abs = os.path.abspath(table_path)
-    prefix = "file:" + table_abs + "/"
-    snap = log.snapshot()
     hits = (
-        snap.withColumn(
-            "rel_path",
-            F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
-        )
-        .withColumn("row_index", F.col("_metadata.row_index"))
+        log.snapshot_with_positions()
         .where(F.expr(predicate))
-        .select("rel_path", "row_index")
+        .select(
+            F.col("_rel_path").alias("rel_path"),
+            F.col("_row_index").alias("row_index"),
+        )
     )
     version = current_version(table_path)
     n = hits.count()

@@ -370,6 +370,41 @@ def test_deletion_vectors_soft_delete_and_apply(spark):
     shutil.rmtree(tmp)
 
 
+def test_deletion_vectors_survive_compact_and_delete(spark):
+    """File-rewriting operators must read through the vectors: compacting
+    or predicate-deleting files that carry soft-deleted positions must
+    NOT resurrect those rows into the rewritten files."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/dv_compact"
+    for k in range(4):  # several small files so compact has work
+        delta_writer.write(spark, _tips_df(spark, 10, 5, 5, offset=50 * k),
+                           path, mode="append")
+    log = DeltaLog(spark, path)
+    total = log.snapshot().count()
+    delta_writer.delete_with_dv(spark, path, "total_bill > 40")
+    soft = DeltaLog(spark, path).snapshot().count()
+    assert soft < total
+
+    res = maintenance.compact(spark, path, small_file_size=32 * 1024 * 1024)
+    assert res["numRemovedFiles"] > 0
+    log2 = DeltaLog(spark, path)
+    assert log2.snapshot().count() == soft
+    assert log2.snapshot().where("total_bill > 40").count() == 0
+    assert log2.record_count() == soft
+
+    # and a predicate delete on a DV-carrying table
+    path2 = f"{tmp}/dv_delete"
+    delta_writer.write(spark, _tips_df(spark), path2, mode="append")
+    delta_writer.delete_with_dv(spark, path2, "total_bill > 40")
+    kept = DeltaLog(spark, path2).snapshot().count()
+    delta_writer.delete(spark, path2, "tip > 5")
+    snap = DeltaLog(spark, path2).snapshot()
+    assert snap.where("total_bill > 40").count() == 0  # not resurrected
+    assert snap.where("tip > 5").count() == 0
+    assert snap.count() < kept
+    shutil.rmtree(tmp)
+
+
 def test_zorder_interleaving_prunes_both_columns(spark):
     """True bit-interleaved z-order must narrow per-file min/max for BOTH
     cluster columns; lexicographic sort only narrows the leading one, so
