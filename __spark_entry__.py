@@ -13,6 +13,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# The correctness driver verifies registry entries in insertion order and
+# caps near 50 rows per round.  Round 2 verified the first 50 (analytics /
+# events / health / dedup X1-X3); these 19 never got a driver-green row, so
+# round 3 front-loads them.  Queries past the cap this round all have green
+# rows in CORRECTNESS_r02.json.
+_VERIFY_FIRST = (
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "corpus_stats",
+    "text_scrub_pii",
+    "text_hash_sample",
+    "text_train_val_test_split",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "embedding_label_centroids",
+    "sketch_approx_distinct",
+    "sketch_approx_percentiles",
+    "media_decode_roundtrip",
+)
+
 
 def _registry() -> tuple[dict, dict]:
     """Collect QUERIES/ORACLE from every plan module (import-gated so a
@@ -37,6 +64,11 @@ def _registry() -> tuple[dict, dict]:
             continue
         queries.update(getattr(mod, "QUERIES", {}))
         oracle.update(getattr(mod, "ORACLE", {}))
+
+    ordered = [k for k in _VERIFY_FIRST if k in queries]
+    ordered += [k for k in queries if k not in _VERIFY_FIRST]
+    queries = {k: queries[k] for k in ordered}
+    oracle = {k: oracle[k] for k in ordered if k in oracle}
     return queries, oracle
 
 
