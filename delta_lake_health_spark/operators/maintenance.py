@@ -90,7 +90,12 @@ def vacuum(
     """Physically delete unreferenced data files older than the retention
     window: files on disk that are not in the live set AND whose latest
     log action is a sufficiently old remove (or that never appear in the
-    log at all — true orphans, aged by file mtime)."""
+    log at all — true orphans, aged by file mtime).
+
+    Also deletes deletion-vector sidecar directories no longer referenced
+    by any retained ``dv`` action (``checkpoint`` drops vectors whose
+    target files are all dead; the sidecars then age out here by mtime,
+    so time travel within the retention window keeps working)."""
     from delta_lake_health_spark.operators.health import _list_folder_files
 
     log = DeltaLog(spark, table_path)
@@ -113,11 +118,29 @@ def vacuum(
             else int(os.path.getmtime(os.path.join(table_path, r.rel_path)) * 1000))
         < cutoff_ms
     ]
+    # DV sidecar dirs referenced by no retained dv action (dropped at
+    # checkpoint time) are dead weight once past the retention window
+    referenced = set(log.deletion_vector_paths())
+    deletes_root = os.path.join(table_path, delta_writer.DELETES_DIR)
+    dead_sidecars = []
+    if os.path.isdir(deletes_root):
+        for d in sorted(os.listdir(deletes_root)):
+            rel = f"{delta_writer.DELETES_DIR}/{d}"
+            full = os.path.join(deletes_root, d)
+            if rel not in referenced and (
+                os.path.getmtime(full) * 1000 < cutoff_ms
+            ):
+                dead_sidecars.append(rel)
+
     if not dry_run:
+        import shutil
+
         for rel in candidates:
             fp = os.path.join(table_path, rel)
             if os.path.isfile(fp):
                 os.remove(fp)
+        for rel in dead_sidecars:
+            shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
         delta_writer._commit(
             table_path,
             delta_writer.current_version(table_path) + 1,
@@ -125,12 +148,14 @@ def vacuum(
                 delta_writer._commit_info(
                     "VACUUM END",
                     {"retentionHours": retention_hours},
-                    {"numDeletedFiles": len(candidates)},
+                    {"numDeletedFiles": len(candidates),
+                     "numDeletedDvSidecars": len(dead_sidecars)},
                 )
             ],
         )
     return {"numDeletedFiles": len(candidates), "files": sorted(candidates),
-            "dryRun": dry_run}
+            "numDeletedDvSidecars": len(dead_sidecars),
+            "dvSidecars": dead_sidecars, "dryRun": dry_run}
 
 
 def apply_deletion_vectors(spark: SparkSession, table_path: str) -> dict:

@@ -249,7 +249,19 @@ class DeltaLog:
             .limit(1)
         )
         infos = acts.where(F.col("commitInfo").isNotNull())
-        dvs = acts.where(F.col("dv").isNotNull())
+        # dv actions whose target files were all since rewritten (by
+        # apply_deletion_vectors / compact / merge) are semantic no-ops;
+        # carrying them forever would grow the broadcast anti-join set on
+        # every snapshot read unboundedly over table lifetime. Keep only
+        # vectors that still soft-delete at least one live file — like
+        # expired tombstones, they compact away here (and vacuum may then
+        # physically delete their sidecars).
+        live_dv_paths = self._live_dv_paths(live)
+        dvs = acts.where(
+            F.col("dv").isNotNull() & F.col("dv.path").isin(live_dv_paths)
+            if live_dv_paths
+            else F.lit(False)
+        )
         state = (
             add_rows.select(*cols)
             .unionByName(tomb_rows.select(*cols))
@@ -400,6 +412,36 @@ class DeltaLog:
         abs_paths = [os.path.join(self.table_path, p) for p in paths]
         return self.spark.read.parquet(*abs_paths)
 
+    def _live_dv_paths(self, live: DataFrame) -> list[str]:
+        """Sidecar rel paths of dv actions that still soft-delete at least
+        one live file (``live`` = ``active_files()`` output). One scan over
+        the tiny sidecars semi-joined with the live list; sidecar identity
+        is recovered from the scan's file metadata."""
+        from urllib.parse import unquote, urlparse
+
+        paths = self.deletion_vector_paths()
+        if not paths:
+            return []
+        abs_paths = [os.path.join(self.table_path, p) for p in paths]
+        hits = (
+            self.spark.read.parquet(*abs_paths)
+            .withColumn("_sc_file", F.col("_metadata.file_path"))
+            .join(
+                live.select(F.col("path").alias("rel_path")),
+                "rel_path",
+                "left_semi",
+            )
+            .select("_sc_file")
+            .distinct()
+            .collect()
+        )
+        keep = set()
+        for r in hits:
+            fp = unquote(urlparse(r._sc_file).path)
+            rel_dir = os.path.relpath(os.path.dirname(fp), self.table_path)
+            keep.add(rel_dir.replace(os.sep, "/"))
+        return sorted(keep)
+
     # -- data access -------------------------------------------------------
 
     def read_data_files(self, rel_paths: list[str]) -> DataFrame:
@@ -446,15 +488,26 @@ class DeltaLog:
             df = self._apply_dv(df, dv).select(*out_cols)
         return df
 
+    def _rel_path_expr(self):
+        """Log-relative path of the file behind each row, derived from
+        ``_metadata.file_path``. The metadata column is a percent-encoded
+        ``file:`` URI — a table path or partition value containing a
+        character Spark encodes (space, ``#``, …) would never match the
+        un-encoded log paths under a plain prefix strip, silently turning
+        the DV anti-join into a no-op. So: decode first (protecting ``+``,
+        which is literal in a URI path but form-decoded by ``url_decode``),
+        normalize the scheme, then strip the table prefix."""
+        decoded = F.url_decode(
+            F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+        )
+        normalized = F.regexp_replace(decoded, r"^file:/+", "/")
+        return F.replace(normalized, F.lit(self.table_path + "/"), F.lit(""))
+
     def _apply_dv(self, df: DataFrame, dv: DataFrame) -> DataFrame:
         """Anti-join soft-deleted positions; leaves ``_rel_path`` /
         ``_row_index`` lineage columns on the result."""
-        prefix = "file:" + self.table_path + "/"
         return (
-            df.withColumn(
-                "_rel_path",
-                F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
-            )
+            df.withColumn("_rel_path", self._rel_path_expr())
             .withColumn("_row_index", F.col("_metadata.row_index"))
             .join(
                 F.broadcast(
@@ -489,11 +542,9 @@ class DeltaLog:
         dv = self.deletion_vectors(as_of)
         if dv is not None:
             return self._apply_dv(df, dv)
-        prefix = "file:" + self.table_path + "/"
-        return df.withColumn(
-            "_rel_path",
-            F.replace(F.col("_metadata.file_path"), F.lit(prefix), F.lit("")),
-        ).withColumn("_row_index", F.col("_metadata.row_index"))
+        return df.withColumn("_rel_path", self._rel_path_expr()).withColumn(
+            "_row_index", F.col("_metadata.row_index")
+        )
 
     def changes(
         self, from_version: int = 0, to_version: int | None = None

@@ -367,11 +367,13 @@ def merge(
     Implementation: rewrite only the files containing matched keys (same
     file pruning as delete), dropping their matched rows, then append the
     full source. One distributed semi-join to find hit files, one rewrite
-    job, one commit.
+    job, one commit. Hit-file detection and the survivor read both go
+    through the DV-aware log reader (``snapshot_with_positions`` /
+    ``read_data_files``) — a plain ``snapshot()`` scan cannot resolve
+    ``_metadata.file_path`` after its DV anti-join, and a raw parquet
+    survivor read would resurrect soft-deleted rows into rewritten files.
     """
     import time as _time
-
-    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -380,23 +382,19 @@ def merge(
     log = DeltaLog(spark, table_path)
     partition_by = log.partition_columns()
     keys = source.select(*key_cols).distinct()
-    snap = log.snapshot().withColumn("_file", F.col("_metadata.file_path"))
-    table_abs = os.path.abspath(table_path)
+    snap = log.snapshot_with_positions()
     hit_files = {
-        os.path.relpath(unquote(urlparse(r._file).path) or r._file, table_abs)
+        r._rel_path
         for r in snap.join(F.broadcast(keys), key_cols, "left_semi")
-        .select("_file")
+        .select("_rel_path")
         .distinct()
         .collect()
     }
 
     before = _list_parquet_rel(table_path)
     if hit_files:
-        abs_hits = [os.path.join(table_path, r) for r in hit_files]
-        survivors = (
-            spark.read.option("basePath", table_path)
-            .parquet(*abs_hits)
-            .join(F.broadcast(keys), key_cols, "left_anti")
+        survivors = log.read_data_files(sorted(hit_files)).join(
+            F.broadcast(keys), key_cols, "left_anti"
         )
         writer = survivors.write.mode("append")
         if partition_by:

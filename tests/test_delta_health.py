@@ -405,6 +405,92 @@ def test_deletion_vectors_survive_compact_and_delete(spark):
     shutil.rmtree(tmp)
 
 
+def test_merge_on_table_with_deletion_vectors(spark):
+    """MERGE must go through the DV-aware reader: hit-file detection must
+    work on a snapshot that has a DV anti-join applied, and the survivor
+    rewrite must not resurrect soft-deleted rows."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/dv_merge"
+    base = spark.createDataFrame(
+        [(i, float(i), "old") for i in range(20)], "id int, val double, tag string"
+    )
+    delta_writer.write(spark, base, path, mode="overwrite")
+    delta_writer.delete_with_dv(spark, path, "id >= 15")  # soft-delete 15..19
+    assert DeltaLog(spark, path).snapshot().count() == 15
+
+    src = spark.createDataFrame(
+        [(5, 500.0, "new"), (25, 250.0, "new")], "id int, val double, tag string"
+    )
+    delta_writer.merge(spark, path, src, ["id"])
+    snap = DeltaLog(spark, path).snapshot()
+    assert snap.count() == 16  # 15 live - 1 updated + 1 updated + 1 inserted
+    assert snap.where("id >= 15 and id < 20").count() == 0  # not resurrected
+    assert snap.where("id = 5").collect()[0].tag == "new"
+    assert snap.where("id = 25").count() == 1
+    shutil.rmtree(tmp)
+
+
+def test_checkpoint_drops_retired_dvs_vacuum_deletes_sidecars(spark):
+    """DV lifecycle hygiene: after apply_deletion_vectors retires a
+    vector, checkpoint() compacts the dv action away (its target files
+    are all dead) and vacuum physically deletes the orphaned sidecar once
+    past retention — the anti-join set stays bounded over table lifetime.
+    A still-live vector is kept by both."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/dv_lifecycle"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])
+    v_pre = delta_writer.delete_with_dv(spark, path, "total_bill > 40") - 1
+    log = DeltaLog(spark, path)
+    remaining = log.snapshot().count()
+    assert len(log.deletion_vector_paths()) == 1
+
+    # live vector: checkpoint keeps it, vacuum keeps its sidecar
+    log.checkpoint()
+    log = DeltaLog(spark, path)
+    assert len(log.deletion_vector_paths()) == 1
+    assert log.snapshot().count() == remaining
+
+    maintenance.apply_deletion_vectors(spark, path)
+    log = DeltaLog(spark, path)
+    # still referenced until the next checkpoint compacts it away
+    assert len(log.deletion_vector_paths()) == 1
+    log.checkpoint()
+    log = DeltaLog(spark, path)
+    assert log.deletion_vector_paths() == []
+    assert log.snapshot().count() == remaining
+
+    # age the sidecar past retention, then vacuum deletes it physically
+    deletes_root = os.path.join(path, delta_writer.DELETES_DIR)
+    old = 1_000_000_000
+    for d in os.listdir(deletes_root):
+        os.utime(os.path.join(deletes_root, d), (old, old))
+    res = maintenance.vacuum(spark, path, retention_hours=1.0)
+    assert res["numDeletedDvSidecars"] == 1
+    assert os.listdir(deletes_root) == []
+    log = DeltaLog(spark, path)
+    assert log.snapshot().count() == remaining
+    # time travel to before the delete still works (files within retention)
+    assert log.snapshot(as_of=v_pre).count() == 100
+    shutil.rmtree(tmp)
+
+
+def test_dv_table_path_with_encodable_chars(spark):
+    """_metadata.file_path percent-encodes special characters; the DV
+    anti-join must decode before matching or it silently no-ops and
+    soft-deleted rows reappear."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/dv table #1"  # space and '#' both percent-encode
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])
+    delta_writer.delete_with_dv(spark, path, "total_bill > 40")
+    log = DeltaLog(spark, path)
+    assert log.snapshot().where("total_bill > 40").count() == 0
+    assert 0 < log.snapshot().count() < 100
+    assert log.record_count() == log.snapshot().count()
+    shutil.rmtree(tmp)
+
+
 def test_zorder_interleaving_prunes_both_columns(spark):
     """True bit-interleaved z-order must narrow per-file min/max for BOTH
     cluster columns; lexicographic sort only narrows the leading one, so
