@@ -95,6 +95,20 @@ ACTION_SCHEMA = StructType(
                 ]
             ),
         ),
+        # Application transaction marker (Delta spec's txn action): a
+        # writer records (appId, version) with each commit; an idempotent
+        # writer (e.g. a streaming sink keyed by checkpoint dir + batch id)
+        # skips any batch at or below the last recorded version.
+        StructField(
+            "txn",
+            StructType(
+                [
+                    StructField("appId", StringType()),
+                    StructField("version", LongType()),
+                    StructField("lastUpdated", LongType()),
+                ]
+            ),
+        ),
         # Deletion vector: a position-delete sidecar (directory of parquet
         # with rel_path + row_index rows) that soft-deletes rows of live
         # files without rewriting them. Sidecar-file based like Iceberg
@@ -155,7 +169,7 @@ class DeltaLog:
             ckpt = self.spark.read.parquet(
                 os.path.join(self.log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
             )
-            for col in ("add", "remove", "metaData", "protocol", "commitInfo"):
+            for col in ACTION_SCHEMA.fieldNames():
                 if col not in ckpt.columns:
                     ckpt = ckpt.withColumn(
                         col, F.lit(None).cast(ACTION_SCHEMA[col].dataType)
@@ -262,6 +276,17 @@ class DeltaLog:
             if live_dv_paths
             else F.lit(False)
         )
+        # latest txn per appId (per the Delta spec) so idempotent writers
+        # keep their replay guard across checkpoint truncation
+        w_txn = Window.partitionBy(F.col("txn.appId")).orderBy(
+            F.desc("txn.version"), F.desc("version")
+        )
+        txns = (
+            acts.where(F.col("txn").isNotNull())
+            .withColumn("rn", F.row_number().over(w_txn))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
         state = (
             add_rows.select(*cols)
             .unionByName(tomb_rows.select(*cols))
@@ -269,6 +294,7 @@ class DeltaLog:
             .unionByName(proto.select(*cols))
             .unionByName(infos.select(*cols))
             .unionByName(dvs.select(*cols))
+            .unionByName(txns.select(*cols))
         )
         ckpt_path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
         state.coalesce(1).write.mode("overwrite").parquet(ckpt_path)
@@ -389,6 +415,17 @@ class DeltaLog:
     def partition_columns(self) -> list[str]:
         return self.metadata().get("partition_columns", [])
 
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest ``txn.version`` recorded for ``app_id``, or None —
+        the idempotent-writer replay guard (Delta spec txn action)."""
+        row = (
+            self.actions()
+            .where(F.col("txn").isNotNull() & (F.col("txn.appId") == app_id))
+            .agg(F.max("txn.version").alias("v"))
+            .collect()[0]
+        )
+        return int(row.v) if row.v is not None else None
+
     # -- deletion vectors --------------------------------------------------
 
     def deletion_vector_paths(self, as_of: int | None = None) -> list[str]:
@@ -486,6 +523,10 @@ class DeltaLog:
             # the dv side is tiny, so this broadcasts; data never shuffles
             out_cols = df.columns
             df = self._apply_dv(df, dv).select(*out_cols)
+        if schema is not None:
+            # the basePath reader appends hive partition columns at the
+            # end; present columns in logged table-schema order
+            df = df.select(*[f["name"] for f in schema["fields"]])
         return df
 
     def _rel_path_expr(self):
@@ -541,10 +582,16 @@ class DeltaLog:
         df = reader.parquet(*abs_paths)
         dv = self.deletion_vectors(as_of)
         if dv is not None:
-            return self._apply_dv(df, dv)
-        return df.withColumn("_rel_path", self._rel_path_expr()).withColumn(
-            "_row_index", F.col("_metadata.row_index")
-        )
+            df = self._apply_dv(df, dv)
+        else:
+            df = df.withColumn("_rel_path", self._rel_path_expr()).withColumn(
+                "_row_index", F.col("_metadata.row_index")
+            )
+        if schema is not None:
+            df = df.select(
+                *[f["name"] for f in schema["fields"]], "_rel_path", "_row_index"
+            )
+        return df
 
     def changes(
         self, from_version: int = 0, to_version: int | None = None

@@ -212,8 +212,18 @@ def write(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     max_commit_retries: int = 10,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Write ``df`` as a new Delta commit; returns the committed version.
+
+    Idempotent replay guard: with ``txn_app_id``/``txn_version`` set the
+    commit carries a ``txn`` action (Delta spec), and a write whose
+    version is at or below the last recorded one for that appId is
+    SKIPPED (returns the current version, writes nothing) — this is what
+    makes a restarted streaming sink exactly-once instead of
+    duplicate-on-replay. The guard is rechecked inside the commit retry
+    loop so a concurrent attempt of the same batch cannot double-commit.
 
     Schema handling: an append whose schema differs from the logged one
     raises unless ``merge_schema=True``, which widens the table schema
@@ -231,7 +241,20 @@ def write(
     partition_by = list(partition_by or [])
     if mode not in ("append", "overwrite"):
         raise ValueError(f"bad mode {mode!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     version = current_version(table_path)
+
+    def _already_committed() -> bool:
+        if txn_app_id is None or current_version(table_path) < 0:
+            return False
+        from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+        last = DeltaLog(spark, table_path).last_txn_version(txn_app_id)
+        return last is not None and txn_version <= last
+
+    if _already_committed():
+        return current_version(table_path)
 
     schema_changed = False
     if version >= 0:
@@ -281,6 +304,11 @@ def write(
                 {"remove": {"path": rel, "deletionTimestamp": now,
                             "dataChange": True}}
             )
+        if txn_app_id is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": txn_version,
+                         "lastUpdated": now}}
+            )
         actions.append(
             _commit_info(
                 "WRITE",
@@ -297,6 +325,10 @@ def write(
             if attempt == max_commit_retries:
                 raise
             version = current_version(table_path)
+            if _already_committed():
+                # the colliding commit was this very transaction (a
+                # concurrent replay of the same batch) — don't double-write
+                return version
     raise AssertionError("unreachable")
 
 

@@ -194,16 +194,24 @@ def stream_to_delta(
     micro-batch becomes one atomic log commit via ``foreachBatch`` +
     ``delta_writer.write`` — so a live ingest pipeline produces exactly
     the table layout the health analyzer and maintenance operators act on
-    (appends accumulate small files; ``compact`` then bin-packs them)."""
+    (appends accumulate small files; ``compact`` then bin-packs them).
+
+    Replay-idempotent: each micro-batch commit carries a ``txn`` action
+    keyed by (appId=checkpoint_dir, version=batch_id); a query restarted
+    after the sink committed but before the streaming checkpoint advanced
+    re-delivers the same batch id, and the writer skips it instead of
+    appending duplicates — exactly-once, the Delta sink contract."""
     from delta_lake_health_spark.sources import delta_writer
 
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta_writer.write(
             batch_df.sparkSession,
             batch_df,
             table_path,
             mode="append",
             partition_by=partition_by,
+            txn_app_id=checkpoint_dir,
+            txn_version=batch_id,
         )
 
     q = (

@@ -405,6 +405,34 @@ def test_deletion_vectors_survive_compact_and_delete(spark):
     shutil.rmtree(tmp)
 
 
+def test_txn_replay_guard_survives_checkpoint(spark):
+    """The idempotent-writer txn marker must survive checkpoint
+    truncation (the spec keeps the latest txn per appId in the
+    checkpoint), or a post-checkpoint restart would replay old batches."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/txn_table"
+    df = _tips_df(spark, 10, 5, 5)
+    delta_writer.write(spark, df, path, mode="overwrite")
+    delta_writer.write(spark, df, path, txn_app_id="sink-a", txn_version=0)
+    delta_writer.write(spark, df, path, txn_app_id="sink-a", txn_version=1)
+    log = DeltaLog(spark, path)
+    n = log.record_count()
+    assert log.last_txn_version("sink-a") == 1
+    assert log.last_txn_version("sink-b") is None
+
+    log.checkpoint()
+    log = DeltaLog(spark, path)
+    assert log.last_txn_version("sink-a") == 1
+    # replay of batch 1 after the checkpoint: still skipped
+    v = delta_writer.write(spark, df, path, txn_app_id="sink-a", txn_version=1)
+    assert v == delta_writer.current_version(path)
+    assert DeltaLog(spark, path).record_count() == n
+    # independent appIds don't interfere
+    delta_writer.write(spark, df, path, txn_app_id="sink-b", txn_version=0)
+    assert DeltaLog(spark, path).record_count() == n + df.count()
+    shutil.rmtree(tmp)
+
+
 def test_merge_on_table_with_deletion_vectors(spark):
     """MERGE must go through the DV-aware reader: hit-file detection must
     work on a snapshot that has a DV anti-join applied, and the survivor

@@ -132,6 +132,31 @@ def test_stream_to_delta_sink(spark, stream_dir):
     assert m.record_count == n_src
     assert m.number_of_writes == 3
     assert m.skew_metrics["partition_columns"] == ["event_type"]
+
+    # replay idempotence: each micro-batch commit carried a txn action
+    # keyed by (checkpoint_dir, batch_id); re-delivering an already
+    # committed batch (restart after sink commit, before the streaming
+    # checkpoint advanced) must be a no-op, not a duplicate append
+    cp = os.path.join(tmp, "cp3")
+    assert log.last_txn_version(cp) == 2
+    from delta_lake_health_spark.sources import delta_writer
+
+    replayed = log.snapshot().limit(5)
+    v_before = delta_writer.current_version(out)
+    v_after = delta_writer.write(
+        spark, replayed, out, mode="append",
+        partition_by=["event_type"], txn_app_id=cp, txn_version=1,
+    )
+    assert v_after == v_before                  # skipped, no new commit
+    assert DeltaLog(spark, out).record_count() == n_src
+    # a genuinely new batch id still commits
+    delta_writer.write(
+        spark, replayed, out, mode="append",
+        partition_by=["event_type"], txn_app_id=cp, txn_version=3,
+    )
+    log2 = DeltaLog(spark, out)
+    assert log2.record_count() == n_src + 5
+    assert log2.last_txn_version(cp) == 3
     shutil.rmtree(os.path.dirname(out))
 
 
