@@ -317,8 +317,6 @@ _SQL_SIMHASH = f"""
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf_dir, "documents")
     hashed = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
@@ -330,12 +328,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-inlines the md5 pass 16x per row
         .repartition("doc_id")
         .select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+        # referenced twice below (size agg + join back) — materialize so
+        # the md5+bit-sum pass runs once
+        .localCheckpoint()
     )
-    return hashed.select(
-        "doc_id",
-        "simhash",
-        F.count(F.lit(1)).over(Window.partitionBy("simhash")).alias("bucket_size"),
-    ).orderBy("doc_id")
+    # bucket sizes via groupBy + broadcast-join back, NOT a window: a
+    # COUNT(*) OVER (PARTITION BY simhash) would land an entire degenerate
+    # bucket (boilerplate-heavy corpus -> one simhash value) on a single
+    # partition; the grouped count is two narrow stages with map-side
+    # partials and the tiny bucket table broadcasts
+    sizes = hashed.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return (
+        hashed.join(F.broadcast(sizes), "simhash")
+        .select("doc_id", "simhash", "bucket_size")
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -534,8 +543,6 @@ CLUSTER_MAX_ROUNDS = 50  # safety bound; dup clusters converge in a few
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
@@ -569,8 +576,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        "cluster",
-        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("cluster_size"),
-    ).orderBy("doc_id")
+    # cluster sizes via groupBy + broadcast join, not a window: one giant
+    # duplicate cluster would otherwise land whole on a single partition
+    # (labels is already localCheckpointed, so no recompute)
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "cluster")
+        .select("doc_id", "cluster", "cluster_size")
+        .orderBy("doc_id")
+    )

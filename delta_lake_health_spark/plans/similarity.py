@@ -399,12 +399,18 @@ def _spark_bucket():
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    b = emb.select("vec_id", _spark_bucket().alias("bucket"))
-    return b.select(
-        "vec_id",
-        "bucket",
-        F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_size"),
-    ).orderBy("vec_id")
+    # bucket projection referenced twice (size agg + join back) — the
+    # projection is |PLANES| interpreted array folds, so materialize once.
+    # Bucket sizes come from groupBy + broadcast join, NOT a window: a
+    # COUNT(*) OVER (PARTITION BY bucket) lands an entire degenerate
+    # bucket (clustered corpus -> one bucket value) on a single partition.
+    b = emb.select("vec_id", _spark_bucket().alias("bucket")).localCheckpoint()
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return (
+        b.join(F.broadcast(sizes), "bucket")
+        .select("vec_id", "bucket", "bucket_size")
+        .orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------
