@@ -5,13 +5,19 @@ metadata struct; decode / resize / frame-sample / featurize run as
 ``mapInPandas`` stages (Arrow-batched, one Python worker per partition —
 the only sanctioned Python hot path in this engine).
 
-The container has no image/audio codecs, so the actual pixel decode is
-STUBBED: payloads use a deterministic synthetic format (magic + header +
-bytes) that the stub parses for real. ``decode_media`` first tries
-Pillow (``PIL``) for real images and falls back to the stub — the Spark
-plumbing (schemas, batch iteration, partitioning) is identical either
-way, which is the part that matters at scale: a real codec swap touches
-only ``_decode_payload``.
+Decode support, in order of attempt:
+
+- **BMP (real format)**: a hand-rolled 24-bit uncompressed BMP parser —
+  header fields, bottom-up row order, and 4-byte row padding are decoded
+  for real (``bmp_pixels`` returns the actual pixel bytes), so at least
+  one genuine image format decodes with no codec library.
+- **SIMG/SVID (synthetic)**: deterministic stand-in payloads (magic +
+  header + bytes) for formats whose codecs aren't in this container.
+- **Pillow fallback** for other real images when ``PIL`` is installed.
+
+The Spark plumbing (schemas, batch iteration, partitioning) is identical
+across all three, which is the part that matters at scale: a real codec
+swap touches only ``_decode_payload``.
 
 Scale: mapInPandas streams Arrow record batches — peak memory per task is
 one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
@@ -97,8 +103,68 @@ def encode_video(media_id: int, width: int, height: int, n_frames: int) -> bytes
     return MAGIC_VID + struct.pack("<III", width, height, n_frames) + frames
 
 
+def encode_bmp(media_id: int, width: int, height: int) -> bytes:
+    """A REAL 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) with
+    deterministic per-pixel bytes — an actual image format any viewer
+    opens, so the decode path runs on genuine image bytes even though
+    the container ships no codec library."""
+    row_size = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += hashlib.sha256(f"bmp:{media_id}:{x}:{y}".encode()).digest()[:3]
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    data = b"".join(reversed(rows))  # BMP stores rows bottom-up
+    pixel_bytes = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
+    )
+    return header + info + data
+
+
+def _decode_bmp_header(payload: bytes) -> dict:
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decodes here (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    height = abs(h)  # negative height = top-down row order
+    return {"width": w, "height": height, "n_frames": 1,
+            "n_bytes": w * height * 3}
+
+
+def bmp_pixels(payload: bytes) -> bytes:
+    """Decode a 24-bit uncompressed BMP to top-down BGR pixel bytes —
+    the real pixel decode: reads the data offset from the file header,
+    strips the per-row 4-byte padding, and un-flips the bottom-up row
+    order."""
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    _decode_bmp_header(payload)  # validates bpp/compression
+    height = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = [
+        payload[data_offset + r * row_size : data_offset + r * row_size + w * 3]
+        for r in range(height)
+    ]
+    if h > 0:  # positive height = bottom-up storage
+        rows.reverse()
+    return b"".join(rows)
+
+
 def _decode_payload(payload: bytes) -> dict:
-    """Parse the synthetic header. Real-image branch: Pillow if present."""
+    """Parse the payload header: real BMP, synthetic SIMG/SVID, then a
+    Pillow fallback for other real image formats."""
+    if payload[:2] == b"BM":
+        return _decode_bmp_header(payload)
     if payload[:4] == MAGIC_IMG:
         w, h = struct.unpack("<II", payload[4:12])
         return {"width": w, "height": h, "n_frames": 1,
@@ -117,18 +183,22 @@ def _decode_payload(payload: bytes) -> dict:
                 "n_bytes": len(payload)}
     except ImportError:
         raise NotImplementedError(
-            "real media decode requires an image codec (Pillow); "
-            "only the synthetic SIMG/SVID formats decode in this build"
+            "this payload needs an image codec (Pillow); only BMP and "
+            "the synthetic SIMG/SVID formats decode codec-free"
         )
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """n deterministic media rows (3/4 images, 1/4 videos)."""
+    """n deterministic media rows: synthetic images, real BMP images,
+    and synthetic videos."""
     rows = []
     for i in range(n):
         if i % 4 == 3:
             w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
             payload, mtype = encode_video(i, w, h, nf), "video"
+        elif i % 4 == 1:
+            w, h, nf = 16 + (i % 3) * 4, 12 + (i % 2) * 4, 1
+            payload, mtype = encode_bmp(i, w, h), "bmp"
         else:
             w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
             payload, mtype = encode_image(i, w, h), "image"

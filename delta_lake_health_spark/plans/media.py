@@ -5,8 +5,9 @@ payload column → Arrow-batched ``mapInPandas`` decode — and the DuckDB
 oracle checks it against the metadata the encoder logged next to the
 payload: the decoded width/height/n_frames must round-trip through the
 binary header, and n_bytes must equal the payload length minus the
-header. This is the part of the media path that is checkable without
-codecs; the checksum/featurize/frame-sample stages stay pytest-covered
+header — for the real BMP payloads, the decoded pixel byte count from a
+genuine image-format parse (header fields, bottom-up rows, row padding).
+The checksum/featurize/frame-sample stages stay pytest-covered
 (tests/test_multimodal.py).
 """
 
@@ -43,8 +44,9 @@ def query(name: str, sql: str | None):
     "media_decode_roundtrip",
     f"""
     SELECT media_id, media_type, width, height, n_frames,
-           CAST(octet_length(payload)
-                - CASE WHEN media_type = 'image' THEN 12 ELSE 16 END
+           CAST(CASE WHEN media_type = 'bmp' THEN width * height * 3
+                     WHEN media_type = 'image' THEN octet_length(payload) - 12
+                     ELSE octet_length(payload) - 16 END
                 AS BIGINT) AS n_bytes
     FROM read_parquet('{MEDIA_FIXTURE_PATH}')
     ORDER BY media_id

@@ -174,16 +174,21 @@ _FIXTURE_VERSION = "v3"  # bump to force a rebuild of stale fixtures
 MEDIA_FIXTURE_PATH = "/tmp/delta_lake_health_spark_fixture/media.parquet"
 
 
+_MEDIA_FIXTURE_VERSION = "v2"  # v2: adds real BMP payloads
+
+
 def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
-    """Deterministic multimodal table: binary payloads in the synthetic
-    SIMG/SVID format plus the metadata the encoder logged — written with
-    pure pyarrow so it exists before either side of the driver compare.
-    The oracle reads the LOGGED columns; the Spark query re-derives them
-    from the BINARY via the mapInPandas decode."""
+    """Deterministic multimodal table: binary payloads — synthetic
+    SIMG/SVID plus REAL 24-bit BMP images — with the metadata the encoder
+    logged, written with pure pyarrow so it exists before either side of
+    the driver compare. The oracle reads the LOGGED columns; the Spark
+    query re-derives them from the BINARY via the mapInPandas decode
+    (for BMP that is a genuine image-format parse)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from delta_lake_health_spark.operators.multimodal import (
+        encode_bmp,
         encode_image,
         encode_video,
     )
@@ -193,6 +198,9 @@ def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
         if i % 4 == 3:
             w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
             payload, mtype = encode_video(i, w, h, nf), "video"
+        elif i % 4 == 1:
+            w, h, nf = 16 + (i % 3) * 4, 12 + (i % 2) * 4, 1
+            payload, mtype = encode_bmp(i, w, h), "bmp"
         else:
             w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
             payload, mtype = encode_image(i, w, h), "image"
@@ -210,11 +218,17 @@ def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
     )
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(t, path)
+    with open(path + ".version", "w") as f:
+        f.write(_MEDIA_FIXTURE_VERSION + "\n")
     return path
 
 
 def ensure_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
-    if not os.path.isfile(path):
+    current = None
+    if os.path.isfile(path) and os.path.isfile(path + ".version"):
+        with open(path + ".version") as f:
+            current = f.read().strip()
+    if current != _MEDIA_FIXTURE_VERSION:
         build_media_fixture(path)
     return path
 

@@ -36,13 +36,17 @@ def test_decode_unknown_format_raises(spark):
 
 def test_resize(spark, media):
     resized = mm.resize_images(media, 16, 16)
-    dec = mm.decode_media(resized).collect()
-    for r in dec:
+    dec = {r.media_id: r for r in mm.decode_media(resized).collect()}
+    orig = {r.media_id: r for r in mm.decode_media(media).collect()}
+    for mid, r in dec.items():
         if r.media_type == "image":
             assert (r.width, r.height) == (16, 16)
             assert r.n_bytes == 16 * 16
-        else:
-            assert r.width != 16 or r.height != 16  # videos untouched
+        else:  # videos and bmp rows pass through untouched
+            o = orig[mid]
+            assert (r.width, r.height, r.checksum) == (
+                o.width, o.height, o.checksum
+            )
 
 
 def test_sample_frames(spark, media):
@@ -67,6 +71,34 @@ def test_featurize(spark, media):
 
 def test_media_stats(spark, media):
     stats = {r.media_type: r for r in mm.media_stats(mm.decode_media(media)).collect()}
-    assert stats["image"].n_media == 48
+    assert stats["image"].n_media == 32
+    assert stats["bmp"].n_media == 16
     assert stats["video"].n_media == 16
     assert stats["video"].total_frames > 16
+
+
+def test_bmp_is_a_real_decode(spark):
+    """The BMP path is a genuine image-format parse, not a stub: pixel
+    bytes survive an encode→decode roundtrip including the bottom-up row
+    flip and the 4-byte row padding (width 17 → 3 pad bytes/row), and the
+    header decode agrees with the encoder's dimensions."""
+    import hashlib
+
+    w, h = 17, 5  # odd width forces non-zero row padding
+    payload = mm.encode_bmp(7, w, h)
+    d = mm._decode_payload(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, 1)
+    assert d["n_bytes"] == w * h * 3
+
+    px = mm.bmp_pixels(payload)
+    assert len(px) == w * h * 3
+    for x, y in [(0, 0), (16, 0), (3, 4), (16, 4)]:
+        want = hashlib.sha256(f"bmp:7:{x}:{y}".encode()).digest()[:3]
+        assert px[(y * w + x) * 3 : (y * w + x) * 3 + 3] == want
+
+    # and through the Spark mapInPandas stage
+    df = spark.createDataFrame(
+        [(7, "bmp", payload, (w, h, 1, "x"))], mm.MEDIA_SCHEMA
+    )
+    row = mm.decode_media(df).collect()[0]
+    assert (row.width, row.height, row.n_bytes) == (w, h, w * h * 3)
