@@ -141,11 +141,31 @@ class DeltaLog:
 
     def last_checkpoint(self) -> int | None:
         """Version of the newest checkpoint, from ``_last_checkpoint``."""
+        info = self.last_checkpoint_info()
+        return None if info is None else int(info["version"])
+
+    def last_checkpoint_info(self) -> dict | None:
+        """The ``_last_checkpoint`` record (version, size, and — for
+        multi-part checkpoints — parts), or None."""
         lc = os.path.join(self.log_dir, "_last_checkpoint")
         if not os.path.isfile(lc):
             return None
         with open(lc) as f:
-            return int(json.load(f)["version"])
+            return json.load(f)
+
+    def _checkpoint_paths(self, version: int, parts: int | None) -> list[str]:
+        """File list for a checkpoint: the classic single
+        ``<v>.checkpoint.parquet`` or the Delta-spec multi-part
+        ``<v>.checkpoint.<i>.<n>.parquet`` set."""
+        if parts and parts > 1:
+            return [
+                os.path.join(
+                    self.log_dir,
+                    f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+                )
+                for i in range(1, parts + 1)
+            ]
+        return [os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")]
 
     def actions(self, use_checkpoint: bool = True) -> DataFrame:
         """All actions, tagged with their version.
@@ -157,7 +177,8 @@ class DeltaLog:
         (needed for time travel to versions at or before the checkpoint,
         which compacts away superseded adds).
         """
-        ckpt_version = self.last_checkpoint() if use_checkpoint else None
+        ckpt_info = self.last_checkpoint_info() if use_checkpoint else None
+        ckpt_version = None if ckpt_info is None else int(ckpt_info["version"])
         json_files = sorted(
             f
             for f in os.listdir(self.log_dir)
@@ -167,7 +188,7 @@ class DeltaLog:
         parts = []
         if ckpt_version is not None:
             ckpt = self.spark.read.parquet(
-                os.path.join(self.log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
+                *self._checkpoint_paths(ckpt_version, ckpt_info.get("parts"))
             )
             for col in ACTION_SCHEMA.fieldNames():
                 if col not in ckpt.columns:
@@ -207,9 +228,21 @@ class DeltaLog:
             out = out.unionByName(p)
         return out
 
-    def checkpoint(self, tombstone_retention_hours: float = 168.0) -> int:
+    def checkpoint(
+        self,
+        tombstone_retention_hours: float = 168.0,
+        rows_per_part: int = 500_000,
+    ) -> int:
         """Write a checkpoint parquet of the CURRENT reconciled state and
         update ``_last_checkpoint``; returns the checkpointed version.
+
+        Checkpoints with more than ``rows_per_part`` state rows are
+        written MULTI-PART (``<v>.checkpoint.<i>.<n>.parquet`` per the
+        Delta spec, recorded as ``parts`` in ``_last_checkpoint``) — a
+        100 TB table's multi-million-file state is produced by N parallel
+        writers instead of one coalesced task, and read back as a normal
+        multi-file parquet scan. Small states stay a classic single
+        ``<v>.checkpoint.parquet``.
 
         State = live adds + UNEXPIRED remove tombstones (as the Delta spec
         requires — dropping them would make a later ``vacuum`` age
@@ -296,10 +329,31 @@ class DeltaLog:
             .unionByName(dvs.select(*cols))
             .unionByName(txns.select(*cols))
         )
-        ckpt_path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
-        state.coalesce(1).write.mode("overwrite").parquet(ckpt_path)
+        import math
+        import shutil
+        import uuid
+
+        n_rows = state.count()
+        n_parts = max(1, math.ceil(n_rows / rows_per_part))
+        tmp_dir = os.path.join(self.log_dir, f".ckpt-tmp-{uuid.uuid4().hex}")
+        state.repartition(n_parts).write.parquet(tmp_dir)
+        part_files = sorted(
+            f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+        )
+        targets = self._checkpoint_paths(version, len(part_files))
+        for tgt in targets + self._checkpoint_paths(version, None):
+            if os.path.isdir(tgt):
+                shutil.rmtree(tgt)
+            elif os.path.isfile(tgt):
+                os.remove(tgt)
+        for src, tgt in zip(part_files, targets):
+            os.rename(os.path.join(tmp_dir, src), tgt)
+        shutil.rmtree(tmp_dir)
+        info = {"version": version, "size": n_rows}
+        if len(part_files) > 1:
+            info["parts"] = len(part_files)
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
-            json.dump({"version": version, "size": state.count()}, f)
+            json.dump(info, f)
         return version
 
     # -- snapshot ----------------------------------------------------------

@@ -405,6 +405,41 @@ def test_deletion_vectors_survive_compact_and_delete(spark):
     shutil.rmtree(tmp)
 
 
+def test_multipart_checkpoint_roundtrip(spark):
+    """A checkpoint whose state exceeds rows_per_part is written as
+    Delta-spec multi-part files (<v>.checkpoint.<i>.<n>.parquet) and
+    reads back identically: snapshot, record count, history, and
+    post-checkpoint commits all intact."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/multipart"
+    for k in range(4):
+        delta_writer.write(spark, _tips_df(spark, 10, 5, 5, offset=50 * k),
+                           path, mode="append", partition_by=["day"])
+    log = DeltaLog(spark, path)
+    n = log.snapshot().count()
+    n_hist = log.history().count()
+
+    v = log.checkpoint(rows_per_part=4)  # force several parts
+    info = DeltaLog(spark, path).last_checkpoint_info()
+    assert info["version"] == v and info["parts"] > 1
+    names = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    parts = [f for f in names if ".checkpoint." in f and f.endswith(".parquet")]
+    p = info["parts"]
+    assert parts == [
+        f"{v:020d}.checkpoint.{i:010d}.{p:010d}.parquet" for i in range(1, p + 1)
+    ]
+
+    log2 = DeltaLog(spark, path)
+    assert log2.snapshot().count() == n
+    assert log2.record_count() == n
+    assert log2.history().count() == n_hist
+    # commits after the multi-part checkpoint stack on top of it
+    delta_writer.write(spark, _tips_df(spark, 3, 1, 1, offset=999), path,
+                       mode="append", partition_by=["day"])
+    assert DeltaLog(spark, path).record_count() == n + 5
+    shutil.rmtree(tmp)
+
+
 def test_txn_replay_guard_survives_checkpoint(spark):
     """The idempotent-writer txn marker must survive checkpoint
     truncation (the spec keeps the latest txn per appId in the
