@@ -34,11 +34,15 @@ HEADLINE = [
     "q18_large_orders",
     "topn_orders_per_customer",
     "events_sessionization",
+    "events_purchase_sessions",
     "dedup_minhash_pairs",
     "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "text_quality_scores",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "health_analyzer_report",
 ]
 
 

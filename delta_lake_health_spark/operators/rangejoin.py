@@ -53,6 +53,16 @@ def interval_point_join(
         ),
     )
     pts = points.withColumn("_bucket", (F.col(point_ts) / bucket).cast("long"))
+    if how == "left":
+        # unmatched points are recovered by anti-joining on a unique row
+        # id, NOT on the point columns: under SQL equality a matched row
+        # containing a NULL never equals itself, so it would be emitted
+        # twice (once matched, once as an unmatched null-padded row).
+        # localCheckpoint pins the non-deterministic ids so both branches
+        # see the same values under recompute/AQE.
+        pts = pts.withColumn(
+            "_pt_id", F.monotonically_increasing_id()
+        ).localCheckpoint()
     cond = (F.col(point_ts) >= F.col(start_ts)) & (
         F.col(point_ts) <= F.col(end_ts)
     )
@@ -60,14 +70,14 @@ def interval_point_join(
     if how == "left":
         matched = joined
         unmatched = pts.join(
-            matched.select(*[F.col(c) for c in points.columns]).distinct(),
-            points.columns,
-            "left_anti",
+            matched.select("_pt_id").distinct(), "_pt_id", "left_anti"
         )
         for c in ivl.columns:
             if c not in unmatched.columns:
                 unmatched = unmatched.withColumn(
                     c, F.lit(None).cast(ivl.schema[c].dataType)
                 )
-        joined = matched.unionByName(unmatched.select(*matched.columns))
+        joined = matched.unionByName(unmatched.select(*matched.columns)).drop(
+            "_pt_id"
+        )
     return joined.drop("_bucket")

@@ -256,18 +256,24 @@ def write(
     if _already_committed():
         return current_version(table_path)
 
+    def _logged_schema():
+        if current_version(table_path) < 0:
+            return None
+        from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+        return DeltaLog(spark, table_path).metadata().get("schema")
+
     schema_changed = False
+    logged_at_validation = _logged_schema()
     if version >= 0:
         if mode == "append":
             df, schema_changed = _merge_append_schema(
                 spark, df, table_path, merge_schema
             )
         else:
-            from delta_lake_health_spark.sources.delta_log import DeltaLog
-
-            logged = DeltaLog(spark, table_path).metadata().get("schema")
             schema_changed = (
-                logged is not None and logged != json.loads(df.schema.json())
+                logged_at_validation is not None
+                and logged_at_validation != json.loads(df.schema.json())
             )
 
     before = _list_parquet_rel(table_path)
@@ -329,6 +335,14 @@ def write(
                 # the colliding commit was this very transaction (a
                 # concurrent replay of the same batch) — don't double-write
                 return version
+            if _logged_schema() != logged_at_validation:
+                # the winning commit evolved the table schema; this
+                # write's alignment/metadata was validated against the old
+                # one — committing it would silently clobber the evolution
+                raise RuntimeError(
+                    "concurrent schema change during commit retry; "
+                    "re-run the write against the new table schema"
+                )
     raise AssertionError("unreachable")
 
 

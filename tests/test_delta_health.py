@@ -405,6 +405,33 @@ def test_deletion_vectors_survive_compact_and_delete(spark):
     shutil.rmtree(tmp)
 
 
+def test_commit_retry_detects_concurrent_schema_change(spark, monkeypatch):
+    """If the commit that wins the version race evolved the table schema,
+    the retrying writer must raise instead of silently re-committing
+    metadata validated against the old schema."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/race"
+    df = _tips_df(spark, 5, 2, 2)
+    delta_writer.write(spark, df, path, mode="overwrite")
+
+    real_commit = delta_writer._commit
+    fired = {"done": False}
+
+    def racing_commit(table_path, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent writer wins this version with a schema change
+            wide = df.withColumn("extra", F.lit(1))
+            delta_writer.write(spark, wide, path, mode="append",
+                               merge_schema=True)
+        return real_commit(table_path, version, actions)
+
+    monkeypatch.setattr(delta_writer, "_commit", racing_commit)
+    with pytest.raises(RuntimeError, match="concurrent schema change"):
+        delta_writer.write(spark, df, path, mode="append")
+    shutil.rmtree(tmp)
+
+
 def test_multipart_checkpoint_roundtrip(spark):
     """A checkpoint whose state exceeds rows_per_part is written as
     Delta-spec multi-part files (<v>.checkpoint.<i>.<n>.parquet) and

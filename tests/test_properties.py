@@ -150,3 +150,24 @@ def test_interval_point_join_matches_naive(spark, points, intervals, bucket):
     }
     if points:
         assert got == want
+
+
+def test_interval_point_join_left_null_columns(spark):
+    """how='left' must emit each point exactly once even when a MATCHED
+    point row contains a NULL payload column (the old all-columns
+    anti-join never matched NULL=NULL, double-emitting the row)."""
+    from delta_lake_health_spark.operators.rangejoin import interval_point_join
+
+    pdf = spark.createDataFrame(
+        [(1, 10, None), (1, 500, None), (2, 10, "x")],
+        "k int, pt long, payload string",
+    )
+    idf = spark.createDataFrame([(1, 5, 20, 7)], "k int, s long, e long, iid long")
+    rows = interval_point_join(
+        pdf, idf, ["k"], "pt", "s", "e", bucket=16, how="left"
+    ).collect()
+    assert len(rows) == 3  # one row per point, no duplicates
+    by_pt = {(r.k, r.pt): r for r in rows}
+    assert by_pt[(1, 10)].iid == 7          # matched despite NULL payload
+    assert by_pt[(1, 500)].iid is None      # unmatched -> null-padded
+    assert by_pt[(2, 10)].iid is None
