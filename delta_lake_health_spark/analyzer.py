@@ -20,9 +20,10 @@ Differences, deliberate:
 - ``DeltaAnalyzerMetrics`` is an alias of :class:`HealthMetrics` (plain
   dataclass, no pydantic dependency) with the same field names, plus
   ``calculate_health_score()`` / ``print_results()`` methods.
-- ``table_name`` is not supported (no metastore in scope) — passing it
-  raises, matching the reference's python-environment behavior where
-  only ``table_path`` works.
+- ``table_name`` resolves through our file-backed name catalog
+  (:mod:`delta_lake_health_spark.sources.table_catalog`) — the
+  ``forName`` half of delta_spark_analyzer.py:18-25 without a Hive
+  metastore; unregistered names raise.
 """
 
 from __future__ import annotations
@@ -90,12 +91,16 @@ class DeltaAnalyzer:
         small_file_size_mb: float = 10.0,
         small_file_ratio_threshold: float = 0.3,
     ) -> HealthMetrics:
+        if table_name is not None and table_path is not None:
+            raise ValueError("pass either table_name or table_path, not both")
         if table_name is not None:
-            raise ValueError(
-                "table_name is not supported (no metastore); pass table_path"
+            from delta_lake_health_spark.sources.table_catalog import (
+                resolve_table,
             )
+
+            table_path = resolve_table(self._session(), table_name)
         if table_path is None:
-            raise ValueError("table_path must be provided")
+            raise ValueError("table_name or table_path must be provided")
         metrics = HealthAnalyzer(self._session()).analyze_table(
             table_path,
             skew_threshold=skew_threshold,

@@ -60,8 +60,33 @@ def test_analyze_with_health_result(spark, compat_table):
 def test_analyze_requires_path(spark):
     with pytest.raises(ValueError):
         DeltaAnalyzer(spark=spark).analyze()
-    with pytest.raises(ValueError):
-        DeltaAnalyzer(spark=spark).analyze(table_name="some_table")
+    with pytest.raises(KeyError, match="unknown table name"):
+        DeltaAnalyzer(spark=spark).analyze(table_name="never_registered")
+
+
+def test_analyze_by_table_name(spark, compat_table):
+    """forName parity: a registered name analyzes identically to its
+    path, and the name becomes spark.sql-queryable."""
+    from delta_lake_health_spark.sources.table_catalog import (
+        list_tables,
+        load_table,
+        register_table,
+    )
+
+    register_table(spark, "compat_tips", compat_table)
+    by_name = DeltaAnalyzer(spark=spark).analyze(table_name="compat_tips")
+    by_path = DeltaAnalyzer(spark=spark).analyze(table_path=compat_table)
+    assert by_name.record_count == by_path.record_count
+    assert by_name.version_count == by_path.version_count
+    assert by_name.table_path == by_path.table_path
+    assert load_table(spark, "compat_tips").count() == by_name.record_count
+    assert spark.sql("SELECT COUNT(*) AS n FROM compat_tips").collect()[0].n \
+        == by_name.record_count
+    assert "compat_tips" in list_tables(spark)
+    with pytest.raises(ValueError, match="pass either"):
+        DeltaAnalyzer(spark=spark).analyze(
+            table_name="compat_tips", table_path=compat_table
+        )
 
 
 def test_print_results_matches_metrics(spark, compat_table, capsys):
