@@ -221,6 +221,27 @@ class HealthAnalyzer:
     ) -> HealthMetrics:
         log = DeltaLog(self.spark, table_path)
         m = HealthMetrics(table_path=os.path.abspath(table_path))
+        with log.cached_actions():
+            return self._analyze(
+                log, m, skew_threshold, vacuum_size_ratio_threshold,
+                orphan_file_ratio_threshold, small_file_size_mb,
+                small_file_ratio_threshold, collect_partitions,
+            )
+
+    def _analyze(
+        self,
+        log: DeltaLog,
+        m: HealthMetrics,
+        skew_threshold: float,
+        vacuum_size_ratio_threshold: float,
+        orphan_file_ratio_threshold: float,
+        small_file_size_mb: float,
+        small_file_ratio_threshold: float,
+        collect_partitions: bool,
+    ) -> HealthMetrics:
+        """Metric computation proper, over one materialized actions scan
+        (every log-derived metric below re-references it)."""
+        table_path = log.table_path
 
         # --- history (log-only) ------------------------------------------
         ops = log.operation_counts()

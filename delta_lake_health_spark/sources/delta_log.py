@@ -136,6 +136,12 @@ class DeltaLog:
         self.log_dir = os.path.join(self.table_path, LOG_DIR)
         if not os.path.isdir(self.log_dir):
             raise FileNotFoundError(f"not a Delta table (no {LOG_DIR}): {table_path}")
+        # per-instance plan cache: an instance reads the commit-file list
+        # once, so the many derived reads (version, active files,
+        # tombstones, history, stats) share one scan plan. A commit made
+        # AFTER construction is seen by a NEW DeltaLog, which is how every
+        # caller already behaves — the standard snapshot-isolation contract.
+        self._actions_cache: dict[bool, DataFrame] = {}
 
     # -- raw actions -------------------------------------------------------
 
@@ -177,6 +183,9 @@ class DeltaLog:
         (needed for time travel to versions at or before the checkpoint,
         which compacts away superseded adds).
         """
+        cached = self._actions_cache.get(use_checkpoint)
+        if cached is not None:
+            return cached
         ckpt_info = self.last_checkpoint_info() if use_checkpoint else None
         ckpt_version = None if ckpt_info is None else int(ckpt_info["version"])
         json_files = sorted(
@@ -226,7 +235,28 @@ class DeltaLog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        self._actions_cache[use_checkpoint] = out
         return out
+
+    def cached_actions(self):
+        """Context manager that MATERIALIZES the actions DataFrame
+        (``.cache()``) for its scope and unpersists on exit — for
+        multi-metric consumers like the health analyzer, which otherwise
+        launch a dozen jobs that each rescan the commit JSON. Bounded
+        lifetime, so cached log blocks never accumulate across tables."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def scope():
+            df = self.actions().cache()
+            self._actions_cache[True] = df
+            try:
+                yield self
+            finally:
+                df.unpersist()
+                self._actions_cache.pop(True, None)
+
+        return scope()
 
     def checkpoint(
         self,
@@ -554,7 +584,14 @@ class DeltaLog:
         time-travels to the state after that committed version; superseded
         files stay readable until ``vacuum`` physically deletes them, so
         travel depth = vacuum retention, exactly like Delta's
-        ``versionAsOf``."""
+        ``versionAsOf``.
+
+        The live-file PATH LIST is collected to the driver to feed the
+        parquet reader — deliberate: it is bounded by |files| (metadata,
+        not data; ~100 bytes/file, so even a million-file table is
+        ~100 MB, the same order every Delta/Iceberg driver-side planner
+        holds), and passing explicit paths is what lets the scan skip
+        dead files without a data-side filter."""
         paths = [r.path for r in self.active_files(as_of).select("path").collect()]
         schema = self.metadata(as_of).get("schema")
         if not paths:
