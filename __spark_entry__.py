@@ -19,6 +19,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round 3 front-loads them.  Queries past the cap this round all have green
 # rows in CORRECTNESS_r02.json.
 _VERIFY_FIRST = (
+    # new in round 3 (complete the TPC-H-22 surface)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_values",
+    "q16_supplier_part_counts",
+    "q20_excess_shipments",
+    # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -1195,3 +1195,293 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: the testdata has no partsupp table,
+# so lineitem is the part<->supplier bridge and "supply cost" is the
+# cheapest observed line price MIN(l_extendedprice) per (part, supplier) —
+# MIN over raw values involves no arithmetic, so the per-part argmin
+# equality below is bit-stable across engines). Shape preserved from the
+# original: per-group argmin resolved as a self-aggregate join, dims all
+# broadcast; the cost table is built once behind localCheckpoint so the
+# argmin and the equality filter don't replay the lineitem scan.
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name, c.supply_cost
+      FROM cost c
+      JOIN part p ON p.p_partkey = c.l_partkey
+                 AND p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ROUND(supply_cost, 2) AS supply_cost
+    FROM eligible e
+    WHERE supply_cost = (SELECT MIN(supply_cost) FROM eligible e2
+                         WHERE e2.p_partkey = e.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation, region = load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    dim = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        cost.join(
+            F.broadcast(
+                part.where(
+                    F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+                ).select("p_partkey", "p_brand")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(dim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name", "supply_cost")
+    ).localCheckpoint()
+    min_cost = eligible.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        eligible.join(min_cost, F.col("mc_partkey") == F.col("p_partkey"))
+        .where(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("supply_cost", 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (adapted: no ps_supplycost,
+# so cost is proxied as 60% of the part's retail price per unit). Part
+# filter broadcast; orders joined on the fact key; one groupBy.
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name, o_year, ROUND(SUM(amount), 2) AS sum_profit FROM (
+      SELECT n.n_name, YEAR(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ) GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    supp, nation = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "nation")
+    orders, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_name").like("%red%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (
+                _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part values (adapted: "inventory value" is the total
+# quantity shipped by ASIA-region suppliers per part; quantities are cast
+# to BIGINT so the sums are exact integers and the scalar threshold
+# comparison is deterministic across engines). Scalar-subquery threshold
+# (1.5x the average — scale-invariant, unlike the original's fixed
+# fraction) as a broadcast one-row aggregate join.
+@query(
+    "q11_important_values",
+    """
+    WITH vals AS (
+      SELECT l.l_partkey AS p_partkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS value_qty
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    )
+    SELECT p_partkey, value_qty FROM vals
+    WHERE value_qty > (SELECT 1.5 * AVG(value_qty) FROM vals)
+    ORDER BY value_qty DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, nation = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "nation")
+    region, li = load(spark, sf_dir, "region"), load(spark, sf_dir, "lineitem")
+    asia_supp = supp.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        li.join(F.broadcast(asia_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("value_qty"))
+    ).localCheckpoint()
+    threshold = vals.agg((1.5 * F.avg("value_qty")).alias("thresh"))
+    return (
+        vals.join(F.broadcast(threshold))
+        .where(F.col("value_qty") > F.col("thresh"))
+        .select("p_partkey", "value_qty")
+        .orderBy(F.desc("value_qty"), "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier counts per part attribute (adapted: the part<->supplier
+# relation comes from lineitem; the "complaint supplier" exclusion is
+# suppliers with negative account balance, expressed as the original's
+# NOT IN subquery in the oracle and a broadcast anti-join in the plan).
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    supp, li = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem")
+    wanted_parts = part.where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(wanted_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant suppliers (adapted: no ps_availqty, so the "excess
+# availability" test becomes: the supplier shipped more than a quarter of
+# a small-part's total 1997 volume — a per-part scalar aggregate compared
+# against per-(supplier, part) aggregates; integer quantity sums keep the
+# comparison exact). Semi-join shape: the qualifying (supplier, part)
+# pairs reduce to DISTINCT suppliers, then broadcast dims.
+@query(
+    "q20_excess_shipments",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%'
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ), tot AS (
+      SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM shipped sh
+    JOIN tot t ON t.l_partkey = sh.l_partkey AND sh.qty * 4 > t.total_qty
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'AMERICA'
+    ORDER BY s_name
+    """,
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    supp, nation = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "nation")
+    region, li = load(spark, sf_dir, "region"), load(spark, sf_dir, "lineitem")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(
+            F.broadcast(
+                part.where(F.col("p_name").like("small%")).select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    ).localCheckpoint()
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dim = supp.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        shipped.join(tot, F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("qty") * 4 > F.col("total_qty"))
+        .join(F.broadcast(dim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
