@@ -44,6 +44,7 @@ _VERIFY_FIRST = (
     "embedding_label_centroids",
     "sketch_approx_distinct",
     "sketch_approx_percentiles",
+    "events_windowed_hll_users",
     "media_decode_roundtrip",
 )
 

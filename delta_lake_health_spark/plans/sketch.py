@@ -71,3 +71,56 @@ def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("events_windowed_hll_users", None)
+def events_windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly approx-distinct users per event type via OUR deterministic
+    HLL (operators/hll.py) — the batch twin of the streaming
+    ``windowed_hll_users`` stateful operator. Registers are built per
+    (window, event_type) group with vectorized numpy inside
+    ``applyInPandas`` (Arrow-batched; the update is a max-merge, so any
+    row order gives identical registers) and the estimate is therefore
+    bit-identical to the stream's. No oracle: HLL isn't SQL-expressible —
+    rows-only driver check; the batch/stream equality and the error bound
+    vs exact COUNT(DISTINCT) are asserted in tests/test_streaming.py and
+    tests/test_sketch.py.
+
+    Scale: state is 4 KiB per (window x type) group — the map-side
+    partial aggregation shape that makes windowed distinct-counting
+    feasible at 100 TB (exact distinct needs a user_id-cardinality
+    shuffle per window).
+    """
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import hll
+
+    ev = load(spark, sf_dir, "events")
+    prepared = ev.select(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        "event_type",
+        "user_id",
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        registers = hll.empty_registers()
+        hll.update_registers(registers, pdf["user_id"].to_numpy())
+        return pd.DataFrame(
+            [
+                {
+                    "window_start": pdf["window_start"].iloc[0],
+                    "event_type": pdf["event_type"].iloc[0],
+                    "approx_users": hll.estimate(registers),
+                }
+            ]
+        )
+
+    return (
+        prepared.groupBy("window_start", "event_type")
+        .applyInPandas(
+            agg, "window_start string, event_type string, approx_users long"
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -290,4 +291,89 @@ def dedup_stream(
     ``dropDuplicates`` whose state grows forever."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+# -- windowed approx-distinct (explicit HLL state) -------------------------
+
+_HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("window_start", StringType()),
+        StructField("event_type", StringType()),
+        StructField("approx_users", LongType()),
+    ]
+)
+
+_HLL_STATE_SCHEMA = StructType([StructField("registers", BinaryType())])
+
+_HOUR_US = 3_600 * 1_000_000
+
+
+def _hll_window_fn(key, pdfs, state: GroupState):
+    """Per-(window, event_type) HLL register state. Registers are
+    max-merged across micro-batches — order-independent, so the final
+    estimate is bit-identical to a single batch pass over the same rows
+    (asserted by tests/test_streaming.py)."""
+    import numpy as np
+
+    from delta_lake_health_spark.operators import hll
+
+    window_us, event_type = int(key[0]), key[1]
+    if state.hasTimedOut:
+        (reg_bytes,) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "window_start": pd.Timestamp(window_us, unit="us").strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    ),
+                    "event_type": event_type,
+                    "approx_users": hll.estimate(
+                        np.frombuffer(reg_bytes, dtype=np.uint8)
+                    ),
+                }
+            ]
+        )
+        return
+
+    registers = (
+        np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        if state.exists
+        else hll.empty_registers()
+    )
+    for pdf in pdfs:
+        if len(pdf):
+            hll.update_registers(registers, pdf["user_id"].to_numpy())
+    state.update((registers.tobytes(),))
+    # flush once the event-time watermark passes the window end
+    state.setTimeoutTimestamp((window_us + _HOUR_US) // 1000)
+
+
+def windowed_hll_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly approx-distinct users per event type as a custom stateful
+    operator: the HLL sketch IS the streaming state (4 KiB per open
+    window x type), updated vectorized per Arrow batch and emitted when
+    the watermark closes the window. Unlike the built-in
+    ``approx_count_distinct`` twin in ``tumbling_hourly``, the sketch
+    here is explicit and deterministic, so the batch twin
+    (``plans/sketch.py::events_windowed_hll_users``) must reproduce the
+    stream's output EXACTLY — register-for-register."""
+    prepared = (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.unix_micros(F.window("ts", "1 hour").getField("start")).alias(
+                "window_us"
+            ),
+            "event_type",
+            "user_id",
+            "ts",
+        )
+    )
+    return prepared.groupBy("window_us", "event_type").applyInPandasWithState(
+        _hll_window_fn,
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

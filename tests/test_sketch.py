@@ -64,3 +64,58 @@ def test_approx_percentiles_within_bound(spark):
                 .collect()[0]
             )
             assert lo - 1e-9 <= a <= hi + 1e-9, (k, q, a, lo, hi)
+
+
+def test_hll_core_determinism_and_bound():
+    """Pure-numpy HLL core: same keys in any order/chunking produce the
+    SAME registers; estimate within 5% of exact for 10k keys."""
+    import numpy as np
+
+    from delta_lake_health_spark.operators import hll
+
+    keys = np.arange(10_000, dtype=np.uint64) * 7919 + 13
+    a = hll.update_registers(hll.empty_registers(), keys)
+    # reversed order, three chunks, with duplicates appended
+    b = hll.empty_registers()
+    for chunk in np.array_split(keys[::-1], 3):
+        hll.update_registers(b, chunk)
+    hll.update_registers(b, keys[:100])
+    assert np.array_equal(a, b)
+    est = hll.estimate(a)
+    assert abs(est - 10_000) / 10_000 < 0.05
+    # mergeability: union of two halves == one pass
+    h1 = hll.update_registers(hll.empty_registers(), keys[:5000])
+    h2 = hll.update_registers(hll.empty_registers(), keys[5000:])
+    assert np.array_equal(hll.merge_registers(h1, h2), a)
+
+
+def test_windowed_hll_users_error_bound(spark):
+    """Batch windowed HLL estimates stay within 5% of the exact
+    per-window distinct counts (P=12 -> ~1.6% typical error)."""
+    from delta_lake_health_spark.plans.sketch import QUERIES
+    from delta_lake_health_spark.sources.catalog import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.window_start, r.event_type): r.approx_users
+        for r in QUERIES["events_windowed_hll_users"](spark, sf).collect()
+    }
+    exact = {
+        (r.window_start, r.event_type): r.n
+        for r in (
+            load(spark, sf, "events")
+            .groupBy(
+                F.date_format(
+                    F.window("ts", "1 hour").getField("start"),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("window_start"),
+                "event_type",
+            )
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        )
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])

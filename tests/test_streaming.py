@@ -242,3 +242,30 @@ def test_stream_attribution_matches_batch_pairs(spark, stream_dir):
             by_purchase[pid] = (vid, lag)
     want_asof = {(pid, vid, lag) for pid, (vid, lag) in by_purchase.items()}
     assert asof == want_asof
+
+
+def test_stream_windowed_hll_matches_batch_exactly(spark, stream_dir):
+    """The streaming HLL operator's flushed windows must equal the batch
+    twin BIT-EXACTLY (same deterministic sketch on both paths) — a
+    stronger claim than 'both approximately right'."""
+    tmp, src = stream_dir
+    stream = jobs.read_events_stream(spark, src, max_files_per_trigger=1)
+    agg = jobs.windowed_hll_users(stream, watermark="30 minutes")
+    jobs.run_to_memory(agg, "hll_t", "append", os.path.join(tmp, "cp_hll"))
+    got = {
+        (r.window_start, r.event_type): r.approx_users
+        for r in spark.table("hll_t").collect()
+    }
+
+    from delta_lake_health_spark.plans.sketch import QUERIES as SKQ
+
+    want = {
+        (r.window_start, r.event_type): r.approx_users
+        for r in SKQ["events_windowed_hll_users"](spark, SF).collect()
+    }
+    # every window the stream flushed must match the batch value exactly;
+    # windows still open at end-of-stream (watermark never passed their
+    # end) are legitimately absent
+    assert got, "stream flushed no windows — watermark never advanced"
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
