@@ -65,6 +65,11 @@ class DeltaAnalyzer:
         else:
             self.environment = environment
         self.spark = spark
+        # last analysis, under both the BaseAnalyzer attribute name
+        # (base_analyzer.py:163 ``health_result``) and the ``result``
+        # name the reference's file_distribution.py:60 probes for
+        self.health_result: HealthResult | None = None
+        self.result: HealthResult | None = None
 
     def _session(self):
         if self.spark is None:
@@ -131,7 +136,8 @@ class DeltaAnalyzer:
             small_file_size_mb=small_file_size_mb,
             small_file_ratio_threshold=small_file_ratio_threshold,
         )
-        return self.create_health_result(metrics)
+        self.health_result = self.result = self.create_health_result(metrics)
+        return self.health_result
 
 
 __all__ = [
