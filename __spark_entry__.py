@@ -25,6 +25,9 @@ _VERIFY_FIRST = (
     "q11_important_values",
     "q16_supplier_part_counts",
     "q20_excess_shipments",
+    "text_gopher_quality_filter",
+    "text_top_ngrams",
+    "dedup_shingle_duplication",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -587,3 +587,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X8 — substring-level duplication census (RefinedWeb / Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" — the shingle
+# approximation of suffix-array substring dedup).  Every 8-token window is
+# hashed; a window that appears in more than one document is "duplicated
+# text".  Reported per source as the duplicated-shingle fraction — the
+# signal a pipeline uses to decide whether substring-level dedup is worth a
+# rewrite pass.  Scale shape: the explode is a narrow map (|docs| x ~tokens
+# rows of 32-byte hashes, never the text itself), the count is one shuffle
+# keyed by hash (uniform by construction), and the join back to the shingle
+# table reuses the same key so AQE plans it shuffle-free on the agg side.
+SHINGLE_W = 8
+
+
+@query(
+    "dedup_shingle_duplication",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             md5(array_to_string(
+               t[CAST(i AS INT):CAST(i + {SHINGLE_W - 1} AS INT)], ' ')) AS h
+      FROM t, UNNEST(range(1, len(t) - {SHINGLE_W - 2})) u(i)
+      WHERE len(t) >= {SHINGLE_W}
+    ), cnt AS (
+      SELECT h, COUNT(*) AS nd FROM sh GROUP BY h
+    )
+    SELECT source,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM sh JOIN cnt USING (h)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_shingle_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    shingles = (
+        docs.where(F.size(t) >= SHINGLE_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {SHINGLE_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_W}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    counts = shingles.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        shingles.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup_shingles"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )

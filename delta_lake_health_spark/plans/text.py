@@ -314,6 +314,147 @@ def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# T9 — Gopher-style quality rule filter (Rae et al. 2021, "Scaling Language
+# Models", table A1 — adapted thresholds for this corpus).  Each rule is a
+# cheap per-doc predicate over the whitespace token array; the output is the
+# per-language rule-failure census a pipeline operator dashboard shows before
+# committing to a filter.  One narrow pass + one tiny groupBy — at 100 TB the
+# rules run inside the scan stage with map-side partial aggregation.
+@query(
+    "text_gopher_quality_filter",
+    f"""
+    WITH base AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ({{stops}}))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
+      FROM documents
+    ), flags AS (
+      SELECT lang,
+             (n_tok >= 20 AND n_tok <= 100000) AS ok_word_count,
+             ((n - n_tok + 1) / n_tok >= 2 AND (n - n_tok + 1) / n_tok <= 10)
+               AS ok_mean_word_len,
+             (n_stop >= 2) AS ok_stopwords,
+             (n_dist / n_tok >= 0.2) AS ok_distinct_ratio
+      FROM base
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ok_word_count AND ok_mean_word_len
+                          AND ok_stopwords AND ok_distinct_ratio
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN ok_word_count THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_word_count,
+           CAST(SUM(CASE WHEN ok_mean_word_len THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_mean_word_len,
+           CAST(SUM(CASE WHEN ok_stopwords THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_stopwords,
+           CAST(SUM(CASE WHEN ok_distinct_ratio THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_distinct_ratio,
+           ROUND(CAST(SUM(CASE WHEN ok_word_count AND ok_mean_word_len
+                           AND ok_stopwords AND ok_distinct_ratio
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS keep_rate
+    FROM flags
+    GROUP BY lang
+    ORDER BY lang
+    """.replace("{stops}", _sql_list(STOPWORDS)),
+)
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.size(toks()).cast("double").alias("n_tok"),
+        F.length("text").cast("double").alias("n"),
+        F.size(F.filter(toks(), lambda t: t.isin(*STOPWORDS)))
+        .cast("double")
+        .alias("n_stop"),
+        F.size(F.array_distinct(toks())).cast("double").alias("n_dist"),
+    )
+    mean_len = (F.col("n") - F.col("n_tok") + 1) / F.col("n_tok")
+    flags = base.select(
+        "lang",
+        ((F.col("n_tok") >= 20) & (F.col("n_tok") <= 100000)).alias("ok_word_count"),
+        ((mean_len >= 2) & (mean_len <= 10)).alias("ok_mean_word_len"),
+        (F.col("n_stop") >= 2).alias("ok_stopwords"),
+        (F.col("n_dist") / F.col("n_tok") >= 0.2).alias("ok_distinct_ratio"),
+    )
+    keep = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_distinct_ratio")
+    )
+
+    def fails(c: str):
+        return F.sum(F.when(F.col(c), 0).otherwise(1)).alias(f"fail_{c[3:]}")
+
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_keep"),
+            fails("ok_word_count"),
+            fails("ok_mean_word_len"),
+            fails("ok_stopwords"),
+            fails("ok_distinct_ratio"),
+            F.round(F.sum(keep.cast("double")) / F.count(F.lit(1)), 6).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# T10 — corpus-wide top-k n-grams (bigrams).  The n-gram table a tokenizer /
+# contamination check builds: explode token bigrams, count, keep the global
+# top 20 with a deterministic tie-break.  The explode is a narrow map; the
+# count is one shuffle uniformly keyed by bigram; the top-k is a tiny
+# TakeOrdered on the aggregated (distinct-bigram-sized) side — never a
+# driver-side sort of the raw explode.
+@query(
+    "text_top_ngrams",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS bigram
+      FROM t, UNNEST(range(1, len(t))) u(i)
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    bigrams = (
+        docs.where(F.size(t) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> concat_ws(' ', split(text, ' ')[i - 1],"
+                    "                     split(text, ' ')[i]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
 @query(
     "text_train_val_test_split",
     f"""

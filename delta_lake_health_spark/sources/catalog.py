@@ -37,16 +37,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-        # rejects. Read it as raw long nanos (runtime SQL conf, so this works
-        # under any caller's SparkSession) and cast to a micros timestamp in
-        # the scan projection — same truncation DuckDB applies.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which the
+        # vectorized reader only accepts as raw long nanos) and as plain
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) in newer testdata drops.
+        # Normalize both to a session-TZ TIMESTAMP: long nanos become epoch
+        # micros (same truncation DuckDB applies); NTZ micros cast 1:1 under
+        # the engine's UTC session timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
