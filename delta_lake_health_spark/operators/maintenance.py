@@ -303,3 +303,118 @@ def zorder_cluster(
         table_path, delta_writer.current_version(table_path) + 1, actions
     )
     return metrics
+
+
+def restore(spark: SparkSession, table_path: str, to_version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF ``to_version`` (Delta RESTORE,
+    delta-rs ``restore``): one commit that re-adds every file live at the
+    target version and removes every file added since — metadata-only, no
+    data movement, exactly like Delta's implementation. Time-travel reads
+    of the pre-restore state keep working (the log is append-only).
+
+    Two non-metadata cases:
+    - a required file was vacuumed away -> raise (same as Delta when the
+      retention window has passed);
+    - a restored file was soft-deleted by a LATER deletion vector. dv
+      actions can't be un-committed, so those files are rewritten from
+      their as-of content (DVs at or before ``to_version`` applied, later
+      ones ignored) — cost is |tainted files|, not table size.
+
+    If the schema evolved after ``to_version``, the target version's
+    metaData is re-emitted so readers reconstruct the restored schema.
+    """
+    log = DeltaLog(spark, table_path)
+    cur_version = delta_writer.current_version(table_path)
+    if to_version < 0 or to_version > cur_version:
+        raise ValueError(
+            f"cannot restore to version {to_version}: table is at {cur_version}"
+        )
+    old_live = {
+        r.path for r in log.active_files(as_of=to_version).select("path").collect()
+    }
+    cur_live = {r.path for r in log.active_files().select("path").collect()}
+    missing = [
+        p for p in sorted(old_live)
+        if not os.path.isfile(os.path.join(table_path, p))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"cannot restore to version {to_version}: {len(missing)} required "
+            f"file(s) were vacuumed (first: {missing[0]})"
+        )
+
+    # files live at the target whose rows were soft-deleted AFTER it
+    acts = log.actions(use_checkpoint=False)
+    late_dv = [
+        r.path
+        for r in acts.where(
+            F.col("dv").isNotNull() & (F.col("version") > to_version)
+        )
+        .select(F.col("dv.path").alias("path"))
+        .collect()
+    ]
+    tainted: set[str] = set()
+    if late_dv:
+        dvdf = spark.read.parquet(
+            *[os.path.join(table_path, p) for p in late_dv]
+        )
+        tainted = {
+            r.rel_path
+            for r in dvdf.select("rel_path").distinct().collect()
+            if r.rel_path in old_live
+        }
+
+    old_meta = log.metadata(as_of=to_version)
+    partition_by = old_meta.get("partition_columns", [])
+    new_files: list[str] = []
+    if tainted:
+        df = spark.read.option("basePath", table_path).parquet(
+            *[os.path.join(table_path, p) for p in sorted(tainted)]
+        )
+        early_dv = log.deletion_vectors(as_of=to_version)
+        if early_dv is not None:
+            out_cols = df.columns
+            df = log._apply_dv(df, early_dv).select(*out_cols)
+        before = delta_writer._list_parquet_rel(table_path)
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(table_path)
+        new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    readds = sorted((old_live - cur_live) - tainted)
+    removes = sorted((cur_live - old_live) | (tainted & cur_live))
+    actions: list[dict] = []
+    if old_meta and old_meta.get("schema") != log.metadata().get("schema"):
+        import json as _json
+
+        actions.append(
+            {
+                "metaData": {
+                    "id": old_meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(old_meta["schema"]),
+                    "partitionColumns": partition_by,
+                    "configuration": old_meta.get("configuration", {}),
+                    "createdTime": now,
+                }
+            }
+        )
+    actions += [
+        delta_writer._add_action(table_path, rel) for rel in readds + new_files
+    ]
+    actions += [
+        {"remove": {"path": rel, "deletionTimestamp": now, "dataChange": True}}
+        for rel in removes
+    ]
+    metrics = {
+        "numRestoredFiles": len(readds),
+        "numRemovedFiles": len(removes),
+        "numRewrittenFiles": len(tainted),
+    }
+    actions.append(
+        delta_writer._commit_info("RESTORE", {"version": to_version}, metrics)
+    )
+    delta_writer._commit(table_path, cur_version + 1, actions)
+    return metrics

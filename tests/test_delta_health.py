@@ -798,3 +798,79 @@ def test_change_feed(spark):
     net = sum(1 if r.change_type == "add" else -1 for r in ch)
     assert net == log.active_files().count()
     shutil.rmtree(tmp)
+
+
+def test_restore_to_version_metadata_only(spark):
+    """RESTORE to a pre-append version: appended files are removed,
+    original files re-added, data equals the as-of snapshot, history
+    records RESTORE, and the pre-restore state stays time-travelable."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    df0 = spark.range(0, 5).withColumn("v", F.col("id") * 10)
+    delta_writer.write(spark, df0, path, mode="overwrite")       # v0
+    df1 = spark.range(5, 9).withColumn("v", F.col("id") * 10)
+    delta_writer.write(spark, df1, path, mode="append")          # v1
+
+    m = maintenance.restore(spark, path, 0)                      # v2
+    assert m["numRemovedFiles"] >= 1 and m["numRewrittenFiles"] == 0
+
+    log = DeltaLog(spark, path)
+    got = sorted((r.id, r.v) for r in log.snapshot().collect())
+    assert got == [(i, i * 10) for i in range(5)]
+    # pre-restore state still readable via time travel
+    assert log.snapshot(as_of=1).count() == 9
+    top = log.history().collect()[0]
+    assert top.operation == "RESTORE" and top.version == 2
+    shutil.rmtree(tmp)
+
+
+def test_restore_rewrites_files_tainted_by_later_dv(spark):
+    """A deletion vector committed AFTER the restore target soft-deletes
+    rows in files live at the target; restore must resurrect those rows
+    (rewriting the tainted files) while keeping DVs at-or-before the
+    target applied."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(
+        spark, spark.range(0, 6).withColumn("v", F.col("id") * 10), path,
+        mode="overwrite",
+    )                                                            # v0
+    delta_writer.delete_with_dv(spark, path, "id = 0")           # v1 (early DV)
+    delta_writer.write(
+        spark, spark.range(6, 8).withColumn("v", F.col("id") * 10), path,
+        mode="append",
+    )                                                            # v2
+    delta_writer.delete_with_dv(spark, path, "id IN (1, 6)")     # v3 (late DV)
+
+    # fresh DeltaLog per read: an instance caches its action scan
+    assert sorted(r.id for r in DeltaLog(spark, path).snapshot().collect()) == [
+        2, 3, 4, 5, 7,
+    ]
+
+    m = maintenance.restore(spark, path, 2)                      # v4
+    assert m["numRewrittenFiles"] >= 1
+    # id=0 stays deleted (early DV), id=1 and id=6 are back (late DV undone)
+    assert sorted(r.id for r in DeltaLog(spark, path).snapshot().collect()) == [
+        1, 2, 3, 4, 5, 6, 7,
+    ]
+
+    m2 = maintenance.restore(spark, path, 0)                     # v5
+    got = sorted(r.id for r in DeltaLog(spark, path).snapshot().collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    assert m2["numRemovedFiles"] >= 1
+    shutil.rmtree(tmp)
+
+
+def test_restore_refuses_vacuumed_target(spark):
+    """If the files needed by the target version were vacuumed, restore
+    raises instead of committing a snapshot that cannot be read."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, spark.range(0, 4), path, mode="overwrite")  # v0
+    delta_writer.write(spark, spark.range(4, 6), path, mode="overwrite")  # v1
+    maintenance.vacuum(spark, path, retention_hours=0.0)                  # v2
+    with pytest.raises(RuntimeError, match="vacuum"):
+        maintenance.restore(spark, path, 0)
+    with pytest.raises(ValueError):
+        maintenance.restore(spark, path, 99)
+    shutil.rmtree(tmp)
