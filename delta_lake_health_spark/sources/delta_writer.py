@@ -204,6 +204,122 @@ def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bo
     return df.select(*cols), True
 
 
+def set_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT (Delta CHECK constraints): records
+    ``delta.constraints.<name> = <expr>`` in the table configuration (the
+    Delta convention) via a re-emitted metaData action; every subsequent
+    ``write``/``merge`` validates its batch against the expression and
+    refuses the commit on violation. The EXISTING data is validated once
+    here (one scan) so a constraint can't be added that the table already
+    breaks — same as Delta."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    bad = log.snapshot().where(~F.expr(expr)).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: existing rows violate ({expr})"
+        )
+    meta = log.metadata()
+    config = dict(meta.get("configuration", {}))
+    config[f"delta.constraints.{name}"] = expr
+    version = current_version(table_path)
+    _commit(
+        table_path,
+        version + 1,
+        [
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(meta["schema"]),
+                    "partitionColumns": meta.get("partition_columns", []),
+                    "configuration": config,
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+            _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}, {}),
+        ],
+    )
+    return version + 1
+
+
+def drop_constraint(spark: SparkSession, table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    config = dict(meta.get("configuration", {}))
+    config.pop(f"delta.constraints.{name}", None)
+    version = current_version(table_path)
+    _commit(
+        table_path,
+        version + 1,
+        [
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(meta["schema"]),
+                    "partitionColumns": meta.get("partition_columns", []),
+                    "configuration": config,
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+            _commit_info("DROP CONSTRAINT", {"name": name}, {}),
+        ],
+    )
+    return version + 1
+
+
+def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
+    """One pass over the batch being written (NOT the table): every CHECK
+    constraint and every non-nullable logged column is folded into a
+    single aggregate of violation counts — map-side partials, one tiny
+    shuffle, regardless of how many constraints exist."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    if current_version(table_path) < 0:
+        return
+    meta = DeltaLog(spark, table_path).metadata()
+    checks = {
+        k[len("delta.constraints."):]: v
+        for k, v in meta.get("configuration", {}).items()
+        if k.startswith("delta.constraints.")
+    }
+    not_null = [
+        f["name"]
+        for f in (meta.get("schema") or {}).get("fields", [])
+        if f.get("nullable") is False and f["name"] in df.columns
+    ]
+    if not checks and not not_null:
+        return
+    aggs = [
+        F.sum(F.when(~F.expr(expr), 1).otherwise(0)).alias(f"c_{name}")
+        for name, expr in checks.items()
+    ] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}")
+        for c in not_null
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for name, expr in checks.items():
+        n = row[f"c_{name}"] or 0
+        if n:
+            raise ValueError(
+                f"CHECK constraint {name!r} violated by {n} row(s): ({expr})"
+            )
+    for c in not_null:
+        n = row[f"n_{c}"] or 0
+        if n:
+            raise ValueError(f"NOT NULL constraint violated: {c} has {n} null(s)")
+
+
 def write(
     spark: SparkSession,
     df: DataFrame,
@@ -276,6 +392,7 @@ def write(
                 and logged_at_validation != json.loads(df.schema.json())
             )
 
+    _validate_constraints(spark, df, table_path)
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
     if partition_by:
@@ -426,6 +543,7 @@ def merge(
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     log = DeltaLog(spark, table_path)
+    _validate_constraints(spark, source, table_path)
     partition_by = log.partition_columns()
     keys = source.select(*key_cols).distinct()
     snap = log.snapshot_with_positions()

@@ -874,3 +874,51 @@ def test_restore_refuses_vacuumed_target(spark):
     with pytest.raises(ValueError):
         maintenance.restore(spark, path, 99)
     shutil.rmtree(tmp)
+
+
+def test_check_constraints_enforced_on_write_and_merge(spark):
+    """Delta CHECK constraints: stored in table configuration, validated
+    against every written batch in one aggregate pass; violating commits
+    are refused before any log entry is written."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+
+    def df_of(*rows):
+        return spark.createDataFrame(list(rows), "id long, v long")
+
+    delta_writer.write(spark, df_of((0, 0), (1, 10), (2, 20)), path,
+                       mode="overwrite")
+    delta_writer.set_constraint(spark, path, "v_nonneg", "v >= 0")
+
+    v_before = delta_writer.current_version(path)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        delta_writer.write(spark, df_of((9, -1)), path, mode="append")
+    assert delta_writer.current_version(path) == v_before  # nothing committed
+
+    delta_writer.write(spark, df_of((9, 90)), path, mode="append")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        delta_writer.merge(spark, path, df_of((1, -5)), ["id"])
+    # a constraint the existing data violates cannot be added
+    with pytest.raises(ValueError, match="existing rows"):
+        delta_writer.set_constraint(spark, path, "v_small", "v < 50")
+    # after drop, the formerly-violating write goes through
+    delta_writer.drop_constraint(spark, path, "v_nonneg")
+    delta_writer.write(spark, df_of((10, -1)), path, mode="append")
+    got = sorted(r.v for r in DeltaLog(spark, path).snapshot().collect())
+    assert got == [-1, 0, 10, 20, 90]
+    shutil.rmtree(tmp)
+
+
+def test_not_null_enforced_from_logged_schema(spark):
+    """A column logged as nullable=false rejects null values in any
+    subsequent batch (merge validates its source against the logged
+    schema without schema merging)."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, spark.range(0, 4), path, mode="overwrite")
+    bad = spark.range(4, 6).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("id")
+    )
+    with pytest.raises(ValueError, match="NOT NULL"):
+        delta_writer.merge(spark, path, bad, ["id"])
+    shutil.rmtree(tmp)
