@@ -276,9 +276,21 @@ class HealthAnalyzer:
                 if not stats_row.missing_stats
                 else log.snapshot().count()
             )
-            if log.deletion_vector_paths():
-                # soft-deleted positions make raw add stats an overcount
-                m.record_count = log.record_count()
+            dv = log.deletion_vectors()
+            if dv is not None:
+                # soft-deleted positions in still-live files make raw add
+                # stats an overcount; subtract directly from the already-
+                # computed total instead of re-running the stats aggregate
+                if stats_row.missing_stats:
+                    m.record_count = log.record_count()
+                else:
+                    m.record_count -= dv.join(
+                        F.broadcast(
+                            active.select(F.col("path").alias("rel_path"))
+                        ),
+                        "rel_path",
+                        "left_semi",
+                    ).count()
             m.needs_optimize = (
                 m.data_file_count > 0
                 and m.small_files_count
@@ -286,16 +298,28 @@ class HealthAnalyzer:
             )
             m.is_compacted = not m.needs_optimize
 
-            # --- folder listing: orphan files + folder size (distributed)
+            # --- folder listing: orphan files + folder size (distributed).
+            # One job: the count/size/orphan aggregates share a single
+            # walk (the listing is an RDD; a separate anti-join count
+            # would re-run it).
             folder = _list_folder_files(self.spark, table_path)
-            live_paths = active.select(F.col("path").alias("rel_path"))
-            orphans = folder.join(F.broadcast(live_paths), "rel_path", "left_anti")
-            folder_row = folder.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("size").alias("total")
-            ).collect()[0]
+            live_paths = active.select(
+                F.col("path").alias("rel_path"), F.lit(1).alias("_live")
+            )
+            folder_row = (
+                folder.join(F.broadcast(live_paths), "rel_path", "left")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("size").alias("total"),
+                    F.sum(
+                        F.when(F.col("_live").isNull(), 1).otherwise(0)
+                    ).alias("orphans"),
+                )
+                .collect()[0]
+            )
             m.total_file_count = int(folder_row.n or 0)
             m.folder_size_bytes = int(folder_row.total or 0)
-            m.orphan_files_count = orphans.count()
+            m.orphan_files_count = int(folder_row.orphans or 0)
         finally:
             active.unpersist()
 

@@ -555,27 +555,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster", F.col("doc_id"))
         .localCheckpoint()
     )
+    # Convergence check: labels only DECREASE under min-propagation, so
+    # the label sum is strictly decreasing until the fixed point — one
+    # cheap aggregate over the just-materialized labels instead of a
+    # labels-vs-labels join per round (decimal sum: exact, no overflow at
+    # any corpus size).
+    def _label_sum(df):
+        return df.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = _label_sum(labels)
     for _ in range(CLUSTER_MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster").alias("cluster"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_min)
             .groupBy("doc_id")
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     # cluster sizes via groupBy + broadcast join, not a window: one giant
     # duplicate cluster would otherwise land whole on a single partition
     # (labels is already localCheckpointed, so no recompute)

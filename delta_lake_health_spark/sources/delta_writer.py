@@ -148,12 +148,17 @@ def _commit_info(operation: str, parameters: dict, metrics: dict) -> dict:
     }
 
 
-def _metadata_action(df: DataFrame, partition_by: list[str]) -> dict:
+def _metadata_action(
+    df: DataFrame, partition_by: list[str], schema: dict | None = None
+) -> dict:
+    """``schema`` overrides the logged schemaString — schema evolution
+    logs the MERGED schema (evolution-added columns nullable), not the
+    incoming batch's expression nullability."""
     return {
         "metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": json.dumps(schema) if schema else df.schema.json(),
             "partitionColumns": list(partition_by),
             "configuration": {},
             "createdTime": int(time.time() * 1000),
@@ -179,7 +184,7 @@ def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bo
     logged = DeltaLog(spark, table_path).metadata().get("schema")
     cur = json.loads(df.schema.json())
     if logged is None or logged == cur:
-        return df, False
+        return df, False, None
     if not merge_schema:
         raise ValueError(
             "append schema differs from the table schema; pass "
@@ -189,10 +194,18 @@ def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bo
     from pyspark.sql.types import StructType
 
     logged_names = {f["name"] for f in logged["fields"]}
+    # evolution-added columns are ALWAYS nullable (Delta mergeSchema
+    # semantics): files written before the column existed read it as null,
+    # so recording the incoming batch's nullable=false would make the
+    # widened table violate its own schema
     merged = {
         "type": "struct",
         "fields": logged["fields"]
-        + [f for f in cur["fields"] if f["name"] not in logged_names],
+        + [
+            {**f, "nullable": True}
+            for f in cur["fields"]
+            if f["name"] not in logged_names
+        ],
     }
     mtype = StructType.fromJson(merged)
     cols = [
@@ -201,7 +214,7 @@ def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bo
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in mtype.fields
     ]
-    return df.select(*cols), True
+    return df.select(*cols), True, merged
 
 
 def set_constraint(
@@ -380,10 +393,11 @@ def write(
         return DeltaLog(spark, table_path).metadata().get("schema")
 
     schema_changed = False
+    merged_schema: dict | None = None
     logged_at_validation = _logged_schema()
     if version >= 0:
         if mode == "append":
-            df, schema_changed = _merge_append_schema(
+            df, schema_changed, merged_schema = _merge_append_schema(
                 spark, df, table_path, merge_schema
             )
         else:
@@ -419,7 +433,7 @@ def write(
         elif schema_changed:
             # schema-changing write: re-emit metaData so snapshot() of a
             # later-emptied table reconstructs the NEW schema
-            actions.append(_metadata_action(df, partition_by))
+            actions.append(_metadata_action(df, partition_by, merged_schema))
         actions.extend(adds)
         now = int(time.time() * 1000)
         for rel in removed:
