@@ -28,6 +28,7 @@ _VERIFY_FIRST = (
     "text_gopher_quality_filter",
     "text_top_ngrams",
     "dedup_shingle_duplication",
+    "text_split_contamination",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -484,3 +484,87 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# --------------------------------------------------------------------------
+# T11 — train/test contamination audit (the decontamination check of
+# GPT-3 appx C / Dodge et al. 2021 over C4): fraction of the test split's
+# 8-token shingles that also occur in the train split.  Uses the SAME
+# content-hash split as T8, so the audit measures real near-duplicate
+# leakage, not exact-copy leakage (exact copies land in one split by
+# construction).  Scale shape: both sides reduce to distinct 32-byte
+# shingle hashes before the semi-join, which shuffles on the hash —
+# uniform by construction, never the text itself.
+_CONTAM_W = 8
+
+
+@query(
+    "text_split_contamination",
+    f"""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS t,
+             CASE WHEN {_SQL_BUCKET256} < 204 THEN 'train'
+                  WHEN {_SQL_BUCKET256} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, split,
+             md5(array_to_string(
+               t[CAST(i AS INT):CAST(i + {_CONTAM_W - 1} AS INT)], ' ')) AS h
+      FROM t, UNNEST(range(1, len(t) - {_CONTAM_W - 2})) u(i)
+      WHERE len(t) >= {_CONTAM_W}
+    ), train AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+    test AS (SELECT source, h FROM sh WHERE split = 'test')
+    SELECT source,
+           COUNT(*) AS n_test_shingles,
+           CAST(SUM(CASE WHEN train.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN train.h IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS contamination_rate
+    FROM test LEFT JOIN train USING (h)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    split = (
+        F.when(_spark_bucket256() < 204, "train")
+        .when(_spark_bucket256() < 230, "val")
+        .otherwise("test")
+    )
+    shingles = (
+        docs.where(F.size(t) >= _CONTAM_W)
+        .select(
+            "source",
+            split.alias("split"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {_CONTAM_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {_CONTAM_W}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    train = shingles.where(F.col("split") == "train").select("h").distinct()
+    test = shingles.where(F.col("split") == "test").select("source", "h")
+    flagged = test.join(
+        train.withColumn("_hit", F.lit(1)), "h", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_shingles"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.sum(F.when(F.col("_hit").isNotNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
