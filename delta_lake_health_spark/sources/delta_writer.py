@@ -536,6 +536,8 @@ def merge(
     table_path: str,
     source: DataFrame,
     key_cols: list[str],
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
     ) -> int:
     """Upsert ``source`` into the table by ``key_cols`` (whole-row update
     on match, insert otherwise) — the MERGE operation the reference counts
@@ -556,7 +558,13 @@ def merge(
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     log = DeltaLog(spark, table_path)
+    if txn_app_id is not None:
+        last = log.last_txn_version(txn_app_id)
+        if last is not None and txn_version <= last:
+            return current_version(table_path)  # replay of a committed batch
     _validate_constraints(spark, source, table_path)
     partition_by = log.partition_columns()
     keys = source.select(*key_cols).distinct()
@@ -591,6 +599,11 @@ def merge(
                     "dataChange": True}}
         for rel in sorted(hit_files)
     ]
+    if txn_app_id is not None:
+        actions.append(
+            {"txn": {"appId": txn_app_id, "version": txn_version,
+                     "lastUpdated": now}}
+        )
     actions.append(
         _commit_info(
             "MERGE",

@@ -225,6 +225,58 @@ def stream_to_delta(
     return q
 
 
+def stream_upsert_to_delta(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> Any:
+    """Streaming MERGE sink (the CDC-upsert pattern): each micro-batch is
+    upserted into the Delta table by ``key_cols`` via ``foreachBatch`` +
+    ``delta_writer.merge`` — later batches overwrite earlier rows with the
+    same key instead of appending duplicates.
+
+    Exactly-once like ``stream_to_delta``: the merge commit carries a
+    ``txn`` action keyed by (appId=checkpoint_dir, version=batch_id), so a
+    replayed micro-batch is skipped. The first batch on a fresh table is a
+    plain CREATE-style write (merge needs logged metadata to exist).
+    Batches must be unique per key (dedupe upstream with
+    ``dropDuplicatesWithinWatermark`` if the source can repeat keys
+    in-batch)."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if delta_writer.current_version(table_path) < 0:
+            delta_writer.write(
+                batch_df.sparkSession,
+                batch_df,
+                table_path,
+                mode="append",
+                partition_by=partition_by,
+                txn_app_id=checkpoint_dir,
+                txn_version=batch_id,
+            )
+            return
+        delta_writer.merge(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            key_cols,
+            txn_app_id=checkpoint_dir,
+            txn_version=batch_id,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def attribution_stream(
     views: DataFrame,
     purchases: DataFrame,

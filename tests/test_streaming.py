@@ -269,3 +269,59 @@ def test_stream_windowed_hll_matches_batch_exactly(spark, stream_dir):
     assert got, "stream flushed no windows — watermark never advanced"
     for k, v in got.items():
         assert want.get(k) == v, (k, v, want.get(k))
+
+
+def test_stream_upsert_to_delta_sink(spark):
+    """Streaming MERGE sink: three micro-batches with overlapping keys
+    land as upserts (last writer per key wins), and replaying a committed
+    batch id is a no-op (txn guard on the merge commit)."""
+    import pandas as pd
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    chunks = [
+        [(k, 0) for k in range(5)],          # create keys 0-4
+        [(k, 1) for k in range(2, 7)],       # update 2-4, insert 5-6
+        [(0, 2), (6, 2)],                    # update 0 and 6
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"])).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"chunk_{i}"))
+        for f in sorted(os.listdir(os.path.join(src, f"chunk_{i}"))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(src, f"chunk_{i}", f),
+                    os.path.join(src, f"{i:03d}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, f"chunk_{i}"))
+
+    out = os.path.join(tmp, "out_delta")
+    ckpt = os.path.join(tmp, "ckpt")
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.stream_upsert_to_delta(stream, out, ckpt, ["k"])
+
+    got = {r.k: r.v for r in DeltaLog(spark, out).snapshot().collect()}
+    assert got == {0: 2, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 2}
+
+    # replaying an already-committed batch id is skipped by the txn guard
+    v_before = delta_writer.current_version(out)
+    replay = spark.createDataFrame(
+        pd.DataFrame([(0, 99)], columns=["k", "v"])
+    )
+    delta_writer.merge(spark, out, replay, ["k"], txn_app_id=ckpt, txn_version=2)
+    assert delta_writer.current_version(out) == v_before
+    got2 = {r.k: r.v for r in DeltaLog(spark, out).snapshot().collect()}
+    assert got2 == got
+    # a NEW batch id goes through
+    delta_writer.merge(spark, out, replay, ["k"], txn_app_id=ckpt, txn_version=3)
+    assert {r.k: r.v for r in DeltaLog(spark, out).snapshot().collect()}[0] == 99
+    shutil.rmtree(tmp, ignore_errors=True)
