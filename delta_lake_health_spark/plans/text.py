@@ -314,6 +314,29 @@ def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_flags(docs: DataFrame, *carry: str) -> DataFrame:
+    """Per-document rule flags over any frame with a ``text`` column
+    (``carry`` columns pass through) — the reusable core of the filter,
+    property-tested against a pure-Python reference."""
+    base = docs.select(
+        *carry,
+        F.size(toks()).cast("double").alias("n_tok"),
+        F.length("text").cast("double").alias("n"),
+        F.size(F.filter(toks(), lambda t: t.isin(*STOPWORDS)))
+        .cast("double")
+        .alias("n_stop"),
+        F.size(F.array_distinct(toks())).cast("double").alias("n_dist"),
+    )
+    mean_len = (F.col("n") - F.col("n_tok") + 1) / F.col("n_tok")
+    return base.select(
+        *carry,
+        ((F.col("n_tok") >= 20) & (F.col("n_tok") <= 100000)).alias("ok_word_count"),
+        ((mean_len >= 2) & (mean_len <= 10)).alias("ok_mean_word_len"),
+        (F.col("n_stop") >= 2).alias("ok_stopwords"),
+        (F.col("n_dist") / F.col("n_tok") >= 0.2).alias("ok_distinct_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # T9 — Gopher-style quality rule filter (Rae et al. 2021, "Scaling Language
 # Models", table A1 — adapted thresholds for this corpus).  Each rule is a
@@ -365,23 +388,7 @@ def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    base = docs.select(
-        "lang",
-        F.size(toks()).cast("double").alias("n_tok"),
-        F.length("text").cast("double").alias("n"),
-        F.size(F.filter(toks(), lambda t: t.isin(*STOPWORDS)))
-        .cast("double")
-        .alias("n_stop"),
-        F.size(F.array_distinct(toks())).cast("double").alias("n_dist"),
-    )
-    mean_len = (F.col("n") - F.col("n_tok") + 1) / F.col("n_tok")
-    flags = base.select(
-        "lang",
-        ((F.col("n_tok") >= 20) & (F.col("n_tok") <= 100000)).alias("ok_word_count"),
-        ((mean_len >= 2) & (mean_len <= 10)).alias("ok_mean_word_len"),
-        (F.col("n_stop") >= 2).alias("ok_stopwords"),
-        (F.col("n_dist") / F.col("n_tok") >= 0.2).alias("ok_distinct_ratio"),
-    )
+    flags = gopher_flags(docs, "lang")
     keep = (
         F.col("ok_word_count")
         & F.col("ok_mean_word_len")

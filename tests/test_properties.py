@@ -171,3 +171,89 @@ def test_interval_point_join_left_null_columns(spark):
     assert by_pt[(1, 10)].iid == 7          # matched despite NULL payload
     assert by_pt[(1, 500)].iid is None      # unmatched -> null-padded
     assert by_pt[(2, 10)].iid is None
+
+
+# --- Gopher quality flags vs a pure-Python reference ------------------------
+
+_word = st.sampled_from(["the", "a", "of", "row", "value", "zz", "qq",
+                         "verylongwordhere", "x"])
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_word, min_size=1, max_size=60),
+                min_size=1, max_size=8))
+def test_gopher_flags_match_python(spark, corpora):
+    from delta_lake_health_spark.plans.text import STOPWORDS, gopher_flags
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpora)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_flags(docs, "doc_id").collect()}
+    for i, ws in enumerate(corpora):
+        text = " ".join(ws)
+        n_tok, n = len(ws), len(text)
+        mean_len = (n - n_tok + 1) / n_tok
+        r = got[i]
+        assert r.ok_word_count == (20 <= n_tok <= 100000)
+        assert r.ok_mean_word_len == (2 <= mean_len <= 10)
+        assert r.ok_stopwords == (sum(w in STOPWORDS for w in ws) >= 2)
+        assert r.ok_distinct_ratio == (len(set(ws)) / n_tok >= 0.2)
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_word, min_size=1, max_size=30),
+                min_size=1, max_size=6))
+def test_shingle_duplication_fraction_matches_python(spark, corpora):
+    """dedup_shingle_duplication's per-source fraction == a naive Python
+    recomputation of distinct 8-token windows shared across docs."""
+    import hashlib
+
+    from delta_lake_health_spark.plans import dedup as m
+
+    w = m.SHINGLE_W
+    rows = [(i, " ".join(ws), "s") for i, ws in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # reuse the query body by monkey-free invocation: same expressions
+    from pyspark.sql import functions as F
+
+    t = F.split(F.col("text"), " ")
+    sh = (
+        docs.where(F.size(t) >= w)
+        .select(
+            "doc_id", "source",
+            F.explode(F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {w - 1}),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {w}))))"
+            )).alias("h"),
+        )
+        .distinct()
+    )
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    got_rows = sh.join(counts, "h").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+    ).collect()
+
+    # naive python
+    per_doc = []
+    for ws in corpora:
+        if len(ws) < w:
+            per_doc.append(set())
+            continue
+        per_doc.append({
+            hashlib.md5(" ".join(ws[i:i + w]).encode()).hexdigest()
+            for i in range(len(ws) - w + 1)
+        })
+    total = sum(len(s) for s in per_doc)
+    from collections import Counter
+
+    c = Counter(h for s in per_doc for h in s)
+    dup = sum(1 for s in per_doc for h in s if c[h] > 1)
+    if total == 0:
+        assert got_rows == []
+    else:
+        assert got_rows[0].n_shingles == total
+        assert got_rows[0].n_dup == dup
