@@ -639,17 +639,23 @@ def dedup_shingle_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.col("text"), " ")
     shingles = (
         docs.where(F.size(t) >= SHINGLE_W)
+        # project the token array ONCE; referencing split(text) inside the
+        # transform lambda would re-split the document per shingle
+        .select("doc_id", "source", t.alias("toks"))
         .select(
             "doc_id",
             "source",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(split(text, ' ')) - {SHINGLE_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_W}))))"
+                    f"transform(sequence(1, size(toks) - {SHINGLE_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {SHINGLE_W}))))"
                 )
             ).alias("h"),
         )
         .distinct()
+        # two consumers (the per-shingle count and the join back) — run
+        # the explode+distinct once, not twice
+        .localCheckpoint()
     )
     counts = shingles.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     return (

@@ -444,12 +444,13 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = toks()
     bigrams = (
         docs.where(F.size(t) >= 2)
+        # split once, then index the array in the lambda
+        .select(t.alias("toks"))
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " i -> concat_ws(' ', split(text, ' ')[i - 1],"
-                    "                     split(text, ' ')[i]))"
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat_ws(' ', toks[i - 1], toks[i]))"
                 )
             ).alias("bigram")
         )
@@ -543,17 +544,22 @@ def text_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = (
         docs.where(F.size(t) >= _CONTAM_W)
+        # project the token array ONCE; split(text) inside the lambda
+        # would re-split the document per shingle
+        .select("source", split.alias("split"), t.alias("toks"))
         .select(
             "source",
-            split.alias("split"),
+            "split",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(split(text, ' ')) - {_CONTAM_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {_CONTAM_W}))))"
+                    f"transform(sequence(1, size(toks) - {_CONTAM_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {_CONTAM_W}))))"
                 )
             ).alias("h"),
         )
         .distinct()
+        # consumed twice (train side and test side) — materialize once
+        .localCheckpoint()
     )
     train = shingles.where(F.col("split") == "train").select("h").distinct()
     test = shingles.where(F.col("split") == "test").select("source", "h")
