@@ -29,6 +29,7 @@ _VERIFY_FIRST = (
     "text_top_ngrams",
     "dedup_shingle_duplication",
     "text_split_contamination",
+    "text_language_balance_sample",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

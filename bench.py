@@ -39,7 +39,9 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_shingle_duplication",
     "text_quality_scores",
+    "text_split_contamination",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "health_analyzer_report",

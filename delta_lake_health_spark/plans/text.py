@@ -581,3 +581,52 @@ def text_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# T12 — language-balanced downsampling: deterministic content-hash
+# thresholding that equalizes per-language volume to the smallest
+# language (the rebalancing step a multilingual pretraining mix applies).
+# keep iff hash-bucket < (256 * target) div count — integer arithmetic,
+# identical in both engines, no RNG, duplicate-stable.  One tiny count
+# aggregate broadcast back over one narrow pass.
+@query(
+    "text_language_balance_sample",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT MIN(cnt) AS tgt FROM c),
+    d AS (SELECT lang, {_SQL_BUCKET256} AS b FROM documents)
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b < (256 * t.tgt) // c.cnt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST((256 * t.tgt) // c.cnt AS BIGINT) AS bucket_threshold
+    FROM d JOIN c USING (lang) CROSS JOIN t
+    GROUP BY d.lang, c.cnt, t.tgt
+    ORDER BY d.lang
+    """,
+)
+def text_language_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tgt = counts.agg(F.min("cnt").alias("tgt"))
+    joined = (
+        docs.select("lang", _spark_bucket256().alias("b"))
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tgt))
+    )
+    thresh = F.expr("(256 * tgt) div cnt")
+    return (
+        joined.groupBy("lang", "cnt", "tgt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("b") < thresh, 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            thresh.cast("long").alias("bucket_threshold"),
+        )
+        .orderBy("lang")
+    )
