@@ -51,6 +51,19 @@ _VERIFY_FIRST = (
     "sketch_approx_percentiles",
     "events_windowed_hll_users",
     "media_decode_roundtrip",
+    # the events table's on-disk ts type changed in the round-3 testdata
+    # drop (nanos -> micros) — re-verify the whole events family against
+    # the new files rather than relying on r2 rows from the old ones
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "events_sliding_hourly",
+    "events_user_stats",
+    "events_purchase_funnel",
+    "events_purchase_attribution",
+    "events_purchase_sessions",
+    "events_props_json",
+    "events_type_pivot",
+    "events_value_percentiles",
 )
 
 
