@@ -30,6 +30,8 @@ _VERIFY_FIRST = (
     "dedup_shingle_duplication",
     "text_split_contamination",
     "text_language_balance_sample",
+    "dedup_keep_corpus",
+    "events_daily_retention",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -672,3 +672,60 @@ def dedup_shingle_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X9 — the dedup OUTPUT: per-source corpus census after near-dup cluster
+# dedup (keep the component-min doc of every duplicate cluster, keep all
+# singletons).  This is the number a pipeline actually reports — "dedup
+# removed N docs from source S" — derived from the same candidate graph
+# as X7, so the decision is consistent with `dedup_clusters`.  The
+# removed set is |docs in clusters| - |clusters| rows (tiny relative to
+# the corpus), so the final join broadcasts.
+@query(
+    "dedup_keep_corpus",
+    f"""
+    WITH RECURSIVE {SQL_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand_pairs
+    ),
+    reach(doc, r) AS (
+      SELECT s, s FROM edges GROUP BY s
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc
+    ),
+    labels AS (SELECT doc AS doc_id, MIN(r) AS cluster FROM reach GROUP BY doc),
+    rem AS (SELECT doc_id FROM labels WHERE doc_id <> cluster)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rem.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rem.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM documents LEFT JOIN rem USING (doc_id)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+    removed = (
+        labels.where(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(removed), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_rm").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("_rm").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("source")
+    )

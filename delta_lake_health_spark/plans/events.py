@@ -490,3 +490,63 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# E15 — daily cohort retention: users grouped by first-seen date; for
+# each (cohort, day-offset <= 7) the distinct returning users and the
+# retention rate vs cohort size.  Two shuffles total (first-seen per
+# user, then the (cohort, offset) count); the cohort-size side is tiny
+# and broadcasts.
+@query(
+    "events_daily_retention",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    c AS (SELECT cohort_date, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_date,
+             date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS offset_days
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT a.cohort_date, a.offset_days,
+           COUNT(*) AS n_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(c.cohort_size), 6)
+             AS retention_rate
+    FROM a JOIN c USING (cohort_date)
+    WHERE a.offset_days <= 7
+    GROUP BY a.cohort_date, a.offset_days
+    ORDER BY a.cohort_date, a.offset_days
+    """,
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    visits = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff("d", "cohort_date").alias("offset_days"),
+        )
+        .distinct()
+        .where(F.col("offset_days") <= 7)
+    )
+    return (
+        visits.join(F.broadcast(sizes), "cohort_date")
+        .groupBy("cohort_date", "offset_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_date", "offset_days")
+    )
