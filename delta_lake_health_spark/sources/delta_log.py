@@ -429,6 +429,35 @@ class DeltaLog:
             .drop("rn", "is_add")
         )
 
+    def live_add_actions(self) -> list[dict]:
+        """Full add-action dicts (path, partitionValues, size,
+        modificationTime, stats) for every live file — what SHALLOW CLONE
+        copies into the new table's log. Metadata-sized collect."""
+        acts = self.actions()
+        add_type = acts.schema["add"].dataType
+        adds = acts.where(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("path"), F.col("add").alias("a"),
+            "version", F.lit(1).alias("is_add"),
+        )
+        removes = acts.where(F.col("remove").isNotNull()).select(
+            F.col("remove.path").alias("path"),
+            F.lit(None).cast(add_type).alias("a"),
+            "version", F.lit(0).alias("is_add"),
+        )
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
+        rows = (
+            adds.unionByName(removes)
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("is_add") == 1))
+            .select("a")
+            .collect()
+        )
+        out = []
+        for r in rows:
+            d = r.a.asDict(recursive=True)
+            out.append({k: v for k, v in d.items() if v is not None})
+        return out
+
     def tombstones(self) -> DataFrame:
         """Files whose latest action is a remove (vacuum candidates)."""
         acts = self.actions()
@@ -565,14 +594,103 @@ class DeltaLog:
 
     # -- data access -------------------------------------------------------
 
+    def _read_with_logged_partitions(
+        self, live, schema: dict | None, as_of: int | None = None,
+        keep_lineage: bool = False,
+    ) -> DataFrame:
+        """Read live files by explicit path with partition columns taken
+        from the LOG's partitionValues (the Delta-spec source of truth) —
+        required when live files sit outside this table directory (shallow
+        clones), where hive basePath inference cannot run. ``live`` is
+        rows of (path, partitionValues). The per-file partition map is
+        metadata-sized and broadcasts."""
+        from pyspark.sql.types import StringType, StructField as SF
+
+        part_cols = self.metadata(as_of).get("partition_columns", [])
+        abs_of = lambda p: p if os.path.isabs(p) else os.path.join(self.table_path, p)  # noqa: E731
+        abs_paths = [abs_of(r.path) for r in live]
+        reader = self.spark.read
+        if schema is not None:
+            data_fields = [f for f in schema["fields"] if f["name"] not in part_cols]
+            reader = reader.schema(
+                StructType.fromJson({"type": "struct", "fields": data_fields})
+            )
+        df = reader.parquet(*abs_paths)
+        if keep_lineage:
+            df = df.withColumn("_rel_path", self._rel_path_expr()).withColumn(
+                "_row_index", F.col("_metadata.row_index")
+            )
+        if not part_cols:
+            return df
+        decoded = F.url_decode(
+            F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+        )
+        normalized = F.regexp_replace(decoded, r"^file:/+", "/")
+        rows = []
+        for r in live:
+            pv = r.partitionValues
+            # struct (raw JSON inference) or map (checkpoint cast) — both
+            pv = {} if pv is None else (pv.asDict() if hasattr(pv, "asDict") else dict(pv))
+            rows.append(tuple([abs_of(r.path)] + [pv.get(c) for c in part_cols]))
+        pv_schema = StructType(
+            [SF("_abs_path", StringType())]
+            + [SF(f"_pv_{c}", StringType()) for c in part_cols]
+        )
+        pv_df = self.spark.createDataFrame(rows, pv_schema)
+        df = (
+            df.withColumn("_abs_path", normalized)
+            .join(F.broadcast(pv_df), "_abs_path")
+            .drop("_abs_path")
+        )
+        field_by_name = {f["name"]: f for f in (schema or {}).get("fields", [])}
+        from pyspark.sql.types import StructField as SField
+
+        for c in part_cols:
+            if c in field_by_name:
+                dtype = SField.fromJson(field_by_name[c]).dataType
+                df = df.withColumn(c, F.col(f"_pv_{c}").cast(dtype))
+            else:
+                df = df.withColumn(c, F.col(f"_pv_{c}"))
+            df = df.drop(f"_pv_{c}")
+        return df
+
     def read_data_files(self, rel_paths: list[str]) -> DataFrame:
         """Read specific live data files WITH deletion vectors applied —
         the reader every file-rewriting operator (compact, delete,
         apply_deletion_vectors) must use: reading the raw parquet would
         resurrect soft-deleted positions into the rewritten files."""
+        dv = self.deletion_vectors()
+        if any(os.path.isabs(p) for p in rel_paths):
+            want = set(rel_paths)
+            live = [
+                r
+                for r in self.active_files()
+                .select("path", "partitionValues")
+                .collect()
+                if r.path in want
+            ]
+            # lineage captured at scan: _apply_dv's _metadata reference
+            # would be unresolvable after the partition-value join
+            df = self._read_with_logged_partitions(
+                live, self.metadata().get("schema"), keep_lineage=True
+            )
+            out_cols = [
+                c for c in df.columns if c not in ("_rel_path", "_row_index")
+            ]
+            if dv is not None:
+                df = df.join(
+                    F.broadcast(
+                        dv.select(
+                            F.col("rel_path").alias("_rel_path"),
+                            F.col("row_index").alias("_row_index"),
+                        )
+                    ),
+                    ["_rel_path", "_row_index"],
+                    "left_anti",
+                )
+            return df.select(*out_cols)
         abs_paths = [os.path.join(self.table_path, p) for p in rel_paths]
         df = self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
-        dv = self.deletion_vectors()
         if dv is None:
             return df
         out_cols = df.columns
@@ -592,7 +710,8 @@ class DeltaLog:
         ~100 MB, the same order every Delta/Iceberg driver-side planner
         holds), and passing explicit paths is what lets the scan skip
         dead files without a data-side filter."""
-        paths = [r.path for r in self.active_files(as_of).select("path").collect()]
+        live = self.active_files(as_of).select("path", "partitionValues").collect()
+        paths = [r.path for r in live]
         schema = self.metadata(as_of).get("schema")
         if not paths:
             if schema is None:
@@ -600,20 +719,47 @@ class DeltaLog:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(schema)
             )
-        abs_paths = [os.path.join(self.table_path, p) for p in paths]
-        reader = self.spark.read.option("basePath", self.table_path)
-        if schema is not None:
-            # read under the LOGGED schema: after schema evolution, files
-            # written before a column existed surface it as null instead of
-            # the reader picking whichever file schema it samples first
-            reader = reader.schema(StructType.fromJson(schema))
-        df = reader.parquet(*abs_paths)
         dv = self.deletion_vectors(as_of)
-        if dv is not None:
-            # apply position deletes: anti-join on (file, row position) —
-            # the dv side is tiny, so this broadcasts; data never shuffles
-            out_cols = df.columns
-            df = self._apply_dv(df, dv).select(*out_cols)
+        if any(os.path.isabs(p) for p in paths):
+            # shallow-cloned table: some live files sit OUTSIDE this table
+            # directory, so hive-style basePath inference can't run —
+            # partition values come from the LOG instead (the Delta-spec
+            # source of truth). Lineage is captured at scan because
+            # _apply_dv's _metadata reference is unresolvable after the
+            # partition-value join.
+            df = self._read_with_logged_partitions(
+                live, schema, as_of, keep_lineage=dv is not None
+            )
+            if dv is not None:
+                out_cols = [
+                    c for c in df.columns if c not in ("_rel_path", "_row_index")
+                ]
+                df = df.join(
+                    F.broadcast(
+                        dv.select(
+                            F.col("rel_path").alias("_rel_path"),
+                            F.col("row_index").alias("_row_index"),
+                        )
+                    ),
+                    ["_rel_path", "_row_index"],
+                    "left_anti",
+                ).select(*out_cols)
+        else:
+            abs_paths = [os.path.join(self.table_path, p) for p in paths]
+            reader = self.spark.read.option("basePath", self.table_path)
+            if schema is not None:
+                # read under the LOGGED schema: after schema evolution,
+                # files written before a column existed surface it as null
+                # instead of the reader picking whichever file schema it
+                # samples first
+                reader = reader.schema(StructType.fromJson(schema))
+            df = reader.parquet(*abs_paths)
+            if dv is not None:
+                # apply position deletes: anti-join on (file, row position)
+                # — the dv side is tiny, so this broadcasts; data never
+                # shuffles
+                out_cols = df.columns
+                df = self._apply_dv(df, dv).select(*out_cols)
         if schema is not None:
             # the basePath reader appends hive partition columns at the
             # end; present columns in logged table-schema order
@@ -659,25 +805,45 @@ class DeltaLog:
         directly on the scan, so any caller that joins or projects first
         must capture the position columns up front (the DV anti-join in
         ``snapshot`` does exactly that, which is why this exists)."""
-        paths = [r.path for r in self.active_files(as_of).select("path").collect()]
+        live = self.active_files(as_of).select("path", "partitionValues").collect()
+        paths = [r.path for r in live]
         schema = self.metadata(as_of).get("schema")
         if not paths:
             base = self.snapshot(as_of)
             return base.withColumn(
                 "_rel_path", F.lit(None).cast("string")
             ).withColumn("_row_index", F.lit(None).cast("long"))
-        abs_paths = [os.path.join(self.table_path, p) for p in paths]
-        reader = self.spark.read.option("basePath", self.table_path)
-        if schema is not None:
-            reader = reader.schema(StructType.fromJson(schema))
-        df = reader.parquet(*abs_paths)
-        dv = self.deletion_vectors(as_of)
-        if dv is not None:
-            df = self._apply_dv(df, dv)
-        else:
-            df = df.withColumn("_rel_path", self._rel_path_expr()).withColumn(
-                "_row_index", F.col("_metadata.row_index")
+        if any(os.path.isabs(p) for p in paths):
+            # shallow clone: lineage columns captured on the scan inside
+            # the helper (before the partition-value join)
+            df = self._read_with_logged_partitions(
+                live, schema, as_of, keep_lineage=True
             )
+            dv = self.deletion_vectors(as_of)
+            if dv is not None:
+                df = df.join(
+                    F.broadcast(
+                        dv.select(
+                            F.col("rel_path").alias("_rel_path"),
+                            F.col("row_index").alias("_row_index"),
+                        )
+                    ),
+                    ["_rel_path", "_row_index"],
+                    "left_anti",
+                )
+        else:
+            abs_paths = [os.path.join(self.table_path, p) for p in paths]
+            reader = self.spark.read.option("basePath", self.table_path)
+            if schema is not None:
+                reader = reader.schema(StructType.fromJson(schema))
+            df = reader.parquet(*abs_paths)
+            dv = self.deletion_vectors(as_of)
+            if dv is not None:
+                df = self._apply_dv(df, dv)
+            else:
+                df = df.withColumn("_rel_path", self._rel_path_expr()).withColumn(
+                    "_row_index", F.col("_metadata.row_index")
+                )
         if schema is not None:
             df = df.select(
                 *[f["name"] for f in schema["fields"]], "_rel_path", "_row_index"

@@ -617,6 +617,66 @@ def merge(
     return version + 1
 
 
+def clone_shallow(spark: SparkSession, source_path: str, target_path: str) -> int:
+    """SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
+    table whose v0 log references the source's live data files by
+    ABSOLUTE path — zero data copied, metadata-only, O(|files|). The
+    clone then evolves independently: writes/deletes/compactions land
+    in the clone's own directory (copy-on-write — rewrites read the
+    referenced source files but write locally), and vacuum on the clone
+    never deletes source files because they live outside its directory
+    listing. Readers resolve partition values from the LOG
+    (``_read_with_logged_partitions``), since hive basePath inference
+    can't span two directory trees.
+
+    Refused when the source has deletion vectors still soft-deleting
+    live rows: the clone's log can't reference the source's sidecars.
+    ``apply_deletion_vectors`` on the source first."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    src = DeltaLog(spark, source_path)
+    if os.path.isdir(os.path.join(target_path, LOG_DIR)):
+        raise ValueError(f"target is already a Delta table: {target_path}")
+    if src._live_dv_paths(src.active_files()):
+        raise ValueError(
+            "shallow clone of a table with live deletion vectors is "
+            "unsupported; run apply_deletion_vectors on the source first"
+        )
+    meta = src.metadata()
+    if not meta.get("schema"):
+        raise ValueError("source table has no logged schema")
+    adds = src.live_add_actions()
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(meta["schema"]),
+                "partitionColumns": meta.get("partition_columns", []),
+                "configuration": meta.get("configuration", {}),
+                "createdTime": now,
+            }
+        },
+    ]
+    for a in adds:
+        a = dict(a)
+        if not os.path.isabs(a["path"]):
+            a["path"] = os.path.join(src.table_path, a["path"])
+        actions.append({"add": a})
+    actions.append(
+        _commit_info(
+            "CLONE",
+            {"source": src.table_path, "isShallow": True},
+            {"numFiles": len(adds), "numCopiedFiles": 0},
+        )
+    )
+    os.makedirs(target_path, exist_ok=True)
+    _commit(target_path, 0, actions)
+    return 0
+
+
 DELETES_DIR = "_deletes"
 
 

@@ -922,3 +922,78 @@ def test_not_null_enforced_from_logged_schema(spark):
     with pytest.raises(ValueError, match="NOT NULL"):
         delta_writer.merge(spark, path, bad, ["id"])
     shutil.rmtree(tmp)
+
+
+def test_shallow_clone_reads_and_evolves_independently(spark):
+    """SHALLOW CLONE: zero-copy creation, snapshot parity (incl. partition
+    columns resolved from the LOG, not the directory layout), independent
+    evolution (append + delete land in the clone only), and vacuum on the
+    clone never touches source files."""
+    tmp = tempfile.mkdtemp()
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    df = _tips_df(spark, 20, 10, 10)
+    delta_writer.write(spark, df, src, mode="overwrite", partition_by=["day"])
+    delta_writer.write(spark, _tips_df(spark, 3, 3, 3, offset=300), src,
+                       mode="append", partition_by=["day"])
+
+    delta_writer.clone_shallow(spark, src, dst)
+    src_rows = sorted(map(tuple, DeltaLog(spark, src).snapshot().collect()))
+    got = DeltaLog(spark, dst).snapshot()
+    assert sorted(got.columns) == sorted(DeltaLog(spark, src).snapshot().columns)
+    assert sorted(map(tuple, got.select(*DeltaLog(spark, src).snapshot().columns)
+                      .collect())) == src_rows
+    # no data files copied into the clone
+    assert delta_writer._list_parquet_rel(dst) == set()
+
+    # clone evolves independently: append + delete
+    delta_writer.write(spark, _tips_df(spark, 2, 2, 2, offset=500), dst,
+                       mode="append", partition_by=["day"])
+    delta_writer.delete(spark, dst, "day = 'Tue'")
+    clone_rows = DeltaLog(spark, dst).snapshot()
+    assert clone_rows.where(F.col("day") == "Tue").count() == 0
+    # source unchanged
+    assert sorted(map(tuple, DeltaLog(spark, src).snapshot().collect())) == src_rows
+
+    # vacuum on the clone removes only clone-local orphans, never source data
+    n_src_files = len(delta_writer._list_parquet_rel(src))
+    maintenance.vacuum(spark, dst, retention_hours=0.0)
+    assert len(delta_writer._list_parquet_rel(src)) == n_src_files
+    assert DeltaLog(spark, dst).snapshot().where(F.col("day") == "Mon").count() > 0
+    shutil.rmtree(tmp)
+
+
+def test_shallow_clone_unpartitioned_compact_copy_on_write(spark):
+    """Compacting a clone rewrites referenced source files into the
+    clone's own directory (copy-on-write) and drops the absolute-path
+    references; the source keeps its files."""
+    tmp = tempfile.mkdtemp()
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    for k in range(3):
+        delta_writer.write(spark, spark.range(k * 10, k * 10 + 10), src,
+                           mode="append")
+    delta_writer.clone_shallow(spark, src, dst)
+    res = maintenance.compact(spark, dst, small_file_size=32 * 1024 * 1024)
+    assert res["numAddedFiles"] >= 1
+    log = DeltaLog(spark, dst)
+    assert sorted(r.id for r in log.snapshot().collect()) == list(range(30))
+    # all live paths are now clone-local (relative)
+    paths = [r.path for r in log.active_files().collect()]
+    assert all(not os.path.isabs(p) for p in paths)
+    # source intact
+    assert sorted(r.id for r in DeltaLog(spark, src).snapshot().collect()) == list(range(30))
+    shutil.rmtree(tmp)
+
+
+def test_shallow_clone_refuses_live_dvs_and_existing_target(spark):
+    tmp = tempfile.mkdtemp()
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    delta_writer.write(spark, spark.range(0, 6), src, mode="overwrite")
+    delta_writer.delete_with_dv(spark, src, "id = 2")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delta_writer.clone_shallow(spark, src, dst)
+    maintenance.apply_deletion_vectors(spark, src)
+    delta_writer.clone_shallow(spark, src, dst)
+    assert sorted(r.id for r in DeltaLog(spark, dst).snapshot().collect()) == [0, 1, 3, 4, 5]
+    with pytest.raises(ValueError, match="already a Delta table"):
+        delta_writer.clone_shallow(spark, src, dst)
+    shutil.rmtree(tmp)
