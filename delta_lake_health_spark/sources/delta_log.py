@@ -528,6 +528,45 @@ class DeltaLog:
     def partition_columns(self) -> list[str]:
         return self.metadata().get("partition_columns", [])
 
+    def detail(self) -> dict:
+        """``DESCRIBE DETAIL`` equivalent (the fields the reference's
+        Spark analyzer consumes — delta_spark_analyzer.py:116-189:
+        sizeInBytes, numFiles, partitionColumns, location — plus the
+        rest of Delta's detail row). Log-only aggregates, no data scan."""
+        meta = self.metadata()
+        stats = self.file_stats()
+        proto_rows = (
+            self.actions()
+            .where(F.col("protocol").isNotNull())
+            .orderBy(F.desc("version"))
+            .limit(1)
+            .collect()
+        )
+        proto = proto_rows[0].protocol if proto_rows else None
+        commit_ts = (
+            self.actions()
+            .where(F.col("commitInfo").isNotNull())
+            .agg(
+                F.min("commitInfo.timestamp").alias("created"),
+                F.max("commitInfo.timestamp").alias("modified"),
+            )
+            .collect()[0]
+        )
+        return {
+            "format": "delta",
+            "id": meta.get("id"),
+            "name": meta.get("name"),
+            "location": self.table_path,
+            "createdAt": commit_ts.created,
+            "lastModified": commit_ts.modified,
+            "partitionColumns": meta.get("partition_columns", []),
+            "numFiles": stats["data_file_count"],
+            "sizeInBytes": stats["table_size_bytes"],
+            "properties": meta.get("configuration", {}),
+            "minReaderVersion": getattr(proto, "minReaderVersion", None),
+            "minWriterVersion": getattr(proto, "minWriterVersion", None),
+        }
+
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest ``txn.version`` recorded for ``app_id``, or None —
         the idempotent-writer replay guard (Delta spec txn action)."""

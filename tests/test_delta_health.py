@@ -997,3 +997,20 @@ def test_shallow_clone_refuses_live_dvs_and_existing_target(spark):
     with pytest.raises(ValueError, match="already a Delta table"):
         delta_writer.clone_shallow(spark, src, dst)
     shutil.rmtree(tmp)
+
+
+def test_describe_detail_fields(spark):
+    """DeltaLog.detail() surfaces the DESCRIBE DETAIL fields the
+    reference's Spark analyzer consumes (delta_spark_analyzer.py:116-189)."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, _tips_df(spark, 10, 5, 5), path,
+                       mode="overwrite", partition_by=["day"])
+    d = DeltaLog(spark, path).detail()
+    assert d["format"] == "delta"
+    assert d["location"] == os.path.abspath(path)
+    assert d["partitionColumns"] == ["day"]
+    assert d["numFiles"] >= 1 and d["sizeInBytes"] > 0
+    assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 2
+    assert d["createdAt"] is not None and d["lastModified"] >= d["createdAt"]
+    shutil.rmtree(tmp)
