@@ -71,6 +71,22 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Fixed-work calibration probes, reported alongside the query timings:
+    # identical work every round, so round-over-round drift in these
+    # numbers measures the ENVIRONMENT (CPU steal, host class), not the
+    # engine. Compare query deltas against calibration deltas before
+    # reading them as regressions.
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1500, 1500))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a / np.linalg.norm(a)
+    calib_numpy = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id % 7)").collect()
+    calib_spark = round(time.perf_counter() - t0, 3)
+
     # Steady-state timing: each query runs twice and the faster run is
     # reported (standard min-of-N measurement — the first execution still
     # pays codegen/JIT/page-cache residue that isn't a property of the
@@ -95,6 +111,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration": {
+                    "numpy_matmul_sec": calib_numpy,
+                    "spark_range_sum_sec": calib_spark,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
