@@ -868,7 +868,11 @@ def test_restore_refuses_vacuumed_target(spark):
     path = f"{tmp}/t"
     delta_writer.write(spark, spark.range(0, 4), path, mode="overwrite")  # v0
     delta_writer.write(spark, spark.range(4, 6), path, mode="overwrite")  # v1
-    maintenance.vacuum(spark, path, retention_hours=0.0)                  # v2
+    import time as _t
+
+    _t.sleep(0.01)  # tombstone ts strictly before the retention cutoff
+    res = maintenance.vacuum(spark, path, retention_hours=0.0)            # v2
+    assert res["numDeletedFiles"] > 0
     with pytest.raises(RuntimeError, match="vacuum"):
         maintenance.restore(spark, path, 0)
     with pytest.raises(ValueError):
