@@ -174,6 +174,17 @@ def _active_rel_paths(spark: SparkSession, table_path: str) -> list[str]:
     ]
 
 
+def _norm_fields(schema: dict) -> list[dict]:
+    """Schema shape for equality checks: (name, type, nullable) only —
+    field METADATA (e.g. generation expressions) is table-level state
+    that an incoming batch never carries, so it must not count as a
+    schema difference."""
+    return [
+        {k: f.get(k) for k in ("name", "type", "nullable")}
+        for f in schema.get("fields", [])
+    ]
+
+
 def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bool):
     """For an append whose schema differs from the logged one: either raise
     (default) or — with ``merge_schema`` — align ``df`` to the merged
@@ -183,7 +194,7 @@ def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bo
 
     logged = DeltaLog(spark, table_path).metadata().get("schema")
     cur = json.loads(df.schema.json())
-    if logged is None or logged == cur:
+    if logged is None or _norm_fields(logged) == _norm_fields(cur):
         return df, False, None
     if not merge_schema:
         raise ValueError(
@@ -289,6 +300,89 @@ def drop_constraint(spark: SparkSession, table_path: str, name: str) -> int:
     return version + 1
 
 
+def _generated_columns(schema: dict | None) -> dict[str, str]:
+    """{column: generation expression} from the Delta-spec field metadata
+    key ``delta.generationExpression``."""
+    out: dict[str, str] = {}
+    for f in (schema or {}).get("fields", []):
+        g = (f.get("metadata") or {}).get("delta.generationExpression")
+        if g:
+            out[f["name"]] = g
+    return out
+
+
+def set_generated_column(
+    spark: SparkSession, table_path: str, col: str, expr: str
+) -> int:
+    """Declare ``col`` as a GENERATED column (Delta generated columns:
+    the generation expression lives in the schema field's metadata under
+    ``delta.generationExpression``). Subsequent writes compute the column
+    when the batch omits it and refuse batches whose provided values
+    disagree with the expression. Existing data is validated once here."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    meta = log.metadata()
+    schema = meta.get("schema") or {}
+    fields = [dict(f) for f in schema.get("fields", [])]
+    if col not in {f["name"] for f in fields}:
+        raise ValueError(f"column {col!r} not in table schema")
+    bad = (
+        log.snapshot()
+        .where(~F.col(col).eqNullSafe(F.expr(expr)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot declare {col!r} generated: existing rows violate ({expr})"
+        )
+    for f in fields:
+        if f["name"] == col:
+            md = dict(f.get("metadata") or {})
+            md["delta.generationExpression"] = expr
+            f["metadata"] = md
+    version = current_version(table_path)
+    _commit(
+        table_path,
+        version + 1,
+        [
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                    "partitionColumns": meta.get("partition_columns", []),
+                    "configuration": meta.get("configuration", {}),
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+            _commit_info("SET GENERATED COLUMN", {"column": col, "expr": expr}, {}),
+        ],
+    )
+    return version + 1
+
+
+def _fill_generated_columns(spark: SparkSession, df: DataFrame, table_path: str):
+    """Compute generated columns the batch omitted (Delta writer
+    behavior); provided values are checked in ``_validate_constraints``."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    if current_version(table_path) < 0:
+        return df
+    gens = _generated_columns(
+        DeltaLog(spark, table_path).metadata().get("schema")
+    )
+    for c, expr in gens.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(expr))
+    return df
+
+
 def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
     """One pass over the batch being written (NOT the table): every CHECK
     constraint and every non-nullable logged column is folded into a
@@ -311,7 +405,12 @@ def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
         for f in (meta.get("schema") or {}).get("fields", [])
         if f.get("nullable") is False and f["name"] in df.columns
     ]
-    if not checks and not not_null:
+    gens = {
+        c: expr
+        for c, expr in _generated_columns(meta.get("schema")).items()
+        if c in df.columns
+    }
+    if not checks and not not_null and not gens:
         return
     aggs = [
         F.sum(F.when(~F.expr(expr), 1).otherwise(0)).alias(f"c_{name}")
@@ -319,6 +418,11 @@ def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
     ] + [
         F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}")
         for c in not_null
+    ] + [
+        F.sum(
+            F.when(~F.col(c).eqNullSafe(F.expr(expr)), 1).otherwise(0)
+        ).alias(f"g_{c}")
+        for c, expr in gens.items()
     ]
     row = df.agg(*aggs).collect()[0]
     for name, expr in checks.items():
@@ -331,6 +435,12 @@ def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
         n = row[f"n_{c}"] or 0
         if n:
             raise ValueError(f"NOT NULL constraint violated: {c} has {n} null(s)")
+    for c, expr in gens.items():
+        n = row[f"g_{c}"] or 0
+        if n:
+            raise ValueError(
+                f"generated column {c!r} has {n} row(s) disagreeing with ({expr})"
+            )
 
 
 def write(
@@ -396,6 +506,7 @@ def write(
     merged_schema: dict | None = None
     logged_at_validation = _logged_schema()
     if version >= 0:
+        df = _fill_generated_columns(spark, df, table_path)
         if mode == "append":
             df, schema_changed, merged_schema = _merge_append_schema(
                 spark, df, table_path, merge_schema
@@ -403,7 +514,8 @@ def write(
         else:
             schema_changed = (
                 logged_at_validation is not None
-                and logged_at_validation != json.loads(df.schema.json())
+                and _norm_fields(logged_at_validation)
+                != _norm_fields(json.loads(df.schema.json()))
             )
 
     _validate_constraints(spark, df, table_path)
@@ -565,6 +677,7 @@ def merge(
         last = log.last_txn_version(txn_app_id)
         if last is not None and txn_version <= last:
             return current_version(table_path)  # replay of a committed batch
+    source = _fill_generated_columns(spark, source, table_path)
     _validate_constraints(spark, source, table_path)
     partition_by = log.partition_columns()
     keys = source.select(*key_cols).distinct()

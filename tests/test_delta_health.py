@@ -1018,3 +1018,40 @@ def test_describe_detail_fields(spark):
     assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 2
     assert d["createdAt"] is not None and d["lastModified"] >= d["createdAt"]
     shutil.rmtree(tmp)
+
+
+def test_generated_columns_fill_and_validate(spark):
+    """Generated columns (delta.generationExpression): a batch omitting
+    the column gets it computed; a batch providing disagreeing values is
+    refused; the declaration validates existing data; the expression
+    survives an overwrite that doesn't change the schema shape."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+
+    def df_of(*rows, with_double=True):
+        if with_double:
+            return spark.createDataFrame(list(rows), "id long, id2 long")
+        return spark.createDataFrame(list(rows), "id long")
+
+    delta_writer.write(spark, df_of((1, 2), (2, 4)), path, mode="overwrite")
+    with pytest.raises(ValueError, match="existing rows"):
+        delta_writer.set_generated_column(spark, path, "id2", "id * 3")
+    delta_writer.set_generated_column(spark, path, "id2", "id * 2")
+
+    # batch without the column: computed (no merge_schema needed)
+    delta_writer.write(spark, df_of((3,), with_double=False), path, mode="append")
+    got = {r.id: r.id2 for r in DeltaLog(spark, path).snapshot().collect()}
+    assert got == {1: 2, 2: 4, 3: 6}
+
+    # batch with wrong values: refused
+    with pytest.raises(ValueError, match="generated column"):
+        delta_writer.write(spark, df_of((4, 99)), path, mode="append")
+    # merge with omitted column: filled there too
+    delta_writer.merge(spark, path, df_of((4,), with_double=False), ["id"])
+    assert {r.id: r.id2 for r in DeltaLog(spark, path).snapshot().collect()}[4] == 8
+
+    # overwrite with the same shape keeps the generation expression
+    delta_writer.write(spark, df_of((7, 14)), path, mode="overwrite")
+    with pytest.raises(ValueError, match="generated column"):
+        delta_writer.write(spark, df_of((8, 0)), path, mode="append")
+    shutil.rmtree(tmp)
