@@ -1055,3 +1055,23 @@ def test_generated_columns_fill_and_validate(spark):
     with pytest.raises(ValueError, match="generated column"):
         delta_writer.write(spark, df_of((8, 0)), path, mode="append")
     shutil.rmtree(tmp)
+
+
+def test_shallow_clone_of_checkpointed_partitioned_source(spark):
+    """Clone a source whose log state comes from a CHECKPOINT: there the
+    partitionValues arrive as a map (checkpoint parquet cast), not a
+    struct — the clone read must resolve them identically."""
+    tmp = tempfile.mkdtemp()
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    delta_writer.write(spark, _tips_df(spark, 10, 5, 5), src,
+                       mode="overwrite", partition_by=["day"])
+    delta_writer.write(spark, _tips_df(spark, 2, 2, 2, offset=100), src,
+                       mode="append", partition_by=["day"])
+    DeltaLog(spark, src).checkpoint()
+    delta_writer.clone_shallow(spark, src, dst)
+    src_rows = sorted(map(tuple, DeltaLog(spark, src).snapshot().collect()))
+    cols = DeltaLog(spark, src).snapshot().columns
+    got = sorted(map(tuple, DeltaLog(spark, dst).snapshot().select(*cols).collect()))
+    assert got == src_rows
+    assert DeltaLog(spark, dst).snapshot().where(F.col("day") == "Mon").count() > 0
+    shutil.rmtree(tmp)
