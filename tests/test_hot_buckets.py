@@ -74,3 +74,32 @@ def test_lsh_degenerate_bucket_no_window(spark, degenerate_dir):
     assert all(r.bucket_size == n for r in rows)
     assert out.count() == n
     assert out.select("bucket").distinct().count() == 1
+
+
+def test_shingle_duplication_bounded_on_identical_corpus(spark, degenerate_dir):
+    """100k identical docs: every 8-token window collides into one hash
+    per position. The census must stay a grouped count + hash join (no
+    per-bucket window, no pair expansion) and report dup_fraction 1.0."""
+    from delta_lake_health_spark.plans.dedup import dedup_shingle_duplication
+
+    rows = dedup_shingle_duplication(spark, degenerate_dir).collect()
+    assert len(rows) == 1 and rows[0].source == "web"
+    assert rows[0].dup_fraction == 1.0
+    # 12-token text -> 5 distinct 8-windows per doc
+    assert rows[0].n_shingles == 5 * 100_000
+
+
+def test_shingle_scan_prunes_unused_columns(spark):
+    """The n-gram/shingle scan family must not read lang/n_chars off the
+    parquet — column pruning reaches the scan. Audited via the top-ngrams
+    query (the census itself materializes through localCheckpoint, which
+    truncates the visible plan at the checkpoint)."""
+    from delta_lake_health_spark.plans.text import text_top_ngrams
+
+    df = text_top_ngrams(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, "no scan found in plan"
+    for s in scans:
+        assert "lang" not in s and "n_chars" not in s, s[:200]
+        assert "text" in s
