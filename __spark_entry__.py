@@ -32,6 +32,7 @@ _VERIFY_FIRST = (
     "text_language_balance_sample",
     "dedup_keep_corpus",
     "events_daily_retention",
+    "pipeline_corpus_build",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

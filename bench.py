@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_shingle_duplication",
     "text_quality_scores",
     "text_split_contamination",
+    "pipeline_corpus_build",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "health_analyzer_report",

@@ -729,3 +729,103 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# X10 — the END-TO-END corpus build: quality filter (T9 rules) → near-dup
+# cluster dedup (keep component-min + singletons) → content-hash
+# train/val/test split, reported per (lang, split).  This is the whole
+# training-data pipeline as ONE declarative plan: Catalyst fuses the
+# filter and split into the scan projection, the dedup candidate graph is
+# the X3 posting-list pipeline (runs once), and the removed-doc set joins
+# back as a broadcast — so the end-to-end cost is the dedup pipeline plus
+# one narrow pass over the corpus.
+from delta_lake_health_spark.plans.text import (  # noqa: E402
+    STOPWORDS as _T_STOPS,
+    _SQL_BUCKET256,
+    _spark_bucket256,
+    gopher_flags,
+)
+
+_SQL_STOPS = ", ".join(f"'{w}'" for w in _T_STOPS)
+
+
+@query(
+    "pipeline_corpus_build",
+    f"""
+    WITH RECURSIVE {SQL_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand_pairs
+    ),
+    reach(doc, r) AS (
+      SELECT s, s FROM edges GROUP BY s
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc
+    ),
+    labels AS (SELECT doc AS doc_id, MIN(r) AS cluster FROM reach GROUP BY doc),
+    rem AS (SELECT doc_id FROM labels WHERE doc_id <> cluster),
+    base AS (
+      SELECT doc_id, lang, n_chars, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ({_SQL_STOPS}))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
+      FROM documents
+    ),
+    kept AS (
+      SELECT b.lang, b.n_chars,
+             CASE WHEN {_SQL_BUCKET256} < 204 THEN 'train'
+                  WHEN {_SQL_BUCKET256} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM base b LEFT JOIN rem USING (doc_id)
+      WHERE rem.doc_id IS NULL
+        AND b.n_tok >= 20 AND b.n_tok <= 100000
+        AND (b.n - b.n_tok + 1) / b.n_tok >= 2
+        AND (b.n - b.n_tok + 1) / b.n_tok <= 10
+        AND b.n_stop >= 2
+        AND b.n_dist / b.n_tok >= 0.2
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+    removed = (
+        labels.where(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+        .withColumn("_rm", F.lit(1))
+    )
+    flags = gopher_flags(docs, "doc_id", "lang", "n_chars", "text")
+    keep = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_distinct_ratio")
+    )
+    split = (
+        F.when(_spark_bucket256() < 204, "train")
+        .when(_spark_bucket256() < 230, "val")
+        .otherwise("test")
+    )
+    kept = (
+        flags.where(keep)
+        .join(F.broadcast(removed), "doc_id", "left")
+        .where(F.col("_rm").isNull())
+    )
+    return (
+        kept.groupBy("lang", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
