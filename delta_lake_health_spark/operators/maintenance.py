@@ -30,12 +30,19 @@ def compact(
     table_path: str,
     small_file_size: int = 32 * 1024 * 1024,
     target_file_size: int = TARGET_FILE_SIZE,
+    partition_filter: dict | None = None,
 ) -> dict:
     """Bin-pack files smaller than ``small_file_size`` into
     ~``target_file_size`` outputs (per partition directory), commit as
-    OPTIMIZE. Returns operation metrics."""
+    OPTIMIZE. ``partition_filter`` scopes the rewrite to matching
+    partitions (Delta's ``OPTIMIZE ... WHERE``) — evaluated on the LOG's
+    partitionValues, so out-of-scope data is never read. Returns
+    operation metrics."""
     log = DeltaLog(spark, table_path)
     active = log.active_files()
+    if partition_filter:
+        for k, v in partition_filter.items():
+            active = active.where(F.col("partitionValues")[k] == str(v))
     small = active.where(F.col("size") < small_file_size).collect()
     if len(small) < 2:
         return {"numRemovedFiles": 0, "numAddedFiles": 0, "skipped": True}
@@ -72,7 +79,10 @@ def compact(
     }
     actions.append(
         delta_writer._commit_info(
-            "OPTIMIZE", {"targetSize": target_file_size}, metrics
+            "OPTIMIZE",
+            {"targetSize": target_file_size,
+             **({"predicate": str(partition_filter)} if partition_filter else {})},
+            metrics,
         )
     )
     delta_writer._commit(

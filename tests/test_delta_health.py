@@ -1075,3 +1075,25 @@ def test_shallow_clone_of_checkpointed_partitioned_source(spark):
     assert got == src_rows
     assert DeltaLog(spark, dst).snapshot().where(F.col("day") == "Mon").count() > 0
     shutil.rmtree(tmp)
+
+
+def test_partition_scoped_compact(spark):
+    """OPTIMIZE ... WHERE: only the filtered partition's small files are
+    rewritten; other partitions' files are untouched."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    for k in range(3):
+        delta_writer.write(spark, _tips_df(spark, 6, 6, 6, offset=40 * k), path,
+                           mode="append", partition_by=["day"])
+    before = {
+        r.path for r in DeltaLog(spark, path).active_files().collect()
+    }
+    mon_before = {p for p in before if "day=Mon" in p}
+    other_before = before - mon_before
+    res = maintenance.compact(spark, path, partition_filter={"day": "Mon"})
+    assert res["numRemovedFiles"] == len(mon_before) >= 2
+    after = {r.path for r in DeltaLog(spark, path).active_files().collect()}
+    assert other_before <= after            # untouched partitions intact
+    assert not (mon_before & after)         # Mon files rewritten
+    assert DeltaLog(spark, path).snapshot().where(F.col("day") == "Mon").count() == 18
+    shutil.rmtree(tmp)
