@@ -33,6 +33,7 @@ _VERIFY_FIRST = (
     "dedup_keep_corpus",
     "events_daily_retention",
     "pipeline_corpus_build",
+    "events_funnel_strict_order",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -550,3 +550,60 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_date", "offset_days")
     )
+
+
+# --------------------------------------------------------------------------
+# E16 — strictly-ordered funnel: users whose first signup happened before
+# their first view, which happened before their first click, which
+# happened before their first purchase — each stage's count requires the
+# full ORDERED prefix (unlike E4's unordered conditional-min funnel).
+# One groupBy(user) with conditional min aggregates, then one tiny
+# summing pass: never a per-stage self-join.
+@query(
+    "events_funnel_strict_order",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_signup,
+           CAST(SUM(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_view,
+           CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_click
+                          AND t_click < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM firsts
+    """,
+)
+def events_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = F.col("t_signup") < F.col("t_view")
+    s3 = s2 & (F.col("t_view") < F.col("t_click"))
+    s4 = s3 & (F.col("t_click") < F.col("t_purchase"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("stage_signup"),
+        F.sum(s2.cast("long")).alias("stage_view"),
+        F.sum(s3.cast("long")).alias("stage_click"),
+        F.sum(s4.cast("long")).alias("stage_purchase"),
+    )
