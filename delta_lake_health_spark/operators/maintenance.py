@@ -121,12 +121,15 @@ def vacuum(
         folder.join(F.broadcast(live), "rel_path", "left_anti")
         .join(F.broadcast(tomb), "rel_path", "left")
     )
+    # inclusive cutoff: a tombstone stamped in the same millisecond as a
+    # zero-retention cutoff is already "past retention" (write always
+    # precedes the vacuum call)
     candidates = [
         r.rel_path
         for r in dead.collect()
         if (r.del_ts if r.del_ts is not None
             else int(os.path.getmtime(os.path.join(table_path, r.rel_path)) * 1000))
-        < cutoff_ms
+        <= cutoff_ms
     ]
     # DV sidecar dirs referenced by no retained dv action (dropped at
     # checkpoint time) are dead weight once past the retention window
@@ -138,7 +141,7 @@ def vacuum(
             rel = f"{delta_writer.DELETES_DIR}/{d}"
             full = os.path.join(deletes_root, d)
             if rel not in referenced and (
-                os.path.getmtime(full) * 1000 < cutoff_ms
+                os.path.getmtime(full) * 1000 <= cutoff_ms
             ):
                 dead_sidecars.append(rel)
 
