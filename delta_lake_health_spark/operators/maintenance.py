@@ -53,6 +53,7 @@ def compact(
 
     # DV-aware read: compacting raw parquet would resurrect soft-deleted rows
     df = log.read_data_files([r.path for r in small])
+    df = delta_writer._to_physical(spark, df, table_path)
     before = delta_writer._list_parquet_rel(table_path)
     writer = df.repartition(n_out).write.mode("append")
     if partition_by:
@@ -194,7 +195,9 @@ def apply_deletion_vectors(spark: SparkSession, table_path: str) -> dict:
     if not affected:
         return {"numRewrittenFiles": 0, "numAddedFiles": 0, "skipped": True}
 
-    survivors = log.read_data_files(affected)
+    survivors = delta_writer._to_physical(
+        spark, log.read_data_files(affected), table_path
+    )
 
     partition_by = log.partition_columns()
     before = delta_writer._list_parquet_rel(table_path)
@@ -291,6 +294,7 @@ def zorder_cluster(
         clustered = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
             *cluster_cols
         )
+    clustered = delta_writer._to_physical(spark, clustered, table_path)
     before = delta_writer._list_parquet_rel(table_path)
     writer = clustered.write.mode("append")
     if partition_by:

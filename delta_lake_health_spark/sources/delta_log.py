@@ -528,6 +528,35 @@ class DeltaLog:
     def partition_columns(self) -> list[str]:
         return self.metadata().get("partition_columns", [])
 
+    @staticmethod
+    def column_mapping(schema: dict | None) -> dict[str, str]:
+        """{logical name: physical name} for fields carrying the Delta
+        column-mapping key ``delta.columnMapping.physicalName``. Empty for
+        never-renamed tables (physical == logical)."""
+        out: dict[str, str] = {}
+        for f in (schema or {}).get("fields", []):
+            p = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            if p and p != f["name"]:
+                out[f["name"]] = p
+        return out
+
+    @staticmethod
+    def physical_schema(schema: dict) -> dict:
+        """The schema as written in data files: field names replaced by
+        their physical names (RENAME COLUMN is metadata-only, so files —
+        old and new — always carry physical names)."""
+        fields = []
+        for f in schema.get("fields", []):
+            p = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            fields.append({**f, "name": p} if p else f)
+        return {"type": "struct", "fields": fields}
+
+    def _rename_physical_to_logical(self, df: DataFrame, schema: dict) -> DataFrame:
+        mapping = self.column_mapping(schema)
+        if mapping:
+            df = df.withColumnsRenamed({p: l for l, p in mapping.items()})
+        return df
+
     def detail(self) -> dict:
         """``DESCRIBE DETAIL`` equivalent (the fields the reference's
         Spark analyzer consumes — delta_spark_analyzer.py:116-189:
@@ -650,7 +679,11 @@ class DeltaLog:
         abs_paths = [abs_of(r.path) for r in live]
         reader = self.spark.read
         if schema is not None:
-            data_fields = [f for f in schema["fields"] if f["name"] not in part_cols]
+            data_fields = [
+                f
+                for f in self.physical_schema(schema)["fields"]
+                if f["name"] not in part_cols
+            ]
             reader = reader.schema(
                 StructType.fromJson({"type": "struct", "fields": data_fields})
             )
@@ -660,7 +693,9 @@ class DeltaLog:
                 "_row_index", F.col("_metadata.row_index")
             )
         if not part_cols:
-            return df
+            return (
+                self._rename_physical_to_logical(df, schema) if schema else df
+            )
         decoded = F.url_decode(
             F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
         )
@@ -691,7 +726,7 @@ class DeltaLog:
             else:
                 df = df.withColumn(c, F.col(f"_pv_{c}"))
             df = df.drop(f"_pv_{c}")
-        return df
+        return self._rename_physical_to_logical(df, schema) if schema else df
 
     def read_data_files(self, rel_paths: list[str]) -> DataFrame:
         """Read specific live data files WITH deletion vectors applied —
@@ -729,11 +764,19 @@ class DeltaLog:
                 )
             return df.select(*out_cols)
         abs_paths = [os.path.join(self.table_path, p) for p in rel_paths]
-        df = self.spark.read.option("basePath", self.table_path).parquet(*abs_paths)
-        if dv is None:
-            return df
-        out_cols = df.columns
-        return self._apply_dv(df, dv).select(*out_cols)
+        schema = self.metadata().get("schema")
+        reader = self.spark.read.option("basePath", self.table_path)
+        if schema is not None:
+            reader = reader.schema(
+                StructType.fromJson(self.physical_schema(schema))
+            )
+        df = reader.parquet(*abs_paths)
+        if dv is not None:
+            out_cols = df.columns
+            df = self._apply_dv(df, dv).select(*out_cols)
+        if schema is not None:
+            df = self._rename_physical_to_logical(df, schema)
+        return df
 
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """The table's data as a DataFrame — reads ONLY the live files
@@ -787,11 +830,15 @@ class DeltaLog:
             abs_paths = [os.path.join(self.table_path, p) for p in paths]
             reader = self.spark.read.option("basePath", self.table_path)
             if schema is not None:
-                # read under the LOGGED schema: after schema evolution,
-                # files written before a column existed surface it as null
-                # instead of the reader picking whichever file schema it
-                # samples first
-                reader = reader.schema(StructType.fromJson(schema))
+                # read under the LOGGED schema — in PHYSICAL column names
+                # (files always carry physical names; RENAME COLUMN is
+                # metadata-only): after schema evolution, files written
+                # before a column existed surface it as null instead of
+                # the reader picking whichever file schema it samples
+                # first
+                reader = reader.schema(
+                    StructType.fromJson(self.physical_schema(schema))
+                )
             df = reader.parquet(*abs_paths)
             if dv is not None:
                 # apply position deletes: anti-join on (file, row position)
@@ -799,6 +846,8 @@ class DeltaLog:
                 # shuffles
                 out_cols = df.columns
                 df = self._apply_dv(df, dv).select(*out_cols)
+            if schema is not None:
+                df = self._rename_physical_to_logical(df, schema)
         if schema is not None:
             # the basePath reader appends hive partition columns at the
             # end; present columns in logged table-schema order
@@ -874,7 +923,9 @@ class DeltaLog:
             abs_paths = [os.path.join(self.table_path, p) for p in paths]
             reader = self.spark.read.option("basePath", self.table_path)
             if schema is not None:
-                reader = reader.schema(StructType.fromJson(schema))
+                reader = reader.schema(
+                    StructType.fromJson(self.physical_schema(schema))
+                )
             df = reader.parquet(*abs_paths)
             dv = self.deletion_vectors(as_of)
             if dv is not None:
@@ -883,6 +934,8 @@ class DeltaLog:
                 df = df.withColumn("_rel_path", self._rel_path_expr()).withColumn(
                     "_row_index", F.col("_metadata.row_index")
                 )
+            if schema is not None:
+                df = self._rename_physical_to_logical(df, schema)
         if schema is not None:
             df = df.select(
                 *[f["name"] for f in schema["fields"]], "_rel_path", "_row_index"
@@ -936,6 +989,10 @@ class DeltaLog:
         written before stats existed (no min/max) are conservatively
         kept. Z-order clustering narrows per-file intervals, which is
         exactly what makes this prune selective."""
+        # stats keys carry PHYSICAL column names (footer-derived)
+        column = self.column_mapping(self.metadata().get("schema")).get(
+            column, column
+        )
         lo_s = F.get_json_object(F.col("stats"), f"$.minValues.{column}")
         hi_s = F.get_json_object(F.col("stats"), f"$.maxValues.{column}")
         numeric = isinstance(lower, (int, float))

@@ -300,6 +300,131 @@ def drop_constraint(spark: SparkSession, table_path: str, name: str) -> int:
     return version + 1
 
 
+def _to_physical(spark: SparkSession, df: DataFrame, table_path: str) -> DataFrame:
+    """Rename logical -> physical column names just before writing data
+    files: RENAME COLUMN is metadata-only, so every data file — old and
+    new — carries PHYSICAL names. No-op for never-renamed tables."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    if current_version(table_path) < 0:
+        return df
+    mapping = DeltaLog.column_mapping(
+        DeltaLog(spark, table_path).metadata().get("schema")
+    )
+    if mapping:
+        df = df.withColumnsRenamed(mapping)
+    return df
+
+
+def _refuse_referenced(meta: dict, col: str, action: str) -> None:
+    """Renaming/dropping a column that a CHECK constraint or generation
+    expression references would silently break them — refuse, like Delta."""
+    import re
+
+    exprs = [
+        v
+        for k, v in meta.get("configuration", {}).items()
+        if k.startswith("delta.constraints.")
+    ]
+    for f in (meta.get("schema") or {}).get("fields", []):
+        g = (f.get("metadata") or {}).get("delta.generationExpression")
+        if g:
+            exprs.append(g)
+    for expr in exprs:
+        if re.search(rf"\b{re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {action} column {col!r}: referenced by a constraint "
+                f"or generation expression ({expr})"
+            )
+
+
+def _commit_schema_change(
+    spark: SparkSession, table_path: str, fields: list[dict],
+    operation: str, parameters: dict,
+) -> int:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    version = current_version(table_path)
+    _commit(
+        table_path,
+        version + 1,
+        [
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                    "partitionColumns": meta.get("partition_columns", []),
+                    "configuration": meta.get("configuration", {}),
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+            _commit_info(operation, parameters, {}),
+        ],
+    )
+    return version + 1
+
+
+def rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only via Delta column
+    mapping: the field keeps its PHYSICAL name (recorded under
+    ``delta.columnMapping.physicalName``), so no data file is rewritten;
+    readers rename physical -> logical at scan time. Partition columns
+    and columns referenced by constraints / generation expressions are
+    refused."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    schema = meta.get("schema") or {}
+    names = {f["name"] for f in schema.get("fields", [])}
+    if old not in names:
+        raise ValueError(f"column {old!r} not in table schema")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in meta.get("partition_columns", []):
+        raise ValueError(
+            f"cannot rename partition column {old!r} (directory layout is "
+            "physical)"
+        )
+    _refuse_referenced(meta, old, "rename")
+    fields = []
+    for f in schema["fields"]:
+        if f["name"] == old:
+            md = dict(f.get("metadata") or {})
+            md.setdefault("delta.columnMapping.physicalName", old)
+            fields.append({**f, "name": new, "metadata": md})
+        else:
+            fields.append(f)
+    return _commit_schema_change(
+        spark, table_path, fields, "RENAME COLUMN", {"from": old, "to": new}
+    )
+
+
+def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only: the field leaves the
+    logical schema; the data stays in the files and is simply never read
+    (Delta column-mapping drop semantics)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    schema = meta.get("schema") or {}
+    names = {f["name"] for f in schema.get("fields", [])}
+    if col not in names:
+        raise ValueError(f"column {col!r} not in table schema")
+    if col in meta.get("partition_columns", []):
+        raise ValueError(f"cannot drop partition column {col!r}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    _refuse_referenced(meta, col, "drop")
+    fields = [f for f in schema["fields"] if f["name"] != col]
+    return _commit_schema_change(
+        spark, table_path, fields, "DROP COLUMN", {"column": col}
+    )
+
+
 def _generated_columns(schema: dict | None) -> dict[str, str]:
     """{column: generation expression} from the Delta-spec field metadata
     key ``delta.generationExpression``."""
@@ -519,6 +644,10 @@ def write(
             )
 
     _validate_constraints(spark, df, table_path)
+    if not (mode == "overwrite" and schema_changed):
+        # files carry physical names; a schema-REPLACING overwrite resets
+        # the mapping (its metaData is re-emitted from the new df schema)
+        df = _to_physical(spark, df, table_path)
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
     if partition_by:
@@ -619,6 +748,7 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
     # rewrite survivors of the hit files only, preserving partitioning;
     # DV-aware read so soft-deleted positions don't resurrect
     survivors = log.read_data_files(sorted(hit_files)).where(~F.expr(predicate))
+    survivors = _to_physical(spark, survivors, table_path)
     partition_by = log.partition_columns()
     before = _list_parquet_rel(table_path)
     writer = survivors.write.mode("append")
@@ -695,11 +825,12 @@ def merge(
         survivors = log.read_data_files(sorted(hit_files)).join(
             F.broadcast(keys), key_cols, "left_anti"
         )
+        survivors = _to_physical(spark, survivors, table_path)
         writer = survivors.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(table_path)
-    src_writer = source.write.mode("append")
+    src_writer = _to_physical(spark, source, table_path).write.mode("append")
     if partition_by:
         src_writer = src_writer.partitionBy(*partition_by)
     src_writer.parquet(table_path)

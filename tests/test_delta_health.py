@@ -1097,3 +1097,93 @@ def test_partition_scoped_compact(spark):
     assert not (mon_before & after)         # Mon files rewritten
     assert DeltaLog(spark, path).snapshot().where(F.col("day") == "Mon").count() == 18
     shutil.rmtree(tmp)
+
+
+def test_rename_column_metadata_only(spark):
+    """RENAME COLUMN via column mapping: no file rewrite, old and new
+    files read under the new name, predicates/appends/deletes/compaction
+    work on the logical name, time travel shows the pre-rename schema."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+
+    def df_of(schema, *rows):
+        return spark.createDataFrame(list(rows), schema)
+
+    delta_writer.write(spark, df_of("id long, v long", (0, 0), (1, 10)), path,
+                       mode="overwrite")                               # v0
+    files_before = delta_writer._list_parquet_rel(path)
+    delta_writer.rename_column(spark, path, "v", "amount")             # v1
+    assert delta_writer._list_parquet_rel(path) == files_before  # no rewrite
+
+    log = DeltaLog(spark, path)
+    assert log.snapshot().columns == ["id", "amount"]
+    assert sorted((r.id, r.amount) for r in log.snapshot().collect()) == [
+        (0, 0), (1, 10),
+    ]
+    # append under the NEW name: file carries the physical (old) name
+    delta_writer.write(spark, df_of("id long, amount long", (2, 20)), path,
+                       mode="append")                                  # v2
+    snap = DeltaLog(spark, path).snapshot()
+    assert sorted((r.id, r.amount) for r in snap.collect()) == [
+        (0, 0), (1, 10), (2, 20),
+    ]
+    # logical-name predicate delete across old and new files
+    delta_writer.delete(spark, path, "amount = 10")                    # v3
+    assert sorted(r.id for r in DeltaLog(spark, path).snapshot().collect()) == [0, 2]
+    # compaction preserves the mapping
+    maintenance.compact(spark, path, small_file_size=32 * 1024 * 1024)
+    got = DeltaLog(spark, path).snapshot()
+    assert got.columns == ["id", "amount"]
+    assert sorted((r.id, r.amount) for r in got.collect()) == [(0, 0), (2, 20)]
+    # stats-based skipping works on the logical name
+    assert DeltaLog(spark, path).pruned_files("amount", 100, 200).count() == 0
+    # time travel to v0 reconstructs the pre-rename schema
+    assert DeltaLog(spark, path).snapshot(as_of=0).columns == ["id", "v"]
+    shutil.rmtree(tmp)
+
+
+def test_drop_column_and_refusals(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(
+        spark,
+        spark.createDataFrame([(0, 1, "x"), (1, 2, "y")], "id long, v long, s string"),
+        path, mode="overwrite",
+    )
+    delta_writer.set_constraint(spark, path, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        delta_writer.rename_column(spark, path, "v", "w")
+    with pytest.raises(ValueError, match="constraint"):
+        delta_writer.drop_column(spark, path, "v")
+    delta_writer.drop_column(spark, path, "s")
+    log = DeltaLog(spark, path)
+    assert log.snapshot().columns == ["id", "v"]
+    # appends no longer need (or accept) the dropped column
+    delta_writer.write(
+        spark, spark.createDataFrame([(2, 3)], "id long, v long"), path,
+        mode="append",
+    )
+    assert DeltaLog(spark, path).snapshot().count() == 3
+    with pytest.raises(ValueError, match="not in table schema"):
+        delta_writer.drop_column(spark, path, "nope")
+    shutil.rmtree(tmp)
+
+
+def test_rename_partitioned_data_column(spark):
+    """Rename of a non-partition column on a PARTITIONED table; partition
+    columns themselves are refused."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, _tips_df(spark, 6, 6, 6), path,
+                       mode="overwrite", partition_by=["day"])
+    with pytest.raises(ValueError, match="partition"):
+        delta_writer.rename_column(spark, path, "day", "weekday")
+    delta_writer.rename_column(spark, path, "total_bill", "bill")
+    snap = DeltaLog(spark, path).snapshot()
+    assert "bill" in snap.columns and "total_bill" not in snap.columns
+    assert snap.where(F.col("bill") > 0).count() == snap.count()
+    # merge by key under the renamed schema
+    upd = snap.limit(1).withColumn("bill", F.lit(999.0))
+    delta_writer.merge(spark, path, upd, ["day", "time", "size", "tip"])
+    assert DeltaLog(spark, path).snapshot().where(F.col("bill") == 999.0).count() >= 1
+    shutil.rmtree(tmp)
