@@ -1187,3 +1187,20 @@ def test_rename_partitioned_data_column(spark):
     delta_writer.merge(spark, path, upd, ["day", "time", "size", "tip"])
     assert DeltaLog(spark, path).snapshot().where(F.col("bill") == 999.0).count() >= 1
     shutil.rmtree(tmp)
+
+
+def test_shallow_clone_preserves_column_mapping(spark):
+    """Cloning a renamed table carries the column mapping: the clone
+    reads the source's physical-named files under the logical name."""
+    tmp = tempfile.mkdtemp()
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    delta_writer.write(
+        spark, spark.createDataFrame([(1, 5), (2, 6)], "id long, v long"),
+        src, mode="overwrite",
+    )
+    delta_writer.rename_column(spark, src, "v", "val")
+    delta_writer.clone_shallow(spark, src, dst)
+    got = DeltaLog(spark, dst).snapshot()
+    assert got.columns == ["id", "val"]
+    assert sorted((r.id, r.val) for r in got.collect()) == [(1, 5), (2, 6)]
+    shutil.rmtree(tmp)
