@@ -265,16 +265,21 @@ def zorder_cluster(
     cluster_cols: list[str],
     target_file_size: int = TARGET_FILE_SIZE,
     interleaved: bool = True,
+    partition_filter: dict | None = None,
 ) -> dict:
     """Z-ORDER clustering rewrite. With ``interleaved`` (default) rows are
     range-partitioned and sorted by a true bit-interleaved z-value, so
     min/max file stats become selective for EVERY cluster column
     (multi-dimensional locality, like Databricks OPTIMIZE ZORDER);
     ``interleaved=False`` falls back to lexicographic range-partitioning,
-    which only narrows the leading column. Rewrites the live set, commits
-    as OPTIMIZE."""
+    which only narrows the leading column. Rewrites the live set —
+    scoped to matching partitions when ``partition_filter`` is given
+    (``OPTIMIZE ... WHERE ... ZORDER BY``) — and commits as OPTIMIZE."""
     log = DeltaLog(spark, table_path)
     active = log.active_files()
+    if partition_filter:
+        for k, v in partition_filter.items():
+            active = active.where(F.col("partitionValues")[k] == str(v))
     live = active.collect()
     if not live:
         return {"numRemovedFiles": 0, "numAddedFiles": 0, "skipped": True}
@@ -282,7 +287,7 @@ def zorder_cluster(
     total_size = sum(r.size for r in live)
     n_out = max(1, math.ceil(total_size / target_file_size))
 
-    df = log.snapshot()
+    df = log.read_data_files([r.path for r in live])
     if interleaved and len(cluster_cols) > 1:
         zed = df.withColumn("_zval", _zvalue_column(df, cluster_cols))
         clustered = (

@@ -1204,3 +1204,23 @@ def test_shallow_clone_preserves_column_mapping(spark):
     assert got.columns == ["id", "val"]
     assert sorted((r.id, r.val) for r in got.collect()) == [(1, 5), (2, 6)]
     shutil.rmtree(tmp)
+
+
+def test_partition_scoped_zorder(spark):
+    """OPTIMIZE WHERE ... ZORDER BY: only the filtered partition is
+    rewritten and data is preserved everywhere."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, _tips_df(spark, 8, 8, 8), path,
+                       mode="overwrite", partition_by=["day"])
+    before = sorted(map(tuple, DeltaLog(spark, path).snapshot().collect()))
+    files_before = {r.path for r in DeltaLog(spark, path).active_files().collect()}
+    tue_before = {p for p in files_before if "day=Tue" in p}
+    res = maintenance.zorder_cluster(
+        spark, path, ["total_bill", "tip"], partition_filter={"day": "Tue"}
+    )
+    assert res["numRemovedFiles"] == len(tue_before) >= 1
+    after = {r.path for r in DeltaLog(spark, path).active_files().collect()}
+    assert (files_before - tue_before) <= after
+    assert sorted(map(tuple, DeltaLog(spark, path).snapshot().collect())) == before
+    shutil.rmtree(tmp)
