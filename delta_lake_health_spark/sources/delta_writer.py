@@ -578,6 +578,7 @@ def write(
     max_commit_retries: int = 10,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    checkpoint_interval: int | None = None,
 ) -> int:
     """Write ``df`` as a new Delta commit; returns the committed version.
 
@@ -698,6 +699,15 @@ def write(
         )
         try:
             _commit(table_path, next_version, actions)
+            if checkpoint_interval and next_version > 0 and (
+                next_version % checkpoint_interval == 0
+            ):
+                # Delta's periodic checkpoint (delta.checkpointInterval):
+                # fold the log so readers scan one parquet + a short tail
+                # instead of every commit JSON
+                from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+                DeltaLog(spark, table_path).checkpoint()
             return next_version
         except RuntimeError:
             if attempt == max_commit_retries:

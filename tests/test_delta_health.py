@@ -1224,3 +1224,19 @@ def test_partition_scoped_zorder(spark):
     assert (files_before - tue_before) <= after
     assert sorted(map(tuple, DeltaLog(spark, path).snapshot().collect())) == before
     shutil.rmtree(tmp)
+
+
+def test_periodic_auto_checkpoint(spark):
+    """write(checkpoint_interval=N) folds the log every N commits; reads
+    resolve through the checkpoint + tail and match the full replay."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    for k in range(7):
+        delta_writer.write(spark, spark.range(k * 3, k * 3 + 3), path,
+                           mode="append", checkpoint_interval=3)
+    log = DeltaLog(spark, path)
+    assert log.last_checkpoint() == 6
+    assert sorted(r.id for r in log.snapshot().collect()) == list(range(21))
+    # raw-JSON replay (time travel) agrees with the checkpointed read
+    assert DeltaLog(spark, path).snapshot(as_of=6).count() == 21
+    shutil.rmtree(tmp)
