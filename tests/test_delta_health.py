@@ -1240,3 +1240,25 @@ def test_periodic_auto_checkpoint(spark):
     # raw-JSON replay (time travel) agrees with the checkpointed read
     assert DeltaLog(spark, path).snapshot(as_of=6).count() == 21
     shutil.rmtree(tmp)
+
+
+def test_log_reader_handles_many_files(spark):
+    """A 500-file commit: snapshot, log-only record count, analyzer, and
+    checkpoint all work at file counts where any per-file driver loop or
+    quadratic log handling would visibly blow up."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/wide"
+    delta_writer.write(
+        spark, spark.range(0, 50_000).repartition(500), path, mode="overwrite"
+    )
+    log = DeltaLog(spark, path)
+    assert log.active_files().count() == 500
+    assert log.record_count() == 50_000          # log-only, no data scan
+    m = HealthAnalyzer(spark).analyze_table(path)
+    assert m.data_file_count == 500 and m.record_count == 50_000
+    assert m.small_files_count == 500 and m.needs_optimize
+    v = log.checkpoint()
+    log2 = DeltaLog(spark, path)
+    assert log2.last_checkpoint() == v
+    assert log2.snapshot().count() == 50_000
+    shutil.rmtree(tmp)
