@@ -34,6 +34,7 @@ _VERIFY_FIRST = (
     "events_daily_retention",
     "pipeline_corpus_build",
     "events_funnel_strict_order",
+    "events_session_window_native",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -607,3 +607,58 @@ def events_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s3.cast("long")).alias("stage_click"),
         F.sum(s4.cast("long")).alias("stage_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# E17 — native session windows: the same 30-minute-gap sessions expressed
+# with Spark's built-in ``session_window`` (one groupBy, JVM-side session
+# merge) instead of the explicit lag+cumsum sessionizer of E2 — the
+# operator a Spark-first user reaches for, validated against a from-first-
+# principles oracle. NOTE the boundary semantics: ``session_window``
+# starts a NEW session when the gap is >= the window (end is exclusive),
+# while E2's custom sessionizer treats an exactly-gap-sized silence as the
+# same session; the oracle mirrors the native rule.
+@query(
+    "events_session_window_native",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                  OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+      SELECT user_id, value, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM sid
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
