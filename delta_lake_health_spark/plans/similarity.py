@@ -191,16 +191,18 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTEs generated below.
 
 
-def _kmeans_centroids(emb: DataFrame) -> DataFrame:
-    """(cid, cent) after KMEANS_ITERS Lloyd rounds — broadcast centroids,
+def _kmeans_centroids(
+    emb: DataFrame, k: int = K_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """(cid, cent) after ``iters`` Lloyd rounds — broadcast centroids,
     one corpus pass per round (assignment), one (cid, dim) shuffle per
     round (mean recompute); the centroid table never leaves broadcast
     size, so this scales with corpus size, not corpus x corpus."""
-    cents = emb.where(F.col("vec_id") < K_CENTROIDS).select(
+    cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
         F.expr("transform(emb, v -> round(v, 6))").alias("cent"),
     )
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         c = cents.withColumn("cnrm", _norm("cent"))
         ccos = _dot("emb", "cent") / (F.col("nrm") * F.col("cnrm"))
         aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))

@@ -54,3 +54,38 @@ def test_lsh_buckets_partition_corpus(spark):
     assert n == len({r.vec_id for r in rows})  # one bucket per vector
     assert all(len(r.bucket) == sim.N_PLANES for r in rows)
     assert sum(r.bucket_size for r in rows) >= n  # sizes consistent
+
+
+def test_ivf_index_build_once_probe_many(spark):
+    """The reusable IVF index (build_ivf_index + search) returns exactly
+    the oracle-checked single-shot ann_ivf_topk result for the same
+    parameters, and serves a second query set without retraining."""
+    from delta_lake_health_spark.operators.ann_index import build_ivf_index, search
+    from delta_lake_health_spark.plans import similarity as S
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = S._emb(spark, sf).select("vec_id", "emb")
+    index = build_ivf_index(emb, k=S.K_CENTROIDS, iters=S.KMEANS_ITERS,
+                            nprobe=S.NPROBE)
+
+    q1 = emb.where(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    got = [
+        (r.q_id, r.vec_id, r.cosine, r.rn)
+        for r in search(index, q1, top_k=S.TOP_K, exclude_same_id=True).collect()
+    ]
+    want = [
+        (r.q_id, r.vec_id, r.cosine, r.rn)
+        for r in S.QUERIES["ann_ivf_topk"](spark, sf).collect()
+    ]
+    assert got == want
+
+    # a second, disjoint query set probes the SAME materialized index
+    q2 = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 104)).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    out2 = search(index, q2, top_k=3, exclude_same_id=True).collect()
+    assert {r.q_id for r in out2} == {100, 101, 102, 103}
+    assert all(r.rn <= 3 and -1.0 <= r.cosine <= 1.0 for r in out2)
