@@ -1,0 +1,34 @@
+"""Guards on the __spark_entry__ driver contract itself: a typo in the
+front-loaded verification list or an oracle key without a query would
+silently shrink the correctness surface the driver checks."""
+
+from __future__ import annotations
+
+import __spark_entry__ as e
+
+
+def test_registry_integrity():
+    qs, orc = e.queries(), e.oracle_sql()
+    assert len(qs) >= 85
+    # every oracle belongs to a registered query
+    assert set(orc) <= set(qs)
+    # every front-loaded name actually resolves (no silent drops)
+    missing = [n for n in e._VERIFY_FIRST if n not in qs]
+    assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
+    # front-loaded names come first, in order
+    assert list(qs)[: len(e._VERIFY_FIRST)] == [
+        n for n in e._VERIFY_FIRST if n in qs
+    ]
+    # only the three by-design rows-only queries lack oracles
+    assert sorted(set(qs) - set(orc)) == [
+        "events_windowed_hll_users",
+        "sketch_approx_distinct",
+        "sketch_approx_percentiles",
+    ]
+
+
+def test_entry_is_flagship_q1(spark):
+    df = e.entry(spark)
+    assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
+    rows = df.collect()
+    assert len(rows) >= 1
