@@ -35,6 +35,8 @@ _VERIFY_FIRST = (
     "pipeline_corpus_build",
     "events_funnel_strict_order",
     "events_session_window_native",
+    "text_length_histogram",
+    "events_activity_heatmap",
     # never driver-verified before round 3
     "dedup_simhash",
     "dedup_ngram_jaccard",

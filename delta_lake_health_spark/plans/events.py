@@ -662,3 +662,33 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# E18 — activity heatmap: events per (day-of-week, hour) — the load
+# profile behind capacity planning. Engines disagree on DOW origin
+# (Spark Sunday=1, DuckDB Sunday=0), so the oracle shifts by one.
+@query(
+    "events_activity_heatmap",
+    """
+    SELECT CAST(EXTRACT(DOW FROM ts) + 1 AS INT) AS dow,
+           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour_of_day
+    """,
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )

@@ -630,3 +630,34 @@ def text_language_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T13 — document-length histogram: 50-char buckets capped at 550+, the
+# distribution profile a curation dashboard shows before choosing length
+# cutoffs. Pure integer bucket arithmetic (identical both engines), one
+# narrow pass + one tiny groupBy.
+@query(
+    "text_length_histogram",
+    """
+    SELECT LEAST(11, CAST(FLOOR(n_chars / 50.0) AS INT)) AS bucket,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(11), F.floor(F.col("n_chars") / 50.0).cast("int"))
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
