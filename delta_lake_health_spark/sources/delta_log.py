@@ -483,10 +483,11 @@ class DeltaLog:
 
     # -- history / metadata ------------------------------------------------
 
-    def history(self) -> DataFrame:
+    def history(self, limit: int | None = None) -> DataFrame:
         """DESCRIBE HISTORY equivalent: version, timestamp, operation,
-        operationParameters, operationMetrics — newest first."""
-        return (
+        operationParameters, operationMetrics — newest first; ``limit``
+        keeps only the most recent N commits (`DESCRIBE HISTORY ... LIMIT`)."""
+        out = (
             self.actions()
             .where(F.col("commitInfo").isNotNull())
             .select(
@@ -498,6 +499,7 @@ class DeltaLog:
             )
             .orderBy(F.desc("version"))
         )
+        return out.limit(limit) if limit is not None else out
 
     def version(self) -> int:
         row = self.actions().agg(F.max("version").alias("v")).collect()[0]

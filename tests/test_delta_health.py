@@ -1262,3 +1262,15 @@ def test_log_reader_handles_many_files(spark):
     assert log2.last_checkpoint() == v
     assert log2.snapshot().count() == 50_000
     shutil.rmtree(tmp)
+
+
+def test_history_limit(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    for k in range(4):
+        delta_writer.write(spark, spark.range(k, k + 1), path, mode="append")
+    log = DeltaLog(spark, path)
+    rows = log.history(limit=2).collect()
+    assert [r.version for r in rows] == [3, 2]  # newest first, capped
+    assert log.history().count() == 4
+    shutil.rmtree(tmp)
