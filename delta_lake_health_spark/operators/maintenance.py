@@ -375,6 +375,15 @@ def restore(spark: SparkSession, table_path: str, to_version: int) -> dict:
         .select(F.col("dv.path").alias("path"))
         .collect()
     ]
+    # A sidecar that checkpoint-GC retired and vacuum physically deleted
+    # can be skipped, not failed on: GC only drops a dv action once its
+    # target file is dead (rewritten by apply_deletion_vectors or
+    # removed), so a vanished sidecar cannot taint any old_live file —
+    # the vacuumed-file guard above already caught the cases where the
+    # restore target itself is gone.
+    late_dv = [  # sidecars are parquet directories -> exists, not isfile
+        p for p in late_dv if os.path.exists(os.path.join(table_path, p))
+    ]
     tainted: set[str] = set()
     if late_dv:
         dvdf = spark.read.parquet(

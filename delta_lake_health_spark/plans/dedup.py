@@ -521,6 +521,73 @@ ORACLE["dedup_embedding_cosine"] = _cosine_oracle_sql()
 CLUSTER_MAX_ROUNDS = 50  # safety bound; dup clusters converge in a few
 
 
+def propagate_min_labels(edges: DataFrame) -> DataFrame:
+    """Connected components over an undirected edge list (``doc_a``,
+    ``doc_b``, both directions present) via iterative min-label
+    propagation. Returns (doc_id, cluster).
+
+    Convergence check: labels only DECREASE under min-propagation, so
+    for NUMERIC ids the label sum is strictly decreasing until the fixed
+    point — one cheap aggregate over the just-materialized labels
+    instead of a labels-vs-labels join per round (decimal sum: exact, no
+    overflow at any corpus size). For non-numeric ids the decimal cast
+    would yield an all-null sum (None == None would exit after one
+    round, silently unconverged), so those fall back to an any-changed
+    probe: an old-vs-new join that stops at the first changed row."""
+    from pyspark.sql.types import NumericType
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    numeric_ids = isinstance(labels.schema["cluster"].dataType, NumericType)
+
+    def _label_sum(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        if row.n and row.s is None:
+            raise AssertionError(
+                "label-sum convergence probe returned null on a numeric "
+                "id column — cannot trust convergence"
+            )
+        return row.s
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
+    for _ in range(CLUSTER_MAX_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        prev_labels = labels
+        labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        if numeric_ids:
+            new_sum = _label_sum(labels)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            changed = (
+                labels.alias("n")
+                .join(prev_labels.alias("o"), "doc_id")
+                .where(F.col("n.cluster") != F.col("o.cluster"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+    return labels
+
+
 @query(
     "dedup_clusters",
     f"""
@@ -549,39 +616,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()  # pairs pipeline runs once; iterations reuse it
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    # Convergence check: labels only DECREASE under min-propagation, so
-    # the label sum is strictly decreasing until the fixed point — one
-    # cheap aggregate over the just-materialized labels instead of a
-    # labels-vs-labels join per round (decimal sum: exact, no overflow at
-    # any corpus size).
-    def _label_sum(df):
-        return df.agg(
-            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
-
-    prev_sum = _label_sum(labels)
-    for _ in range(CLUSTER_MAX_ROUNDS):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster").alias("cluster"))
-        )
-        labels = (
-            labels.unionByName(neighbor_min)
-            .groupBy("doc_id")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
-        )
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    labels = propagate_min_labels(edges)
     # cluster sizes via groupBy + broadcast join, not a window: one giant
     # duplicate cluster would otherwise land whole on a single partition
     # (labels is already localCheckpointed, so no recompute)

@@ -149,18 +149,28 @@ def _commit_info(operation: str, parameters: dict, metrics: dict) -> dict:
 
 
 def _metadata_action(
-    df: DataFrame, partition_by: list[str], schema: dict | None = None
+    df: DataFrame,
+    partition_by: list[str],
+    schema: dict | None = None,
+    existing: dict | None = None,
 ) -> dict:
     """``schema`` overrides the logged schemaString — schema evolution
     logs the MERGED schema (evolution-added columns nullable), not the
-    incoming batch's expression nullability."""
+    incoming batch's expression nullability.
+
+    ``existing`` is the table's current metadata when re-emitting
+    metaData on an already-created table: the table id is stable for the
+    table's lifetime and the configuration (``delta.constraints.*``,
+    other properties) must survive schema evolution — only the
+    schemaString changes. Omitting it is only correct at version 0."""
+    existing = existing or {}
     return {
         "metaData": {
-            "id": str(uuid.uuid4()),
+            "id": existing.get("id") or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(schema) if schema else df.schema.json(),
             "partitionColumns": list(partition_by),
-            "configuration": {},
+            "configuration": dict(existing.get("configuration") or {}),
             "createdTime": int(time.time() * 1000),
         }
     }
@@ -621,16 +631,17 @@ def write(
     if _already_committed():
         return current_version(table_path)
 
-    def _logged_schema():
+    def _logged_meta():
         if current_version(table_path) < 0:
             return None
         from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-        return DeltaLog(spark, table_path).metadata().get("schema")
+        return DeltaLog(spark, table_path).metadata()
 
     schema_changed = False
     merged_schema: dict | None = None
-    logged_at_validation = _logged_schema()
+    meta_at_validation = _logged_meta()
+    logged_schema = (meta_at_validation or {}).get("schema")
     if version >= 0:
         df = _fill_generated_columns(spark, df, table_path)
         if mode == "append":
@@ -639,8 +650,8 @@ def write(
             )
         else:
             schema_changed = (
-                logged_at_validation is not None
-                and _norm_fields(logged_at_validation)
+                logged_schema is not None
+                and _norm_fields(logged_schema)
                 != _norm_fields(json.loads(df.schema.json()))
             )
 
@@ -674,8 +685,14 @@ def write(
             actions.append(_metadata_action(df, partition_by))
         elif schema_changed:
             # schema-changing write: re-emit metaData so snapshot() of a
-            # later-emptied table reconstructs the NEW schema
-            actions.append(_metadata_action(df, partition_by, merged_schema))
+            # later-emptied table reconstructs the NEW schema; table id and
+            # configuration (constraints) carry over from the current
+            # metadata — re-emitting must not drop them
+            actions.append(
+                _metadata_action(
+                    df, partition_by, merged_schema, existing=meta_at_validation
+                )
+            )
         actions.extend(adds)
         now = int(time.time() * 1000)
         for rel in removed:
@@ -717,10 +734,11 @@ def write(
                 # the colliding commit was this very transaction (a
                 # concurrent replay of the same batch) — don't double-write
                 return version
-            if _logged_schema() != logged_at_validation:
-                # the winning commit evolved the table schema; this
-                # write's alignment/metadata was validated against the old
-                # one — committing it would silently clobber the evolution
+            if _logged_meta() != meta_at_validation:
+                # the winning commit changed the table metadata (schema
+                # evolution, constraint add/drop, rename); this write's
+                # alignment/validation/metaData re-emit all used the old
+                # one — committing it would silently clobber the change
                 raise RuntimeError(
                     "concurrent schema change during commit retry; "
                     "re-run the write against the new table schema"

@@ -1274,3 +1274,71 @@ def test_history_limit(spark):
     assert [r.version for r in rows] == [3, 2]  # newest first, capped
     assert log.history().count() == 4
     shutil.rmtree(tmp)
+
+
+def test_schema_evolution_preserves_configuration_and_table_id(spark):
+    """Re-emitting metaData on a schema-evolving commit must carry the
+    existing table configuration (delta.constraints.* keep being
+    enforced) and the existing table id (stable for the table's
+    lifetime, like Delta) — not a fresh uuid and an empty config."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+
+    def df_of(*rows):
+        return spark.createDataFrame(list(rows), "id long, v long")
+
+    delta_writer.write(spark, df_of((0, 0), (1, 10)), path, mode="overwrite")
+    delta_writer.set_constraint(spark, path, "v_nonneg", "v >= 0")
+    table_id = DeltaLog(spark, path).metadata()["id"]
+
+    # schema-evolving append re-emits metaData
+    wide = spark.createDataFrame([(2, 20, "x")], "id long, v long, tag string")
+    delta_writer.write(spark, wide, path, mode="append", merge_schema=True)
+    meta = DeltaLog(spark, path).metadata()
+    assert meta["configuration"].get("delta.constraints.v_nonneg") == "v >= 0"
+    assert meta["id"] == table_id
+    # ... and the constraint is still enforced afterwards
+    with pytest.raises(ValueError, match="v_nonneg"):
+        delta_writer.write(
+            spark,
+            spark.createDataFrame([(3, -1, "y")], "id long, v long, tag string"),
+            path, mode="append",
+        )
+
+    # schema-replacing overwrite also preserves id + configuration
+    delta_writer.write(
+        spark,
+        spark.createDataFrame([(4, 40, 1.0)], "id long, v long, w double"),
+        path, mode="overwrite",
+    )
+    meta2 = DeltaLog(spark, path).metadata()
+    assert meta2["id"] == table_id
+    assert meta2["configuration"].get("delta.constraints.v_nonneg") == "v >= 0"
+    shutil.rmtree(tmp)
+
+
+def test_restore_tolerates_vacuumed_dv_sidecar(spark):
+    """A DV sidecar that checkpoint-GC retired and vacuum deleted must
+    not break restore: the retired vector's target files were already
+    rewritten, so the vanished sidecar cannot taint the restored
+    snapshot and is skipped instead of read."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])                           # v0
+    n0 = DeltaLog(spark, path).snapshot().count()
+    delta_writer.delete_with_dv(spark, path, "total_bill > 40")        # v1
+    maintenance.apply_deletion_vectors(spark, path)                    # v2
+    DeltaLog(spark, path).checkpoint()  # drops the retired dv action
+    deletes_root = os.path.join(path, delta_writer.DELETES_DIR)
+    old = 1_000_000_000
+    for d in os.listdir(deletes_root):
+        os.utime(os.path.join(deletes_root, d), (old, old))
+    res = maintenance.vacuum(spark, path, retention_hours=1.0)
+    assert res["numDeletedDvSidecars"] == 1
+
+    # v0's data files survived the retention window; the only vanished
+    # artifact is the retired sidecar — restore must succeed
+    maintenance.restore(spark, path, 0)
+    assert DeltaLog(spark, path).snapshot().count() == n0
+    shutil.rmtree(tmp)

@@ -106,3 +106,25 @@ def test_dedup_clusters_consistent_with_pairs(spark):
     for a, b in pairs:
         assert clusters[a] == clusters[b], (a, b)
     assert all(c <= d for d, c in clusters.items())  # cluster id is a min
+
+
+def test_propagate_min_labels_non_numeric_ids(spark):
+    """The convergence probe must not rely on a decimal cast for string
+    ids (the cast nulls out and would fake instant convergence); the
+    changed-count fallback must still run propagation to the fixed
+    point. Chain a-b-c-d needs >1 round to converge, plus a separate
+    pair and a self-edge singleton."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.dedup import propagate_min_labels
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("a", "b"), ("x", "y"), ("z", "z")],
+        "doc_a string, doc_b string",
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    got = {r.doc_id: r.cluster for r in propagate_min_labels(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x", "z": "z"}
