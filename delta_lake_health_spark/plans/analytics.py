@@ -1485,3 +1485,47 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Catalog-SQL end-to-end: the same engine surface, driven ENTIRELY through
+# ``spark.sql`` over catalog-registered temp views (SURVEY §3's "every query
+# is also runnable as spark.sql" claim, proven at the driver level). The
+# Spark side registers the testdata tables via sources/catalog.register_all
+# and hands Catalyst one SQL string — dim broadcasts via hint, everything
+# else (pushdown, pruning, partial aggs) falls out of the declarative plan
+# exactly as with the DataFrame API.
+@query(
+    "catalog_sql_revenue_by_nation",
+    """
+    SELECT n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o_orderkey)                        AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def catalog_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(customer), BROADCAST(nation) */
+               n_name AS nation,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(DISTINCT o_orderkey)                        AS n_orders
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1997-01-01'
+        GROUP BY n_name
+        ORDER BY nation
+        """
+    )
