@@ -8,14 +8,25 @@ k-means coarse quantizer ONCE and materializes the inverted lists
 bucketed by cid); every subsequent ``search`` is just nprobe broadcast
 lookups + an exact rerank inside the probed lists.
 
-Scale shape: the centroid table is broadcast-sized by construction
-(k entries); the inverted lists are the corpus re-keyed by cid — searches
-shuffle only the (query x nprobe) probe rows against them, never
-corpus x corpus.
+Scale shape (100 TB corpus):
+
+- ``k`` defaults to ~sqrt(N) (floor 8) so each inverted list is ~sqrt(N)
+  rows — a fixed small k would make every list corpus/k and turn the
+  probe join into a k-value-key shuffle (skew/straggler magnet).
+- Inverted lists wider than ``max_list_rows`` are SUB-BUCKETED on a row
+  hash: the probe join key becomes (cid, sub), so one hot centroid
+  spreads over ceil(|list|/budget) shuffle partitions instead of landing
+  whole on one task. Probes replicate per sub via a broadcast of the
+  k-row (cid, n_subs) table — results are identical, only the
+  partitioning changes.
+- The centroid table is broadcast-sized by construction (k entries);
+  searches shuffle only the (query x nprobe x subs) probe rows against
+  the lists, never corpus x corpus.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -28,26 +39,42 @@ from delta_lake_health_spark.plans.similarity import (
     _norm,
 )
 
+MIN_K = 8
+
 
 @dataclass
 class IvfIndex:
-    """Materialized coarse quantizer + inverted lists."""
+    """Materialized coarse quantizer + sub-bucketed inverted lists."""
 
     centroids: DataFrame  # (cid, cent, cnrm) — broadcast-sized
-    lists: DataFrame      # (cid, vec_id, emb, nrm) — corpus keyed by cid
+    lists: DataFrame      # (cid, sub, vec_id, emb, nrm) — corpus keyed by (cid, sub)
+    subs: DataFrame       # (cid, n_subs) — broadcast-sized, one row per centroid
     k: int
     nprobe_default: int
+    max_list_rows: int
 
 
 def build_ivf_index(
-    emb: DataFrame, k: int = 8, iters: int = 3, nprobe: int = 3
+    emb: DataFrame,
+    k: int | None = None,
+    iters: int = 3,
+    nprobe: int = 3,
+    max_list_rows: int = 1_000_000,
 ) -> IvfIndex:
     """Train the quantizer on ``emb`` (vec_id, emb) and materialize the
     inverted lists. Deterministic: k-means init = lowest vec_ids, fixed
-    Lloyd rounds — same family the oracle-checked query uses."""
+    Lloyd rounds — same family the oracle-checked query uses.
+
+    ``k=None`` derives the centroid count from the corpus size
+    (~sqrt(N), floor ``MIN_K``); lists longer than ``max_list_rows``
+    are split into hash sub-buckets so no single (cid) key exceeds the
+    partition-width budget at shuffle time."""
     embn = emb.select(
         "vec_id", "emb", _norm("emb").alias("nrm")
     ).localCheckpoint()
+    if k is None:
+        n = embn.count()  # embn is materialized; this is a cached-scan count
+        k = max(MIN_K, min(int(math.isqrt(n)), n or 1))
     cents = (
         _kmeans_centroids(embn, k=k, iters=iters)
         .withColumn("cnrm", _norm("cent"))
@@ -55,7 +82,7 @@ def build_ivf_index(
     )
     ccos = _dot("emb", "cent") / (F.col("nrm") * F.col("cnrm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
-    lists = (
+    assigned = (
         embn.join(F.broadcast(cents), how="cross")
         .select("vec_id", "emb", "nrm", "cid", ccos.alias("ccos"))
         .withColumn("rn", F.row_number().over(w))
@@ -63,7 +90,38 @@ def build_ivf_index(
         .select("cid", "vec_id", "emb", "nrm")
         .localCheckpoint()
     )
-    return IvfIndex(centroids=cents, lists=lists, k=k, nprobe_default=nprobe)
+    # k-row table: how many hash sub-buckets each inverted list needs to
+    # keep every (cid, sub) group within the width budget
+    subs = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("list_rows"))
+        .select(
+            "cid",
+            F.ceil(F.col("list_rows") / F.lit(max_list_rows))
+            .cast("int")
+            .alias("n_subs"),
+        )
+        .localCheckpoint()
+    )
+    lists = (
+        assigned.join(F.broadcast(subs), "cid")
+        .select(
+            "cid",
+            F.pmod(F.xxhash64("vec_id"), F.col("n_subs")).cast("int").alias("sub"),
+            "vec_id",
+            "emb",
+            "nrm",
+        )
+        .localCheckpoint()
+    )
+    return IvfIndex(
+        centroids=cents,
+        lists=lists,
+        subs=subs,
+        k=k,
+        nprobe_default=nprobe,
+        max_list_rows=max_list_rows,
+    )
 
 
 def search(
@@ -90,7 +148,17 @@ def search(
         .where(F.col("prn") <= nprobe)
         .select("q_id", "q_emb", "qnrm", "cid")
     )
-    scored = probes.join(index.lists, "cid").select(
+    # replicate each probe across its list's sub-buckets (broadcast of the
+    # k-row subs table) so the rerank join key is (cid, sub) — a hot list
+    # fans out over n_subs shuffle partitions instead of one
+    probes = probes.join(F.broadcast(index.subs), "cid").select(
+        "q_id",
+        "q_emb",
+        "qnrm",
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.col("n_subs") - 1)).alias("sub"),
+    )
+    scored = probes.join(index.lists, ["cid", "sub"]).select(
         "q_id",
         "vec_id",
         (

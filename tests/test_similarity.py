@@ -89,3 +89,44 @@ def test_ivf_index_build_once_probe_many(spark):
     out2 = search(index, q2, top_k=3, exclude_same_id=True).collect()
     assert {r.q_id for r in out2} == {100, 101, 102, 103}
     assert all(r.rn <= 3 and -1.0 <= r.cosine <= 1.0 for r in out2)
+
+
+def test_ivf_index_scale_parameters(spark):
+    """100 TB guard-rails of the reusable index: k derives from corpus
+    size (~sqrt N, floor 8) instead of a fixed 8, and an inverted list
+    wider than max_list_rows is hash-split into (cid, sub) groups so no
+    single shuffle key carries the whole hot list. Results stay exact:
+    probing all lists returns the true cosine ranking."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.operators.ann_index import build_ivf_index, search
+
+    # heavily skewed synthetic corpus: 400 near-identical vectors — with
+    # k-means init on the lowest ids they all land in one inverted list
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+    idx = build_ivf_index(emb, k=4, iters=2, nprobe=4, max_list_rows=50)
+    widths = idx.lists.groupBy("cid", "sub").count().collect()
+    # every list wider than the 50-row budget was split ceil(width/50) ways
+    list_rows = {r.cid: r["count"] for r in idx.lists.groupBy("cid").count().collect()}
+    n_subs_of = {r.cid: r.n_subs for r in idx.subs.collect()}
+    assert all(n_subs_of[c] == -(-w // 50) for c, w in list_rows.items())
+    assert max(n_subs_of.values()) >= 2  # the skew actually triggered a split
+    # hash split: expected width = budget; allow 2x variance, never the
+    # unsplit 400-row list on one key
+    assert max(r["count"] for r in widths) <= 100
+    # sub ids stay within each list's declared fan-out
+    max_sub = idx.lists.groupBy("cid").agg(F.max("sub").alias("m")).collect()
+    assert all(r.m < n_subs_of[r.cid] for r in max_sub)
+
+    # k=None derives ~sqrt(N): isqrt(400) = 20
+    assert build_ivf_index(emb, iters=1).k == 20
+
+    # correctness through the sub-bucketed join: nprobe=k is exhaustive,
+    # so top-3 of query 0 must be the true cosine order 1, 2, 3
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    got = search(idx, q, top_k=3, exclude_same_id=True).collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
