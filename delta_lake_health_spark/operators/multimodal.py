@@ -103,25 +103,32 @@ def encode_video(media_id: int, width: int, height: int, n_frames: int) -> bytes
     return MAGIC_VID + struct.pack("<III", width, height, n_frames) + frames
 
 
-def encode_bmp(media_id: int, width: int, height: int) -> bytes:
-    """A REAL 24-bit uncompressed BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) with
-    deterministic per-pixel bytes — an actual image format any viewer
-    opens, so the decode path runs on genuine image bytes even though
-    the container ships no codec library."""
-    row_size = (width * 3 + 3) & ~3
+def encode_bmp(media_id: int, width: int, height: int, bpp: int = 24) -> bytes:
+    """A REAL uncompressed BI_RGB BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows; 24-bit BGR with 4-byte row padding
+    or 32-bit BGRA) with deterministic per-pixel bytes — an actual image
+    format any viewer opens, so the decode path runs on genuine image
+    bytes even though the container ships no codec library. The BGR
+    channel bytes are identical for both depths; 32-bit adds an 0xFF
+    alpha byte per pixel."""
+    if bpp not in (24, 32):
+        raise ValueError(f"bpp must be 24 or 32, got {bpp}")
+    px_size = bpp // 8
+    row_size = (width * px_size + 3) & ~3  # 32-bit rows are already aligned
     rows = []
     for y in range(height):
         row = bytearray()
         for x in range(width):
             row += hashlib.sha256(f"bmp:{media_id}:{x}:{y}".encode()).digest()[:3]
+            if bpp == 32:
+                row += b"\xff"
         row += b"\x00" * (row_size - len(row))
         rows.append(bytes(row))
     data = b"".join(reversed(rows))  # BMP stores rows bottom-up
     pixel_bytes = row_size * height
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 54)
     info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, pixel_bytes,
         2835, 2835, 0, 0,
     )
     return header + info + data
@@ -131,30 +138,38 @@ def _decode_bmp_header(payload: bytes) -> dict:
     w, h = struct.unpack("<ii", payload[18:26])
     bpp = struct.unpack("<H", payload[28:30])[0]
     compression = struct.unpack("<I", payload[30:34])[0]
-    if bpp != 24 or compression != 0:
+    if bpp not in (24, 32) or compression != 0:
         raise NotImplementedError(
-            f"only 24-bit uncompressed BMP decodes here (bpp={bpp}, "
-            f"compression={compression})"
+            f"only 24/32-bit uncompressed (BI_RGB) BMP decodes here "
+            f"(bpp={bpp}, compression={compression})"
         )
     height = abs(h)  # negative height = top-down row order
+    # n_bytes = decoded BGR bytes (alpha stripped for 32-bit): 3 per pixel
     return {"width": w, "height": height, "n_frames": 1,
             "n_bytes": w * height * 3}
 
 
 def bmp_pixels(payload: bytes) -> bytes:
-    """Decode a 24-bit uncompressed BMP to top-down BGR pixel bytes —
+    """Decode a 24/32-bit uncompressed BMP to top-down BGR pixel bytes —
     the real pixel decode: reads the data offset from the file header,
-    strips the per-row 4-byte padding, and un-flips the bottom-up row
-    order."""
+    strips the per-row 4-byte padding (24-bit) or the per-pixel alpha
+    byte (32-bit), and un-flips the bottom-up row order. Both depths of
+    the same image decode to identical BGR bytes."""
     data_offset = struct.unpack("<I", payload[10:14])[0]
     w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
     _decode_bmp_header(payload)  # validates bpp/compression
     height = abs(h)
-    row_size = (w * 3 + 3) & ~3
-    rows = [
-        payload[data_offset + r * row_size : data_offset + r * row_size + w * 3]
-        for r in range(height)
-    ]
+    px_size = bpp // 8
+    row_size = (w * px_size + 3) & ~3
+    rows = []
+    for r in range(height):
+        row = payload[
+            data_offset + r * row_size : data_offset + r * row_size + w * px_size
+        ]
+        if bpp == 32:
+            row = b"".join(row[i : i + 3] for i in range(0, len(row), 4))
+        rows.append(row)
     if h > 0:  # positive height = bottom-up storage
         rows.reverse()
     return b"".join(rows)
@@ -198,7 +213,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             payload, mtype = encode_video(i, w, h, nf), "video"
         elif i % 4 == 1:
             w, h, nf = 16 + (i % 3) * 4, 12 + (i % 2) * 4, 1
-            payload, mtype = encode_bmp(i, w, h), "bmp"
+            payload, mtype = encode_bmp(i, w, h, bpp=32 if i % 8 == 5 else 24), "bmp"
         else:
             w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
             payload, mtype = encode_image(i, w, h), "image"

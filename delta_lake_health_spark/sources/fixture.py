@@ -174,7 +174,7 @@ _FIXTURE_VERSION = "v3"  # bump to force a rebuild of stale fixtures
 MEDIA_FIXTURE_PATH = "/tmp/delta_lake_health_spark_fixture/media.parquet"
 
 
-_MEDIA_FIXTURE_VERSION = "v2"  # v2: adds real BMP payloads
+_MEDIA_FIXTURE_VERSION = "v3"  # v3: mixes 24-bit and 32-bit BMP payloads
 
 
 def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
@@ -200,7 +200,9 @@ def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
             payload, mtype = encode_video(i, w, h, nf), "video"
         elif i % 4 == 1:
             w, h, nf = 16 + (i % 3) * 4, 12 + (i % 2) * 4, 1
-            payload, mtype = encode_bmp(i, w, h), "bmp"
+            # alternate real 24-bit and 32-bit BI_RGB payloads so the
+            # driver-checked decode exercises both depths
+            payload, mtype = encode_bmp(i, w, h, bpp=32 if i % 8 == 5 else 24), "bmp"
         else:
             w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
             payload, mtype = encode_image(i, w, h), "image"

@@ -102,3 +102,28 @@ def test_bmp_is_a_real_decode(spark):
     )
     row = mm.decode_media(df).collect()[0]
     assert (row.width, row.height, row.n_bytes) == (w, h, w * h * 3)
+
+
+def test_bmp_32bit_decode_matches_24bit_pixels():
+    """32-bit BI_RGB: same header fields, n_bytes counts the decoded BGR
+    bytes (alpha stripped), and the BGR pixel bytes are identical to the
+    24-bit encoding of the same image."""
+    import delta_lake_health_spark.operators.multimodal as mm
+
+    w, h = 17, 9  # odd width: 24-bit rows need padding, 32-bit rows don't
+    p24 = mm.encode_bmp(7, w, h, bpp=24)
+    p32 = mm.encode_bmp(7, w, h, bpp=32)
+    assert p24 != p32
+    d = mm._decode_bmp_header(p32)
+    assert (d["width"], d["height"], d["n_bytes"]) == (w, h, w * h * 3)
+    px32 = mm.bmp_pixels(p32)
+    assert len(px32) == w * h * 3
+    assert px32 == mm.bmp_pixels(p24)
+    # unsupported depth still refuses loudly
+    import struct
+
+    import pytest
+
+    bad = p32[:28] + struct.pack("<H", 16) + p32[30:]
+    with pytest.raises(NotImplementedError):
+        mm._decode_bmp_header(bad)
