@@ -103,6 +103,8 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    delta_ops = _bench_delta_ops(spark)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -116,10 +118,69 @@ def main() -> None:
                     "numpy_matmul_sec": calib_numpy,
                     "spark_range_sum_sec": calib_spark,
                 },
+                "delta_ops": delta_ops,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def _bench_delta_ops(spark) -> dict[str, float]:
+    """Fixed-size maintenance/writer micro-bench (same work every round,
+    independent of SF): the Delta protocol code paths — write, DV delete,
+    compact, z-order, checkpoint, vacuum — are otherwise pytest-only, so
+    regressions in the code that changes most would be invisible to the
+    per-round bench. Reported as its own block; the headline total stays
+    query-only for round-over-round comparability."""
+    import shutil
+    import tempfile
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    tmp = tempfile.mkdtemp(prefix="bench_delta_ops_")
+    path = os.path.join(tmp, "t")
+    ops: dict[str, float] = {}
+
+    def step(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        ops[name] = round(time.perf_counter() - t0, 3)
+        print(f"# delta_ops.{name}: {ops[name]}s", file=sys.stderr)
+        return out
+
+    df = spark.range(0, 400_000).selectExpr(
+        "id", "id % 97 AS k", "CAST(id % 1009 AS DOUBLE) AS v"
+    )
+    step(
+        "build_4x32_files",
+        lambda: [
+            delta_writer.write(
+                spark,
+                df.where(f"id % 4 = {b}").repartition(32),
+                path,
+                mode="append",
+            )
+            for b in range(4)
+        ],
+    )
+    step(
+        "dv_delete_apply",
+        lambda: (
+            delta_writer.delete_with_dv(spark, path, "k = 13"),
+            maintenance.apply_deletion_vectors(spark, path),
+        ),
+    )
+    step("compact", lambda: maintenance.compact(
+        spark, path, small_file_size=64 * 1024 * 1024, target_file_size=64 * 1024 * 1024
+    ))
+    step("zorder", lambda: maintenance.zorder_cluster(spark, path, ["k", "v"]))
+    step("checkpoint", lambda: DeltaLog(spark, path).checkpoint())
+    step("vacuum", lambda: maintenance.vacuum(spark, path, retention_hours=0.0))
+    ops["total"] = round(sum(ops.values()), 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return ops
 
 
 if __name__ == "__main__":
