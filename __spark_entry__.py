@@ -64,6 +64,9 @@ _VERIFY_FIRST = (
     "dedup_minhash_pairs",
     # new in round 4
     "catalog_sql_revenue_by_nation",
+    "dedup_semantic_prune",
+    "text_repetition_census",
+    "text_unigram_surprise",
 )
 
 

@@ -437,3 +437,112 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label_a", "label_b", F.round(_cos("ca", "cb"), 6).alias("cosine"))
         .orderBy("label_a", "label_b")
     )
+
+
+# --------------------------------------------------------------------------
+# S6 — SemDeDup semantic pruning (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication"): cluster
+# the embedding space with the same deterministic k-means used by the IVF
+# quantizer, then inside each cluster mark semantic duplicates — pairs
+# above a cosine threshold — and REMOVE the copy that sits closer to the
+# cluster centroid (the paper keeps the lowest-centroid-similarity member
+# of each duplicate group; ties break on vec_id). Scale shape: the
+# centroid table is broadcast; the pair join is an equi-join on cid whose
+# quadratic term is bounded by the cluster size — at 100 TB, k scales like
+# corpus/cluster-budget (same parameterization as operators/ann_index.py),
+# which is exactly how SemDeDup bounds its own within-cluster pass.
+# Threshold rationale: same as plans/dedup.COSINE_THRESHOLD — the
+# synthetic embeddings top out near 0.6 cosine, so a "realistic" 0.95
+# would make the operator vacuously empty; 0.40 exercises the full
+# cluster -> pair -> prune pipeline with a non-trivial removal set.
+SEM_EPS = 0.40
+
+
+@query(
+    "dedup_semantic_prune",
+    f"""
+    WITH e AS ({_SQL_E}),
+    {_KMEANS_CTES},
+    cent AS (SELECT cid, cent FROM {_KMEANS_FINAL}),
+    assign AS (
+      SELECT vec_id, emb, cid, ROUND(ccos, 6) AS cent_cos FROM (
+        SELECT e.vec_id, e.emb, cent.cid,
+               {_sql_cos("e.emb", "cent.cent")} AS ccos,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cos("e.emb", "cent.cent")} DESC, cent.cid) AS arn
+        FROM e CROSS JOIN cent
+      ) WHERE arn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE ROUND({_sql_cos("a.emb", "b.emb")}, 6) > {SEM_EPS}
+        AND (b.cent_cos < a.cent_cos
+             OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+    )
+    SELECT s.vec_id, s.cid, s.cent_cos,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS removed
+    FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
+    ORDER BY s.vec_id
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm").localCheckpoint()
+    cent = _with_norm(_kmeans_centroids(emb), "cent", "cnrm")
+    ccos = _dot("emb", "cent") / (F.col("nrm") * F.col("cnrm"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "emb", "nrm", "cid", ccos.alias("ccos"))
+        .withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") == 1)
+        .select(
+            "vec_id", "emb", "nrm", "cid", F.round("ccos", 6).alias("cent_cos")
+        )
+        # both sides of the pair join and the final projection read this
+        .localCheckpoint()
+    )
+    a_side = assign.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.col("cid").alias("a_cid"),
+        F.col("cent_cos").alias("a_cc"),
+    )
+    b_side = assign.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("cid").alias("b_cid"),
+        F.col("cent_cos").alias("b_cc"),
+    )
+    pair_cos = F.round(
+        _dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm")), 6
+    )
+    dup = (
+        a_side.join(
+            b_side,
+            (F.col("a_cid") == F.col("b_cid")) & (F.col("a_id") != F.col("b_id")),
+        )
+        .where(
+            (pair_cos > SEM_EPS)
+            & (
+                (F.col("b_cc") < F.col("a_cc"))
+                | ((F.col("b_cc") == F.col("a_cc")) & (F.col("b_id") < F.col("a_id")))
+            )
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "cent_cos",
+            F.coalesce("is_dup", F.lit(0)).cast("int").alias("removed"),
+        )
+        .orderBy("vec_id")
+    )

@@ -661,3 +661,130 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# T14 — within-document repetition census (the Gopher repetition rules,
+# Rae et al. 2022 §A1.1: excessive duplicate n-grams / a dominant top
+# n-gram mark low-quality boilerplate). Per doc: bigram duplication
+# fraction (1 - distinct/total) and the top-bigram share, plus the
+# pass/fail flag a filter stage would use. Thresholds are adapted to the
+# synthetic corpus' observed range (top max 0.167, dup max 0.133) so the
+# flag is non-vacuous. Scale shape: bigrams are a narrow per-doc map
+# (split once, index the array); the counts shuffle on (doc_id, bigram) —
+# uniform by construction — then fold to one row per doc.
+REP_TOP_BIGRAM_MAX = 0.05
+REP_DUP_BIGRAM_MAX = 0.10
+
+
+@query(
+    "text_repetition_census",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS b
+      FROM t, UNNEST(range(1, len(t))) u(i)
+      WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)   AS n_bigrams,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_bigram_frac,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)         AS top_bigram_frac,
+           CAST(CASE WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) > {REP_TOP_BIGRAM_MAX}
+                       OR 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) > {REP_DUP_BIGRAM_MAX}
+                     THEN 1 ELSE 0 END AS INT) AS fails_repetition
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    cnt = (
+        docs.where(F.size(t) >= 2)
+        .select("doc_id", t.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat_ws(' ', toks[i - 1], toks[i]))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = F.sum("c")
+    nd = F.count(F.lit(1))
+    tc = F.max("c")
+    top_frac = tc.cast("double") / nb
+    dup_frac = F.lit(1.0) - nd.cast("double") / nb
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            nb.cast("long").alias("n_bigrams"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            F.when(
+                (top_frac > REP_TOP_BIGRAM_MAX) | (dup_frac > REP_DUP_BIGRAM_MAX),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("fails_repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T15 — unigram-LM surprise scoring (the perplexity-style quality signal a
+# pipeline uses when a real LM is too expensive — e.g. CCNet's LM filter,
+# Wenzek et al. 2020, approximated at order 1): build the corpus unigram
+# distribution, then score each document by the mean negative log
+# probability of its tokens. Low surprise = common boilerplate; high
+# surprise = rare-token noise. Scale shape: the vocab is one (token)
+# groupBy with map-side partials — bounded by |vocab|, not corpus — then
+# BROADCAST back onto the token stream, so the corpus side never shuffles
+# on the (zipfian-hot) token key.
+@query(
+    "text_unigram_surprise",
+    """
+    WITH t AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), v AS (
+      SELECT w, COUNT(*) AS c FROM t GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM v
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(v.c / tot.n)), 6) AS mean_surprise,
+           ROUND(MAX(-ln(v.c / tot.n)), 6) AS max_surprise
+    FROM t JOIN v USING (w) CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(toks()).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    surprise = -F.log(F.col("c") / F.col("n"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(surprise), 6).alias("mean_surprise"),
+            F.round(F.max(surprise), 6).alias("max_surprise"),
+        )
+        .orderBy("doc_id")
+    )
