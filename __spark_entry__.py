@@ -67,6 +67,7 @@ _VERIFY_FIRST = (
     "dedup_semantic_prune",
     "text_repetition_census",
     "text_unigram_surprise",
+    "delta_mv_refresh",
 )
 
 

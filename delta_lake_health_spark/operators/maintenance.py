@@ -62,7 +62,10 @@ def compact(
     new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
 
     now = int(time.time() * 1000)
-    actions = [delta_writer._add_action(table_path, rel) for rel in new_files]
+    actions = [
+        delta_writer._add_action(table_path, rel, data_change=False)
+        for rel in new_files
+    ]
     actions += [
         {
             "remove": {
@@ -208,7 +211,10 @@ def apply_deletion_vectors(spark: SparkSession, table_path: str) -> dict:
     new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
 
     now = int(time.time() * 1000)
-    actions = [delta_writer._add_action(table_path, rel) for rel in new_files]
+    actions = [
+        delta_writer._add_action(table_path, rel, data_change=False)
+        for rel in new_files
+    ]
     actions += [
         {"remove": {"path": rel, "deletionTimestamp": now, "dataChange": False}}
         for rel in affected
@@ -308,7 +314,10 @@ def zorder_cluster(
     new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
 
     now = int(time.time() * 1000)
-    actions = [delta_writer._add_action(table_path, rel) for rel in new_files]
+    actions = [
+        delta_writer._add_action(table_path, rel, data_change=False)
+        for rel in new_files
+    ]
     actions += [
         {"remove": {"path": r.path, "deletionTimestamp": now, "dataChange": False}}
         for r in live

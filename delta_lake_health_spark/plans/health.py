@@ -13,6 +13,8 @@ src/delta_lake_health/health_analyzers/delta_python_analyzer.py:68-73.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -399,4 +401,73 @@ def health_analyzer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orphan_files_count long, needs_optimize boolean, "
         "has_orphan_files boolean, skewness_max double, "
         "skewness_average double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (operators/mv.py) as an
+# oracle-checked query. The source table is a deterministic function of
+# range(1000) — v0 appends ids 0..599, v1 appends 600..999, v2 DV-deletes
+# ids % 10 == 0 — and the MV (count + sum by k = id % 7) is maintained
+# INCREMENTALLY through the row-level change feed: created after v0,
+# refreshed after v1 (reads only the 4 appended files) and after v2
+# (reads only the DV sidecar + touched files). The oracle is the closed
+# form of the final state over DuckDB's range(), so a refresh that
+# double-applied or missed a delta cannot hash-match.
+_MV_FIXTURE = "/tmp/delta_lake_health_spark_fixture/mv_source"
+_MV_VIEW = "/tmp/delta_lake_health_spark_fixture/mv_view"
+_MV_MARKER = os.path.join(_MV_VIEW, "_MV_FIXTURE_COMPLETE")
+
+_MV_ORACLE = """
+    SELECT CAST(id % 7 AS BIGINT) AS k,
+           COUNT(*) AS n_rows,
+           CAST(SUM((id * 31) % 101) AS BIGINT) AS sum_v
+    FROM range(1000) t(id)
+    WHERE id % 10 <> 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_mv_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators import mv as mv_ops
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_MV_MARKER):
+        return
+    shutil.rmtree(_MV_FIXTURE, ignore_errors=True)
+    shutil.rmtree(_MV_VIEW, ignore_errors=True)
+
+    def rows(lo: int, hi: int):
+        return spark.range(lo, hi).selectExpr(
+            "id", "CAST(id % 7 AS BIGINT) AS k",
+            "CAST((id * 31) % 101 AS BIGINT) AS v"
+        )
+
+    delta_writer.write(spark, rows(0, 600).repartition(4), _MV_FIXTURE)   # v0
+    mv_ops.create_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
+    delta_writer.write(spark, rows(600, 1000).repartition(4), _MV_FIXTURE)  # v1
+    mv_ops.refresh_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
+    delta_writer.delete_with_dv(spark, _MV_FIXTURE, "id % 10 = 0")        # v2
+    mv_ops.refresh_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
+    with open(_MV_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_mv_refresh", _MV_ORACLE)
+def delta_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the incrementally-maintained MV (sf_dir unused —
+    the fixture is scale-independent)."""
+    from delta_lake_health_spark.operators import mv as mv_ops
+
+    _ensure_mv_fixture(spark)
+    return (
+        mv_ops.read_mv(spark, _MV_VIEW)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_v").cast("long").alias("sum_v"),
+        )
+        .orderBy("k")
     )

@@ -1,0 +1,198 @@
+"""Row-level change data feed reconstructed from the Delta log.
+
+``DeltaLog.changes()`` is file-granular (one row per add/remove action);
+this module resolves those actions down to ROWS — the feed an
+incremental consumer (materialized-view maintenance, downstream sync,
+streaming backfill) actually needs:
+
+    (table columns..., _change_type insert|delete, _commit_version)
+
+Semantics per commit, mirroring what Delta computes when the table has
+no ``_change_data`` folder ("CDF without CDF"):
+
+- ``add`` actions with ``dataChange = true``  -> ``insert`` rows
+  (the file is read raw: a deletion vector attached at a LATER version
+  is a later ``delete`` event, so it must not be applied here),
+- ``remove`` actions with ``dataChange = true`` -> ``delete`` rows,
+  minus positions already soft-deleted by sidecars committed BEFORE the
+  remove (those rows were never live at removal time),
+- ``dv`` actions -> ``delete`` rows for exactly the sidecar's new
+  positions (each sidecar carries only the positions newly deleted at
+  its commit, see ``delta_writer.delete_with_dv``).
+
+Rewrite commits (MERGE) therefore surface as delete+insert pairs —
+the same granularity Delta reports for merges without CDF enabled.
+Compaction / z-order / checkpointing emit ``dataChange = false`` actions
+and produce no rows here, which is what makes the feed safe to drive
+incremental aggregates: maintenance never perturbs them.
+
+Work per call is proportional to the files each commit touched, never to
+table size — the property that makes incremental maintenance win at
+100 TB (a 0.1% daily delta reads 0.1% of the data). The per-version
+action lists are collected to the driver to plan the reads; that is
+metadata bounded by |actions in range|, the same deliberate pattern as
+``DeltaLog.snapshot``.
+
+Reference parity: alvaromoureupm/delta-lake-health reads tables through
+delta-rs, whose log gives the same add/remove/dataChange fields
+(src/delta_lake_health/analyzer/delta_python_analyzer.py history use);
+row-level resolution is this repo's extension.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+CHANGE_TYPE = "_change_type"
+COMMIT_VERSION = "_commit_version"
+
+
+def _read_raw(
+    log: DeltaLog, rel_paths: list[str], as_of: int, with_pos: bool
+) -> DataFrame:
+    """Read specific data files with NO deletion vectors applied, using
+    the table schema as of ``as_of`` (files written before a later
+    RENAME/DROP must be decoded with their contemporaneous mapping).
+    ``with_pos`` captures (_rel_path, _row_index) on the scan — the only
+    place ``_metadata`` is resolvable."""
+    schema = log.metadata(as_of=as_of).get("schema")
+    reader = log.spark.read.option("basePath", log.table_path)
+    if schema is not None:
+        reader = reader.schema(StructType.fromJson(log.physical_schema(schema)))
+    df = reader.parquet(*[os.path.join(log.table_path, p) for p in rel_paths])
+    if with_pos:
+        df = df.withColumn("_rel_path", log._rel_path_expr()).withColumn(
+            "_row_index", F.col("_metadata.row_index")
+        )
+    if schema is not None:
+        df = log._rename_physical_to_logical(df, schema)
+    return df
+
+
+def _tag(df: DataFrame, change: str, version: int) -> DataFrame:
+    return df.withColumn(CHANGE_TYPE, F.lit(change)).withColumn(
+        COMMIT_VERSION, F.lit(version).cast("long")
+    )
+
+
+def changed_actions(
+    log: DeltaLog, from_version: int, to_version: int
+) -> list[dict]:
+    """Per-version data-changing action lists in [from, to], driver-side:
+    ``[{"version", "adds", "removes", "dvs"}, ...]`` (paths only)."""
+    acts = log.actions(use_checkpoint=False).where(
+        (F.col("version") >= from_version) & (F.col("version") <= to_version)
+    )
+    rows = acts.select(
+        "version",
+        F.when(F.col("add.dataChange"), F.col("add.path")).alias("add_path"),
+        F.when(F.col("remove.dataChange"), F.col("remove.path")).alias(
+            "remove_path"
+        ),
+        F.col("dv.path").alias("dv_path"),
+    ).collect()
+    by_v: dict[int, dict] = {}
+    for r in rows:
+        slot = by_v.setdefault(
+            r.version, {"version": r.version, "adds": [], "removes": [], "dvs": []}
+        )
+        if r.add_path is not None:
+            slot["adds"].append(r.add_path)
+        if r.remove_path is not None:
+            slot["removes"].append(r.remove_path)
+        if r.dv_path is not None:
+            slot["dvs"].append(r.dv_path)
+    return [by_v[v] for v in sorted(by_v)]
+
+
+def _dv_positions(
+    log: DeltaLog, sidecar_rels: list[str]
+) -> DataFrame | None:
+    if not sidecar_rels:
+        return None
+    return log.spark.read.parquet(
+        *[os.path.join(log.table_path, p) for p in sidecar_rels]
+    )
+
+
+def row_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The row-level change feed for commits in [from_version,
+    to_version] (defaults to the full log). Columns = current logical
+    table columns (files from older schemas are null-filled for columns
+    they predate) + ``_change_type`` + ``_commit_version``."""
+    log = DeltaLog(spark, table_path)
+    if to_version is None:
+        to_version = log.version()
+    out_cols = None
+    schema = log.metadata(as_of=to_version).get("schema")
+    if schema is not None:
+        out_cols = [f["name"] for f in schema["fields"]]
+
+    # sidecars committed before each version, per the DV-delete semantics
+    dv_before: list[tuple[int, str]] = [
+        (r.version, r.path)
+        for r in log.actions(use_checkpoint=False)
+        .where(F.col("dv").isNotNull() & (F.col("version") < to_version))
+        .select("version", F.col("dv.path").alias("path"))
+        .collect()
+    ]
+
+    parts: list[DataFrame] = []
+    for slot in changed_actions(log, from_version, to_version):
+        v = slot["version"]
+        if slot["adds"]:
+            parts.append(_tag(_read_raw(log, slot["adds"], v, False), "insert", v))
+        if slot["removes"]:
+            df = _read_raw(log, slot["removes"], v, True)
+            prior = _dv_positions(
+                log, [p for dvv, p in dv_before if dvv < v]
+            )
+            if prior is not None:
+                df = df.join(
+                    F.broadcast(
+                        prior.select(
+                            F.col("rel_path").alias("_rel_path"),
+                            F.col("row_index").alias("_row_index"),
+                        )
+                    ),
+                    ["_rel_path", "_row_index"],
+                    "left_anti",
+                )
+            parts.append(
+                _tag(df.drop("_rel_path", "_row_index"), "delete", v)
+            )
+        if slot["dvs"]:
+            pos = _dv_positions(log, slot["dvs"])
+            touched = sorted({r.rel_path for r in pos.select("rel_path").distinct().collect()})
+            df = _read_raw(log, touched, v, True).join(
+                F.broadcast(
+                    pos.select(
+                        F.col("rel_path").alias("_rel_path"),
+                        F.col("row_index").alias("_row_index"),
+                    )
+                ),
+                ["_rel_path", "_row_index"],
+                "left_semi",
+            )
+            parts.append(_tag(df.drop("_rel_path", "_row_index"), "delete", v))
+
+    if not parts:
+        base = log.snapshot().limit(0)
+        return _tag(base, "insert", to_version).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    if out_cols is not None:
+        out = out.select(*out_cols, CHANGE_TYPE, COMMIT_VERSION)
+    return out

@@ -103,7 +103,10 @@ def _column_minmax(md) -> tuple[dict, dict]:
     return mins, maxs
 
 
-def _add_action(table_path: str, rel: str) -> dict:
+def _add_action(table_path: str, rel: str, data_change: bool = True) -> dict:
+    """``data_change=False`` is for data-preserving rewrites (OPTIMIZE /
+    z-order / DV purge): the Delta spec requires those adds to carry
+    ``dataChange = false`` so change-feed consumers skip them."""
     import pyarrow.parquet as pq
 
     fp = os.path.join(table_path, rel)
@@ -116,7 +119,7 @@ def _add_action(table_path: str, rel: str) -> dict:
             "partitionValues": _partition_values(rel),
             "size": os.path.getsize(fp),
             "modificationTime": int(os.path.getmtime(fp) * 1000),
-            "dataChange": True,
+            "dataChange": data_change,
             "stats": json.dumps(stats),
         }
     }
