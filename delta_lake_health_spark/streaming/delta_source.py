@@ -1,0 +1,211 @@
+"""Delta tables as a Structured Streaming SOURCE (Spark 4 Python Data
+Source API).
+
+``spark.readStream.format("delta_tail").option("path", p).load()`` tails
+the table's ``_delta_log``: each micro-batch covers the commit versions
+between the last checkpointed offset and the current log head, and its
+input partitions are exactly the data files those commits added — one
+``InputPartition`` per file, so a 1000-executor cluster fans the batch
+out file-parallel while the driver only ever parses the (tiny) JSON
+commits. Offsets are ``{"version": N}``; the micro-batch engine
+checkpoints them, which is what makes restart exactly-once.
+
+Semantics match Delta's own streaming source:
+
+- only ``add`` actions with ``dataChange = true`` feed the stream —
+  OPTIMIZE / z-order / DV-purge rewrites are invisible;
+- a data-changing ``remove`` or a deletion-vector commit is an ERROR
+  unless ``ignoreDeletes`` is set (an append-only reader silently
+  skipping deletes would be wrong by default);
+- ``startingVersion`` begins the tail mid-log (default: version 0,
+  i.e. the full history replay).
+
+Everything here runs OUTSIDE the JVM session: the driver half parses log
+JSON with the stdlib, the executor half reads parquet with pyarrow and
+yields Arrow record batches (zero row-at-a-time Python). Hive-style
+partition directory values are re-attached and cast from the path, and
+column-mapped tables (RENAME/DROP) are decoded physical->logical with
+the same mapping rules as ``sources/delta_log.py:534``.
+
+The reference (alvaromoureupm/delta-lake-health) is batch-only over
+delta-rs; this is the streaming ingest path its tables would need.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SOURCE_NAME = "delta_tail"
+
+
+def _log_versions(table_path: str) -> list[int]:
+    log_dir = os.path.join(table_path, "_delta_log")
+    out = []
+    try:
+        for f in os.listdir(log_dir):
+            if f.endswith(".json") and f[:-5].isdigit():
+                out.append(int(f[:-5]))
+    except FileNotFoundError:
+        pass
+    return sorted(out)
+
+
+def _actions(table_path: str, version: int) -> list[dict]:
+    p = os.path.join(table_path, "_delta_log", f"{version:020d}.json")
+    with open(p) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _latest_schema(table_path: str) -> dict | None:
+    """Last metaData action's schema (parsed schemaString), scanning the
+    log newest-first — stdlib only, runs on the driver."""
+    for v in reversed(_log_versions(table_path)):
+        for act in _actions(table_path, v):
+            if "metaData" in act:
+                return json.loads(act["metaData"]["schemaString"])
+    return None
+
+
+def _physical_name(fld: dict) -> str:
+    meta = fld.get("metadata") or {}
+    return meta.get("delta.columnMapping.physicalName", fld["name"])
+
+
+@dataclass
+class DeltaFilePartition(InputPartition):
+    abs_path: str
+    version: int
+    # (logical_name, physical_name, type_json) per schema field
+    fields: list = field(default_factory=list)
+    # hive partition values parsed from the path: {logical_name: str}
+    partition_values: dict = field(default_factory=dict)
+
+
+class DeltaTailStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.table_path = options.get("path")
+        if not self.table_path:
+            raise ValueError("delta_tail requires .option('path', ...)")
+        self.ignore_deletes = str(
+            options.get("ignoredeletes", "false")
+        ).lower() in ("true", "1")
+        self.starting_version = int(options.get("startingversion", 0))
+        self.schema_struct = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        vs = _log_versions(self.table_path)
+        return {"version": vs[-1] if vs else self.starting_version - 1}
+
+    def partitions(self, start: dict, end: dict):
+        schema = _latest_schema(self.table_path) or {"fields": []}
+        fields = [
+            (f["name"], _physical_name(f), json.dumps(f["type"]))
+            for f in schema["fields"]
+        ]
+        parts: list[DeltaFilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for act in _actions(self.table_path, v):
+                if "remove" in act and act["remove"].get("dataChange"):
+                    if not self.ignore_deletes:
+                        raise RuntimeError(
+                            f"delta_tail: version {v} removes data "
+                            f"({act['remove']['path']}); streaming reads are "
+                            "append-only — set ignoreDeletes to skip"
+                        )
+                if "dv" in act and not self.ignore_deletes:
+                    raise RuntimeError(
+                        f"delta_tail: version {v} commits a deletion vector; "
+                        "set ignoreDeletes to skip"
+                    )
+                if "add" in act and act["add"].get("dataChange"):
+                    rel = act["add"]["path"]
+                    parts.append(
+                        DeltaFilePartition(
+                            abs_path=os.path.join(self.table_path, rel),
+                            version=v,
+                            fields=fields,
+                            partition_values=dict(
+                                act["add"].get("partitionValues") or {}
+                            ),
+                        )
+                    )
+        return parts
+
+    def read(self, partition: DeltaFilePartition):
+        """Executor-side: one parquet file -> Arrow record batches shaped
+        to the logical schema (physical->logical rename, partition-value
+        columns re-attached and cast)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import _parse_datatype_json_string
+
+        table = pq.read_table(partition.abs_path)
+        out_cols, out_names = [], []
+        n = table.num_rows
+        for logical, physical, type_json in partition.fields:
+            arrow_t = to_arrow_type(
+                _parse_datatype_json_string(json.dumps(json.loads(type_json)))
+            )
+            if physical in table.column_names:
+                col = table.column(physical)
+                if col.type != arrow_t:
+                    col = col.cast(arrow_t)
+            elif logical in partition.partition_values:
+                col = pa.array(
+                    [partition.partition_values[logical]] * n, pa.string()
+                ).cast(arrow_t)
+            else:
+                col = pa.nulls(n, arrow_t)
+            out_cols.append(col)
+            out_names.append(logical)
+        out = pa.table(out_cols, names=out_names)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaTailDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_tail requires .option('path', ...)")
+        schema = _latest_schema(path)
+        if schema is None:
+            raise ValueError(f"no Delta log at {path}")
+        return StructType.fromJson(schema)
+
+    def streamReader(self, schema: StructType) -> DeltaTailStreamReader:
+        return DeltaTailStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(DeltaTailDataSource)
+
+
+def read_stream(spark, table_path: str, **options):
+    """``spark.readStream`` over a Delta table via the tail source."""
+    register(spark)
+    reader = spark.readStream.format(SOURCE_NAME).option("path", table_path)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

@@ -1,0 +1,117 @@
+"""The ``delta_tail`` streaming source (streaming/delta_source.py).
+
+Covers: full-history replay, restart-from-checkpoint reading only new
+commits (exactly-once), the append-only guard on DV/remove commits,
+ignoreDeletes continuation, hive-partition value recovery, column
+mapping, and invisibility of dataChange=false maintenance rewrites.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from delta_lake_health_spark.operators import maintenance
+from delta_lake_health_spark.sources import delta_writer
+from delta_lake_health_spark.streaming import delta_source
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "CAST(id % 3 AS LONG) AS k")
+
+
+def _drain(spark, table, out, ckpt, **opts):
+    q = (
+        delta_source.read_stream(spark, table, **opts)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+def test_replay_then_incremental(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 50).coalesce(2), t)
+    delta_writer.write(spark, _ids(spark, 50, 80).coalesce(1), t)
+    assert _drain(spark, t, out, ckpt).count() == 80
+    delta_writer.write(spark, _ids(spark, 80, 100).coalesce(1), t)
+    got = sorted(r.id for r in _drain(spark, t, out, ckpt).select("id").collect())
+    assert got == list(range(100))  # new rows exactly once, no dupes
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 40).coalesce(1), t)
+    delta_writer.write(spark, _ids(spark, 40, 60).coalesce(1), t)
+    df = _drain(spark, t, out, ckpt, startingVersion=1)
+    assert sorted(r.id for r in df.select("id").collect()) == list(range(40, 60))
+
+
+def test_delete_commit_fails_stream(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 30).coalesce(1), t)
+    _drain(spark, t, out, ckpt)
+    delta_writer.delete_with_dv(spark, t, "id = 7")
+    with pytest.raises(Exception, match="deletion vector|ignoreDeletes"):
+        _drain(spark, t, out, ckpt)
+
+
+def test_ignore_deletes_continues(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 30).coalesce(1), t)
+    _drain(spark, t, out, ckpt, ignoreDeletes=True)
+    delta_writer.delete_with_dv(spark, t, "id = 7")
+    delta_writer.write(spark, _ids(spark, 30, 40).coalesce(1), t)
+    df = _drain(spark, t, out, ckpt, ignoreDeletes=True)
+    # the delete is skipped (positions stay), the append arrives
+    assert df.count() == 40
+
+
+def test_maintenance_rewrites_invisible(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    for lo in range(0, 60, 20):
+        delta_writer.write(spark, _ids(spark, lo, lo + 20).coalesce(1), t)
+    assert _drain(spark, t, out, ckpt).count() == 60
+    maintenance.compact(
+        spark, t, small_file_size=1 << 30, target_file_size=1 << 30
+    )
+    maintenance.zorder_cluster(spark, t, ["k"])
+    # rewrites add files but dataChange=false: stream sees nothing new
+    assert _drain(spark, t, out, ckpt).count() == 60
+
+
+def test_partitioned_table_values_recovered(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], "id long, g string, v double"
+    )
+    delta_writer.write(spark, df, t, partition_by=["g"])
+    got = _drain(spark, t, out, ckpt)
+    rows = {(r.id): (r.g, r.v) for r in got.collect()}
+    assert rows == {1: ("a", 1.5), 2: ("b", 2.5), 3: ("a", 3.5)}
+
+
+def test_column_mapped_table_streams_logical_names(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 20).coalesce(1), t)
+    delta_writer.rename_column(spark, t, "k", "bucket")
+    delta_writer.write(
+        spark,
+        spark.range(20, 30).selectExpr("id", "CAST(id % 3 AS LONG) AS bucket"),
+        t,
+    )
+    got = _drain(spark, t, out, ckpt)
+    assert "bucket" in got.columns and got.count() == 30
+    assert got.where("bucket = id % 3").count() == 30
+
+
+def test_batch_schema_matches_log(spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_writer.write(spark, _ids(spark, 0, 10).coalesce(1), t)
+    s = delta_source.read_stream(spark, t)
+    assert [f.name for f in s.schema.fields] == ["id", "k"]
