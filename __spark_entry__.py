@@ -68,6 +68,12 @@ _VERIFY_FIRST = (
     "text_repetition_census",
     "text_unigram_surprise",
     "delta_mv_refresh",
+    "profile_table_columns",
+    "text_chunk_dedup",
+    "text_pack_sequences",
+    "corpus_mixture_weights",
+    "events_anomaly_zscore",
+    "embedding_scalar_quantize",
 )
 
 

@@ -692,3 +692,42 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+# --------------------------------------------------------------------------
+# E19 — time-series anomaly detection on the hourly event volume: z-score
+# each hour's count against the global mean/stddev and flag |z| > 2 (the
+# ops-dashboard traffic-spike/outage detector). Scale shape: one hourly
+# groupBy (map-side partials), then the 2-value stats row BROADCAST back
+# — no second shuffle; at 100 TB the hourly series is |hours| rows,
+# driver-scale, regardless of event volume.
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT DATE_TRUNC('hour', ts) AS hour_ts, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT AVG(n_events) AS m, STDDEV_SAMP(n_events) AS sd FROM h)
+    SELECT hour_ts, n_events,
+           ROUND((n_events - m) / sd, 6) AS z
+    FROM h CROSS JOIN s
+    WHERE ABS((n_events - m) / sd) > 2
+    ORDER BY hour_ts
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = hourly.agg(
+        F.avg("n_events").alias("m"), F.stddev_samp("n_events").alias("sd")
+    )
+    z = (F.col("n_events") - F.col("m")) / F.col("sd")
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .where(F.abs(z) > 2)
+        .select("hour_ts", "n_events", F.round(z, 6).alias("z"))
+        .orderBy("hour_ts")
+    )

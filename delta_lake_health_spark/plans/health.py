@@ -471,3 +471,99 @@ def delta_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Column-level data profiling (the deequ/Glue-profiler-style table audit a
+# health toolkit pairs with file-level metrics): one row per column of
+# ``orders`` with null count, exact distinct count, and typed min/max
+# (numeric columns in min/max_numeric, string/timestamp in min/max_text).
+# Scale shape: ONE aggregation pass computes every column's stats
+# (count-distincts expand the pass per column but never rescan the
+# table), then the 1-row result explodes to |columns| rows driver-side.
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_TXT = ("o_orderstatus", "o_orderpriority")
+_PROFILE_TS = ("o_orderdate",)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_numeric,
+               ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_numeric,
+               CAST(NULL AS VARCHAR) AS min_text,
+               CAST(NULL AS VARCHAR) AS max_text
+        FROM orders""")
+    for c in _PROFILE_TXT:
+        parts.append(f"""
+        SELECT '{c}', COUNT(*),
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT {c}),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN({c}), MAX({c})
+        FROM orders""")
+    for c in _PROFILE_TS:
+        parts.append(f"""
+        SELECT '{c}', COUNT(*),
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT {c}),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               STRFTIME(MIN({c}), '%Y-%m-%d %H:%M:%S'),
+               STRFTIME(MAX({c}), '%Y-%m-%d %H:%M:%S')
+        FROM orders""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query("profile_table_columns", _profile_oracle())
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cols = [*_PROFILE_NUM, *_PROFILE_TXT, *_PROFILE_TS]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.round(F.min(c).cast("double"), 6).alias(f"mn_{c}"),
+            F.round(F.max(c).cast("double"), 6).alias(f"mx_{c}"),
+        ]
+    for c in _PROFILE_TXT:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    for c in _PROFILE_TS:
+        aggs += [
+            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"mn_{c}"),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+
+    def row(c: str) -> F.Column:
+        numeric = c in _PROFILE_NUM
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            (F.col(f"mn_{c}") if numeric else F.lit(None).cast("double")).alias(
+                "min_numeric"
+            ),
+            (F.col(f"mx_{c}") if numeric else F.lit(None).cast("double")).alias(
+                "max_numeric"
+            ),
+            (F.lit(None).cast("string") if numeric else F.col(f"mn_{c}")).alias(
+                "min_text"
+            ),
+            (F.lit(None).cast("string") if numeric else F.col(f"mx_{c}")).alias(
+                "max_text"
+            ),
+        )
+    return (
+        one.select(F.explode(F.array(*[row(c) for c in cols])).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )

@@ -546,3 +546,74 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# S7 — int8 scalar quantization of the embedding column (the compression
+# step an ANN index applies before storage: 4x smaller vectors at ~1e-2
+# recall cost): per-dimension corpus min/max -> 255-step uniform grid ->
+# reconstruction error census per dimension. Rounding is floor(x + 0.5)
+# on BOTH engines (banker's-rounding-proof). Scale shape: pass 1 is a
+# 64-key groupBy (map-side partials, no skew — dims are uniform); pass 2
+# re-scans with the 64-row stats table broadcast; work is linear in
+# corpus x dims, shuffles bounded by |dims|.
+@query(
+    "embedding_scalar_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(range(len(embedding))) AS dim
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim
+    ),
+    coded AS (
+      SELECT e.dim, e.x, stats.lo, stats.hi,
+             (stats.hi - stats.lo) / 255.0 AS scale,
+             CASE WHEN stats.hi = stats.lo THEN 0
+                  ELSE FLOOR((e.x - stats.lo) / ((stats.hi - stats.lo) / 255.0)
+                             + 0.5) END AS code
+      FROM e JOIN stats USING (dim)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(MIN(lo), 6) AS lo,
+           ROUND(MIN(hi), 6) AS hi,
+           ROUND(AVG(POW(x - (lo + code * scale), 2)), 9) AS mse,
+           ROUND(MAX(ABS(x - (lo + code * scale))), 9) AS max_abs_err
+    FROM coded
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "xf"),
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    stats = e.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    scale = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.floor((F.col("x") - F.col("lo")) / scale + F.lit(0.5)).cast("double")
+    )
+    coded = (
+        e.join(F.broadcast(stats), "dim")
+        .withColumn("scale", scale)
+        .withColumn("code", code)
+        .withColumn("err", F.col("x") - (F.col("lo") + F.col("code") * F.col("scale")))
+    )
+    return (
+        coded.groupBy("dim")
+        .agg(
+            F.round(F.min("lo"), 6).alias("lo"),
+            F.round(F.min("hi"), 6).alias("hi"),
+            F.round(F.avg(F.col("err") * F.col("err")), 9).alias("mse"),
+            F.round(F.max(F.abs("err")), 9).alias("max_abs_err"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"), "lo", "hi", "mse", "max_abs_err"
+        )
+        .orderBy("dim")
+    )

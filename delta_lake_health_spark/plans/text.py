@@ -788,3 +788,248 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T16 — duplicated-span removal (CCNet-style paragraph dedup, Wenzek et
+# al. 2020, applied at fixed 8-token chunks since the corpus has no
+# newline structure): hash every chunk, count occurrences CORPUS-WIDE,
+# drop every chunk whose text occurs more than once, and reassemble each
+# document from its surviving chunks in order. Scale shape: the count is
+# one groupBy on the chunk hash (md5 — uniform keys, no skew), the
+# verdict joins back on that hash, and reassembly is a per-doc
+# collect_list + array_sort — work linear in corpus tokens, shuffles
+# keyed only by hash/doc_id.
+_CHUNK = 8
+
+@query(
+    "text_chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             array_to_string(t[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ') AS chunk
+      FROM toks, UNNEST(range(CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS u(i)
+    ),
+    freq AS (SELECT chunk, COUNT(*) AS c FROM chunks GROUP BY chunk)
+    SELECT chunks.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (freq.c > 1) AS n_dup_chunks,
+           COALESCE(string_agg(chunks.chunk, ' ' ORDER BY chunks.idx)
+                      FILTER (freq.c = 1), '') AS kept_text
+    FROM chunks JOIN freq USING (chunk)
+    GROUP BY chunks.doc_id
+    ORDER BY chunks.doc_id
+    """,
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    chunks = (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int(ceil(size(t) / {_CHUNK}.0)) - 1),"
+                    f" i -> concat_ws(' ', slice(t, i * {_CHUNK} + 1, {_CHUNK})))"
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    freq = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
+    joined = chunks.join(freq, "chunk")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("c") == 1, F.struct("idx", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T17 — sequence packing census (the concat-and-chunk step that turns a
+# document corpus into fixed-length training sequences): lay all
+# documents out on one token axis in doc_id order, cut every _SEQ_LEN
+# tokens, and report per sequence how many documents it touches / starts
+# and how many tokens it holds. Scale shape: the global running offset is
+# a DISTRIBUTED two-phase prefix sum — per-bucket cumsum (window
+# partitioned by a doc_id range bucket) plus broadcast bucket offsets —
+# never a single-partition global window, which is the classic 100 TB
+# packing bottleneck.
+_SEQ_LEN = 512
+_PACK_BUCKET = 4096  # docs per prefix-sum bucket
+
+@query(
+    "text_pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    laid AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS off
+      FROM sized
+    ),
+    spans AS (
+      SELECT doc_id, n, COALESCE(off, 0) AS off,
+             COALESCE(off, 0) // {_SEQ_LEN} AS first_seq,
+             (COALESCE(off, 0) + n - 1) // {_SEQ_LEN} AS last_seq
+      FROM laid
+    ),
+    hits AS (
+      SELECT CAST(s AS BIGINT) AS seq_id, doc_id,
+             (off // {_SEQ_LEN} = s) AS starts_here
+      FROM spans, UNNEST(range(CAST(first_seq AS BIGINT),
+                               CAST(last_seq + 1 AS BIGINT))) AS u(s)
+    ),
+    total AS (SELECT SUM(n) AS tot FROM sized)
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (starts_here) AS n_docs_starting,
+           CAST(LEAST({_SEQ_LEN}, (SELECT tot FROM total) - seq_id * {_SEQ_LEN})
+                AS BIGINT) AS n_tokens
+    FROM hits
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(toks()).cast("long").alias("n"),
+        (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    local = sized.withColumn(
+        "local_off", F.coalesce(F.sum("n").over(in_bucket) - F.col("n"), F.lit(0))
+    )
+    # bucket prefix offsets: |buckets| rows, broadcast back
+    bucket_tot = sized.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    bw = Window.orderBy("bucket")  # |buckets| rows only — driver-scale window
+    prefix = bucket_tot.withColumn(
+        "bucket_off", F.coalesce(F.sum("bn").over(bw) - F.col("bn"), F.lit(0))
+    ).select("bucket", "bucket_off")
+    spans = (
+        local.join(F.broadcast(prefix), "bucket")
+        .withColumn("off", F.col("local_off") + F.col("bucket_off"))
+        .withColumn("first_seq", (F.col("off") / _SEQ_LEN).cast("long"))
+        .withColumn(
+            "last_seq", ((F.col("off") + F.col("n") - 1) / _SEQ_LEN).cast("long")
+        )
+    )
+    total = sized.agg(F.sum("n").alias("tot"))
+    hits = spans.select(
+        "doc_id",
+        "off",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    ).withColumn(
+        "starts_here", (F.col("off") / _SEQ_LEN).cast("long") == F.col("seq_id")
+    )
+    return (
+        hits.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("starts_here"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_starting"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_docs_starting",
+            F.least(
+                F.lit(_SEQ_LEN).cast("long"),
+                F.col("tot") - F.col("seq_id") * _SEQ_LEN,
+            ).alias("n_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T18 — domain mixture weights (the sampling-weight table a training run
+# draws from, temperature-scaled like multilingual sampling in mBERT /
+# XLM-R, alpha = 0.5): per (source, lang) token mass -> proportion ->
+# p^alpha renormalized. One groupBy over |domains| keys plus a broadcast
+# total; the 100 TB cost is the single token-count pass.
+_MIX_ALPHA = 0.5
+
+@query(
+    "corpus_mixture_weights",
+    f"""
+    WITH dom AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt,
+             SUM(POW(n_tokens / (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM dom),
+                     {_MIX_ALPHA})) AS z
+      FROM dom
+    )
+    SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens / tt, 6) AS p,
+           ROUND(POW(n_tokens / tt, {_MIX_ALPHA}) / z, 6) AS sample_weight
+    FROM dom CROSS JOIN tot
+    ORDER BY source, lang
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dom = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks())).cast("long").alias("n_tokens"),
+    )
+    tt = dom.agg(F.sum("n_tokens").cast("double").alias("tt"))
+    tot = (
+        dom.crossJoin(F.broadcast(tt))
+        .agg(
+            F.first("tt").alias("tt"),
+            F.sum(
+                F.pow(F.col("n_tokens") / F.col("tt"), F.lit(_MIX_ALPHA))
+            ).alias("z"),
+        )
+    )
+    p = F.col("n_tokens") / F.col("tt")
+    return (
+        dom.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("p"),
+            F.round(F.pow(p, F.lit(_MIX_ALPHA)) / F.col("z"), 6).alias(
+                "sample_weight"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
