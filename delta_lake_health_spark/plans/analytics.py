@@ -1170,14 +1170,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_regionkey").alias("n1_region"))
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
                        F.col("n_name").alias("nation"))
+    # Pre-filter BOTH shuffle sides before the one fact-fact join:
+    # lineitem down to PROMO parts, orders down to ASIA customers (the
+    # region filter reaches orders through the broadcast customer dim
+    # BEFORE the exchange, ~5x less shuffle write than filtering after).
+    asia_cust = (
+        cust.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    orders_asia = orders.join(
+        F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")
+    )
     base = (
         li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
                 F.col("p_partkey") == F.col("l_partkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
-              F.col("n1_region") == F.col("r_regionkey"))
+        .join(orders_asia, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
