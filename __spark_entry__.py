@@ -68,6 +68,7 @@ _VERIFY_FIRST = (
     "text_repetition_census",
     "text_unigram_surprise",
     "delta_mv_refresh",
+    "delta_row_changes",
     "profile_table_columns",
     "text_chunk_dedup",
     "text_pack_sequences",

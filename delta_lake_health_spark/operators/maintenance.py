@@ -458,3 +458,52 @@ def restore(spark: SparkSession, table_path: str, to_version: int) -> dict:
     )
     delta_writer._commit(table_path, cur_version + 1, actions)
     return metrics
+
+
+def cleanup_log(
+    spark: SparkSession, table_path: str, retention_hours: float = 168.0
+) -> dict:
+    """Expire pre-checkpoint log history (Delta's metadata cleanup /
+    ``delta.logRetentionDuration``): commit JSONs BELOW the last
+    checkpoint version whose mtime is past the retention cutoff are
+    deleted, along with superseded checkpoint parquet sets. The current
+    checkpoint + trailing JSONs fully reconstruct the table, so normal
+    reads are untouched; time travel and change feeds become bounded by
+    the retained window (``DeltaLog.require_history_from`` raises a
+    clear error instead of silently replaying a truncated log)."""
+    import re
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    info = log.last_checkpoint_info()
+    if info is None:
+        return {"numDeletedJson": 0, "numDeletedCheckpointFiles": 0}
+    ckpt_version = int(info["version"])
+    cutoff = time.time() - retention_hours * 3600.0
+    log_dir = os.path.join(table_path, "_delta_log")
+
+    deleted_json = 0
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json") and f[:20].isdigit():
+            v = int(f[:20])
+            p = os.path.join(log_dir, f)
+            if v < ckpt_version and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
+                deleted_json += 1
+
+    ckpt_re = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+    deleted_ckpt = 0
+    for f in sorted(os.listdir(log_dir)):
+        m = ckpt_re.match(f)
+        if m and int(m.group(1)) < ckpt_version:
+            p = os.path.join(log_dir, f)
+            if os.path.getmtime(p) <= cutoff:
+                os.remove(p)
+                deleted_ckpt += 1
+
+    return {
+        "numDeletedJson": deleted_json,
+        "numDeletedCheckpointFiles": deleted_ckpt,
+        "retainedFromVersion": log.earliest_version(),
+    }

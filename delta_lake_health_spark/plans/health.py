@@ -567,3 +567,47 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# The row-level change feed (sources/cdf.py) itself as an oracle-checked
+# query, over the same deterministic MV fixture: per (commit version,
+# change type) row counts and value sums. The closed form — v0 inserts
+# ids 0..599, v1 inserts 600..999, v2 DV-deletes ids % 10 == 0 — is
+# expressed directly over DuckDB's range(), so a feed that mis-resolved
+# DV positions, replayed a file, or leaked a maintenance rewrite cannot
+# hash-match.
+_CDF_ORACLE = """
+    WITH src AS (
+      SELECT id, (id * 31) % 101 AS v,
+             CASE WHEN id < 600 THEN 0 ELSE 1 END AS ins_v
+      FROM range(1000) t(id)
+    )
+    SELECT CAST(ins_v AS BIGINT) AS commit_version,
+           'insert' AS change_type,
+           COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM src GROUP BY 1
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*), CAST(SUM(v) AS BIGINT)
+    FROM src WHERE id % 10 = 0
+    ORDER BY commit_version, change_type
+"""
+
+
+@query("delta_row_changes", _CDF_ORACLE)
+def delta_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.cdf import row_changes
+
+    _ensure_mv_fixture(spark)
+    ch = row_changes(spark, _MV_FIXTURE)
+    return (
+        ch.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

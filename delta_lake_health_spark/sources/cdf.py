@@ -86,6 +86,7 @@ def changed_actions(
 ) -> list[dict]:
     """Per-version data-changing action lists in [from, to], driver-side:
     ``[{"version", "adds", "removes", "dvs"}, ...]`` (paths only)."""
+    log.require_history_from(from_version)
     acts = log.actions(use_checkpoint=False).where(
         (F.col("version") >= from_version) & (F.col("version") <= to_version)
     )
@@ -154,6 +155,9 @@ def row_changes(
         if slot["adds"]:
             parts.append(_tag(_read_raw(log, slot["adds"], v, False), "insert", v))
         if slot["removes"]:
+            # correctness of the prior-DV exclusion below needs the FULL
+            # dv history; after log cleanup it can't be proven complete
+            log.require_history_from(0)
             df = _read_raw(log, slot["removes"], v, True)
             prior = _dv_positions(
                 log, [p for dvv, p in dv_before if dvv < v]

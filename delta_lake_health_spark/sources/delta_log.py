@@ -388,6 +388,39 @@ class DeltaLog:
 
     # -- snapshot ----------------------------------------------------------
 
+    def earliest_version(self) -> int:
+        """Lowest commit JSON still on disk — 0 until
+        ``maintenance.cleanup_log`` expires pre-checkpoint history."""
+        vs = [
+            int(f[:20])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:20].isdigit()
+        ]
+        return min(vs, default=0)
+
+    def require_history_from(self, version: int) -> None:
+        """Raise if raw-JSON replay starting at ``version`` is impossible
+        because log cleanup expired earlier commits (Delta semantics:
+        time travel / change feeds are bounded by log retention)."""
+        earliest = self.earliest_version()
+        if version < earliest:
+            raise ValueError(
+                f"log history before version {earliest} has been cleaned "
+                f"up (requested {version}); time travel and change feeds "
+                "are bounded by the log retention window"
+            )
+
+    def _as_of_source(self, as_of: int) -> bool:
+        """Whether replay to ``as_of`` may read from the checkpoint
+        (state at V + JSON tail is exact for any as_of >= V — and after
+        log cleanup it is the ONLY exact source). Raises if neither the
+        checkpoint nor retained JSON can reconstruct ``as_of``."""
+        info = self.last_checkpoint_info()
+        if info is not None and as_of >= int(info["version"]):
+            return True
+        self.require_history_from(0)
+        return False
+
     def active_files(self, as_of: int | None = None) -> DataFrame:
         """One row per live data file: path, partitionValues, size,
         num_records, version (the commit that added it).
@@ -398,7 +431,8 @@ class DeltaLog:
         the state as of that committed version (time travel) by replaying
         only actions with version <= as_of from the raw JSON log.
         """
-        acts = self.actions(use_checkpoint=as_of is None)
+        use_ckpt = True if as_of is None else self._as_of_source(as_of)
+        acts = self.actions(use_checkpoint=use_ckpt)
         if as_of is not None:
             acts = acts.where(F.col("version") <= as_of)
         adds = acts.where(F.col("add").isNotNull()).select(
@@ -506,7 +540,8 @@ class DeltaLog:
         return int(row.v) if row.v is not None else 0
 
     def metadata(self, as_of: int | None = None) -> dict:
-        acts = self.actions(use_checkpoint=as_of is None)
+        use_ckpt = True if as_of is None else self._as_of_source(as_of)
+        acts = self.actions(use_checkpoint=use_ckpt)
         if as_of is not None:
             acts = acts.where(F.col("version") <= as_of)
         rows = (
@@ -612,7 +647,8 @@ class DeltaLog:
     # -- deletion vectors --------------------------------------------------
 
     def deletion_vector_paths(self, as_of: int | None = None) -> list[str]:
-        acts = self.actions(use_checkpoint=as_of is None)
+        use_ckpt = True if as_of is None else self._as_of_source(as_of)
+        acts = self.actions(use_checkpoint=use_ckpt)
         if as_of is not None:
             acts = acts.where(F.col("version") <= as_of)
         return [
@@ -953,6 +989,7 @@ class DeltaLog:
         change-data-feed-without-CDF reads; a consumer incrementally
         processes exactly the files each commit touched instead of
         re-scanning the table."""
+        self.require_history_from(from_version)
         acts = self.actions(use_checkpoint=False).where(
             F.col("version") >= from_version
         )

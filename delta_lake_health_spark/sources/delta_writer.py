@@ -1002,3 +1002,101 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
         ],
     )
     return version + 1
+
+
+def update(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+) -> int:
+    """UPDATE rows matching ``predicate``: every RHS in ``set_exprs``
+    (column -> SQL expression) is evaluated against the OLD row (standard
+    SQL UPDATE semantics — assignments never see each other), only the
+    files containing matches are rewritten, and the commit is
+    remove+add with operation UPDATE, mirroring Delta's copy-on-write
+    UPDATE. Generated columns are recomputed from their expressions after
+    the assignment (updating one directly is refused), and CHECK / NOT
+    NULL constraints validate the rewritten batch. The row-level change
+    feed surfaces the commit as delete+insert pairs for the touched
+    files, same as Delta's UPDATE without CDF."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    meta = log.metadata()
+    gens = _generated_columns(meta.get("schema"))
+    for col in set_exprs:
+        if col in gens:
+            raise ValueError(
+                f"column {col!r} is generated ({gens[col]!r}); it is "
+                "recomputed automatically and cannot be assigned"
+            )
+    snap = log.snapshot_with_positions()
+    hit_files = {
+        r._rel_path
+        for r in snap.where(F.expr(predicate))
+        .select("_rel_path")
+        .distinct()
+        .collect()
+    }
+    version = current_version(table_path)
+    if not hit_files:
+        _commit(
+            table_path,
+            version + 1,
+            [_commit_info("UPDATE", {"predicate": predicate},
+                          {"numRemovedFiles": 0, "numUpdatedRows": 0})],
+        )
+        return version + 1
+
+    df = log.read_data_files(sorted(hit_files))
+    for col in set_exprs:
+        if col not in df.columns:
+            raise ValueError(f"unknown column {col!r}")
+    cond = F.expr(predicate)
+    dtypes = dict(df.dtypes)
+    rewritten = df.select(
+        *[
+            (
+                F.when(cond, F.expr(set_exprs[c]).cast(dtypes[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in df.columns
+        ]
+    )
+    for gcol, gexpr in gens.items():
+        rewritten = rewritten.withColumn(
+            gcol, F.expr(gexpr).cast(dtypes[gcol])
+        )
+    _validate_constraints(spark, rewritten, table_path)
+    n_updated = df.where(cond).count()
+
+    rewritten = _to_physical(spark, rewritten, table_path)
+    partition_by = log.partition_columns()
+    before = _list_parquet_rel(table_path)
+    writer = rewritten.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(_list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    actions = [_add_action(table_path, rel) for rel in new_files]
+    actions += [
+        {"remove": {"path": rel.replace(os.sep, "/"), "deletionTimestamp": now,
+                    "dataChange": True}}
+        for rel in sorted(hit_files)
+    ]
+    actions.append(
+        _commit_info("UPDATE", {"predicate": predicate},
+                     {"numRemovedFiles": len(hit_files),
+                      "numAddedFiles": len(new_files),
+                      "numUpdatedRows": n_updated})
+    )
+    _commit(table_path, version + 1, actions)
+    return version + 1

@@ -1,0 +1,99 @@
+"""Copy-on-write UPDATE (delta_writer.update): old-row RHS semantics,
+file pruning, generated-column recompute, constraint enforcement, and
+how the commit surfaces in the row-level change feed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.sources import delta_writer
+from delta_lake_health_spark.sources.cdf import row_changes
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+
+def _tbl(spark, path, n=40):
+    df = spark.range(n).selectExpr(
+        "id", "CAST(id % 4 AS LONG) AS k", "CAST(id * 2 AS LONG) AS v"
+    )
+    delta_writer.write(spark, df.repartition(4), path)
+    return path
+
+
+def test_update_basic_and_rhs_sees_old_row(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    # swap-style: both assignments read the OLD row
+    delta_writer.update(spark, t, "id < 5", {"k": "v", "v": "k"})
+    got = {r.id: (r.k, r.v) for r in DeltaLog(spark, t).snapshot().collect()}
+    for i in range(5):
+        assert got[i] == (i * 2, i % 4)  # swapped from old values
+    for i in range(5, 40):
+        assert got[i] == (i % 4, i * 2)  # untouched
+
+
+def test_update_rewrites_only_hit_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # 4 files, each holding one k partition-ish slice via repartition on k
+    df = spark.range(40).selectExpr("id", "CAST(id % 4 AS LONG) AS k",
+                                    "CAST(0 AS LONG) AS v")
+    delta_writer.write(spark, df.repartition(4, "k"), t)
+    log = DeltaLog(spark, t)
+    delta_writer.update(spark, t, "k = 2", {"v": "99"})
+    acts = log.actions(use_checkpoint=False).where("version = 1")
+    n_removed = acts.where("remove IS NOT NULL").count()
+    assert n_removed <= 2  # only files containing k=2 rows, never all 4
+    snap = log.snapshot()
+    assert snap.where("k = 2 AND v = 99").count() == 10
+    assert snap.where("k <> 2 AND v = 0").count() == 30
+
+
+def test_update_no_match_is_metadata_only(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    v = delta_writer.update(spark, t, "id = 12345", {"v": "0"})
+    log = DeltaLog(spark, t)
+    assert v == 1
+    assert log.actions(use_checkpoint=False).where(
+        "version = 1 AND (add IS NOT NULL OR remove IS NOT NULL)"
+    ).count() == 0
+
+
+def test_update_recomputes_generated_column(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    delta_writer.set_generated_column(spark, t, "v", "id * 2")
+    delta_writer.update(spark, t, "id = 3", {"id": "id + 100"})
+    got = {r.id: r.v for r in DeltaLog(spark, t).snapshot().collect()}
+    assert 3 not in got and got[103] == 206  # regenerated from new id
+    with pytest.raises(ValueError, match="generated"):
+        delta_writer.update(spark, t, "id = 0", {"v": "1"})
+
+
+def test_update_enforces_constraints(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    delta_writer.set_constraint(spark, t, "v_nonneg", "v >= 0")
+    with pytest.raises(Exception, match="v_nonneg|constraint"):
+        delta_writer.update(spark, t, "id = 1", {"v": "-5"})
+    # table unchanged after the refused commit
+    assert DeltaLog(spark, t).snapshot().where("v < 0").count() == 0
+
+
+def test_update_respects_deletion_vectors(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    delta_writer.delete_with_dv(spark, t, "id = 10")
+    delta_writer.update(spark, t, "k = 2", {"v": "-1"})
+    snap = DeltaLog(spark, t).snapshot()
+    assert snap.where("id = 10").count() == 0  # not resurrected
+    assert snap.where("k = 2").count() == snap.where("k = 2 AND v = -1").count()
+
+
+def test_update_in_change_feed(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"), n=10)
+    delta_writer.update(spark, t, "id = 7", {"v": "777"})
+    ch = row_changes(spark, t, from_version=1)
+    by = {
+        r._change_type: r.n
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    # one file of 10 rows rewritten: 10 deletes + 10 inserts
+    assert by["delete"] == by["insert"]
+    new = {r.id: r.v for r in ch.where("_change_type = 'insert'").collect()}
+    assert new[7] == 777
