@@ -429,3 +429,94 @@ def windowed_hll_users(events: DataFrame, watermark: str = "1 hour") -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_mv_appends(
+    spark: SparkSession,
+    source_path: str,
+    mv_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+) -> Any:
+    """Continuously-maintained aggregate view: tail the source Delta
+    table through the ``delta_tail`` streaming source and fold each
+    micro-batch's rows into the count/sum MV (``operators/mv.py``
+    arithmetic) — the full streaming composition: custom source ->
+    micro-batch engine -> Delta-sink MV, all pieces from this repo.
+
+    Exactly-once twice over: the SOURCE offsets (commit versions) live in
+    the streaming checkpoint, and each MV overwrite carries a ``txn``
+    keyed by (checkpoint_dir, batch_id), so a batch re-delivered after a
+    crash between sink-commit and checkpoint-advance is skipped. The
+    per-batch work is |batch rows| + |touched groups|; the MV overwrite
+    is |groups| — the source is never rescanned, which is the property
+    that lets the view ride a 100 TB table's append stream.
+
+    Append-only by design (the ``delta_tail`` contract): a source delete
+    fails the stream rather than silently skewing the aggregate; use
+    batch ``refresh_mv`` (row-level change feed) for tables that delete.
+    """
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        aggs = [F.count(F.lit(1)).alias("d_n")]
+        aggs += [F.sum(c).alias(f"d_{c}") for c in sum_cols]
+        deltas = batch_df.groupBy(*keys).agg(*aggs)
+        try:
+            old = DeltaLog(sess, mv_path).snapshot()
+        except FileNotFoundError:
+            # first batch bootstraps the view (full-history replay)
+            delta_writer.write(
+                sess,
+                deltas.select(
+                    *keys,
+                    F.col("d_n").alias("n_rows"),
+                    *[F.col(f"d_{c}").alias(f"sum_{c}") for c in sum_cols],
+                ),
+                mv_path,
+                mode="overwrite",
+                txn_app_id=checkpoint_dir,
+                txn_version=batch_id,
+            )
+            return
+        dtypes = dict(old.dtypes)
+        merged = old.join(deltas, keys, "full_outer").select(
+            *keys,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d_{c}"), F.lit(0))
+                )
+                .cast(dtypes[f"sum_{c}"])
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        delta_writer.write(
+            sess,
+            merged,
+            mv_path,
+            mode="overwrite",
+            txn_app_id=checkpoint_dir,
+            txn_version=batch_id,
+        )
+
+    stream = delta_source.read_stream(spark, source_path)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

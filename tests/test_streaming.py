@@ -325,3 +325,51 @@ def test_stream_upsert_to_delta_sink(spark):
     delta_writer.merge(spark, out, replay, ["k"], txn_app_id=ckpt, txn_version=3)
     assert {r.k: r.v for r in DeltaLog(spark, out).snapshot().collect()}[0] == 99
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_mv_appends_tracks_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+    from delta_lake_health_spark.streaming.jobs import stream_mv_appends
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "CAST(id % 5 AS LONG) AS k", "CAST(id * 3 AS LONG) AS v"
+        )
+
+    def expect():
+        return {
+            r.k: (r.n_rows, r.sum_v)
+            for r in DeltaLog(spark, src)
+            .snapshot()
+            .groupBy("k")
+            .agg(F.count("*").alias("n_rows"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+
+    def got():
+        return {
+            r.k: (r.n_rows, r.sum_v)
+            for r in DeltaLog(spark, mv).snapshot().collect()
+        }
+
+    delta_writer.write(spark, rows(0, 100).repartition(2), src)
+    delta_writer.write(spark, rows(100, 150).repartition(1), src)
+    stream_mv_appends(spark, src, mv, ["k"], ["v"], ckpt)
+    assert got() == expect()
+
+    # two more source commits; the stream folds ONLY the new versions
+    delta_writer.write(spark, rows(150, 200).repartition(1), src)
+    delta_writer.write(spark, rows(200, 260).repartition(2), src)
+    stream_mv_appends(spark, src, mv, ["k"], ["v"], ckpt)
+    assert got() == expect()
+
+    # no new source data: re-run is a clean no-op
+    stream_mv_appends(spark, src, mv, ["k"], ["v"], ckpt)
+    assert got() == expect()
