@@ -75,6 +75,7 @@ _VERIFY_FIRST = (
     "corpus_mixture_weights",
     "events_anomaly_zscore",
     "embedding_scalar_quantize",
+    "sketch_heavy_hitters",
 )
 
 

@@ -1,0 +1,105 @@
+"""Deterministic count-min sketch (Cormode & Muthukrishnan 2005) for
+heavy-hitter detection without a corpus-sized shuffle (SURVEY §2.65).
+
+Why a sketch when ``groupBy(token).count()`` exists: token frequencies
+are zipfian, so the exact groupBy shuffles the whole corpus onto hot
+keys — the classic straggler at 100 TB. The CMS pass instead builds one
+fixed-size (D x W) counts matrix per partition and MERGES them (counts
+are additive, so merging is order-invariant and the result is
+bit-identical to a single-pass sketch); only the bounded candidate set
+ever shuffles by key.
+
+Determinism: hashing is SplitMix64 over fixed per-row seeds (strings are
+first folded to uint64 with a byte-wise FNV-1a, vectorized over numpy);
+no RNG, no platform dependence — two engines or two passes produce the
+same matrix.
+
+Guarantee: estimate(k) >= true(k), and estimate(k) <= true(k) + eps*N
+with probability 1-delta for eps = e/W, delta = e^-D (W=4096, D=4:
+eps ~ 0.07%, delta ~ 1.8%).
+
+The reference repo has no sketch surface; this extends the
+beyond-reference pipeline family (K1/K2/K3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+D = 4  # hash rows
+W = 4096  # counters per row
+# fixed row seeds (first 64 hex digits of pi scrambled; any constants work)
+SEEDS = np.array(
+    [0x243F6A8885A308D3, 0x13198A2E03707344,
+     0xA4093822299F31D0, 0x082EFA98EC4E6C89],
+    dtype=np.uint64,
+)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_strings(values) -> np.ndarray:
+    """Vectorized FNV-1a over UTF-8 bytes -> uint64 per string.
+    Deterministic across processes/platforms (unlike Python's seeded
+    ``hash``)."""
+    out = np.full(len(values), np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    arrs = [np.frombuffer(s.encode("utf-8"), dtype=np.uint8) for s in values]
+    maxlen = max((len(a) for a in arrs), default=0)
+    for i in range(maxlen):
+        has = np.array([len(a) > i for a in arrs])
+        byte = np.array(
+            [a[i] if len(a) > i else 0 for a in arrs], dtype=np.uint64
+        )
+        out[has] = (out[has] ^ byte[has]) * prime
+    return out
+
+
+def new_sketch() -> np.ndarray:
+    return np.zeros((D, W), dtype=np.int64)
+
+
+def _indices(keys_u64: np.ndarray) -> np.ndarray:
+    """(D, n) counter indices for each key."""
+    return np.stack(
+        [
+            (_splitmix64(keys_u64 ^ SEEDS[j]) % np.uint64(W)).astype(np.int64)
+            for j in range(D)
+        ]
+    )
+
+
+def update(sketch: np.ndarray, keys_u64: np.ndarray, weights=None) -> np.ndarray:
+    if len(keys_u64) == 0:
+        return sketch
+    w = (
+        np.ones(len(keys_u64), dtype=np.int64)
+        if weights is None
+        else np.asarray(weights, dtype=np.int64)
+    )
+    idx = _indices(np.asarray(keys_u64, dtype=np.uint64))
+    for j in range(D):
+        np.add.at(sketch[j], idx[j], w)
+    return sketch
+
+
+def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Additive state: the merge of two sketches is the sketch of the
+    concatenated streams (order-invariant)."""
+    return a + b
+
+
+def estimate(sketch: np.ndarray, keys_u64: np.ndarray) -> np.ndarray:
+    """Min over rows — the CMS point estimate (never underestimates)."""
+    if len(keys_u64) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = _indices(np.asarray(keys_u64, dtype=np.uint64))
+    return np.min(
+        np.stack([sketch[j][idx[j]] for j in range(D)]), axis=0
+    )

@@ -124,3 +124,74 @@ def events_windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@query("sketch_heavy_hitters", None)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — corpus heavy-hitter tokens via a count-min sketch
+    (operators/cms.py): per-partition (D x W) sketches + bounded local
+    candidate lists, one tiny cell-sum shuffle, estimates resolved on
+    the driver against the merged matrix. The corpus itself never
+    shuffles on the (zipfian-hot) token key — the property that makes
+    heavy-hitter detection feasible at 100 TB where the exact groupBy
+    straggles on the head tokens. CMS counts are additive, so the merged
+    matrix is bit-identical regardless of partitioning/order; no oracle
+    (the sketch isn't SQL-expressible) — overestimate-only and top-k
+    containment vs exact counts are asserted in tests/test_sketch.py.
+    """
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import cms
+
+    TOP_K = 20
+    LOCAL_CANDIDATES = 64
+
+    docs = load(spark, sf_dir, "documents").select("text")
+
+    def partial(batches):
+        sketch = cms.new_sketch()
+        local_counts: dict[str, int] = {}
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ").explode()
+            counts = toks.value_counts()
+            keys = cms.hash_strings(list(counts.index))
+            cms.update(sketch, keys, counts.to_numpy())
+            for t, c in counts.items():
+                local_counts[t] = local_counts.get(t, 0) + int(c)
+        rows = [
+            {"kind": 0, "cell": int(j * cms.W + w), "cnt": int(v), "token": ""}
+            for j in range(cms.D)
+            for w, v in enumerate(sketch[j])
+            if v
+        ]
+        top_local = sorted(local_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows += [
+            {"kind": 1, "cell": 0, "cnt": 0, "token": t}
+            for t, _ in top_local[:LOCAL_CANDIDATES]
+        ]
+        yield pd.DataFrame(rows, columns=["kind", "cell", "cnt", "token"])
+
+    parts = docs.mapInPandas(
+        partial, "kind int, cell long, cnt long, token string"
+    )
+    parts = parts.localCheckpoint()  # one corpus pass feeds both branches
+    cells = (
+        parts.where("kind = 0")
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    candidates = sorted(
+        r.token for r in parts.where("kind = 1").select("token").distinct().collect()
+    )
+
+    from delta_lake_health_spark.operators import cms as _cms
+
+    sketch = _cms.new_sketch()
+    for r in cells:
+        sketch[r.cell // _cms.W][r.cell % _cms.W] = r.cnt
+    est = _cms.estimate(sketch, _cms.hash_strings(candidates))
+    order = sorted(
+        zip(candidates, (int(e) for e in est)), key=lambda kv: (-kv[1], kv[0])
+    )[:TOP_K]
+    return spark.createDataFrame(order, "token string, est_count long")

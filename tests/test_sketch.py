@@ -119,3 +119,59 @@ def test_windowed_hll_users_error_bound(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_cms_core_properties():
+    """Overestimate-only, additive merge == concatenated stream, and
+    deterministic string hashing."""
+    import numpy as np
+
+    from delta_lake_health_spark.operators import cms
+
+    rng = np.random.default_rng(7)
+    words = [f"w{int(i)}" for i in rng.zipf(1.5, size=5000) if i < 500]
+    half = len(words) // 2
+    a, b = cms.new_sketch(), cms.new_sketch()
+    cms.update(a, cms.hash_strings(words[:half]))
+    cms.update(b, cms.hash_strings(words[half:]))
+    both = cms.new_sketch()
+    cms.update(both, cms.hash_strings(words))
+    assert np.array_equal(cms.merge(a, b), both)
+
+    uniq = sorted(set(words))
+    exact = {w: words.count(w) for w in uniq}
+    est = cms.estimate(both, cms.hash_strings(uniq))
+    n = len(words)
+    for w, e in zip(uniq, est):
+        assert e >= exact[w]
+        assert e <= exact[w] + 0.01 * n  # far inside the eps*N bound
+    # determinism across calls
+    assert np.array_equal(cms.hash_strings(uniq), cms.hash_strings(uniq))
+
+
+def test_sketch_heavy_hitters_vs_exact(spark):
+    """Estimates never under-count and the reported top-20 contains the
+    exact top-10 tokens."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.sketch import QUERIES
+    from delta_lake_health_spark.sources.catalog import load
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.token: r.est_count
+           for r in QUERIES["sketch_heavy_hitters"](spark, sf).collect()}
+    exact = {
+        r.w: r.c
+        for r in load(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert len(got) == 20
+    total = sum(exact.values())
+    for t, e in got.items():
+        assert e >= exact.get(t, 0)
+        assert e <= exact.get(t, 0) + 0.001 * total
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert all(t in got for t, _ in top10)
