@@ -172,12 +172,18 @@ def _bench_delta_ops(spark) -> dict[str, float]:
             maintenance.apply_deletion_vectors(spark, path),
         ),
     )
+    step("update", lambda: delta_writer.update(
+        spark, path, "k = 17", {"v": "v + 1000.0"}
+    ))
     step("compact", lambda: maintenance.compact(
         spark, path, small_file_size=64 * 1024 * 1024, target_file_size=64 * 1024 * 1024
     ))
     step("zorder", lambda: maintenance.zorder_cluster(spark, path, ["k", "v"]))
     step("checkpoint", lambda: DeltaLog(spark, path).checkpoint())
     step("vacuum", lambda: maintenance.vacuum(spark, path, retention_hours=0.0))
+    step("log_cleanup", lambda: maintenance.cleanup_log(
+        spark, path, retention_hours=0.0
+    ))
     ops["total"] = round(sum(ops.values()), 3)
     shutil.rmtree(tmp, ignore_errors=True)
     return ops

@@ -758,6 +758,8 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     log = DeltaLog(spark, table_path)
+    base_version = current_version(table_path)
+    read_files = {p.replace(os.sep, "/") for p in _active_rel_paths(spark, table_path)}
     snap = log.snapshot_with_positions()
     hit_files = {
         r._rel_path
@@ -766,7 +768,7 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
         .distinct()
         .collect()
     }
-    version = current_version(table_path)
+    version = base_version
     if not hit_files:
         _commit(
             table_path,
@@ -800,8 +802,13 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
                      {"numRemovedFiles": len(hit_files),
                       "numAddedFiles": len(new_files)})
     )
-    _commit(table_path, version + 1, actions)
-    return version + 1
+    return commit_mutation(
+        table_path,
+        version,
+        actions,
+        read_files=read_files,
+        removed_files={p.replace(os.sep, "/") for p in hit_files},
+    )
 
 
 def merge(
@@ -838,6 +845,10 @@ def merge(
         last = log.last_txn_version(txn_app_id)
         if last is not None and txn_version <= last:
             return current_version(table_path)  # replay of a committed batch
+    base_version = current_version(table_path)
+    read_files = {
+        p.replace(os.sep, "/") for p in _active_rel_paths(spark, table_path)
+    }
     source = _fill_generated_columns(spark, source, table_path)
     _validate_constraints(spark, source, table_path)
     partition_by = log.partition_columns()
@@ -887,9 +898,13 @@ def merge(
              "numTargetFilesAdded": len(new_files)},
         )
     )
-    version = current_version(table_path)
-    _commit(table_path, version + 1, actions)
-    return version + 1
+    return commit_mutation(
+        table_path,
+        base_version,
+        actions,
+        read_files=read_files,
+        removed_files={p.replace(os.sep, "/") for p in hit_files},
+    )
 
 
 def clone_shallow(spark: SparkSession, source_path: str, target_path: str) -> int:
@@ -972,6 +987,10 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     log = DeltaLog(spark, table_path)
+    version = current_version(table_path)
+    read_files = {
+        p.replace(os.sep, "/") for p in _active_rel_paths(spark, table_path)
+    }
     hits = (
         log.snapshot_with_positions()
         .where(F.expr(predicate))
@@ -980,7 +999,6 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
             F.col("_row_index").alias("row_index"),
         )
     )
-    version = current_version(table_path)
     n = hits.count()
     if n == 0:
         _commit(
@@ -992,16 +1010,16 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
         return version + 1
     dv_rel = f"{DELETES_DIR}/dv-{version + 1:020d}"
     hits.coalesce(1).write.parquet(os.path.join(table_path, dv_rel))
-    _commit(
+    return commit_mutation(
         table_path,
-        version + 1,
+        version,
         [
             {"dv": {"path": dv_rel, "numDeletedRows": n}},
             _commit_info("DELETE", {"predicate": predicate, "mode": "dv"},
                          {"numDeletedRows": n, "numRewrittenFiles": 0}),
         ],
+        read_files=read_files,
     )
-    return version + 1
 
 
 def update(
@@ -1033,6 +1051,10 @@ def update(
                 f"column {col!r} is generated ({gens[col]!r}); it is "
                 "recomputed automatically and cannot be assigned"
             )
+    version = current_version(table_path)
+    read_files = {
+        p.replace(os.sep, "/") for p in _active_rel_paths(spark, table_path)
+    }
     snap = log.snapshot_with_positions()
     hit_files = {
         r._rel_path
@@ -1041,7 +1063,6 @@ def update(
         .distinct()
         .collect()
     }
-    version = current_version(table_path)
     if not hit_files:
         _commit(
             table_path,
@@ -1098,5 +1119,122 @@ def update(
                       "numAddedFiles": len(new_files),
                       "numUpdatedRows": n_updated})
     )
-    _commit(table_path, version + 1, actions)
-    return version + 1
+    return commit_mutation(
+        table_path,
+        version,
+        actions,
+        read_files=read_files,
+        removed_files={p.replace(os.sep, "/") for p in hit_files},
+    )
+
+
+# --------------------------------------------------------------------------
+# Optimistic-concurrency conflict detection for read-modify-write commits
+# (the Delta conflict matrix). Blind appends retry freely (write() above);
+# DELETE / UPDATE / MERGE / DV-delete read a snapshot, so a commit that
+# lands between their read and their commit must be CHECKED, not blindly
+# rebased:
+#
+#   winner action                 loser op outcome
+#   -----------------------------------------------------------------
+#   metaData / protocol change    MetadataChangedException
+#   removed a file we removed     ConcurrentDeleteDeleteException
+#   removed a file we read        ConcurrentDeleteReadException
+#   added data files              ConcurrentAppendException (the new rows
+#                                 might match our predicate — Serializable)
+#   txn / commitInfo only         safe: rebase to the next version
+#
+# Exception names mirror delta-io/delta's org.apache.spark.sql.delta.
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    pass
+
+
+class MetadataChangedException(ConcurrentWriteConflict):
+    pass
+
+
+class ConcurrentAppendException(ConcurrentWriteConflict):
+    pass
+
+
+class ConcurrentDeleteReadException(ConcurrentWriteConflict):
+    pass
+
+
+class ConcurrentDeleteDeleteException(ConcurrentWriteConflict):
+    pass
+
+
+def _version_actions(table_path: str, version: int) -> list[dict]:
+    with open(_log_path(table_path, version)) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def check_commit_conflicts(
+    table_path: str,
+    base_version: int,
+    read_files: set[str],
+    removed_files: set[str],
+) -> int:
+    """Validate the commits that landed after ``base_version`` against
+    this operation's read/remove sets (driver-side, |interleaved actions|
+    work). Returns the rebased commit version to use, or raises the
+    matching conflict exception."""
+    current = current_version(table_path)
+    for v in range(base_version + 1, current + 1):
+        for act in _version_actions(table_path, v):
+            if "metaData" in act or "protocol" in act:
+                raise MetadataChangedException(
+                    f"version {v} changed table metadata/protocol"
+                )
+            if "remove" in act:
+                p = act["remove"]["path"]
+                if p in removed_files:
+                    raise ConcurrentDeleteDeleteException(
+                        f"version {v} also removed {p}"
+                    )
+                if p in read_files:
+                    raise ConcurrentDeleteReadException(
+                        f"version {v} removed {p}, which this operation read"
+                    )
+            if "add" in act and act["add"].get("dataChange"):
+                raise ConcurrentAppendException(
+                    f"version {v} added data files that may match this "
+                    "operation's predicate"
+                )
+            if "dv" in act:
+                raise ConcurrentDeleteReadException(
+                    f"version {v} committed a deletion vector over files "
+                    "this operation may have read"
+                )
+    return current + 1
+
+
+def commit_mutation(
+    table_path: str,
+    base_version: int,
+    actions: list[dict],
+    read_files: set[str] | None = None,
+    removed_files: set[str] | None = None,
+    max_retries: int = 10,
+) -> int:
+    """Put-if-absent commit for a read-modify-write operation: on a
+    version collision, run the conflict matrix over the interleaved
+    commits and either rebase (safe winners only: txn/commitInfo-only
+    commits, e.g. replay-guard markers) or raise the typed conflict."""
+    read_files = read_files or set()
+    removed_files = removed_files or set()
+    version = base_version + 1
+    for _ in range(max_retries):
+        try:
+            _commit(table_path, version, actions)
+            return version
+        except RuntimeError as ex:
+            if "concurrent commit" not in str(ex):
+                raise
+            version = check_commit_conflicts(
+                table_path, base_version, read_files, removed_files
+            )
+    raise RuntimeError(f"commit contention after {max_retries} retries")
