@@ -816,6 +816,60 @@ class DeltaLog:
             df = self._rename_physical_to_logical(df, schema)
         return df
 
+    def commit_timestamps(self) -> list[tuple[int, int]]:
+        """(version, adjusted_ts_millis) over the RETAINED log, with
+        Delta's monotonicity adjustment for ``timestampAsOf`` resolution:
+        a commit stamped earlier than its predecessor (clock skew) reads
+        as predecessor + 1 ms, so timestamp -> version is well-defined."""
+        rows = (
+            self.actions(use_checkpoint=False)
+            .where(F.col("commitInfo").isNotNull())
+            .select("version", F.col("commitInfo.timestamp").alias("ts"))
+            .orderBy("version")
+            .collect()
+        )
+        out: list[tuple[int, int]] = []
+        prev = -1
+        for r in rows:
+            ts = max(int(r.ts), prev + 1)
+            out.append((int(r.version), ts))
+            prev = ts
+        return out
+
+    @staticmethod
+    def _to_millis(ts) -> int:
+        import datetime as _dt
+
+        if isinstance(ts, (int, float)):
+            return int(ts)
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            return int(ts.timestamp() * 1000)
+        raise TypeError(f"unsupported timestamp {ts!r}")
+
+    def version_at_timestamp(self, ts) -> int:
+        """Latest version committed at or before ``ts`` (epoch millis,
+        ISO string, or datetime) — Delta's ``timestampAsOf``. Bounded by
+        the retained log window after ``cleanup_log``, like Delta's
+        retention-bounded timestamp travel."""
+        target = self._to_millis(ts)
+        pairs = self.commit_timestamps()
+        candidates = [v for v, t in pairs if t <= target]
+        if not candidates:
+            lo = pairs[0][1] if pairs else None
+            raise ValueError(
+                f"no retained commit at or before {target} "
+                f"(earliest retained commit timestamp: {lo})"
+            )
+        return max(candidates)
+
+    def snapshot_at_timestamp(self, ts) -> DataFrame:
+        """``timestampAsOf`` read: resolve the version, then time-travel."""
+        return self.snapshot(as_of=self.version_at_timestamp(ts))
+
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """The table's data as a DataFrame — reads ONLY the live files
         (basePath option recovers hive-style partition columns). ``as_of``

@@ -1342,3 +1342,46 @@ def test_restore_tolerates_vacuumed_dv_sidecar(spark):
     maintenance.restore(spark, path, 0)
     assert DeltaLog(spark, path).snapshot().count() == n0
     shutil.rmtree(tmp)
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """timestampAsOf: monotonic-adjusted commit timestamps resolve to the
+    latest version at-or-before the target; before-history raises."""
+    import json
+    import os
+
+    import pytest
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        delta_writer.write(
+            spark, spark.range(i * 10, (i + 1) * 10).selectExpr("id"), t
+        )
+
+    # rewrite the logged commit timestamps to a controlled, SKEWED series:
+    # v0 @ 1000, v1 @ 5000, v2 @ 3000 (v2's clock ran behind v1's)
+    for v, ts in [(0, 1000), (1, 5000), (2, 3000)]:
+        p = os.path.join(t, "_delta_log", f"{v:020d}.json")
+        acts = [json.loads(line) for line in open(p)]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as fh:
+            for a in acts:
+                fh.write(json.dumps(a) + "\n")
+
+    log = DeltaLog(spark, t)
+    # adjusted series: 1000, 5000, 5001 (v2 bumped past v1)
+    assert log.commit_timestamps() == [(0, 1000), (1, 5000), (2, 5001)]
+    assert log.version_at_timestamp(1000) == 0
+    assert log.version_at_timestamp(4999) == 0
+    assert log.version_at_timestamp(5000) == 1
+    assert log.version_at_timestamp(5001) == 2
+    assert log.version_at_timestamp(10_000_000) == 2
+    with pytest.raises(ValueError, match="earliest retained"):
+        log.version_at_timestamp(999)
+    assert log.snapshot_at_timestamp(5000).count() == 20
+    assert log.snapshot_at_timestamp(5001).count() == 30
