@@ -19,11 +19,12 @@ def test_registry_integrity():
     assert list(qs)[: len(e._VERIFY_FIRST)] == [
         n for n in e._VERIFY_FIRST if n in qs
     ]
-    # only the three by-design rows-only queries lack oracles
+    # only the by-design rows-only sketch queries lack oracles
     assert sorted(set(qs) - set(orc)) == [
         "events_windowed_hll_users",
         "sketch_approx_distinct",
         "sketch_approx_percentiles",
+        "sketch_heavy_hitters",
     ]
 
 
