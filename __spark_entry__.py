@@ -75,6 +75,9 @@ _VERIFY_FIRST = (
     "corpus_mixture_weights",
     "events_anomaly_zscore",
     "embedding_scalar_quantize",
+    "events_sequence_pattern",
+    "ann_pq_adc_topk",
+    # rows-only (weakest check) deliberately last before the driver cap
     "sketch_heavy_hitters",
 )
 

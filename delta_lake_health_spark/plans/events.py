@@ -731,3 +731,53 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_ts", "n_events", F.round(z, 6).alias("z"))
         .orderBy("hour_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# E21 — sequence-pattern matching (the MATCH_RECOGNIZE shape): per user,
+# lay the event types on one deterministic time axis and count
+# non-overlapping CONSECUTIVE view->click->purchase runs with a single
+# regex over the joined sequence — sequence assembly is one groupBy
+# (collect_list + array_sort, work ∝ user's events), the pattern scan is
+# a JVM-side regexp, and ties are broken by (ts, event_id) identically
+# in the oracle. At 100 TB the state per user is their event-type string
+# — no self-joins, no per-stage passes.
+@query(
+    "events_sequence_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           len(regexp_extract_all(s, 'view,click,purchase')) AS n_conversions
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'view,click,purchase')) > 0
+    ORDER BY user_id
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda r: r["event_type"],
+                ),
+                ",",
+            ).alias("s"),
+        )
+    )
+    n_conv = F.size(F.regexp_extract_all("s", F.lit("view,click,purchase"), 0))
+    return (
+        seq.select("user_id", "n_events", n_conv.alias("n_conversions"))
+        .where(F.col("n_conversions") > 0)
+        .orderBy("user_id")
+    )

@@ -617,3 +617,154 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# S8 — product quantization + asymmetric-distance search (Jégou et al.
+# 2011): split each vector into PQ_M subspaces, codebook per subspace =
+# the sub-vectors of the PQ_K lowest vec_ids (deterministic sampled
+# codebook), encode the corpus to PQ_M bytes/vector (64 doubles -> 8
+# codes, 64x), and answer queries by ADC — per-subspace distance tables
+# to the codebook summed over the stored codes. Scale shape: the
+# codebook (PQ_M x PQ_K tiny rows) broadcasts everywhere; encoding is
+# one corpus pass; a query touches |corpus| x PQ_M table lookups instead
+# of |corpus| x DIM float ops, and the compressed corpus fits in a
+# fraction of the memory — the standard billion-vector search layout.
+# Ties (equal sub-distance) break toward the lower code id in BOTH
+# engines, so the oracle matches exactly.
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace
+PQ_RERANK = 25  # ADC shortlist width fed to the exact rerank
+
+_SQL_PQ = f"""
+    WITH e0 AS ({_SQL_E}),
+    e AS (  -- L2-normalize first: ADC's L2 ranking == cosine ranking
+      SELECT vec_id, label,
+             list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb)))
+               AS emb
+      FROM e0
+    ),
+    sub AS (  -- (vec_id, m, 8-dim sub-vector)
+      SELECT vec_id, t.m,
+             e.emb[t.m * {PQ_SUB} + 1 : t.m * {PQ_SUB} + {PQ_SUB}] AS sv
+      FROM e, range({PQ_M}) t(m)
+    ),
+    cb AS (  -- codebook: sub-vectors of the PQ_K lowest vec_ids
+      SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+    ),
+    dists AS (  -- every (vector, subspace, code) L2^2
+      SELECT sub.vec_id, sub.m, cb.code,
+             list_dot_product(sub.sv, sub.sv)
+             - 2 * list_dot_product(sub.sv, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS d2
+      FROM sub JOIN cb USING (m)
+    ),
+    codes AS (  -- argmin code per (vector, subspace), tie -> low code
+      SELECT vec_id, m, code, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    adc AS (  -- query x corpus: sum the query's table entry at v's code
+      SELECT q.vec_id AS q_id, c.vec_id,
+             SUM(qd.d2) AS approx_d2
+      FROM codes c
+      JOIN e q ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+      JOIN dists qd ON qd.vec_id = q.vec_id AND qd.m = c.m
+                    AND qd.code = c.code
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    shortlist AS (  -- ADC shortlist, then exact rerank (standard PQ use)
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY approx_d2, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_RERANK}
+    ),
+    reranked AS (  -- vectors are normalized: plain dot == cosine
+      SELECT s.q_id, s.vec_id,
+             list_dot_product(q.emb, v.emb) AS cos
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.q_id
+      JOIN e v ON v.vec_id = s.vec_id
+    ),
+    final AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM reranked
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine, rn
+    FROM final WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+"""
+
+
+@query("ann_pq_adc_topk", _SQL_PQ)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(emb, x -> x / sqrt(aggregate(zip_with(emb, emb,"
+            " (a, b) -> a * b), 0d, (acc, v) -> acc + v)))"
+        ).alias("emb"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> slice(emb, m * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("m", "sv"),
+    )
+    cb = sub.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv")
+    )
+    d2 = (
+        _dot("sv", "sv")
+        - 2 * F.expr("aggregate(zip_with(sv, cv, (x, y) -> x * y), 0d, (a, x) -> a + x)")
+        + _dot("cv", "cv")
+    )
+    dists = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", d2.alias("d2")
+    )
+    dists = dists.localCheckpoint()  # feeds codes, query tables, and ADC
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qtab = dists.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", "code", F.col("d2").alias("qd2")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd2").alias("approx_d2"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("approx_d2", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= PQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+    # exact rerank on the (normalized) vectors: dot == cosine
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+    reranked = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(emb, "vec_id")
+        .select("q_id", "vec_id", _dot("q_emb", "emb").alias("cos"))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )

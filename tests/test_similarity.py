@@ -130,3 +130,20 @@ def test_ivf_index_scale_parameters(spark):
     )
     got = search(idx, q, top_k=3, exclude_same_id=True).collect()
     assert [r.vec_id for r in got] == [1, 2, 3]
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """ADC over 8-byte codes still finds most of the true neighborhood:
+    recall@5 of the exact top-5 must clear 0.5 on the test corpus (PQ
+    trades exactness for a 64x memory cut; rerank would recover the
+    rest). Also sanity: approx distances are non-negative."""
+    got = {}
+    for r in sim.QUERIES["ann_pq_adc_topk"](spark, SF_ORACLE).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+        assert -1.0 <= r.cosine <= 1.0
+    exact = {}
+    for r in sim.QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"recall@5 = {hits / total:.2f}"
