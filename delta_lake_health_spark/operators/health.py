@@ -243,12 +243,20 @@ class HealthAnalyzer:
         (every log-derived metric below re-references it)."""
         table_path = log.table_path
 
-        # --- history (log-only) ------------------------------------------
-        ops = log.operation_counts()
-        m.number_of_writes = ops.get("WRITE", 0)
-        m.number_of_deletes = ops.get("DELETE", 0)
-        m.number_of_optimizes = ops.get("OPTIMIZE", 0)
-        m.version_count = log.version()
+        # --- history (log-only): op counts + max version in ONE job ------
+        hist = log.actions().agg(
+            F.max("version").alias("v"),
+            *[
+                F.sum(
+                    F.when(F.col("commitInfo.operation") == op, 1).otherwise(0)
+                ).alias(f"n_{op}")
+                for op in ("WRITE", "DELETE", "OPTIMIZE")
+            ],
+        ).collect()[0]
+        m.number_of_writes = int(hist.n_WRITE or 0)
+        m.number_of_deletes = int(hist.n_DELETE or 0)
+        m.number_of_optimizes = int(hist.n_OPTIMIZE or 0)
+        m.version_count = int(hist.v or 0)
 
         # --- live-file stats (log-only) ----------------------------------
         active = log.active_files().cache()

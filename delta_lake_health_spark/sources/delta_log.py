@@ -142,6 +142,13 @@ class DeltaLog:
         # AFTER construction is seen by a NEW DeltaLog, which is how every
         # caller already behaves — the standard snapshot-isolation contract.
         self._actions_cache: dict[bool, DataFrame] = {}
+        # driver-side result memos under the same snapshot-isolation
+        # contract: metadata and DV-path lookups are collected repeatedly
+        # by the analyzer / writers, and each collect is a whole Spark
+        # job (~100 ms of scheduler overhead on a tiny log)
+        self._meta_cache: dict | None = None
+        self._dv_paths_cache: list[str] | None = None
+        self._live_rows_cache: list | None = None
 
     # -- raw actions -------------------------------------------------------
 
@@ -463,6 +470,19 @@ class DeltaLog:
             .drop("rn", "is_add")
         )
 
+    def live_files_rows(self, as_of: int | None = None) -> list:
+        """``active_files().select(path, partitionValues).collect()`` with
+        a per-instance memo for the current-version case — every snapshot
+        path needs this exact list, and each collect is a whole job."""
+        if as_of is None and self._live_rows_cache is not None:
+            return self._live_rows_cache
+        rows = (
+            self.active_files(as_of).select("path", "partitionValues").collect()
+        )
+        if as_of is None:
+            self._live_rows_cache = rows
+        return rows
+
     def live_add_actions(self) -> list[dict]:
         """Full add-action dicts (path, partitionValues, size,
         modificationTime, stats) for every live file — what SHALLOW CLONE
@@ -540,6 +560,8 @@ class DeltaLog:
         return int(row.v) if row.v is not None else 0
 
     def metadata(self, as_of: int | None = None) -> dict:
+        if as_of is None and self._meta_cache is not None:
+            return self._meta_cache
         use_ckpt = True if as_of is None else self._as_of_source(as_of)
         acts = self.actions(use_checkpoint=use_ckpt)
         if as_of is not None:
@@ -552,15 +574,19 @@ class DeltaLog:
             .collect()
         )
         if not rows:
-            return {}
-        m = rows[0].metaData
-        return {
-            "id": m.id,
-            "name": m.name,
-            "partition_columns": list(m.partitionColumns or []),
-            "schema": json.loads(m.schemaString) if m.schemaString else None,
-            "configuration": dict(m.configuration or {}),
-        }
+            out = {}
+        else:
+            m = rows[0].metaData
+            out = {
+                "id": m.id,
+                "name": m.name,
+                "partition_columns": list(m.partitionColumns or []),
+                "schema": json.loads(m.schemaString) if m.schemaString else None,
+                "configuration": dict(m.configuration or {}),
+            }
+        if as_of is None:
+            self._meta_cache = out
+        return out
 
     def partition_columns(self) -> list[str]:
         return self.metadata().get("partition_columns", [])
@@ -647,16 +673,21 @@ class DeltaLog:
     # -- deletion vectors --------------------------------------------------
 
     def deletion_vector_paths(self, as_of: int | None = None) -> list[str]:
+        if as_of is None and self._dv_paths_cache is not None:
+            return self._dv_paths_cache
         use_ckpt = True if as_of is None else self._as_of_source(as_of)
         acts = self.actions(use_checkpoint=use_ckpt)
         if as_of is not None:
             acts = acts.where(F.col("version") <= as_of)
-        return [
+        out = [
             r.path
             for r in acts.where(F.col("dv").isNotNull())
             .select(F.col("dv.path").alias("path"))
             .collect()
         ]
+        if as_of is None:
+            self._dv_paths_cache = out
+        return out
 
     def deletion_vectors(self, as_of: int | None = None) -> DataFrame | None:
         """(rel_path, row_index) of every soft-deleted row, or None when
@@ -774,13 +805,7 @@ class DeltaLog:
         dv = self.deletion_vectors()
         if any(os.path.isabs(p) for p in rel_paths):
             want = set(rel_paths)
-            live = [
-                r
-                for r in self.active_files()
-                .select("path", "partitionValues")
-                .collect()
-                if r.path in want
-            ]
+            live = [r for r in self.live_files_rows() if r.path in want]
             # lineage captured at scan: _apply_dv's _metadata reference
             # would be unresolvable after the partition-value join
             df = self._read_with_logged_partitions(
@@ -884,7 +909,7 @@ class DeltaLog:
         ~100 MB, the same order every Delta/Iceberg driver-side planner
         holds), and passing explicit paths is what lets the scan skip
         dead files without a data-side filter."""
-        live = self.active_files(as_of).select("path", "partitionValues").collect()
+        live = self.live_files_rows(as_of)
         paths = [r.path for r in live]
         schema = self.metadata(as_of).get("schema")
         if not paths:
@@ -985,7 +1010,7 @@ class DeltaLog:
         directly on the scan, so any caller that joins or projects first
         must capture the position columns up front (the DV anti-join in
         ``snapshot`` does exactly that, which is why this exists)."""
-        live = self.active_files(as_of).select("path", "partitionValues").collect()
+        live = self.live_files_rows(as_of)
         paths = [r.path for r in live]
         schema = self.metadata(as_of).get("schema")
         if not paths:
