@@ -198,10 +198,32 @@ def _norm_fields(schema: dict) -> list[dict]:
     ]
 
 
+_WIDENING_CHAINS = (
+    ["byte", "short", "integer", "long"],
+    ["float", "double"],
+)
+
+
+def _widened_type(logged_t, incoming_t):
+    """Delta type widening: if the incoming PRIMITIVE type is strictly
+    wider than the logged one along an allowed chain (byte->short->int->
+    long, float->double), the TABLE type widens — old files stay valid
+    because the parquet reader upcasts them (Spark 4 widening reads).
+    Returns the widened type name, or None when no widening applies."""
+    if not isinstance(logged_t, str) or not isinstance(incoming_t, str):
+        return None
+    for chain in _WIDENING_CHAINS:
+        if logged_t in chain and incoming_t in chain:
+            if chain.index(incoming_t) > chain.index(logged_t):
+                return incoming_t
+    return None
+
+
 def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bool):
     """For an append whose schema differs from the logged one: either raise
     (default) or — with ``merge_schema`` — align ``df`` to the merged
-    schema (logged fields first, cast to their logged types; new fields
+    schema (logged fields first, cast to their logged types or WIDENED to
+    the incoming type per the Delta type-widening chains; new fields
     appended). Returns (df, schema_changed)."""
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
@@ -216,6 +238,13 @@ def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bo
         )
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
+
+    cur_types = {f["name"]: f["type"] for f in cur["fields"]}
+    logged_fields = []
+    for f in logged["fields"]:
+        wide = _widened_type(f.get("type"), cur_types.get(f["name"]))
+        logged_fields.append({**f, "type": wide} if wide else f)
+    logged = {**logged, "fields": logged_fields}
 
     logged_names = {f["name"] for f in logged["fields"]}
     # evolution-added columns are ALWAYS nullable (Delta mergeSchema

@@ -1385,3 +1385,46 @@ def test_timestamp_as_of_resolution(spark, tmp_path):
         log.version_at_timestamp(999)
     assert log.snapshot_at_timestamp(5000).count() == 20
     assert log.snapshot_at_timestamp(5001).count() == 30
+
+
+def test_type_widening_on_merge_schema_append(spark, tmp_path):
+    """Delta type widening: appending a wider primitive (int->long,
+    float->double) with merge_schema widens the TABLE type; old narrow
+    files stay readable through Spark's widening parquet reads, and
+    time travel still shows the pre-widening schema."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    v0 = spark.range(5).selectExpr(
+        "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+    )
+    delta_writer.write(spark, v0, t)
+    v1 = spark.range(5, 8).selectExpr(
+        "CAST(id * 10000000000 AS LONG) AS a", "CAST(id AS DOUBLE) AS b"
+    )
+    delta_writer.write(spark, v1, t, merge_schema=True)
+
+    log = DeltaLog(spark, t)
+    types = {f["name"]: f["type"] for f in log.metadata()["schema"]["fields"]}
+    assert types == {"a": "long", "b": "double"}
+    snap = log.snapshot()
+    assert dict(snap.dtypes) == {"a": "bigint", "b": "double"}
+    got = sorted(r.a for r in snap.collect())
+    assert got == [0, 1, 2, 3, 4, 50000000000, 60000000000, 70000000000]
+    # pre-widening version still reads with the narrow schema
+    old_types = {
+        f["name"]: f["type"]
+        for f in log.metadata(as_of=0)["schema"]["fields"]
+    }
+    assert old_types == {"a": "integer", "b": "float"}
+    assert log.snapshot(as_of=0).count() == 5
+    # narrower appends do NOT narrow the table back
+    v2 = spark.range(8, 10).selectExpr(
+        "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+    )
+    delta_writer.write(spark, v2, t, merge_schema=True)
+    log2 = DeltaLog(spark, t)
+    types2 = {f["name"]: f["type"] for f in log2.metadata()["schema"]["fields"]}
+    assert types2 == {"a": "long", "b": "double"}
+    assert log2.snapshot().count() == 10
