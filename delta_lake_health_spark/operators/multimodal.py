@@ -7,12 +7,21 @@ the only sanctioned Python hot path in this engine).
 
 Decode support, in order of attempt:
 
-- **BMP (real format)**: a hand-rolled 24-bit uncompressed BMP parser —
-  header fields, bottom-up row order, and 4-byte row padding are decoded
-  for real (``bmp_pixels`` returns the actual pixel bytes), so at least
-  one genuine image format decodes with no codec library.
+- **BMP (real image format)**: a hand-rolled 24/32-bit uncompressed BMP
+  parser — header fields, bottom-up row order, and 4-byte row padding are
+  decoded for real (``bmp_pixels`` returns the actual pixel bytes).
+- **WAV (real audio format)**: a RIFF chunk walker (fmt /data chunks,
+  word-aligned sizes, unknown chunks skipped) for PCM16 audio;
+  ``wav_samples`` returns the actual sample values and
+  ``audio_features`` computes real DSP statistics (RMS, peak,
+  zero-crossing rate) from them.
+- **Y4M (real video format)**: a YUV4MPEG2 parser (header parameters,
+  per-frame FRAME markers, 4:2:0/4:2:2/4:4:4 plane sizes);
+  ``y4m_frames`` yields the actual raw YUV frame bytes, which is what
+  frame-sampling operates on.
 - **SIMG/SVID (synthetic)**: deterministic stand-in payloads (magic +
-  header + bytes) for formats whose codecs aren't in this container.
+  header + bytes) for codec-bearing formats (JPEG/MP4/...) whose codecs
+  aren't in this container.
 - **Pillow fallback** for other real images when ``PIL`` is installed.
 
 The Spark plumbing (schemas, batch iteration, partitioning) is identical
@@ -73,6 +82,7 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),  # 0 for non-audio
         StructField("n_bytes", LongType()),
         StructField("checksum", StringType()),
     ]
@@ -175,19 +185,166 @@ def bmp_pixels(payload: bytes) -> bytes:
     return b"".join(rows)
 
 
+def encode_wav(
+    media_id: int, n_samples: int, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """A REAL RIFF/WAVE PCM16 file (fmt + data chunks) with deterministic
+    sample values — an actual audio format any player opens, so the audio
+    decode path runs on genuine bytes with no codec library. Samples are
+    sha256-derived int16 little-endian words."""
+    need = n_samples * channels * 2
+    body = bytearray()
+    i = 0
+    while len(body) < need:
+        body += hashlib.sha256(f"wav:{media_id}:{i}".encode()).digest()
+        i += 1
+    data = bytes(body[:need])
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _wav_chunks(payload: bytes) -> dict[bytes, tuple[int, int]]:
+    """Walk the RIFF chunk list: {chunk_id: (offset, size)}. Chunk bodies
+    are word-aligned (odd sizes padded), unknown chunks (LIST, fact, ...)
+    are skipped — a real-world WAV reader, not a fixed-offset peek."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    chunks: dict[bytes, tuple[int, int]] = {}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        chunks.setdefault(cid, (pos + 8, size))
+        pos += 8 + size + (size & 1)
+    return chunks
+
+
+def _decode_wav_header(payload: bytes) -> dict:
+    chunks = _wav_chunks(payload)
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise NotImplementedError("WAV payload missing fmt /data chunks")
+    off, size = chunks[b"fmt "]
+    audio_format, channels, rate, _byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", payload[off : off + 16]
+    )
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV decodes codec-free (format={audio_format}, "
+            f"bits={bits})"
+        )
+    _doff, dsize = chunks[b"data"]
+    n_samples = dsize // block_align
+    return {"width": 0, "height": 0, "n_frames": n_samples,
+            "n_bytes": dsize, "sample_rate": rate, "channels": channels}
+
+
+def wav_samples(payload: bytes):
+    """Decode a PCM16 WAV to a numpy int16 array of shape
+    (n_samples, channels) — the real sample decode."""
+    import numpy as np
+
+    d = _decode_wav_header(payload)
+    off, size = _wav_chunks(payload)[b"data"]
+    arr = np.frombuffer(payload[off : off + size], dtype="<i2")
+    return arr.reshape(-1, d["channels"])
+
+
+def encode_y4m(media_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """A REAL YUV4MPEG2 stream (header parameters + FRAME markers + raw
+    4:2:0 planar YUV) with deterministic plane bytes — an actual video
+    format ffmpeg/mpv open, codec-free by design (that is the point of
+    Y4M), so video decode and frame sampling run on genuine bytes."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 requires even dimensions")
+    frame_size = width * height * 3 // 2
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        body = bytearray()
+        i = 0
+        while len(body) < frame_size:
+            body += hashlib.sha256(
+                f"y4m:{media_id}:{f}:{i}".encode()
+            ).digest()
+            i += 1
+        out.append(bytes(body[:frame_size]))
+    return b"".join(out)
+
+
+_Y4M_FRAME_BYTES = {"420": 3, "422": 4, "444": 6}  # ×(w*h)/2
+
+
+def _y4m_geometry(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the YUV4MPEG2 header line → (width, height, frame_size,
+    data_start)."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].decode("ascii").split(" ")
+    if tokens[0] != "YUV4MPEG2":
+        raise NotImplementedError("not a YUV4MPEG2 payload")
+    w = h = None
+    chroma = "420"
+    for t in tokens[1:]:
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            chroma = t[1:4]
+    if w is None or h is None or chroma not in _Y4M_FRAME_BYTES:
+        raise NotImplementedError(f"unsupported Y4M geometry ({tokens})")
+    return w, h, w * h * _Y4M_FRAME_BYTES[chroma] // 2, nl + 1
+
+
+def y4m_frames(payload: bytes):
+    """Yield (frame_idx, raw_yuv_bytes) by walking the FRAME markers —
+    the real frame extraction a sampler needs."""
+    w, h, frame_size, pos = _y4m_geometry(payload)
+    idx = 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise NotImplementedError(f"bad FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1  # FRAME line may carry params
+        yield idx, payload[pos : pos + frame_size]
+        pos += frame_size
+        idx += 1
+
+
+def _decode_y4m_header(payload: bytes) -> dict:
+    w, h, frame_size, _ = _y4m_geometry(payload)
+    n_frames = sum(1 for _ in y4m_frames(payload))
+    return {"width": w, "height": h, "n_frames": n_frames,
+            "n_bytes": n_frames * frame_size}
+
+
 def _decode_payload(payload: bytes) -> dict:
-    """Parse the payload header: real BMP, synthetic SIMG/SVID, then a
-    Pillow fallback for other real image formats."""
+    """Parse the payload header: real BMP/WAV/Y4M, synthetic SIMG/SVID,
+    then a Pillow fallback for other real image formats. Non-audio
+    formats report sample_rate 0."""
     if payload[:2] == b"BM":
-        return _decode_bmp_header(payload)
+        return {**_decode_bmp_header(payload), "sample_rate": 0}
+    if payload[:4] == b"RIFF":
+        d = _decode_wav_header(payload)
+        return {k: d[k] for k in
+                ("width", "height", "n_frames", "n_bytes", "sample_rate")}
+    if payload[:9] == b"YUV4MPEG2":
+        return {**_decode_y4m_header(payload), "sample_rate": 0}
     if payload[:4] == MAGIC_IMG:
         w, h = struct.unpack("<II", payload[4:12])
         return {"width": w, "height": h, "n_frames": 1,
-                "n_bytes": len(payload) - 12}
+                "n_bytes": len(payload) - 12, "sample_rate": 0}
     if payload[:4] == MAGIC_VID:
         w, h, nf = struct.unpack("<III", payload[4:16])
         return {"width": w, "height": h, "n_frames": nf,
-                "n_bytes": len(payload) - 16}
+                "n_bytes": len(payload) - 16, "sample_rate": 0}
     try:  # pragma: no cover - codec not in this container
         import io
 
@@ -195,28 +352,41 @@ def _decode_payload(payload: bytes) -> dict:
 
         img = Image.open(io.BytesIO(payload))
         return {"width": img.width, "height": img.height, "n_frames": 1,
-                "n_bytes": len(payload)}
+                "n_bytes": len(payload), "sample_rate": 0}
     except ImportError:
         raise NotImplementedError(
-            "this payload needs an image codec (Pillow); only BMP and "
+            "this payload needs a codec (Pillow); only BMP/WAV/Y4M and "
             "the synthetic SIMG/SVID formats decode codec-free"
         )
 
 
+def media_row(i: int) -> tuple[str, bytes, int, int, int, int]:
+    """Deterministic media mix for row i → (type, payload, w, h,
+    n_frames, sample_rate): synthetic SIMG images, real BMP images
+    (both depths), real Y4M videos, synthetic SVID videos, real PCM16
+    WAV audio. Shared by the in-memory table and the parquet fixture so
+    the oracle and the Spark decode always agree."""
+    if i % 8 == 3:  # real YUV4MPEG2 video (even dims for C420)
+        w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
+        return "y4m", encode_y4m(i, w, h, nf), w, h, nf, 0
+    if i % 8 == 7:  # synthetic video payload
+        w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
+        return "video", encode_video(i, w, h, nf), w, h, nf, 0
+    if i % 4 == 1:  # real BMP, alternating 24/32-bit depths
+        w, h = 16 + (i % 3) * 4, 12 + (i % 2) * 4
+        return "bmp", encode_bmp(i, w, h, bpp=32 if i % 8 == 5 else 24), w, h, 1, 0
+    if i % 8 == 6:  # real PCM16 WAV audio (n_frames = samples)
+        ns, rate = 800 + (i % 7) * 37, 8000 + (i % 3) * 4000
+        return "wav", encode_wav(i, ns, rate), 0, 0, ns, rate
+    w, h = 64 + (i % 7) * 32, 48 + (i % 4) * 32
+    return "image", encode_image(i, w, h), w, h, 1, 0
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """n deterministic media rows: synthetic images, real BMP images,
-    and synthetic videos."""
+    """n deterministic media rows across all five payload formats."""
     rows = []
     for i in range(n):
-        if i % 4 == 3:
-            w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
-            payload, mtype = encode_video(i, w, h, nf), "video"
-        elif i % 4 == 1:
-            w, h, nf = 16 + (i % 3) * 4, 12 + (i % 2) * 4, 1
-            payload, mtype = encode_bmp(i, w, h, bpp=32 if i % 8 == 5 else 24), "bmp"
-        else:
-            w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
-            payload, mtype = encode_image(i, w, h), "image"
+        mtype, payload, w, h, nf, _rate = media_row(i)
         rows.append((i, mtype, payload, (w, h, nf, f"synth://{i}")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -237,7 +407,12 @@ def decode_media(media: DataFrame) -> DataFrame:
                     {
                         "media_id": int(mid),
                         "media_type": mtype,
-                        **{k: d[k] for k in ("width", "height", "n_frames")},
+                        **{
+                            k: d[k]
+                            for k in (
+                                "width", "height", "n_frames", "sample_rate"
+                            )
+                        },
                         "n_bytes": d["n_bytes"],
                         "checksum": hashlib.md5(bytes(payload)).hexdigest(),
                     }
@@ -271,8 +446,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """video payloads → one row per sampled frame (frame_idx, frame hash).
-    Output is exploded, so downstream per-frame featurization stays
-    embarrassingly parallel."""
+    Y4M payloads go through the real YUV4MPEG2 frame walk; synthetic SVID
+    payloads through the stand-in layout. Output is exploded, so
+    downstream per-frame featurization stays embarrassingly parallel."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -287,14 +463,24 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
-                if mtype != "video":
-                    continue
                 payload = bytes(payload)
-                _w, _h, nf = struct.unpack("<III", payload[4:16])
-                frames = payload[16:]
-                fsize = len(frames) // nf if nf else 0
-                for idx in range(0, nf, every_k):
-                    fr = frames[idx * fsize : (idx + 1) * fsize]
+                if mtype == "y4m":
+                    frames_iter = (
+                        (idx, fr)
+                        for idx, fr in y4m_frames(payload)
+                        if idx % every_k == 0
+                    )
+                elif mtype == "video":
+                    _w, _h, nf = struct.unpack("<III", payload[4:16])
+                    frames = payload[16:]
+                    fsize = len(frames) // nf if nf else 0
+                    frames_iter = (
+                        (idx, frames[idx * fsize : (idx + 1) * fsize])
+                        for idx in range(0, nf, every_k)
+                    )
+                else:
+                    continue
+                for idx, fr in frames_iter:
                     rows.append(
                         {"media_id": int(mid), "frame_idx": idx,
                          "frame_checksum": hashlib.md5(fr).hexdigest()}
@@ -302,6 +488,54 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, schema)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """WAV payloads → real DSP features over the decoded PCM16 samples
+    (numpy-vectorized per payload inside the Arrow batch): RMS amplitude,
+    peak magnitude, zero-crossing count, duration. Non-audio rows are
+    dropped."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    continue
+                d = _decode_wav_header(payload)
+                mono = wav_samples(payload).astype(np.float64).mean(axis=1)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": d["sample_rate"],
+                        "n_samples": len(mono),
+                        "duration_ms": 1000.0 * len(mono) / d["sample_rate"],
+                        "rms": float(np.sqrt(np.mean(mono**2))),
+                        "peak": int(np.abs(mono).max()) if len(mono) else 0,
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(np.signbit(mono)))
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
 def featurize(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:

@@ -5,8 +5,9 @@ payload column → Arrow-batched ``mapInPandas`` decode — and the DuckDB
 oracle checks it against the metadata the encoder logged next to the
 payload: the decoded width/height/n_frames must round-trip through the
 binary header, and n_bytes must equal the payload length minus the
-header — for the real BMP payloads, the decoded pixel byte count from a
-genuine image-format parse (header fields, bottom-up rows, row padding).
+header — for the real BMP/WAV/Y4M payloads, the decoded byte count from
+a genuine format parse (BMP header fields + bottom-up rows + padding;
+RIFF chunk walk to the PCM data chunk; YUV4MPEG2 FRAME-marker walk).
 The checksum/featurize/frame-sample stages stay pytest-covered
 (tests/test_multimodal.py).
 """
@@ -43,11 +44,14 @@ def query(name: str, sql: str | None):
 @query(
     "media_decode_roundtrip",
     f"""
-    SELECT media_id, media_type, width, height, n_frames,
-           CAST(CASE WHEN media_type = 'bmp' THEN width * height * 3
-                     WHEN media_type = 'image' THEN octet_length(payload) - 12
-                     ELSE octet_length(payload) - 16 END
-                AS BIGINT) AS n_bytes
+    SELECT media_id, media_type, width, height, n_frames, sample_rate,
+           CAST(CASE media_type
+                     WHEN 'bmp'   THEN width * height * 3
+                     WHEN 'image' THEN octet_length(payload) - 12
+                     WHEN 'video' THEN octet_length(payload) - 16
+                     WHEN 'wav'   THEN n_frames * 2
+                     WHEN 'y4m'   THEN n_frames * ((width * height * 3) // 2)
+                END AS BIGINT) AS n_bytes
     FROM read_parquet('{MEDIA_FIXTURE_PATH}')
     ORDER BY media_id
     """,
@@ -60,7 +64,8 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_media(media)
         .select(
-            "media_id", "media_type", "width", "height", "n_frames", "n_bytes"
+            "media_id", "media_type", "width", "height", "n_frames",
+            "sample_rate", "n_bytes",
         )
         .orderBy("media_id")
     )

@@ -174,40 +174,27 @@ _FIXTURE_VERSION = "v3"  # bump to force a rebuild of stale fixtures
 MEDIA_FIXTURE_PATH = "/tmp/delta_lake_health_spark_fixture/media.parquet"
 
 
-_MEDIA_FIXTURE_VERSION = "v3"  # v3: mixes 24-bit and 32-bit BMP payloads
+_MEDIA_FIXTURE_VERSION = "v4"  # v4: adds real WAV audio and Y4M video
 
 
 def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
     """Deterministic multimodal table: binary payloads — synthetic
-    SIMG/SVID plus REAL 24-bit BMP images — with the metadata the encoder
-    logged, written with pure pyarrow so it exists before either side of
-    the driver compare. The oracle reads the LOGGED columns; the Spark
-    query re-derives them from the BINARY via the mapInPandas decode
-    (for BMP that is a genuine image-format parse)."""
+    SIMG/SVID plus REAL 24/32-bit BMP images, REAL PCM16 WAV audio, and
+    REAL YUV4MPEG2 video — with the metadata the encoder logged, written
+    with pure pyarrow so it exists before either side of the driver
+    compare. The oracle reads the LOGGED columns; the Spark query
+    re-derives them from the BINARY via the mapInPandas decode (for
+    BMP/WAV/Y4M that is a genuine format parse)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from delta_lake_health_spark.operators.multimodal import (
-        encode_bmp,
-        encode_image,
-        encode_video,
-    )
+    from delta_lake_health_spark.operators.multimodal import media_row
 
-    ids, types, payloads, ws, hs, nfs = [], [], [], [], [], []
+    ids, types, payloads, ws, hs, nfs, rates = [], [], [], [], [], [], []
     for i in range(64):
-        if i % 4 == 3:
-            w, h, nf = 32 + (i % 5) * 16, 24 + (i % 3) * 16, 4 + i % 5
-            payload, mtype = encode_video(i, w, h, nf), "video"
-        elif i % 4 == 1:
-            w, h, nf = 16 + (i % 3) * 4, 12 + (i % 2) * 4, 1
-            # alternate real 24-bit and 32-bit BI_RGB payloads so the
-            # driver-checked decode exercises both depths
-            payload, mtype = encode_bmp(i, w, h, bpp=32 if i % 8 == 5 else 24), "bmp"
-        else:
-            w, h, nf = 64 + (i % 7) * 32, 48 + (i % 4) * 32, 1
-            payload, mtype = encode_image(i, w, h), "image"
+        mtype, payload, w, h, nf, rate = media_row(i)
         ids.append(i); types.append(mtype); payloads.append(payload)
-        ws.append(w); hs.append(h); nfs.append(nf)
+        ws.append(w); hs.append(h); nfs.append(nf); rates.append(rate)
     t = pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -216,6 +203,7 @@ def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:
             "width": pa.array(ws, pa.int32()),
             "height": pa.array(hs, pa.int32()),
             "n_frames": pa.array(nfs, pa.int32()),
+            "sample_rate": pa.array(rates, pa.int32()),
         }
     )
     os.makedirs(os.path.dirname(path), exist_ok=True)
