@@ -864,3 +864,129 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# --------------------------------------------------------------------------
+# X11 — incremental dedup against a historical corpus via a Bloom-filter
+# prefilter (operators/bloom.py): the realistic shape of "dedup today's
+# batch against the 100 TB corpus you already ingested". The corpus's
+# 8-token shingle hashes are folded into a fixed-size Bloom filter — one
+# corpus pass, per-partition filters OR-merged (order-invariant), final
+# bitmap broadcast — and the batch's shingles probe it locally with ZERO
+# false negatives, so the only thing the exact verification join ever
+# shuffles is the (tiny) candidate set. The corpus never shuffles; the
+# driver-side collect is bounded by the filter's word count (2^17), not
+# the corpus. The Bloom pruning cannot change the answer (false
+# positives are removed by the exact join), which is what keeps this
+# oracle-checkable in plain SQL.
+_BLOOM_W = 8  # shingle width (tokens), matches the contamination audit
+
+
+@query(
+    "dedup_incremental_bloom",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(
+               t[CAST(i AS INT):CAST(i + {_BLOOM_W - 1} AS INT)], ' ')) AS h
+      FROM t, UNNEST(range(1, len(t) - {_BLOOM_W - 2})) u(i)
+      WHERE len(t) >= {_BLOOM_W}
+    ), corpus AS (SELECT DISTINCT h FROM sh WHERE doc_id % 4 < 3),
+    batch AS (SELECT doc_id, h FROM sh WHERE doc_id % 4 = 3)
+    SELECT b.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_seen,
+           ROUND(CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS seen_rate
+    FROM batch b LEFT JOIN corpus c USING (h)
+    GROUP BY b.doc_id
+    HAVING SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import bloom
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    shingles = (
+        docs.where(F.size(t) >= _BLOOM_W)
+        .select("doc_id", t.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_BLOOM_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {_BLOOM_W}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        # consumed by the filter build AND the exact verify — one pass
+        .localCheckpoint()
+    )
+    corpus = shingles.where(F.col("doc_id") % 4 < 3).select("h")
+    batch = shingles.where(F.col("doc_id") % 4 == 3)
+
+    # 1) build: per-partition Bloom filters, emitted as (word, bits) rows,
+    #    OR-merged distributed (bit_or is the filter's merge), collected
+    #    bounded by the bitmap's word count.
+    def build(batches):
+        filt = bloom.new_filter()
+        for pdf in batches:
+            bloom.add(filt, bloom.hash_strings(list(pdf["h"])))
+        nz = np.nonzero(filt)[0]
+        yield pd.DataFrame(
+            {"word": nz.astype("int64"), "bits": filt[nz].view("int64")}
+        )
+
+    words = (
+        corpus.mapInPandas(build, "word long, bits long")
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    )
+    filt = bloom.new_filter()
+    for r in words:
+        filt[r.word] = np.int64(r.bits).astype(np.uint64)
+    filt_b = spark.sparkContext.broadcast(filt.tobytes())
+
+    # 2) probe: local vectorized membership — no shuffle, no corpus.
+    def probe(batches):
+        f = np.frombuffer(filt_b.value, dtype=np.uint64)
+        for pdf in batches:
+            hit = bloom.contains(f, bloom.hash_strings(list(pdf["h"])))
+            out = pdf.assign(candidate=hit)
+            yield out
+
+    probed = batch.mapInPandas(probe, "doc_id long, h string, candidate boolean")
+    candidates = probed.where("candidate").select("doc_id", "h")
+
+    # 3) exact verify: only candidate shingles (bloom-pruned) join the
+    #    corpus — semi-join keyed on the uniform md5 hash.
+    seen = candidates.join(
+        corpus.distinct().withColumn("_hit", F.lit(1)), "h", "left"
+    ).where(F.col("_hit").isNotNull()).select("doc_id", "h")
+
+    totals = batch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = seen.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seen"))
+    return (
+        totals.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_seen",
+            F.round(
+                F.col("n_seen").cast("double") / F.col("n_shingles"), 6
+            ).alias("seen_rate"),
+        )
+        .where(F.col("n_seen") > 0)
+        .orderBy("doc_id")
+    )

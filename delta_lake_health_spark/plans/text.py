@@ -1033,3 +1033,80 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T19 — TF-IDF keyword extraction (the classic per-document salient-term
+# signal used for topic tagging and quality triage): smoothed
+# ln((N+1)/(df+1)) idf over length-normalized term frequency, top-3
+# terms per document ranked on the ROUNDED score so cross-engine libm
+# ulp differences can never flip a rank. Scale shape: tf is one
+# (doc_id, token) groupBy (uniform — doc_id dominates the key); the df
+# vocab table is bounded by |vocab| and broadcast back, so the corpus
+# never shuffles on the zipfian token key; the per-doc length and top-k
+# windows partition on doc_id (uniform).
+_TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_keywords",
+    f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS dl
+      FROM t GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY w
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             ROUND(tf.tf / CAST(tf.dl AS DOUBLE)
+                   * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, w, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, w) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, w AS term, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_TFIDF_K}
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(toks()).alias("w"))
+    tf = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    )
+    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf") / F.col("dl").cast("double")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
