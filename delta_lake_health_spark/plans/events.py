@@ -781,3 +781,80 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_conversions") > 0)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E22 — funnel time-to-convert: for each funnel step pair (view→click,
+# click→purchase, view→purchase), the latency distribution between a
+# user's FIRST occurrence of each stage (exact p50/p90/p99 + mean, over
+# users who completed the pair in order). One per-user groupBy computes
+# all three first-times (uniform user_id keys); the step pivot unions
+# three tiny projections of that one aggregate — the events table is
+# scanned once. At 100 TB the exact percentile would be swapped for
+# percentile_approx (K2's fixed-size mergeable state); exact stays here
+# for cross-engine oracle parity.
+@query(
+    "events_funnel_latency",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS v,
+             MIN(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS c,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      FROM events GROUP BY user_id
+    ), lags AS (
+      SELECT 'view_to_click' AS step, (c - v) / 1e6 AS lag_s
+      FROM per_user WHERE v IS NOT NULL AND c > v
+      UNION ALL
+      SELECT 'click_to_purchase', (p - c) / 1e6
+      FROM per_user WHERE c IS NOT NULL AND p > c
+      UNION ALL
+      SELECT 'view_to_purchase', (p - v) / 1e6
+      FROM per_user WHERE v IS NOT NULL AND p > v
+    )
+    SELECT step,
+           COUNT(*) AS n_users,
+           ROUND(AVG(lag_s), 6) AS mean_s,
+           ROUND(quantile_cont(lag_s, 0.5), 6)  AS p50_s,
+           ROUND(quantile_cont(lag_s, 0.9), 6)  AS p90_s,
+           ROUND(quantile_cont(lag_s, 0.99), 6) AS p99_s
+    FROM lags
+    GROUP BY step
+    ORDER BY step
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    per_user = per_user.localCheckpoint()  # three step projections, one agg
+
+    def step(name: str, a: str, b: str) -> DataFrame:
+        return (
+            per_user.where(F.col(a).isNotNull() & (F.col(b) > F.col(a)))
+            .select(
+                F.lit(name).alias("step"),
+                ((F.col(b) - F.col(a)) / 1e6).alias("lag_s"),
+            )
+        )
+
+    lags = (
+        step("view_to_click", "v", "c")
+        .unionAll(step("click_to_purchase", "c", "p"))
+        .unionAll(step("view_to_purchase", "v", "p"))
+    )
+    return (
+        lags.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("lag_s"), 6).alias("mean_s"),
+            F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_s"),
+            F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_s"),
+            F.round(F.expr("percentile(lag_s, 0.99)"), 6).alias("p99_s"),
+        )
+        .orderBy("step")
+    )

@@ -768,3 +768,83 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# S9 — KNN label-vote classification: the canonical *application* of the
+# similarity stack — predict each held-out query vector's label by
+# majority vote over its TOP_K exact-cosine neighbors in the labeled
+# corpus (queries excluded from the corpus side). Ties break by the
+# smaller label; neighbor ranking reuses the deterministic brute-force
+# ordering, so both engines see identical vote sets. Scale shape: the
+# query set broadcasts against one corpus pass (O(|Q|·N) like S1 — and
+# the IVF/PQ paths above are the drop-in pruned variants when |Q| grows).
+@query(
+    "knn_label_vote",
+    f"""
+    WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id AS q_id, label AS true_label, emb AS q_emb
+          FROM e WHERE vec_id < {N_QUERIES}),
+    corpus AS (SELECT vec_id, label, emb FROM e WHERE vec_id >= {N_QUERIES}),
+    ranked AS (
+      SELECT q_id, true_label, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY {_sql_cos("q_emb", "emb")} DESC, vec_id) AS rn
+      FROM q JOIN corpus ON TRUE
+    ), votes AS (
+      SELECT q_id, true_label, label, COUNT(*) AS n_votes
+      FROM ranked WHERE rn <= {TOP_K}
+      GROUP BY q_id, true_label, label
+    ), best AS (
+      SELECT q_id, true_label, label AS predicted_label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT q_id, true_label, predicted_label, n_votes,
+           CAST(true_label = predicted_label AS BOOLEAN) AS correct
+    FROM best WHERE vr = 1
+    ORDER BY q_id
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    corpus = emb.where(F.col("vec_id") >= N_QUERIES)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "q_id",
+            "true_label",
+            "label",
+            "vec_id",
+            (_dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .groupBy("q_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            (F.col("true_label") == F.col("label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )
