@@ -990,3 +990,81 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_seen") > 0)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X12 — pairwise source-overlap matrix: shingle-set Jaccard between every
+# pair of corpus sources — the provenance-level contamination view
+# ("which feeds are republishing each other") that complements the
+# doc-level (X8) and split-level (T11) censuses. Scale shape: documents
+# reduce to distinct (source, shingle-hash) rows in one pass; pair
+# generation groups by shingle hash into posting lists bounded by
+# |sources| (never a shingle x shingle or doc x doc term), so the pair
+# stream is at most |sources|²/2 per shingle; per-source set sizes are a
+# tiny broadcast. All shuffles key on the uniform md5 hash.
+@query(
+    "dedup_source_overlap",
+    f"""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               t[CAST(i AS INT):CAST(i + {_BLOOM_W - 1} AS INT)], ' ')) AS h
+      FROM t, UNNEST(range(1, len(t) - {_BLOOM_W - 2})) u(i)
+      WHERE len(t) >= {_BLOOM_W}
+    ), sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    sh = (
+        docs.where(F.size(t) >= _BLOOM_W)
+        .select("source", t.alias("toks"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_BLOOM_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {_BLOOM_W}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds sizes AND pair generation
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = _posting_pairs(sh, ["h"], "source", "source_a", "source_b")
+    inter = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
