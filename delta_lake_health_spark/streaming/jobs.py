@@ -330,6 +330,61 @@ def attribution_stream(
     )
 
 
+def unconverted_views_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join (the 'unconverted impressions'
+    feed): every view paired with each purchase by the same user in the
+    30 minutes AFTER it; a view with no such purchase emits exactly one
+    NULL-purchase row — but only once the watermark passes the view's
+    join window, when the engine can prove no future match exists. Same
+    bounded-state eviction as the inner form; the outer semantics is
+    what Spark's watermarked outer join adds on top: correctness of the
+    negative ("never converted") depends on event-time progress, not
+    wall-clock.
+
+    Note the operational corollary (asserted in tests): outer rows are
+    HELD until a later event advances the watermark — a drained stream
+    emits them only after one more event arrives. And since the global
+    watermark is the MIN across the watermarked streams, that event must
+    survive EACH stream's pre-watermark filter: a tick that only reaches
+    the purchase side leaves the view side's watermark (and thus the
+    global one) stuck, silently withholding the newest negatives.
+    Production feeds tick constantly on both sides; replayed fixtures
+    need per-side sentinel events.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            """
+            v_user_id = p_user_id AND
+            p_ts >= v_ts AND
+            p_ts < v_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        F.col("v_user_id").alias("user_id"),
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

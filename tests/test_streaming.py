@@ -373,3 +373,78 @@ def test_stream_mv_appends_tracks_source(spark, tmp_path):
     # no new source data: re-run is a clean no-op
     stream_mv_appends(spark, src, mv, ["k"], ["v"], ckpt)
     assert got() == expect()
+
+
+def test_stream_left_outer_join_emits_unconverted_views(spark, stream_dir):
+    """The watermarked LEFT OUTER stream-stream join: converted views
+    emit one row per qualifying purchase; unconverted views emit exactly
+    one NULL-purchase row once the watermark proves no match can arrive.
+    Far-future sentinel events push the watermark past every view's
+    join window (outer rows are held until event time advances — the
+    documented operational corollary). The global watermark is the MIN
+    across both watermarked streams and each side filters by event_type
+    BEFORE its watermark operator, so the sentinel must appear on BOTH
+    sides: one 'view' and one 'purchase' row (dummy users, spaced wider
+    than the join window so they can't pair)."""
+    import pandas as pd
+
+    tmp, src = stream_dir
+    src2 = os.path.join(tmp, "in_outer")
+    os.makedirs(src2)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(src2, f))
+    max_ts_ns = load(spark, SF, "events").agg(
+        F.max(F.unix_micros("ts"))
+    ).collect()[0][0] * 1000
+    far = max_ts_ns + 2 * 3600 * 10**9
+    sentinel = pd.DataFrame(
+        [
+            {"event_id": 10**12, "ts": far, "user_id": -1,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+            {"event_id": 10**12 + 1, "ts": far + 3600 * 10**9, "user_id": -2,
+             "event_type": "purchase", "value": 0.0, "props": "{}"},
+        ]
+    )
+    spark.createDataFrame(sentinel).coalesce(1).write.mode("append").parquet(src2)
+
+    stream = jobs.read_events_stream(spark, src2)
+    views = stream.where(F.col("event_type") == "view")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    out = jobs.unconverted_views_stream(views, purchases)
+    jobs.run_to_memory(out, "outer_t", "append", os.path.join(tmp, "cp_outer"))
+    got = spark.table("outer_t").collect()
+
+    ev = load(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("vt"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("pt"),
+    )
+    want_pairs = {
+        (r.view_id, r.purchase_id, r.pt - r.vt)
+        for r in v.join(
+            p,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("pt") >= F.col("vt"))
+            & (F.col("pt") < F.col("vt") + jobs.SESSION_GAP_US),
+        ).collect()
+    }
+    converted_views = {vid for vid, _, _ in want_pairs}
+    all_views = {r.view_id for r in v.collect()}
+
+    got_pairs = {
+        (r.view_id, r.purchase_id, r.lag_us) for r in got if r.converted
+    }
+    got_null = [r for r in got if not r.converted]
+    assert got_pairs == want_pairs
+    # every unconverted view emits exactly one NULL row
+    assert {r.view_id for r in got_null} == all_views - converted_views
+    assert len(got_null) == len(all_views - converted_views)
+    assert all(r.purchase_id is None and r.lag_us is None for r in got_null)
+    assert len(got_null) > 0
