@@ -842,14 +842,31 @@ class DeltaLog:
         return df
 
     def commit_timestamps(self) -> list[tuple[int, int]]:
-        """(version, adjusted_ts_millis) over the RETAINED log, with
-        Delta's monotonicity adjustment for ``timestampAsOf`` resolution:
-        a commit stamped earlier than its predecessor (clock skew) reads
-        as predecessor + 1 ms, so timestamp -> version is well-defined."""
+        """(version, adjusted_ts_millis) over the RETAINED log for
+        ``timestampAsOf`` resolution. Commits written by this engine
+        carry a monotonic ``inCommitTimestamp`` (Delta ICT — stamped at
+        commit time, the authority when present); for foreign pre-ICT
+        logs the wall-clock ``commitInfo.timestamp`` is used with
+        Delta's reader-side monotonicity adjustment: a commit stamped
+        earlier than its predecessor (clock skew) reads as
+        predecessor + 1 ms, so timestamp -> version is well-defined
+        either way."""
+        acts = self.actions(use_checkpoint=False)
+        ci_fields = {
+            f.name
+            for f in acts.schema["commitInfo"].dataType.fields  # type: ignore[union-attr]
+        }
+        ts_col = (
+            F.coalesce(
+                F.col("commitInfo.inCommitTimestamp"),
+                F.col("commitInfo.timestamp"),
+            )
+            if "inCommitTimestamp" in ci_fields
+            else F.col("commitInfo.timestamp")
+        )
         rows = (
-            self.actions(use_checkpoint=False)
-            .where(F.col("commitInfo").isNotNull())
-            .select("version", F.col("commitInfo.timestamp").alias("ts"))
+            acts.where(F.col("commitInfo").isNotNull())
+            .select("version", ts_col.alias("ts"))
             .orderBy("version")
             .collect()
         )

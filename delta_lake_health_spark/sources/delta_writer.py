@@ -125,7 +125,40 @@ def _add_action(table_path: str, rel: str, data_change: bool = True) -> dict:
     }
 
 
+def _prev_in_commit_ts(table_path: str, version: int) -> int:
+    """The predecessor commit's inCommitTimestamp (or its commitInfo
+    timestamp as the pre-ICT fallback), -1 for version 0. One small
+    driver-side JSON read — the same cost class as the put-if-absent
+    itself."""
+    if version <= 0:
+        return -1
+    prev = _log_path(table_path, version - 1)
+    try:
+        with open(prev) as f:
+            for line in f:
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    return int(
+                        ci.get("inCommitTimestamp", ci.get("timestamp", -1))
+                    )
+    except FileNotFoundError:
+        pass  # predecessor cleaned up (log retention) — fall back to clock
+    return -1
+
+
 def _commit(table_path: str, version: int, actions: list[dict]) -> None:
+    # In-commit timestamps (Delta ICT): the commit's own monotonic
+    # timestamp is the authority for timestampAsOf — max(wall clock,
+    # predecessor + 1 ms), so clock skew between writers can never make
+    # history non-monotonic at WRITE time (the reader-side adjustment in
+    # DeltaLog.commit_timestamps remains as the fallback for foreign
+    # pre-ICT logs).
+    for a in actions:
+        if "commitInfo" in a and "inCommitTimestamp" not in a["commitInfo"]:
+            a["commitInfo"]["inCommitTimestamp"] = max(
+                int(time.time() * 1000), _prev_in_commit_ts(table_path, version) + 1
+            )
     path = _log_path(table_path, version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{uuid.uuid4().hex}"

@@ -1362,13 +1362,17 @@ def test_timestamp_as_of_resolution(spark, tmp_path):
         )
 
     # rewrite the logged commit timestamps to a controlled, SKEWED series:
-    # v0 @ 1000, v1 @ 5000, v2 @ 3000 (v2's clock ran behind v1's)
+    # v0 @ 1000, v1 @ 5000, v2 @ 3000 (v2's clock ran behind v1's).
+    # inCommitTimestamp is stripped to simulate a FOREIGN pre-ICT log —
+    # this test covers the reader-side fallback adjustment (the ICT path
+    # has its own test below).
     for v, ts in [(0, 1000), (1, 5000), (2, 3000)]:
         p = os.path.join(t, "_delta_log", f"{v:020d}.json")
         acts = [json.loads(line) for line in open(p)]
         for a in acts:
             if "commitInfo" in a:
                 a["commitInfo"]["timestamp"] = ts
+                a["commitInfo"].pop("inCommitTimestamp", None)
         with open(p, "w") as fh:
             for a in acts:
                 fh.write(json.dumps(a) + "\n")
@@ -1428,3 +1432,52 @@ def test_type_widening_on_merge_schema_append(spark, tmp_path):
     types2 = {f["name"]: f["type"] for f in log2.metadata()["schema"]["fields"]}
     assert types2 == {"a": "long", "b": "double"}
     assert log2.snapshot().count() == 10
+
+
+def test_in_commit_timestamps_are_monotonic_under_clock_skew(
+    spark, tmp_path, monkeypatch
+):
+    """ICT: the commit itself carries the monotonic timestamp authority.
+    A writer whose wall clock runs BEHIND the previous committer's still
+    produces a strictly increasing inCommitTimestamp series (prev + 1),
+    and timestampAsOf resolves against ICT — no reader-side guessing."""
+    import json
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    real_time = delta_writer.time.time
+    base_ms = int(real_time() * 1000)
+
+    # v0 at wall clock +60s; v1 at wall clock -60s (skewed backwards)
+    monkeypatch.setattr(delta_writer.time, "time", lambda: base_ms / 1000 + 60)
+    delta_writer.write(spark, spark.range(0, 10).selectExpr("id"), t)
+    monkeypatch.setattr(delta_writer.time, "time", lambda: base_ms / 1000 - 60)
+    delta_writer.write(spark, spark.range(10, 20).selectExpr("id"), t)
+    monkeypatch.setattr(delta_writer.time, "time", real_time)
+
+    def commit_info(v):
+        p = os.path.join(t, "_delta_log", f"{v:020d}.json")
+        for line in open(p):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return a["commitInfo"]
+        raise AssertionError(f"no commitInfo in v{v}")
+
+    ci0, ci1 = commit_info(0), commit_info(1)
+    # the wall-clock field records the skew faithfully...
+    assert ci1["timestamp"] < ci0["timestamp"]
+    # ...but the in-commit timestamp never goes backwards
+    assert ci0["inCommitTimestamp"] == ci0["timestamp"]
+    assert ci1["inCommitTimestamp"] == ci0["inCommitTimestamp"] + 1
+
+    log = DeltaLog(spark, t)
+    assert log.commit_timestamps() == [
+        (0, ci0["inCommitTimestamp"]),
+        (1, ci1["inCommitTimestamp"]),
+    ]
+    assert log.version_at_timestamp(ci0["inCommitTimestamp"]) == 0
+    assert log.version_at_timestamp(ci1["inCommitTimestamp"]) == 1
+    assert log.snapshot_at_timestamp(ci0["inCommitTimestamp"]).count() == 10
