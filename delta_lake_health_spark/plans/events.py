@@ -858,3 +858,81 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# --------------------------------------------------------------------------
+# E23 — time-series gap filling + LOCF: turn the sparse hourly series
+# into a DENSE per-type grid (every hour between the corpus bounds),
+# zero-filling counts and carrying the last observed hourly average
+# forward through empty hours (last_value IGNORE NULLS) — the resample/
+# ffill step every monitoring pipeline needs before charting or anomaly
+# scoring. Scale shape: the hourly aggregate is driver-scale regardless
+# of event volume (hours x types rows); the dense grid is generated from
+# a broadcast 1-row bounds aggregate via sequence+explode, never by
+# scanning; the LOCF window partitions by event_type over that tiny
+# series.
+@query(
+    "events_hourly_gapfill",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+             ROUND(AVG(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h),
+    grid AS (
+      SELECT t.event_type, g.hr
+      FROM (SELECT DISTINCT event_type FROM h) t
+      CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds) g
+    )
+    SELECT grid.event_type,
+           STRFTIME(grid.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(h.n, 0) AS n_events,
+           CAST(h.n IS NULL AS BOOLEAN) AS gap_filled,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.hr = grid.hr
+    ORDER BY grid.event_type, hour
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .localCheckpoint()  # bounds, types, and the join all read it
+    )
+    bounds = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    types = h.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(h, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("gap_filled"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+        )
+        .orderBy("event_type", "hour")
+    )
