@@ -195,3 +195,80 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         zip(candidates, (int(e) for e in est)), key=lambda kv: (-kv[1], kv[0])
     )[:TOP_K]
     return spark.createDataFrame(order, "token string, est_count long")
+
+
+@query("sketch_user_overlap", None)
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — pairwise distinct-user overlap between event types via KMV
+    bottom-k sketches (operators/kmv.py): estimated distinct users per
+    type, shared users, and Jaccard for every type pair — the
+    segment-overlap question HLL cannot answer (no sound HLL
+    intersection). Scale shape: one corpus pass builds per-partition
+    bottom-k sketches (mapInPandas, numpy); the per-type merge is a
+    groupBy over at most partitions x K tiny rows (the k global
+    smallest are each some partition's k smallest, so merging
+    per-partition bottom-ks is exact; past ~10k partitions insert a
+    (type, h mod B) pre-merge level — the same covering argument holds
+    per bucket); the pairwise math
+    runs on |types|² driver-side sketches of K values each. The corpus
+    never shuffles on user_id. Rows-only (the sketch isn't
+    SQL-expressible); error bounds and the exact-below-K regime are
+    asserted in tests/test_sketch.py."""
+    import numpy as np
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import kmv
+
+    SIGN = np.uint64(1 << 63)
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def partial(batches):
+        acc: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            for etype, grp in pdf.groupby("event_type"):
+                h = kmv.sketch(kmv.hash_i64(grp["user_id"].to_numpy()))
+                prev = acc.get(etype)
+                acc[etype] = h if prev is None else kmv.union(prev, h)
+        rows = [
+            # XOR the sign bit: uint64 hash order == int64 column order,
+            # so the JVM-side array_sort below sorts hashes correctly
+            {"event_type": t, "h": int(v)}
+            for t, sk in acc.items()
+            for v in (sk ^ SIGN).view(np.int64)
+        ]
+        yield pd.DataFrame(rows, columns=["event_type", "h"])
+
+    merged = (
+        ev.mapInPandas(partial, "event_type string, h long")
+        .groupBy("event_type")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, kmv.K).alias("sk")
+        )
+        .collect()
+    )
+    sketches = {
+        r.event_type: (np.array(r.sk, dtype=np.int64).view(np.uint64) ^ SIGN)
+        for r in merged
+    }
+    out = []
+    for a in sorted(sketches):
+        for b in sorted(sketches):
+            if a >= b:
+                continue
+            inter, jac = kmv.intersect_estimate(sketches[a], sketches[b])
+            out.append(
+                (
+                    a,
+                    b,
+                    int(round(kmv.estimate(sketches[a]))),
+                    int(round(kmv.estimate(sketches[b]))),
+                    int(round(inter)),
+                    round(jac, 6),
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "type_a string, type_b string, est_users_a long, est_users_b long, "
+        "est_shared long, jaccard double",
+    )

@@ -25,6 +25,7 @@ def test_registry_integrity():
         "sketch_approx_distinct",
         "sketch_approx_percentiles",
         "sketch_heavy_hitters",
+        "sketch_user_overlap",
     ]
 
 

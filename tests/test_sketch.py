@@ -3,6 +3,8 @@ must land within their configured bounds of the exact ones."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from delta_lake_health_spark.plans import sketch
@@ -175,3 +177,65 @@ def test_sketch_heavy_hitters_vs_exact(spark):
         assert e <= exact.get(t, 0) + 0.001 * total
     top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert all(t in got for t, _ in top10)
+
+
+# --------------------------------------------------------------------------
+# K5 — KMV bottom-k sketch (operators/kmv.py)
+
+
+def test_kmv_core_properties():
+    """Merge-covering, idempotence, exact-below-K regime, and the
+    ~1/sqrt(K) error bound on big synthetic sets with known overlap."""
+    import numpy as np
+
+    from delta_lake_health_spark.operators import kmv
+
+    # exact regime: fewer than K distinct values -> estimate is exact
+    small = kmv.hash_i64(np.arange(500))
+    sk = kmv.sketch(small)
+    assert len(sk) == 500
+    assert kmv.estimate(sk) == 500.0
+
+    # union of bottom-ks == bottom-k of union (any split, any order)
+    a = kmv.hash_i64(np.arange(0, 150_000))
+    b = kmv.hash_i64(np.arange(100_000, 250_000))  # 50k overlap
+    assert np.array_equal(
+        kmv.union(kmv.sketch(a), kmv.sketch(b)),
+        kmv.sketch(np.concatenate([b, a])),
+    )
+    assert np.array_equal(
+        kmv.union(kmv.sketch(a), kmv.sketch(a)), kmv.sketch(a)
+    )
+
+    # estimator accuracy: |A|=|B|=150k, |A∩B|=50k, |A∪B|=250k
+    tol = 5.0 / np.sqrt(kmv.K)  # 5 sigma of the ~1/sqrt(K) rel. error
+    assert abs(kmv.estimate(kmv.sketch(a)) - 150_000) < 150_000 * tol
+    est_inter, jac = kmv.intersect_estimate(kmv.sketch(a), kmv.sketch(b))
+    assert abs(est_inter - 50_000) < 50_000 * 3 * tol  # ratio compounds
+    assert abs(jac - 0.2) < 0.2 * 3 * tol
+
+
+def test_sketch_user_overlap_exact_below_k(spark):
+    """At driver SFs every event type has < K distinct users, so the KMV
+    query's 'estimates' must equal the EXACT pairwise overlap counts."""
+    from delta_lake_health_spark.plans import sketch as plans_sketch
+    from delta_lake_health_spark.sources.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.type_a, r.type_b): r
+        for r in plans_sketch.QUERIES["sketch_user_overlap"](spark, sf).collect()
+    }
+    ev = load(spark, sf, "events").select("event_type", "user_id").distinct()
+    users = {
+        t: {r.user_id for r in ev.where(F.col("event_type") == t).collect()}
+        for t in {r.event_type for r in ev.select("event_type").collect()}
+    }
+    assert len(got) == len(users) * (len(users) - 1) // 2
+    for (a, b), r in got.items():
+        inter = users[a] & users[b]
+        union = users[a] | users[b]
+        assert r.est_users_a == len(users[a])
+        assert r.est_users_b == len(users[b])
+        assert r.est_shared == len(inter)
+        assert r.jaccard == pytest.approx(len(inter) / len(union), abs=1e-6)
