@@ -1068,3 +1068,91 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# X13 — PageRank over the near-dup candidate graph (5 unrolled power
+# iterations, damping 0.85): ranks the "template hubs" — documents whose
+# boilerplate connects many near-duplicates — which is how a cleaning
+# pipeline picks which exemplar to keep or which template to strip. An
+# ITERATIVE algorithm kept oracle-checkable the same way the k-means
+# quantizer is: a fixed iteration count unrolled into chained CTEs, every
+# rank rounded to 6 dp per round so distributed-sum ulp noise can't
+# diverge the engines. Scale shape: the edge list is the (bounded)
+# LSH candidate set, never corpus²; per-edge weight 1/deg is
+# precomputed once; each round is ONE shuffle keyed by node id
+# (uniform doc ids) plus a localCheckpoint lineage barrier.
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(f"""
+    r{i} AS (
+      SELECT n.doc_id,
+             ROUND(
+               {1 - _PR_DAMP} + {_PR_DAMP} * COALESCE(SUM(r{i-1}.r / deg.deg), 0),
+               6) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.d = n.doc_id
+      LEFT JOIN r{i-1} ON r{i-1}.doc_id = e.s
+      LEFT JOIN deg ON deg.s = e.s
+      GROUP BY n.doc_id
+    )""")
+    return f"""
+    WITH {SQL_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand_pairs
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    nodes AS (SELECT s AS doc_id FROM deg),
+    r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+    {",".join(rounds)}
+    SELECT doc_id, r AS pagerank
+    FROM r{_PR_ITERS}
+    ORDER BY pagerank DESC, doc_id
+    LIMIT 50
+    """
+
+
+@query("dedup_graph_pagerank", _pagerank_oracle())
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # per-edge weight 1/deg precomputed ONCE — iterations only re-join ranks
+    wedges = edges.join(deg, "s").select(
+        "s", "d", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    nodes = deg.select(F.col("s").alias("doc_id")).localCheckpoint()
+    ranks = nodes.select("doc_id", F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            wedges.join(ranks, wedges["s"] == ranks["doc_id"])
+            .select("d", (F.col("r") * F.col("w")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["doc_id"] == contribs["d"], "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(1 - _PR_DAMP)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                    6,
+                ).alias("r"),
+            )
+            .localCheckpoint()  # truncate the iteration lineage
+        )
+    return (
+        ranks.select("doc_id", F.col("r").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "doc_id")
+        .limit(50)
+    )
