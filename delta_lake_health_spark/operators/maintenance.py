@@ -491,6 +491,10 @@ def cleanup_log(
             if v < ckpt_version and os.path.getmtime(p) <= cutoff:
                 os.remove(p)
                 deleted_json += 1
+                # the expired commit's version checksum goes with it
+                crc = os.path.join(log_dir, f"{v:020d}.crc")
+                if os.path.isfile(crc):
+                    os.remove(crc)
 
     ckpt_re = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
     deleted_ckpt = 0

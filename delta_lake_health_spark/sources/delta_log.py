@@ -620,13 +620,46 @@ class DeltaLog:
             df = df.withColumnsRenamed({p: l for l, p in mapping.items()})
         return df
 
+    def version_checksum(self) -> dict | None:
+        """The current version's ``.crc`` checksum (tableSizeBytes,
+        numFiles) written incrementally at commit time, or None when
+        absent (foreign log / unresolvable commit) — see
+        delta_writer._write_version_checksum."""
+        import json as _json
+        import os as _os
+
+        p = _os.path.join(
+            self.table_path, "_delta_log", f"{self.version():020d}.crc"
+        )
+        try:
+            with open(p) as f:
+                c = _json.loads(f.read())
+            if int(c.get("version", -1)) != self.version():
+                return None
+            return {
+                "tableSizeBytes": int(c["tableSizeBytes"]),
+                "numFiles": int(c["numFiles"]),
+            }
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
+
     def detail(self) -> dict:
         """``DESCRIBE DETAIL`` equivalent (the fields the reference's
         Spark analyzer consumes — delta_spark_analyzer.py:116-189:
         sizeInBytes, numFiles, partitionColumns, location — plus the
-        rest of Delta's detail row). Log-only aggregates, no data scan."""
+        rest of Delta's detail row). Log-only aggregates, no data scan;
+        size/count come from the version checksum when one exists (two
+        numbers from one tiny file), replay otherwise."""
         meta = self.metadata()
-        stats = self.file_stats()
+        crc = self.version_checksum()
+        stats = (
+            {
+                "data_file_count": crc["numFiles"],
+                "table_size_bytes": crc["tableSizeBytes"],
+            }
+            if crc is not None
+            else self.file_stats()
+        )
         proto_rows = (
             self.actions()
             .where(F.col("protocol").isNotNull())

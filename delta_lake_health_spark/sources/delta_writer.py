@@ -171,6 +171,48 @@ def _commit(table_path: str, version: int, actions: list[dict]) -> None:
         os.remove(tmp)
         raise RuntimeError(f"concurrent commit: version {version} exists")
     os.rename(tmp, path)
+    _write_version_checksum(table_path, version, actions)
+
+
+def _write_version_checksum(
+    table_path: str, version: int, actions: list[dict]
+) -> None:
+    """Delta's ``<version>.crc`` version checksum: tableSizeBytes and
+    numFiles maintained INCREMENTALLY from the predecessor's checksum
+    plus this commit's add/remove actions, so ``DESCRIBE DETAIL`` reads
+    two numbers from one tiny file instead of replaying the log. The
+    checksum is an accelerator, never an authority — if the predecessor
+    checksum is missing (foreign log) or a removed file's size can't be
+    resolved, no checksum is written and readers fall back to replay."""
+    size, n = 0, 0
+    if version > 0:
+        prev = os.path.join(
+            table_path, "_delta_log", f"{version - 1:020d}.crc"
+        )
+        try:
+            with open(prev) as f:
+                c = json.loads(f.read())
+            size, n = int(c["tableSizeBytes"]), int(c["numFiles"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return
+    try:
+        for a in actions:
+            if "add" in a:
+                size += int(a["add"]["size"])
+                n += 1
+            elif "remove" in a:
+                rel = a["remove"]["path"]
+                fp = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
+                size -= os.path.getsize(fp)
+                n -= 1
+    except OSError:
+        return
+    crc = {"tableSizeBytes": size, "numFiles": n, "version": version}
+    out = os.path.join(table_path, "_delta_log", f"{version:020d}.crc")
+    tmp_crc = out + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp_crc, "w") as f:
+        f.write(json.dumps(crc))
+    os.replace(tmp_crc, out)
 
 
 def _commit_info(operation: str, parameters: dict, metrics: dict) -> dict:

@@ -1481,3 +1481,62 @@ def test_in_commit_timestamps_are_monotonic_under_clock_skew(
     assert log.version_at_timestamp(ci0["inCommitTimestamp"]) == 0
     assert log.version_at_timestamp(ci1["inCommitTimestamp"]) == 1
     assert log.snapshot_at_timestamp(ci0["inCommitTimestamp"]).count() == 10
+
+
+def test_version_checksum_tracks_replay_across_mutations(spark, tmp_path):
+    """D54: every commit writes a <v>.crc whose incremental
+    tableSizeBytes/numFiles equal the replay-computed file stats, across
+    the whole mutation surface (append, overwrite, delete rewrite, DV
+    delete, DV apply, compact, z-order); DESCRIBE DETAIL serves from the
+    checksum and falls back to replay when it's missing."""
+    import json
+    import os
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+
+    def check(tag):
+        log = DeltaLog(spark, t)
+        v = log.version()
+        crc_path = os.path.join(t, "_delta_log", f"{v:020d}.crc")
+        assert os.path.isfile(crc_path), f"{tag}: no crc for v{v}"
+        crc = json.loads(open(crc_path).read())
+        stats = log.file_stats()
+        assert crc["numFiles"] == stats["data_file_count"], tag
+        assert crc["tableSizeBytes"] == stats["table_size_bytes"], tag
+        d = log.detail()
+        assert d["numFiles"] == stats["data_file_count"], tag
+        assert d["sizeInBytes"] == stats["table_size_bytes"], tag
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS k")
+    delta_writer.write(spark, df.repartition(4), t)
+    check("v0 write")
+    delta_writer.write(spark, df.repartition(2), t, mode="append")
+    check("v1 append")
+    delta_writer.delete(spark, t, "k = 3")
+    check("v2 delete rewrite")
+    delta_writer.delete_with_dv(spark, t, "k = 5")
+    check("v3 dv delete")  # dv commit: no add/remove, stats unchanged
+    maintenance.apply_deletion_vectors(spark, t)
+    check("v4 dv apply rewrite")
+    maintenance.compact(spark, t, small_file_size=1 << 30,
+                        target_file_size=1 << 30)
+    check("v5 compact")
+    maintenance.zorder_cluster(spark, t, ["k"])
+    check("v6 zorder")
+    delta_writer.write(spark, df.where("id < 100").repartition(1), t,
+                       mode="overwrite")
+    check("v7 overwrite")
+
+    # fallback: with the checksum gone, detail() replays and agrees
+    log = DeltaLog(spark, t)
+    v = log.version()
+    os.remove(os.path.join(t, "_delta_log", f"{v:020d}.crc"))
+    assert log.version_checksum() is None
+    d = log.detail()
+    stats = log.file_stats()
+    assert d["numFiles"] == stats["data_file_count"]
+    assert d["sizeInBytes"] == stats["table_size_bytes"]
