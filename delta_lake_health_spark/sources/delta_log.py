@@ -81,6 +81,8 @@ ACTION_SCHEMA = StructType(
                 [
                     StructField("minReaderVersion", IntegerType()),
                     StructField("minWriterVersion", IntegerType()),
+                    StructField("readerFeatures", ArrayType(StringType())),
+                    StructField("writerFeatures", ArrayType(StringType())),
                 ]
             ),
         ),
@@ -89,6 +91,9 @@ ACTION_SCHEMA = StructType(
             StructType(
                 [
                     StructField("timestamp", LongType()),
+                    # Delta ICT: the monotonic commit-time authority for
+                    # timestampAsOf (falls back to `timestamp` when absent)
+                    StructField("inCommitTimestamp", LongType()),
                     StructField("operation", StringType()),
                     StructField("operationParameters", _STR_MAP),
                     StructField("operationMetrics", _STR_MAP),
@@ -149,6 +154,7 @@ class DeltaLog:
         self._meta_cache: dict | None = None
         self._dv_paths_cache: list[str] | None = None
         self._live_rows_cache: list | None = None
+        self._protocol_cache: dict | None = None
 
     # -- raw actions -------------------------------------------------------
 
@@ -620,6 +626,59 @@ class DeltaLog:
             df = df.withColumnsRenamed({p: l for l, p in mapping.items()})
         return df
 
+    # Reader features this engine actually implements; protocol gating
+    # below refuses tables demanding anything else (Delta table-features
+    # protocol: better a clear refusal than a silently wrong read).
+    SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+
+    def protocol(self) -> dict:
+        """Latest protocol action: {minReaderVersion, minWriterVersion,
+        readerFeatures, writerFeatures} (feature lists empty for legacy
+        version-only protocols)."""
+        if getattr(self, "_protocol_cache", None) is not None:
+            return self._protocol_cache
+        rows = (
+            self.actions()
+            .where(F.col("protocol").isNotNull())
+            .orderBy(F.desc("version"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            out = {"minReaderVersion": 1, "minWriterVersion": 2,
+                   "readerFeatures": [], "writerFeatures": []}
+        else:
+            p = rows[0].protocol
+            out = {
+                "minReaderVersion": int(p.minReaderVersion),
+                "minWriterVersion": int(p.minWriterVersion),
+                "readerFeatures": list(getattr(p, "readerFeatures", None) or []),
+                "writerFeatures": list(getattr(p, "writerFeatures", None) or []),
+            }
+        self._protocol_cache = out
+        return out
+
+    def require_readable(self) -> None:
+        """Protocol gate (Delta spec): refuse to read a table whose
+        protocol demands reader capabilities this engine lacks, instead
+        of returning silently wrong data (e.g. unapplied deletion
+        semantics of an unknown feature)."""
+        p = self.protocol()
+        r = p["minReaderVersion"]
+        if r > 3:
+            raise ValueError(
+                f"unsupported Delta protocol: minReaderVersion={r} "
+                "(this reader supports up to 3)"
+            )
+        if r == 3:
+            unsupported = set(p["readerFeatures"]) - self.SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise ValueError(
+                    "unsupported Delta reader features: "
+                    f"{sorted(unsupported)} (supported: "
+                    f"{sorted(self.SUPPORTED_READER_FEATURES)})"
+                )
+
     def version_checksum(self) -> dict | None:
         """The current version's ``.crc`` checksum (tableSizeBytes,
         numFiles) written incrementally at commit time, or None when
@@ -959,6 +1018,7 @@ class DeltaLog:
         ~100 MB, the same order every Delta/Iceberg driver-side planner
         holds), and passing explicit paths is what lets the scan skip
         dead files without a data-side filter."""
+        self.require_readable()
         live = self.live_files_rows(as_of)
         paths = [r.path for r in live]
         schema = self.metadata(as_of).get("schema")
@@ -1060,6 +1120,7 @@ class DeltaLog:
         directly on the scan, so any caller that joins or projects first
         must capture the position columns up front (the DV anti-join in
         ``snapshot`` does exactly that, which is why this exists)."""
+        self.require_readable()
         live = self.live_files_rows(as_of)
         paths = [r.path for r in live]
         schema = self.metadata(as_of).get("schema")

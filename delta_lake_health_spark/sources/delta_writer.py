@@ -125,6 +125,119 @@ def _add_action(table_path: str, rel: str, data_change: bool = True) -> dict:
     }
 
 
+# Writer features this engine actually maintains; the write gate refuses
+# tables demanding anything else (e.g. identityColumns — a write that
+# doesn't maintain the identity high-water mark would corrupt the table).
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+        "changeDataFeed", "columnMapping", "deletionVectors",
+        "inCommitTimestamp",
+    }
+)
+# Legacy minWriterVersion -> the features it implies (Delta spec table);
+# used both for gating legacy protocols and for enumerating features when
+# a table upgrades to the table-features protocol (3, 7).
+_LEGACY_WRITER_FEATURES = {
+    1: frozenset(),
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"appendOnly", "invariants", "checkConstraints"}),
+    4: frozenset(
+        {"appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+         "generatedColumns"}
+    ),
+    5: frozenset(
+        {"appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+         "generatedColumns", "columnMapping"}
+    ),
+    6: frozenset(
+        {"appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+         "generatedColumns", "columnMapping", "identityColumns"}
+    ),
+}
+_LEGACY_READER_FEATURES = {1: frozenset(), 2: frozenset({"columnMapping"})}
+
+
+def _require_writable(spark: SparkSession, table_path: str) -> None:
+    """Protocol gate for writes (Delta spec): refuse to commit to a
+    table whose protocol demands writer capabilities this engine lacks —
+    a commit that ignores an unknown writer feature (identity columns,
+    row tracking, ...) corrupts the table for conforming writers."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    if current_version(table_path) < 0:
+        return
+    p = DeltaLog(spark, table_path).protocol()
+    w = p["minWriterVersion"]
+    feats = (
+        set(p["writerFeatures"])
+        if w >= 7
+        else set(_LEGACY_WRITER_FEATURES.get(w, {"__unknown__"}))
+    )
+    unsupported = feats - SUPPORTED_WRITER_FEATURES
+    if w > 7 or unsupported:
+        raise ValueError(
+            f"unsupported Delta writer requirements: minWriterVersion={w}, "
+            f"features={sorted(unsupported)} (supported: "
+            f"{sorted(SUPPORTED_WRITER_FEATURES)})"
+        )
+
+
+def _protocol_upgrade_action(
+    spark: SparkSession, table_path: str, feature: str
+) -> dict | None:
+    """The protocol action that enables ``feature`` on this table, or
+    None when the current protocol already allows it. Column mapping
+    upgrades to the legacy (2, 5) pair; deletion vectors require the
+    table-features protocol (3, 7), which must enumerate every feature
+    the table already relies on (the spec's legacy-to-features
+    migration)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    p = DeltaLog(spark, table_path).protocol()
+    r, w = p["minReaderVersion"], p["minWriterVersion"]
+    if feature == "columnMapping":
+        if (r, w) >= (2, 5) and (
+            w < 7 or "columnMapping" in p["writerFeatures"]
+        ):
+            return None
+        if w < 7:
+            return {"protocol": {"minReaderVersion": max(r, 2),
+                                 "minWriterVersion": max(w, 5)}}
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(p["readerFeatures"]) | {"columnMapping"}
+                ),
+                "writerFeatures": sorted(
+                    set(p["writerFeatures"]) | {"columnMapping"}
+                ),
+            }
+        }
+    if feature == "deletionVectors":
+        if w >= 7 and "deletionVectors" in p["writerFeatures"]:
+            return None
+        reader_feats = (
+            set(p["readerFeatures"]) if r >= 3
+            else set(_LEGACY_READER_FEATURES.get(r, set()))
+        )
+        writer_feats = (
+            set(p["writerFeatures"]) if w >= 7
+            else set(_LEGACY_WRITER_FEATURES.get(w, set()))
+        )
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(reader_feats | {"deletionVectors"}),
+                "writerFeatures": sorted(writer_feats | {"deletionVectors"}),
+            }
+        }
+    raise ValueError(f"unknown feature {feature!r}")
+
+
 def _prev_in_commit_ts(table_path: str, version: int) -> int:
     """The predecessor commit's inCommitTimestamp (or its commitInfo
     timestamp as the pre-ICT fallback), -1 for version 0. One small
@@ -461,12 +574,21 @@ def _commit_schema_change(
 ) -> int:
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
+    _require_writable(spark, table_path)
     meta = DeltaLog(spark, table_path).metadata()
     version = current_version(table_path)
+    # RENAME/DROP introduce column-mapping metadata: the same commit must
+    # raise the protocol so conforming readers know to apply the mapping
+    upgrade = (
+        [_protocol_upgrade_action(spark, table_path, "columnMapping")]
+        if operation in ("RENAME COLUMN", "DROP COLUMN")
+        else []
+    )
     _commit(
         table_path,
         version + 1,
-        [
+        [a for a in upgrade if a]
+        + [
             {
                 "metaData": {
                     "id": meta["id"],
@@ -725,6 +847,7 @@ def write(
         raise ValueError(f"bad mode {mode!r}")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be set together")
+    _require_writable(spark, table_path)
     version = current_version(table_path)
 
     def _already_committed() -> bool:
@@ -857,6 +980,8 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
     """Delete rows matching ``predicate`` (SQL string). Rewrites only the
     files that contain matching rows (file-pruned via a per-file match
     count), commits remove+add with operation DELETE."""
+    _require_writable(spark, table_path)
+
     from pyspark.sql import functions as F
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
@@ -936,6 +1061,8 @@ def merge(
     ``_metadata.file_path`` after its DV anti-join, and a raw parquet
     survivor read would resurrect soft-deleted rows into rewritten files.
     """
+    _require_writable(spark, table_path)
+
     import time as _time
 
     from pyspark.sql import functions as F
@@ -1086,6 +1213,8 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
     files and retires the vectors. At 100 TB this turns a delete that
     touches 1% of rows in every file from a full-table rewrite into a
     |deleted rows|-sized append."""
+    _require_writable(spark, table_path)
+
     from pyspark.sql import functions as F
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
@@ -1114,10 +1243,16 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
         return version + 1
     dv_rel = f"{DELETES_DIR}/dv-{version + 1:020d}"
     hits.coalesce(1).write.parquet(os.path.join(table_path, dv_rel))
+    # first DV on this table: the same commit upgrades the protocol to
+    # the table-features form with deletionVectors enumerated, so
+    # conforming readers without DV support refuse instead of reading
+    # soft-deleted rows back
+    upgrade = _protocol_upgrade_action(spark, table_path, "deletionVectors")
     return commit_mutation(
         table_path,
         version,
-        [
+        ([upgrade] if upgrade else [])
+        + [
             {"dv": {"path": dv_rel, "numDeletedRows": n}},
             _commit_info("DELETE", {"predicate": predicate, "mode": "dv"},
                          {"numDeletedRows": n, "numRewrittenFiles": 0}),
@@ -1142,6 +1277,8 @@ def update(
     NULL constraints validate the rewritten batch. The row-level change
     feed surfaces the commit as delete+insert pairs for the touched
     files, same as Delta's UPDATE without CDF."""
+    _require_writable(spark, table_path)
+
     from pyspark.sql import functions as F
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog

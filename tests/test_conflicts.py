@@ -94,8 +94,17 @@ def test_metadata_change_conflicts(spark, tmp_path):
 def test_concurrent_dv_conflicts(spark, tmp_path):
     t = str(tmp_path / "t")
     _build(spark, t)
+    # the FIRST DV delete carries the protocol upgrade to table features,
+    # so a loser interleaved with it sees a protocol change (Delta's
+    # ProtocolChanged rule outranks the DV row-conflict rule)
     base = dw.current_version(t)
     dw.delete_with_dv(spark, t, "id = 3")
+    with pytest.raises(dw.MetadataChangedException):
+        dw.commit_mutation(t, base, _actions(), read_files=_live(spark, t))
+    # subsequent DV deletes are protocol-quiet: the loser sees the
+    # deletion vector itself
+    base = dw.current_version(t)
+    dw.delete_with_dv(spark, t, "id = 5")
     with pytest.raises(dw.ConcurrentDeleteReadException):
         dw.commit_mutation(t, base, _actions(), read_files=_live(spark, t))
 

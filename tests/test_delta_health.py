@@ -1482,6 +1482,22 @@ def test_in_commit_timestamps_are_monotonic_under_clock_skew(
     assert log.version_at_timestamp(ci1["inCommitTimestamp"]) == 1
     assert log.snapshot_at_timestamp(ci0["inCommitTimestamp"]).count() == 10
 
+    # prove ICT is the AUTHORITY, not a bystander: forge v1's wall-clock
+    # timestamp to something absurd — resolution must not move
+    p1 = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    acts = [json.loads(line) for line in open(p1)]
+    for a in acts:
+        if "commitInfo" in a:
+            a["commitInfo"]["timestamp"] = 10**15
+    with open(p1, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    log2 = DeltaLog(spark, t)
+    assert log2.commit_timestamps() == [
+        (0, ci0["inCommitTimestamp"]),
+        (1, ci1["inCommitTimestamp"]),
+    ]
+
 
 def test_version_checksum_tracks_replay_across_mutations(spark, tmp_path):
     """D54: every commit writes a <v>.crc whose incremental
@@ -1540,3 +1556,95 @@ def test_version_checksum_tracks_replay_across_mutations(spark, tmp_path):
     stats = log.file_stats()
     assert d["numFiles"] == stats["data_file_count"]
     assert d["sizeInBytes"] == stats["table_size_bytes"]
+
+
+def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
+    """D55: the Delta protocol is enforced, not decorative. Fresh tables
+    are (1,2); the first DV commit upgrades to table-features (3,7) with
+    deletionVectors enumerated (plus the legacy-implied features);
+    RENAME upgrades to (2,5); protocols demanding unknown capabilities
+    refuse reads/writes with clear errors instead of proceeding
+    wrongly."""
+    import json
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    delta_writer.write(
+        spark, spark.range(0, 100).selectExpr("id", "id % 5 AS k"), t
+    )
+    p = DeltaLog(spark, t).protocol()
+    assert (p["minReaderVersion"], p["minWriterVersion"]) == (1, 2)
+    assert p["readerFeatures"] == [] and p["writerFeatures"] == []
+
+    # first DV delete upgrades to table features in the SAME commit
+    delta_writer.delete_with_dv(spark, t, "k = 3")
+    p = DeltaLog(spark, t).protocol()
+    assert (p["minReaderVersion"], p["minWriterVersion"]) == (3, 7)
+    assert "deletionVectors" in p["readerFeatures"]
+    assert set(p["writerFeatures"]) >= {
+        "deletionVectors", "appendOnly", "invariants"
+    }
+    # our own reader supports it: snapshot still reads (DV applied)
+    assert DeltaLog(spark, t).snapshot().count() == 80
+    # a second DV delete must NOT re-emit a protocol action
+    v = delta_writer.delete_with_dv(spark, t, "k = 4")
+    acts = [json.loads(line) for line in
+            open(os.path.join(t, "_delta_log", f"{v:020d}.json"))]
+    assert not any("protocol" in a for a in acts)
+
+    # RENAME on a fresh table upgrades to the legacy column-mapping pair
+    t2 = str(tmp_path / "t2")
+    delta_writer.write(
+        spark, spark.range(0, 10).selectExpr("id", "id AS v"), t2
+    )
+    delta_writer.rename_column(spark, t2, "v", "val")
+    p2 = DeltaLog(spark, t2).protocol()
+    assert (p2["minReaderVersion"], p2["minWriterVersion"]) == (2, 5)
+    assert [r.val for r in DeltaLog(spark, t2).snapshot().collect()[:1]]
+
+    # RENAME on the DV table merges columnMapping into the feature lists
+    delta_writer.rename_column(spark, t, "k", "bucket")
+    p = DeltaLog(spark, t).protocol()
+    assert "columnMapping" in p["readerFeatures"]
+    assert "columnMapping" in p["writerFeatures"]
+    assert DeltaLog(spark, t).snapshot().columns == ["id", "bucket"]
+
+    # foreign table demanding capabilities we lack: clear refusals
+    def bump(path, proto):
+        v = delta_writer.current_version(path) + 1
+        with open(os.path.join(path, "_delta_log", f"{v:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": proto}) + "\n")
+            f.write(json.dumps({"commitInfo": {
+                "timestamp": 1, "operation": "UPGRADE",
+                "operationParameters": {}, "operationMetrics": {}}}) + "\n")
+
+    t3 = str(tmp_path / "t3")
+    delta_writer.write(spark, spark.range(0, 5).selectExpr("id"), t3)
+    bump(t3, {"minReaderVersion": 3, "minWriterVersion": 7,
+              "readerFeatures": ["v2Checkpoint"],
+              "writerFeatures": ["rowTracking"]})
+    with pytest.raises(ValueError, match="unsupported Delta reader features"):
+        DeltaLog(spark, t3).snapshot()
+    with pytest.raises(ValueError, match="unsupported Delta writer"):
+        delta_writer.write(spark, spark.range(5, 10).selectExpr("id"), t3,
+                           mode="append")
+
+    t4 = str(tmp_path / "t4")
+    delta_writer.write(spark, spark.range(0, 5).selectExpr("id"), t4)
+    bump(t4, {"minReaderVersion": 4, "minWriterVersion": 8})
+    with pytest.raises(ValueError, match="minReaderVersion=4"):
+        DeltaLog(spark, t4).snapshot()
+    with pytest.raises(ValueError, match="unsupported Delta writer"):
+        delta_writer.delete(spark, t4, "id = 1")
+
+    # legacy minWriterVersion 6 implies identityColumns -> write refused
+    t5 = str(tmp_path / "t5")
+    delta_writer.write(spark, spark.range(0, 5).selectExpr("id"), t5)
+    bump(t5, {"minReaderVersion": 1, "minWriterVersion": 6})
+    with pytest.raises(ValueError, match="identityColumns"):
+        delta_writer.update(spark, t5, "id = 1", {"id": "id + 10"})
+    # ...but reading it is fine (identity is a writer-only feature)
+    assert DeltaLog(spark, t5).snapshot().count() == 5
