@@ -158,16 +158,68 @@ _LEGACY_WRITER_FEATURES = {
 _LEGACY_READER_FEATURES = {1: frozenset(), 2: frozenset({"columnMapping"})}
 
 
+def _latest_protocol_fs(table_path: str) -> dict:
+    """Driver-side protocol lookup (no Spark job — the write gate runs
+    on EVERY commit): scan retained commit JSONs newest-first for a
+    protocol action; fall back to the checkpoint parquet via pyarrow
+    when log cleanup removed the protocol-bearing commits."""
+    log_dir = os.path.join(table_path, LOG_DIR)
+    default = {"minReaderVersion": 1, "minWriterVersion": 2,
+               "readerFeatures": [], "writerFeatures": []}
+    try:
+        files = sorted(
+            (f for f in os.listdir(log_dir)
+             if f.endswith(".json") and f[:20].isdigit()),
+            reverse=True,
+        )
+    except FileNotFoundError:
+        return default
+
+    def norm(p: dict) -> dict:
+        return {
+            "minReaderVersion": int(p.get("minReaderVersion", 1)),
+            "minWriterVersion": int(p.get("minWriterVersion", 2)),
+            "readerFeatures": list(p.get("readerFeatures") or []),
+            "writerFeatures": list(p.get("writerFeatures") or []),
+        }
+
+    for f in files:
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "protocol" in a:
+                    return norm(a["protocol"])
+    # no protocol in the retained JSON tail: it lives in the checkpoint
+    try:
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            info = json.loads(fh.read())
+        v, parts = int(info["version"]), info.get("parts")
+        names = (
+            [f"{v:020d}.checkpoint.parquet"]
+            if not parts
+            else [f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                  for i in range(int(parts))]
+        )
+        for name in names:
+            t = pq.read_table(os.path.join(log_dir, name), columns=["protocol"])
+            for row in t.column("protocol").to_pylist():
+                if row and row.get("minReaderVersion") is not None:
+                    return norm(row)
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    return default
+
+
 def _require_writable(spark: SparkSession, table_path: str) -> None:
     """Protocol gate for writes (Delta spec): refuse to commit to a
     table whose protocol demands writer capabilities this engine lacks —
     a commit that ignores an unknown writer feature (identity columns,
     row tracking, ...) corrupts the table for conforming writers."""
-    from delta_lake_health_spark.sources.delta_log import DeltaLog
-
     if current_version(table_path) < 0:
         return
-    p = DeltaLog(spark, table_path).protocol()
+    p = _latest_protocol_fs(table_path)
     w = p["minWriterVersion"]
     feats = (
         set(p["writerFeatures"])
@@ -192,9 +244,7 @@ def _protocol_upgrade_action(
     table-features protocol (3, 7), which must enumerate every feature
     the table already relies on (the spec's legacy-to-features
     migration)."""
-    from delta_lake_health_spark.sources.delta_log import DeltaLog
-
-    p = DeltaLog(spark, table_path).protocol()
+    p = _latest_protocol_fs(table_path)
     r, w = p["minReaderVersion"], p["minWriterVersion"]
     if feature == "columnMapping":
         if (r, w) >= (2, 5) and (

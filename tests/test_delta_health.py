@@ -1648,3 +1648,13 @@ def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
         delta_writer.update(spark, t5, "id = 1", {"id": "id + 10"})
     # ...but reading it is fine (identity is a writer-only feature)
     assert DeltaLog(spark, t5).snapshot().count() == 5
+
+    # the driver-side gate survives log cleanup: after checkpoint +
+    # metadata cleanup the protocol lives only in the checkpoint parquet
+    from delta_lake_health_spark.operators import maintenance
+
+    DeltaLog(spark, t).checkpoint()
+    maintenance.cleanup_log(spark, t, retention_hours=0.0)
+    p = delta_writer._latest_protocol_fs(t)
+    assert (p["minReaderVersion"], p["minWriterVersion"]) == (3, 7)
+    assert "deletionVectors" in p["writerFeatures"]
