@@ -79,6 +79,20 @@ _VERIFY_FIRST = (
     "ann_pq_adc_topk",
     # rows-only (weakest check) deliberately last before the driver cap
     "sketch_heavy_hitters",
+    # round-4 continuation: media_decode_roundtrip FIRST because its
+    # contract changed this round (WAV/Y4M formats + sample_rate column
+    # — the r3 row describes the old schema), then the new queries in
+    # priority order. Names past the driver's ~50-row cap cost nothing;
+    # they encode what the next round's rotation should front-load.
+    "media_decode_roundtrip",
+    "dedup_incremental_bloom",
+    "text_tfidf_keywords",
+    "dedup_graph_pagerank",
+    "dedup_source_overlap",
+    "knn_label_vote",
+    "events_funnel_latency",
+    "events_hourly_gapfill",
+    "sketch_user_overlap",
 )
 
 
