@@ -511,3 +511,53 @@ def cleanup_log(
         "numDeletedCheckpointFiles": deleted_ckpt,
         "retainedFromVersion": log.earliest_version(),
     }
+
+
+def generate_symlink_manifest(spark: SparkSession, table_path: str) -> dict:
+    """``GENERATE symlink_format_manifest`` (Delta's Presto/Athena/Trino
+    interop): write ``_symlink_format_manifest/[partition dirs/]manifest``
+    text files listing the ABSOLUTE paths of exactly the table's live
+    data files, one per line, partition-directory structure mirrored —
+    engines without a Delta reader then query the table as an external
+    Hive table over the manifests. Stale manifest directories for
+    partitions that no longer exist are removed (the spec's overwrite
+    semantics). Refuses tables with live deletion vectors: a manifest
+    points at whole files, so soft-deleted rows would resurrect."""
+    import shutil as _shutil
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    dv = log.deletion_vectors()
+    if dv is not None:
+        live_paths = log.active_files().select(F.col("path").alias("rel_path"))
+        if (
+            dv.join(F.broadcast(live_paths), "rel_path", "left_semi").limit(1).count()
+            > 0
+        ):
+            raise ValueError(
+                "cannot generate a symlink manifest while deletion vectors "
+                "are live (manifests reference whole files); run "
+                "apply_deletion_vectors first"
+            )
+    live = log.live_files_rows()
+    by_partition: dict[str, list[str]] = {}
+    for r in live:
+        rel = r.path
+        abs_path = (
+            rel if os.path.isabs(rel) else os.path.join(table_path, rel)
+        )
+        part_dir = os.path.dirname(rel) if not os.path.isabs(rel) else ""
+        by_partition.setdefault(part_dir, []).append(os.path.abspath(abs_path))
+
+    root = os.path.join(table_path, "_symlink_format_manifest")
+    _shutil.rmtree(root, ignore_errors=True)
+    n_files = 0
+    for part_dir, paths in sorted(by_partition.items()):
+        out_dir = os.path.join(root, part_dir) if part_dir else root
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "manifest"), "w") as f:
+            for p in sorted(paths):
+                f.write("file:" + p + "\n")
+                n_files += 1
+    return {"numManifestFiles": len(by_partition), "numDataFiles": n_files}

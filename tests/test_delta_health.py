@@ -1658,3 +1658,66 @@ def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
     p = delta_writer._latest_protocol_fs(t)
     assert (p["minReaderVersion"], p["minWriterVersion"]) == (3, 7)
     assert "deletionVectors" in p["writerFeatures"]
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """D56: GENERATE symlink_format_manifest writes per-partition
+    manifest files listing exactly the live data files as absolute
+    file: URIs; regeneration drops stale partition manifests; live
+    deletion vectors are refused (whole-file references would resurrect
+    soft-deleted rows)."""
+    import os
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS part"
+    )
+    delta_writer.write(spark, df, t, partition_by=["part"])
+    res = maintenance.generate_symlink_manifest(spark, t)
+    assert res["numManifestFiles"] == 2
+
+    def read_manifests():
+        root = os.path.join(t, "_symlink_format_manifest")
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f == "manifest":
+                    rel = os.path.relpath(dirpath, root)
+                    out[rel] = sorted(
+                        line.strip() for line in open(os.path.join(dirpath, f))
+                    )
+        return out
+
+    manifests = read_manifests()
+    assert set(manifests) == {"part=a", "part=b"}
+    live = {
+        r.path: "file:" + os.path.abspath(os.path.join(t, r.path))
+        for r in DeltaLog(spark, t).live_files_rows()
+    }
+    listed = {p for paths in manifests.values() for p in paths}
+    assert listed == set(live.values())
+    assert res["numDataFiles"] == len(live)
+    # every manifest line sits under its own partition directory
+    for part, paths in manifests.items():
+        assert all(f"/{part}/" in p for p in paths)
+
+    # drop partition b via overwrite: regeneration must remove its manifest
+    delta_writer.write(
+        spark, df.where("part = 'a'"), t, mode="overwrite",
+        partition_by=["part"],
+    )
+    maintenance.generate_symlink_manifest(spark, t)
+    assert set(read_manifests()) == {"part=a"}
+
+    # live DVs refuse
+    delta_writer.delete_with_dv(spark, t, "id = 2")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        maintenance.generate_symlink_manifest(spark, t)
+    # applying the vectors unblocks generation
+    maintenance.apply_deletion_vectors(spark, t)
+    res = maintenance.generate_symlink_manifest(spark, t)
+    assert res["numDataFiles"] >= 1
