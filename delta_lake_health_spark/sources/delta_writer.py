@@ -552,6 +552,74 @@ def set_constraint(
     return version + 1
 
 
+def set_table_property(
+    spark: SparkSession, table_path: str, key: str, value: str
+) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES (one key): re-emit metaData with
+    the configuration entry added/updated — schema, id, partitioning all
+    carry over. Properties with engine behavior attached:
+    ``delta.autoOptimize.autoCompact`` (+ ``minNumFiles`` /
+    ``smallFileSize``) trigger post-commit compaction in ``write``;
+    ``delta.constraints.*`` should go through ``set_constraint`` (which
+    validates existing data first)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    config = dict(meta.get("configuration", {}))
+    config[str(key)] = str(value)
+    version = current_version(table_path)
+    _commit(
+        table_path,
+        version + 1,
+        [
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(meta["schema"]),
+                    "partitionColumns": meta.get("partition_columns", []),
+                    "configuration": config,
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+            _commit_info("SET TBLPROPERTIES", {key: value}, {}),
+        ],
+    )
+    return version + 1
+
+
+def _maybe_auto_compact(spark: SparkSession, table_path: str, meta) -> None:
+    """Delta's autoCompact: when ``delta.autoOptimize.autoCompact`` is
+    set on the table, a successful write checks the small-file
+    population and, past ``minNumFiles``, runs a standard OPTIMIZE
+    commit right behind its own — writers pay a bounded compaction
+    instead of the table degrading until someone remembers to run
+    maintenance. The compaction is the ordinary ``maintenance.compact``
+    (dataChange=false adds, change-feed invisible)."""
+    config = (meta or {}).get("configuration", {})
+    if config.get("delta.autoOptimize.autoCompact", "").lower() != "true":
+        return
+    min_files = int(config.get("delta.autoOptimize.minNumFiles", "16"))
+    small_size = int(
+        config.get("delta.autoOptimize.smallFileSize", str(32 * 1024 * 1024))
+    )
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    n_small = (
+        DeltaLog(spark, table_path)
+        .active_files()
+        .where(F.col("size") < small_size)
+        .count()
+    )
+    if n_small >= min_files:
+        maintenance.compact(
+            spark, table_path, small_file_size=small_size
+        )
+
+
 def drop_constraint(spark: SparkSession, table_path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT."""
     from delta_lake_health_spark.sources.delta_log import DeltaLog
@@ -1005,6 +1073,7 @@ def write(
                 from delta_lake_health_spark.sources.delta_log import DeltaLog
 
                 DeltaLog(spark, table_path).checkpoint()
+            _maybe_auto_compact(spark, table_path, meta_at_validation)
             return next_version
         except RuntimeError:
             if attempt == max_commit_retries:

@@ -1721,3 +1721,40 @@ def test_generate_symlink_manifest(spark, tmp_path):
     maintenance.apply_deletion_vectors(spark, t)
     res = maintenance.generate_symlink_manifest(spark, t)
     assert res["numDataFiles"] >= 1
+
+
+def test_auto_compact_property_triggers_optimize(spark, tmp_path):
+    """D57: delta.autoOptimize.autoCompact — once the table property is
+    set, a write that pushes the small-file population past minNumFiles
+    is followed by an automatic OPTIMIZE commit; without the property
+    files accumulate."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id")
+    delta_writer.write(spark, df.repartition(4), t)
+    # no property: appends accumulate files, no OPTIMIZE appears
+    delta_writer.write(spark, df.repartition(4), t, mode="append")
+    ops = [r.operation for r in DeltaLog(spark, t).history().collect()]
+    assert "OPTIMIZE" not in ops
+    assert DeltaLog(spark, t).active_files().count() == 8
+
+    delta_writer.set_table_property(
+        spark, t, "delta.autoOptimize.autoCompact", "true"
+    )
+    delta_writer.set_table_property(
+        spark, t, "delta.autoOptimize.minNumFiles", "10"
+    )
+    delta_writer.write(spark, df.repartition(4), t, mode="append")
+    log = DeltaLog(spark, t)
+    ops = [r.operation for r in log.history().collect()]
+    assert "OPTIMIZE" in ops
+    # 12 small files collapsed into the compaction output
+    assert log.active_files().count() < 12
+    assert log.snapshot().count() == 3000
+    # compaction adds are dataChange=false: invisible to the change feed
+    from delta_lake_health_spark.sources.cdf import row_changes
+
+    ch = row_changes(spark, t, log.version(), log.version())
+    assert ch.count() == 0
