@@ -99,6 +99,26 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             options.get("ignoredeletes", "false")
         ).lower() in ("true", "1")
         self.starting_version = int(options.get("startingversion", 0))
+        # admission control (Delta's maxFilesPerTrigger analogue at the
+        # source's natural offset granularity — commit versions): bounds
+        # how much backlog one micro-batch admits, so a stream restarted
+        # after downtime drains in paced batches instead of one giant
+        # catch-up batch. 0 = unbounded. Applies to periodic-trigger
+        # batches; Trigger.AvailableNow in the Python DataSource API
+        # plans one batch straight to latestOffset (no admission hook),
+        # so it intentionally drains everything.
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        # Planning floor for the cap. The API gives latestOffset() no
+        # start argument (and calls it before initialOffset), so the
+        # floor is seeded from startingVersion and fast-forwarded by
+        # partitions()/commit(), which DO see the engine's true offsets.
+        # On a restart far past startingVersion the first planned batch
+        # is therefore empty (its capped end sits below the checkpointed
+        # start); partitions() snaps the floor to the checkpoint and
+        # pacing resumes from the second trigger — no data is ever
+        # skipped or double-read (the engine's checkpoint, not the
+        # floor, is the authority on progress).
+        self._floor = self.starting_version - 1
         self.schema_struct = schema
 
     def initialOffset(self) -> dict:
@@ -106,9 +126,21 @@ class DeltaTailStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = _log_versions(self.table_path)
-        return {"version": vs[-1] if vs else self.starting_version - 1}
+        newest = vs[-1] if vs else self.starting_version - 1
+        if self.max_versions:
+            newest = min(newest, self._floor + self.max_versions)
+        self._floor = max(self._floor, newest)
+        return {"version": newest}
+
+    def commit(self, end: dict) -> None:
+        self._floor = max(self._floor, int(end["version"]))
 
     def partitions(self, start: dict, end: dict):
+        self._floor = max(
+            self._floor, int(start["version"]), int(end["version"])
+        )
+        if int(end["version"]) <= int(start["version"]):
+            return []  # restart resync batch: floor was behind the checkpoint
         schema = _latest_schema(self.table_path) or {"fields": []}
         fields = [
             (f["name"], _physical_name(f), json.dumps(f["type"]))
@@ -174,9 +206,6 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             out_names.append(logical)
         out = pa.table(out_cols, names=out_names)
         yield from out.to_batches(max_chunksize=1 << 16)
-
-    def commit(self, end: dict) -> None:
-        pass
 
 
 class DeltaTailDataSource(DataSource):

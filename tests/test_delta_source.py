@@ -115,3 +115,47 @@ def test_batch_schema_matches_log(spark, tmp_path):
     delta_writer.write(spark, _ids(spark, 0, 10).coalesce(1), t)
     s = delta_source.read_stream(spark, t)
     assert [f.name for f in s.schema.fields] == ["id", "k"]
+
+
+def test_max_versions_per_trigger_paces_backlog(spark, tmp_path):
+    """Admission control: with maxVersionsPerTrigger=1 a 4-commit backlog
+    drains across multiple micro-batches (checkpointed offsets show the
+    pacing) and still delivers exactly the full table. Uses a periodic
+    trigger — availableNow in the Python DataSource API plans one batch
+    to the latest offset, bypassing pacing by design."""
+    import time as _time
+
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    for lo in range(0, 80, 20):
+        delta_writer.write(
+            spark, _ids(spark, lo, lo + 20).coalesce(1), t, mode="append"
+        )
+    q = (
+        delta_source.read_stream(spark, t, maxVersionsPerTrigger="1")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        n = 0
+        while _time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 80:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(80))
+    # one checkpointed offset entry per planned batch: a paced drain of
+    # 4 commits needs at least 4 batches
+    offsets = [
+        f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()
+    ]
+    assert len(offsets) >= 4, offsets
