@@ -368,8 +368,8 @@ def _write_version_checksum(
                 fp = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
                 size -= os.path.getsize(fp)
                 n -= 1
-    except OSError:
-        return
+    except (OSError, KeyError, TypeError, ValueError):
+        return  # accelerator only: never let checksum math break a commit
     crc = {"tableSizeBytes": size, "numFiles": n, "version": version}
     out = os.path.join(table_path, "_delta_log", f"{version:020d}.crc")
     tmp_crc = out + f".tmp-{uuid.uuid4().hex}"
