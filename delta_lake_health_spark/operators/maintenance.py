@@ -541,13 +541,21 @@ def generate_symlink_manifest(spark: SparkSession, table_path: str) -> dict:
                 "apply_deletion_vectors first"
             )
     live = log.live_files_rows()
+    part_cols = log.partition_columns()
     by_partition: dict[str, list[str]] = {}
     for r in live:
         rel = r.path
         abs_path = (
             rel if os.path.isabs(rel) else os.path.join(table_path, rel)
         )
-        part_dir = os.path.dirname(rel) if not os.path.isabs(rel) else ""
+        # partition directory from the LOG's partitionValues, not the
+        # file path — shallow-cloned tables hold absolute paths whose
+        # directory layout belongs to the SOURCE tree, and the log is
+        # the spec's source of truth for partition membership
+        vals = dict(r.partitionValues or {})
+        part_dir = "/".join(
+            f"{c}={vals.get(c, '')}" for c in part_cols
+        ) if part_cols else ""
         by_partition.setdefault(part_dir, []).append(os.path.abspath(abs_path))
 
     root = os.path.join(table_path, "_symlink_format_manifest")

@@ -699,7 +699,9 @@ class DeltaLog:
                 "tableSizeBytes": int(c["tableSizeBytes"]),
                 "numFiles": int(c["numFiles"]),
             }
-        except (FileNotFoundError, KeyError, ValueError):
+        except (FileNotFoundError, KeyError, ValueError, TypeError):
+            # accelerator only: a malformed/foreign .crc (e.g. null
+            # fields) must fall back to replay, never crash detail()
             return None
 
     def detail(self) -> dict:

@@ -160,9 +160,13 @@ _LEGACY_READER_FEATURES = {1: frozenset(), 2: frozenset({"columnMapping"})}
 
 def _latest_protocol_fs(table_path: str) -> dict:
     """Driver-side protocol lookup (no Spark job — the write gate runs
-    on EVERY commit): scan retained commit JSONs newest-first for a
-    protocol action; fall back to the checkpoint parquet via pyarrow
-    when log cleanup removed the protocol-bearing commits."""
+    on EVERY commit): scan commit JSONs newest-first for a protocol
+    action, stopping at the last checkpoint (a checkpoint always folds
+    the protocol, so older commits can't hold a newer one); fall back to
+    the checkpoint parquet via pyarrow. Lines are substring-screened
+    before json.loads — protocol actions are rare (v0 + upgrades), so
+    the common cost is one cheap string scan of the post-checkpoint
+    tail, not a JSON parse of the whole retained log."""
     log_dir = os.path.join(table_path, LOG_DIR)
     default = {"minReaderVersion": 1, "minWriterVersion": 2,
                "readerFeatures": [], "writerFeatures": []}
@@ -174,6 +178,12 @@ def _latest_protocol_fs(table_path: str) -> dict:
         )
     except FileNotFoundError:
         return default
+    ckpt_version = -1
+    try:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            ckpt_version = int(json.loads(fh.read())["version"])
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
 
     def norm(p: dict) -> dict:
         return {
@@ -184,8 +194,13 @@ def _latest_protocol_fs(table_path: str) -> dict:
         }
 
     for f in files:
+        v = int(f[:20])
+        if v < ckpt_version:
+            break  # the checkpoint (read below) carries the protocol
         with open(os.path.join(log_dir, f)) as fh:
             for line in fh:
+                if '"protocol"' not in line:
+                    continue
                 a = json.loads(line)
                 if "protocol" in a:
                     return norm(a["protocol"])
@@ -302,11 +317,12 @@ def _prev_in_commit_ts(table_path: str, version: int) -> int:
                 a = json.loads(line)
                 if "commitInfo" in a:
                     ci = a["commitInfo"]
-                    return int(
-                        ci.get("inCommitTimestamp", ci.get("timestamp", -1))
-                    )
-    except FileNotFoundError:
-        pass  # predecessor cleaned up (log retention) — fall back to clock
+                    ts = ci.get("inCommitTimestamp")
+                    if ts is None:  # foreign writer may emit null
+                        ts = ci.get("timestamp")
+                    return int(ts) if ts is not None else -1
+    except (FileNotFoundError, TypeError, ValueError):
+        pass  # predecessor cleaned up / malformed — fall back to clock
     return -1
 
 
@@ -316,9 +332,11 @@ def _commit(table_path: str, version: int, actions: list[dict]) -> None:
     # predecessor + 1 ms), so clock skew between writers can never make
     # history non-monotonic at WRITE time (the reader-side adjustment in
     # DeltaLog.commit_timestamps remains as the fallback for foreign
-    # pre-ICT logs).
+    # pre-ICT logs). Stamped UNCONDITIONALLY: commit_mutation retries a
+    # rebased commit with the SAME actions list, and reusing the first
+    # attempt's stamp would write an ICT below the interleaved winner's.
     for a in actions:
-        if "commitInfo" in a and "inCommitTimestamp" not in a["commitInfo"]:
+        if "commitInfo" in a:
             a["commitInfo"]["inCommitTimestamp"] = max(
                 int(time.time() * 1000), _prev_in_commit_ts(table_path, version) + 1
             )
@@ -518,6 +536,7 @@ def set_constraint(
     refuses the commit on violation. The EXISTING data is validated once
     here (one scan) so a constraint can't be added that the table already
     breaks — same as Delta."""
+    _require_writable(spark, table_path)
     from pyspark.sql import functions as F
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
@@ -562,6 +581,7 @@ def set_table_property(
     ``smallFileSize``) trigger post-commit compaction in ``write``;
     ``delta.constraints.*`` should go through ``set_constraint`` (which
     validates existing data first)."""
+    _require_writable(spark, table_path)
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     meta = DeltaLog(spark, table_path).metadata()
@@ -622,6 +642,7 @@ def _maybe_auto_compact(spark: SparkSession, table_path: str, meta) -> None:
 
 def drop_constraint(spark: SparkSession, table_path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT."""
+    _require_writable(spark, table_path)
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     meta = DeltaLog(spark, table_path).metadata()
@@ -801,6 +822,7 @@ def set_generated_column(
     ``delta.generationExpression``). Subsequent writes compute the column
     when the batch omits it and refuse batches whose provided values
     disagree with the expression. Existing data is validated once here."""
+    _require_writable(spark, table_path)
     from pyspark.sql import functions as F
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
@@ -1073,7 +1095,14 @@ def write(
                 from delta_lake_health_spark.sources.delta_log import DeltaLog
 
                 DeltaLog(spark, table_path).checkpoint()
-            _maybe_auto_compact(spark, table_path, meta_at_validation)
+            # best-effort, CONTAINED: the data commit above already
+            # succeeded, so a compaction that loses a concurrency race
+            # must not bubble its RuntimeError into this retry loop —
+            # that would re-commit the same add actions as a duplicate
+            try:
+                _maybe_auto_compact(spark, table_path, meta_at_validation)
+            except RuntimeError:
+                pass  # a later write's auto-compact picks the files up
             return next_version
         except RuntimeError:
             if attempt == max_commit_retries:

@@ -104,43 +104,49 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # how much backlog one micro-batch admits, so a stream restarted
         # after downtime drains in paced batches instead of one giant
         # catch-up batch. 0 = unbounded. Applies to periodic-trigger
-        # batches; Trigger.AvailableNow in the Python DataSource API
-        # plans one batch straight to latestOffset (no admission hook),
-        # so it intentionally drains everything.
+        # batches from the second batch of a run onward; the first batch
+        # (and all of Trigger.AvailableNow, which has no admission hook
+        # in the Python DataSource API) drains to latest.
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         # Planning floor for the cap. The API gives latestOffset() no
         # start argument (and calls it before initialOffset), so the
-        # floor is seeded from startingVersion and fast-forwarded by
-        # partitions()/commit(), which DO see the engine's true offsets.
-        # On a restart far past startingVersion the first planned batch
-        # is therefore empty (its capped end sits below the checkpointed
-        # start); partitions() snaps the floor to the checkpoint and
-        # pacing resumes from the second trigger — no data is ever
-        # skipped or double-read (the engine's checkpoint, not the
-        # floor, is the authority on progress).
-        self._floor = self.starting_version - 1
+        # reader cannot know the checkpointed offset when planning the
+        # FIRST batch of a run — capping blind there would return an end
+        # BELOW the checkpoint, which the engine records as the new
+        # offset and then re-reads the gap (duplicates). The cap
+        # therefore only engages once the engine has revealed its true
+        # offsets through initialOffset()/partitions()/commit(): the
+        # first planned batch per run is unbounded, every later batch is
+        # paced. Steady-state and growing backlogs pace exactly; only a
+        # cold restart's catch-up batch bypasses the cap.
+        self._floor: int | None = None
         self.schema_struct = schema
 
     def initialOffset(self) -> dict:
+        # only SEED the floor (never regress it): the engine may call
+        # this after latestOffset/partitions have already advanced it
+        if self._floor is None:
+            self._floor = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         vs = _log_versions(self.table_path)
         newest = vs[-1] if vs else self.starting_version - 1
-        if self.max_versions:
-            newest = min(newest, self._floor + self.max_versions)
-        self._floor = max(self._floor, newest)
+        if self.max_versions and self._floor is not None:
+            newest = max(min(newest, self._floor + self.max_versions),
+                         self._floor)
+            self._floor = newest
         return {"version": newest}
 
     def commit(self, end: dict) -> None:
-        self._floor = max(self._floor, int(end["version"]))
+        v = int(end["version"])
+        if self._floor is None or v > self._floor:
+            self._floor = v
 
     def partitions(self, start: dict, end: dict):
-        self._floor = max(
-            self._floor, int(start["version"]), int(end["version"])
-        )
-        if int(end["version"]) <= int(start["version"]):
-            return []  # restart resync batch: floor was behind the checkpoint
+        hi = max(int(start["version"]), int(end["version"]))
+        if self._floor is None or hi > self._floor:
+            self._floor = hi
         schema = _latest_schema(self.table_path) or {"fields": []}
         fields = [
             (f["name"], _physical_name(f), json.dumps(f["type"]))

@@ -118,44 +118,66 @@ def test_batch_schema_matches_log(spark, tmp_path):
 
 
 def test_max_versions_per_trigger_paces_backlog(spark, tmp_path):
-    """Admission control: with maxVersionsPerTrigger=1 a 4-commit backlog
-    drains across multiple micro-batches (checkpointed offsets show the
-    pacing) and still delivers exactly the full table. Uses a periodic
-    trigger — availableNow in the Python DataSource API plans one batch
-    to the latest offset, bypassing pacing by design."""
+    """Admission control: after the first batch of a run (unbounded by
+    API necessity — latestOffset gets no start argument), each periodic
+    micro-batch admits at most maxVersionsPerTrigger commit versions, and
+    a restart from checkpoint never re-reads or skips data."""
     import time as _time
 
     t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
-    for lo in range(0, 80, 20):
-        delta_writer.write(
-            spark, _ids(spark, lo, lo + 20).coalesce(1), t, mode="append"
+    delta_writer.write(spark, _ids(spark, 0, 20).coalesce(1), t)
+
+    def start_query():
+        return (
+            delta_source.read_stream(spark, t, maxVersionsPerTrigger="1")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
         )
-    q = (
-        delta_source.read_stream(spark, t, maxVersionsPerTrigger="1")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="500 milliseconds")
-        .start()
-    )
-    try:
-        deadline = _time.time() + 120
-        n = 0
+
+    def wait_rows(n, timeout=120):
+        deadline = _time.time() + timeout
         while _time.time() < deadline:
             try:
-                n = spark.read.parquet(out).count()
+                if spark.read.parquet(out).count() >= n:
+                    return True
             except Exception:
-                n = 0
-            if n >= 80:
-                break
-            _time.sleep(1)
+                pass
+            _time.sleep(0.5)
+        return False
+
+    q = start_query()
+    try:
+        assert wait_rows(20)
+        # grow the backlog while the stream runs: each trigger may only
+        # admit ONE of these four commits
+        for lo in range(20, 100, 20):
+            delta_writer.write(
+                spark, _ids(spark, lo, lo + 20).coalesce(1), t, mode="append"
+            )
+        assert wait_rows(100)
     finally:
         q.stop()
-    got = spark.read.parquet(out)
-    assert sorted(r.id for r in got.collect()) == list(range(80))
-    # one checkpointed offset entry per planned batch: a paced drain of
-    # 4 commits needs at least 4 batches
     offsets = [
         f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()
     ]
-    assert len(offsets) >= 4, offsets
+    # batch 0 (initial drain) + at least one batch per paced commit
+    assert len(offsets) >= 5, sorted(offsets)
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(100))
+
+    # restart from checkpoint with MORE backlog: the first batch of the
+    # new run is unbounded, but nothing is re-read or skipped
+    for lo in range(100, 140, 20):
+        delta_writer.write(
+            spark, _ids(spark, lo, lo + 20).coalesce(1), t, mode="append"
+        )
+    q = start_query()
+    try:
+        assert wait_rows(140)
+    finally:
+        q.stop()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(140)), f"dup or gap: {len(got)} rows"
