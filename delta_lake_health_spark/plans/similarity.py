@@ -848,3 +848,54 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# S10 — matryoshka truncation census (Kusupati et al. 2022): how much of
+# each embedding's energy survives truncation to a prefix of k dims —
+# cos(v, zero-padded v[:k]) reduces algebraically to ||v[:k]||/||v||, so
+# the census is the avg/min/p10 energy-retention profile per prefix
+# length, which is exactly the curve you consult before shipping
+# truncated vectors to a cheaper ANN tier. One corpus pass per k (a
+# 4-row broadcast), sequential double folds identical in both engines.
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+@query(
+    "embedding_matryoshka_census",
+    f"""
+    WITH e AS ({_SQL_E}),
+    k AS (SELECT UNNEST([{", ".join(map(str, _MATRYOSHKA_DIMS))}]) AS dims)
+    SELECT k.dims,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_dot_product(e.emb[1:k.dims], e.emb[1:k.dims]))
+                     / sqrt(list_dot_product(e.emb, e.emb))), 6) AS avg_energy,
+           ROUND(MIN(sqrt(list_dot_product(e.emb[1:k.dims], e.emb[1:k.dims]))
+                     / sqrt(list_dot_product(e.emb, e.emb))), 6) AS min_energy
+    FROM e CROSS JOIN k
+    GROUP BY k.dims
+    ORDER BY k.dims
+    """,
+)
+def embedding_matryoshka_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
+    ks = spark.createDataFrame(
+        [(k,) for k in _MATRYOSHKA_DIMS], "dims int"
+    )
+    prefix_norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(slice(emb, 1, dims), x -> x * x),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+    )
+    ratio = prefix_norm / F.col("nrm")
+    return (
+        emb.crossJoin(F.broadcast(ks))
+        .groupBy("dims")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(ratio), 6).alias("avg_energy"),
+            F.round(F.min(ratio), 6).alias("min_energy"),
+        )
+        .orderBy("dims")
+    )

@@ -1758,3 +1758,38 @@ def test_auto_compact_property_triggers_optimize(spark, tmp_path):
 
     ch = row_changes(spark, t, log.version(), log.version())
     assert ch.count() == 0
+
+
+def test_ict_restamped_on_commit_retry(spark, tmp_path):
+    """Regression (review finding): commit_mutation retries a rebased
+    commit with the SAME actions list — _commit must re-stamp
+    inCommitTimestamp on every attempt, or the loser's stale first-try
+    stamp lands above the winner's newer one."""
+    import json
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    t = str(tmp_path / "t")
+    delta_writer.write(spark, spark.range(0, 10).selectExpr("id"), t)
+
+    actions = [
+        {"txn": {"appId": "retry-test", "version": 1, "lastUpdated": 1}},
+        delta_writer._commit_info("TXN", {}, {}),
+    ]
+    # first attempt stamps the commitInfo dict in place at version 1...
+    delta_writer._commit(t, 1, actions)
+    first = actions[1]["commitInfo"]["inCommitTimestamp"]
+    # ...a rebased retry of the same list at version 2 must re-stamp
+    delta_writer._commit(t, 2, actions)
+    second = actions[1]["commitInfo"]["inCommitTimestamp"]
+    assert second > first
+
+    def ict(v):
+        p = os.path.join(t, "_delta_log", f"{v:020d}.json")
+        for line in open(p):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return a["commitInfo"]["inCommitTimestamp"]
+
+    assert ict(2) > ict(1) > 0
