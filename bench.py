@@ -46,6 +46,12 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "health_analyzer_report",
+    # round-4 additions (per-query timings; round-over-round totals
+    # compare on the shared prefix)
+    "dedup_incremental_bloom",
+    "dedup_graph_pagerank",
+    "text_tfidf_keywords",
+    "events_hourly_gapfill",
 ]
 
 

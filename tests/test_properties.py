@@ -257,69 +257,3 @@ def test_shingle_duplication_fraction_matches_python(spark, corpora):
     else:
         assert got_rows[0].n_shingles == total
         assert got_rows[0].n_dup == dup
-
-
-# --------------------------------------------------------------------------
-# As-of join (operators/asof.py) against a brute-force model: on random
-# keyed timelines (duplicate timestamps and multi-key collisions
-# included), the union+carry-forward implementation must match the
-# O(L·R) reference exactly — latest right_ts <= left_ts within
-# tolerance, highest tiebreak among equal timestamps.
-
-
-@st.composite
-def _timelines(draw):
-    keys = draw(st.lists(st.integers(0, 2), min_size=1, max_size=3, unique=True))
-    def rows(id_base):
-        out = []
-        n = draw(st.integers(0, 6))
-        for i in range(n):
-            out.append(
-                (
-                    draw(st.sampled_from(keys)),
-                    draw(st.integers(0, 20)),  # ts: small domain forces ties
-                    id_base + i,
-                )
-            )
-        return out
-    return rows(100), rows(200), draw(st.one_of(st.none(), st.integers(1, 10)))
-
-
-@settings(max_examples=12, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
-@given(_timelines())
-def test_asof_join_matches_bruteforce(spark, data):
-    from delta_lake_health_spark.operators.asof import asof_backward_join
-
-    left_rows, right_rows, tol = data
-    left = spark.createDataFrame(
-        left_rows or [(0, 0, 99)], "k long, lts long, lid long"
-    )
-    right = spark.createDataFrame(
-        right_rows or [(0, 0, 199)], "k long, rts long, rid long"
-    )
-    if not left_rows:
-        left = left.limit(0)
-    if not right_rows:
-        right = right.limit(0)
-
-    got = {
-        (r.lid, r.rid)
-        for r in asof_backward_join(
-            left, right, ["k"], "lts", "rts",
-            payload={"rid": "rid"}, tolerance=tol, right_tiebreak="rid",
-        ).collect()
-    }
-
-    want = set()
-    for lk, lts, lid in left_rows:
-        best = None
-        for rk, rts, rid in right_rows:
-            if rk != lk or rts > lts:
-                continue
-            if tol is not None and rts <= lts - tol:
-                continue
-            if best is None or (rts, rid) > best[:2]:
-                best = (rts, rid)
-        want.add((lid, best[1] if best else None))
-    assert got == want
