@@ -1110,3 +1110,55 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("w").alias("term"), "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# T20 — BPE merge-candidate statistics (the first iteration of
+# byte-pair-encoding tokenizer training, Sennrich et al. 2016):
+# frequency-weighted adjacent character-pair counts, computed on the
+# VOCABULARY table (distinct word × corpus frequency) rather than the
+# corpus — the classic BPE trick that makes the pass |vocab|-bounded no
+# matter how many times a word repeats at 100 TB. Top-20 pairs with a
+# deterministic (count DESC, pair) order are exactly the candidates the
+# first merge round would consider.
+@query(
+    "text_bpe_merge_candidates",
+    """
+    WITH w AS (
+      SELECT word, COUNT(*) AS f
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), p AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, f
+      FROM w, UNNEST(range(1, len(word))) u(i)
+      WHERE len(word) >= 2
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(toks()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
