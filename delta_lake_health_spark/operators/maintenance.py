@@ -496,7 +496,10 @@ def cleanup_log(
                 if os.path.isfile(crc):
                     os.remove(crc)
 
-    ckpt_re = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+    # superseded checkpoints: classic, multi-part, and V2 UUID names
+    ckpt_re = re.compile(
+        r"^(\d{20})\.checkpoint(\.\d+\.\d+|\.[0-9a-f]{32})?\.parquet$"
+    )
     deleted_ckpt = 0
     for f in sorted(os.listdir(log_dir)):
         m = ckpt_re.match(f)
@@ -506,9 +509,33 @@ def cleanup_log(
                 os.remove(p)
                 deleted_ckpt += 1
 
+    # V2 sidecars no longer referenced by the CURRENT checkpoint (the
+    # only checkpoint that survives above) are dead once past retention
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    deleted_sidecars = 0
+    if os.path.isdir(sidecar_dir):
+        referenced: set[str] = set()
+        if info.get("format") == "v2":
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(log_dir, info["path"]), columns=["sidecar"]
+            )
+            referenced = {
+                row["path"]
+                for row in t.column("sidecar").to_pylist()
+                if row and row.get("path")
+            }
+        for f in sorted(os.listdir(sidecar_dir)):
+            p = os.path.join(sidecar_dir, f)
+            if f not in referenced and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
+                deleted_sidecars += 1
+
     return {
         "numDeletedJson": deleted_json,
         "numDeletedCheckpointFiles": deleted_ckpt,
+        "numDeletedSidecars": deleted_sidecars,
         "retainedFromVersion": log.earliest_version(),
     }
 

@@ -186,6 +186,31 @@ class DeltaLog:
             ]
         return [os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")]
 
+    def _read_v2_checkpoint(self, info: dict) -> DataFrame:
+        """Resolve a V2 checkpoint: the UUID top-level file carries
+        non-file actions plus ``sidecar`` index rows; the referenced
+        sidecar parquet files under ``_sidecars/`` carry the add/remove
+        state. Returns one DataFrame shaped like a V1 checkpoint."""
+        top = self.spark.read.parquet(os.path.join(self.log_dir, info["path"]))
+        side_names = [
+            r.path
+            for r in top.where(F.col("sidecar").isNotNull())
+            .select("sidecar.path")
+            .collect()
+        ]
+        others = top.where(
+            F.col("sidecar").isNull() & F.col("checkpointMetadata").isNull()
+        ).drop("checkpointMetadata", "sidecar")
+        if not side_names:
+            return others
+        sides = self.spark.read.parquet(
+            *[
+                os.path.join(self.log_dir, "_sidecars", n)
+                for n in side_names
+            ]
+        )
+        return others.unionByName(sides, allowMissingColumns=True)
+
     def actions(self, use_checkpoint: bool = True) -> DataFrame:
         """All actions, tagged with their version.
 
@@ -209,9 +234,12 @@ class DeltaLog:
         )
         parts = []
         if ckpt_version is not None:
-            ckpt = self.spark.read.parquet(
-                *self._checkpoint_paths(ckpt_version, ckpt_info.get("parts"))
-            )
+            if ckpt_info.get("format") == "v2":
+                ckpt = self._read_v2_checkpoint(ckpt_info)
+            else:
+                ckpt = self.spark.read.parquet(
+                    *self._checkpoint_paths(ckpt_version, ckpt_info.get("parts"))
+                )
             for col in ACTION_SCHEMA.fieldNames():
                 if col not in ckpt.columns:
                     ckpt = ckpt.withColumn(
@@ -275,9 +303,22 @@ class DeltaLog:
         self,
         tombstone_retention_hours: float = 168.0,
         rows_per_part: int = 500_000,
+        format: str = "v1",
     ) -> int:
         """Write a checkpoint parquet of the CURRENT reconciled state and
         update ``_last_checkpoint``; returns the checkpointed version.
+
+        ``format="v2"`` writes the Delta V2-checkpoint layout instead:
+        FILE actions (add/remove) land in sidecar parquet files under
+        ``_delta_log/_sidecars/``, and a UUID-named top-level
+        ``<v>.checkpoint.<uuid>.parquet`` holds the non-file actions plus
+        one ``checkpointMetadata`` row and one ``sidecar`` row per
+        sidecar file — the layout that lets a 100 TB table's checkpoint
+        be INCREMENTALLY rewritten (a future checkpoint can reuse
+        unchanged sidecars) and its state read selectively. Writing v2
+        upgrades the table protocol to table features with
+        ``v2Checkpoint`` in the same breath (readers without the feature
+        must refuse, per the spec).
 
         Checkpoints with more than ``rows_per_part`` state rows are
         written MULTI-PART (``<v>.checkpoint.<i>.<n>.parquet`` per the
@@ -376,6 +417,10 @@ class DeltaLog:
         import shutil
         import uuid
 
+        if format == "v2":
+            return self._checkpoint_v2(state, version, rows_per_part)
+        if format != "v1":
+            raise ValueError(f"unknown checkpoint format {format!r}")
         n_rows = state.count()
         n_parts = max(1, math.ceil(n_rows / rows_per_part))
         tmp_dir = os.path.join(self.log_dir, f".ckpt-tmp-{uuid.uuid4().hex}")
@@ -395,6 +440,125 @@ class DeltaLog:
         info = {"version": version, "size": n_rows}
         if len(part_files) > 1:
             info["parts"] = len(part_files)
+        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
+            json.dump(info, f)
+        return version
+
+    def _checkpoint_v2(
+        self, state: DataFrame, version: int, rows_per_part: int
+    ) -> int:
+        """The V2 layout half of ``checkpoint``: sidecar files carry the
+        file actions (written by N parallel tasks), the UUID-named
+        top-level file carries everything else plus the
+        checkpointMetadata/sidecar index rows."""
+        import math
+        import shutil
+        import uuid
+
+        from delta_lake_health_spark.sources import delta_writer
+
+        # same-commit protocol upgrade rule doesn't apply (a checkpoint
+        # isn't a commit), so the upgrade is its own tiny commit FIRST —
+        # a reader must never find a v2 checkpoint on a table whose
+        # protocol doesn't announce it
+        upgrade = delta_writer._protocol_upgrade_action(
+            self.spark, self.table_path, "v2Checkpoint"
+        )
+        if upgrade is not None:
+            now = int(__import__("time").time() * 1000)
+            version = delta_writer.current_version(self.table_path) + 1
+            delta_writer._commit(
+                self.table_path,
+                version,
+                [
+                    upgrade,
+                    delta_writer._commit_info(
+                        "UPGRADE PROTOCOL", {"feature": "v2Checkpoint"}, {}
+                    ),
+                ],
+            )
+            # the upgrade commit must be part of the checkpointed state
+            fresh = DeltaLog(self.spark, self.table_path)
+            return fresh.checkpoint(format="v2", rows_per_part=rows_per_part)
+
+        sidecar_dir = os.path.join(self.log_dir, "_sidecars")
+        os.makedirs(sidecar_dir, exist_ok=True)
+        file_actions = state.where(
+            F.col("add").isNotNull() | F.col("remove").isNotNull()
+        )
+        other = state.where(
+            F.col("add").isNull() & F.col("remove").isNull()
+        )
+        n_files = file_actions.count()
+        n_parts = max(1, math.ceil(n_files / rows_per_part))
+        tmp_dir = os.path.join(self.log_dir, f".ckpt-tmp-{uuid.uuid4().hex}")
+        file_actions.repartition(n_parts).write.parquet(tmp_dir)
+        sidecars = []
+        for src in sorted(
+            f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+        ):
+            name = f"{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(tmp_dir, src), os.path.join(sidecar_dir, name)
+            )
+            sidecars.append(name)
+        shutil.rmtree(tmp_dir)
+
+        now = int(__import__("time").time() * 1000)
+        top_rows = [r.asDict(recursive=True) for r in other.collect()]
+        for r in top_rows:
+            r.update({"checkpointMetadata": None, "sidecar": None})
+        top_rows.append(
+            {**{c: None for c in [*state.columns]},
+             "checkpointMetadata": {"version": version},
+             "sidecar": None}
+        )
+        for name in sidecars:
+            fp = os.path.join(sidecar_dir, name)
+            top_rows.append(
+                {**{c: None for c in [*state.columns]},
+                 "checkpointMetadata": None,
+                 "sidecar": {"path": name,
+                             "sizeInBytes": os.path.getsize(fp),
+                             "modificationTime": now}}
+            )
+        top_schema = StructType(
+            [
+                *state.schema.fields,
+                StructField(
+                    "checkpointMetadata",
+                    StructType([StructField("version", LongType())]),
+                ),
+                StructField(
+                    "sidecar",
+                    StructType(
+                        [
+                            StructField("path", StringType()),
+                            StructField("sizeInBytes", LongType()),
+                            StructField("modificationTime", LongType()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        top_name = f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        top_tmp = os.path.join(self.log_dir, f".ckpt-tmp-{uuid.uuid4().hex}")
+        self.spark.createDataFrame(top_rows, top_schema).coalesce(
+            1
+        ).write.parquet(top_tmp)
+        part = next(
+            f for f in os.listdir(top_tmp) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(top_tmp, part), os.path.join(self.log_dir, top_name)
+        )
+        shutil.rmtree(top_tmp)
+        info = {
+            "version": version,
+            "size": n_files + len(top_rows),
+            "format": "v2",
+            "path": top_name,
+        }
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
             json.dump(info, f)
         return version
@@ -629,7 +793,9 @@ class DeltaLog:
     # Reader features this engine actually implements; protocol gating
     # below refuses tables demanding anything else (Delta table-features
     # protocol: better a clear refusal than a silently wrong read).
-    SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+    SUPPORTED_READER_FEATURES = frozenset(
+        {"deletionVectors", "columnMapping", "v2Checkpoint"}
+    )
 
     def protocol(self) -> dict:
         """Latest protocol action: {minReaderVersion, minWriterVersion,

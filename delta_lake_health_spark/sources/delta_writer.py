@@ -132,7 +132,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "appendOnly", "invariants", "checkConstraints", "generatedColumns",
         "changeDataFeed", "columnMapping", "deletionVectors",
-        "inCommitTimestamp",
+        "inCommitTimestamp", "v2Checkpoint",
     }
 )
 # Legacy minWriterVersion -> the features it implies (Delta spec table);
@@ -211,12 +211,17 @@ def _latest_protocol_fs(table_path: str) -> dict:
         with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
             info = json.loads(fh.read())
         v, parts = int(info["version"]), info.get("parts")
-        names = (
-            [f"{v:020d}.checkpoint.parquet"]
-            if not parts
-            else [f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
-                  for i in range(int(parts))]
-        )
+        if info.get("format") == "v2":
+            # V2: non-file actions (incl. protocol) live in the UUID
+            # top-level file recorded in _last_checkpoint
+            names = [info["path"]]
+        elif not parts:
+            names = [f"{v:020d}.checkpoint.parquet"]
+        else:
+            names = [
+                f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                for i in range(int(parts))
+            ]
         for name in names:
             t = pq.read_table(os.path.join(log_dir, name), columns=["protocol"])
             for row in t.column("protocol").to_pylist():
@@ -281,8 +286,10 @@ def _protocol_upgrade_action(
                 ),
             }
         }
-    if feature == "deletionVectors":
-        if w >= 7 and "deletionVectors" in p["writerFeatures"]:
+    if feature in ("deletionVectors", "v2Checkpoint"):
+        # table-features-only capabilities: upgrade to (3, 7) and
+        # enumerate every feature the table already relies on
+        if w >= 7 and feature in p["writerFeatures"]:
             return None
         reader_feats = (
             set(p["readerFeatures"]) if r >= 3
@@ -296,8 +303,8 @@ def _protocol_upgrade_action(
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": sorted(reader_feats | {"deletionVectors"}),
-                "writerFeatures": sorted(writer_feats | {"deletionVectors"}),
+                "readerFeatures": sorted(reader_feats | {feature}),
+                "writerFeatures": sorted(writer_feats | {feature}),
             }
         }
     raise ValueError(f"unknown feature {feature!r}")

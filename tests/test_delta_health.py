@@ -1793,3 +1793,67 @@ def test_ict_restamped_on_commit_retry(spark, tmp_path):
                 return a["commitInfo"]["inCommitTimestamp"]
 
     assert ict(2) > ict(1) > 0
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_path):
+    """D58: V2 checkpoints — file actions in _sidecars parquet, non-file
+    actions + checkpointMetadata/sidecar index in a UUID top-level file;
+    the protocol upgrades to table features with v2Checkpoint BEFORE the
+    checkpoint exists; reads reconstruct fully from the checkpoint after
+    log cleanup; superseded checkpoints and orphaned sidecars expire."""
+    import json
+    import os
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 300).selectExpr("id", "id % 5 AS k")
+    delta_writer.write(spark, df.repartition(3), t)
+    delta_writer.write(
+        spark, df.selectExpr("id + 1000 AS id", "k"), t, mode="append",
+        txn_app_id="app", txn_version=7,
+    )
+    delta_writer.delete(spark, t, "k = 4")
+
+    v = DeltaLog(spark, t).checkpoint(format="v2", rows_per_part=3)
+    log = DeltaLog(spark, t)
+    # v0 write, v1 append, v2 delete, v3 = the protocol-upgrade commit
+    # that must precede the checkpoint — which then checkpoints v3
+    assert v == 3
+    p = log.protocol()
+    assert (p["minReaderVersion"], p["minWriterVersion"]) == (3, 7)
+    assert "v2Checkpoint" in p["readerFeatures"]
+    info = log.last_checkpoint_info()
+    assert info["format"] == "v2" and info["version"] == v
+    assert os.path.isfile(os.path.join(t, "_delta_log", info["path"]))
+    sidecars = os.listdir(os.path.join(t, "_delta_log", "_sidecars"))
+    assert len(sidecars) >= 2  # rows_per_part=3 forces a split
+
+    # full reconstruction from the checkpoint after history expires
+    maintenance.cleanup_log(spark, t, retention_hours=0.0)
+    log = DeltaLog(spark, t)
+    assert log.snapshot().count() == 480  # 600 - 120 deleted
+    assert log.record_count() == 480
+    assert log.last_txn_version("app") == 7
+    assert log.metadata()["schema"] is not None
+    ops = [r.operation for r in log.history().collect()]
+    assert "DELETE" in ops and "UPGRADE PROTOCOL" in ops
+    # the write gate still resolves the protocol (checkpoint fallback)
+    delta_writer.write(
+        spark, df.selectExpr("id + 5000 AS id", "k"), t, mode="append"
+    )
+    assert DeltaLog(spark, t).snapshot().count() == 780
+
+    # a NEWER v2 checkpoint supersedes: old top-level + now-unreferenced
+    # sidecars are expired by cleanup
+    old_top = info["path"]
+    old_sidecars = set(sidecars)
+    DeltaLog(spark, t).checkpoint(format="v2")
+    res = maintenance.cleanup_log(spark, t, retention_hours=0.0)
+    assert res["numDeletedCheckpointFiles"] >= 1
+    assert not os.path.isfile(os.path.join(t, "_delta_log", old_top))
+    remaining = set(os.listdir(os.path.join(t, "_delta_log", "_sidecars")))
+    assert not (remaining & old_sidecars)
+    assert DeltaLog(spark, t).snapshot().count() == 780
