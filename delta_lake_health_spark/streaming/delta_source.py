@@ -67,11 +67,39 @@ def _actions(table_path: str, version: int) -> list[dict]:
 
 def _latest_schema(table_path: str) -> dict | None:
     """Last metaData action's schema (parsed schemaString), scanning the
-    log newest-first — stdlib only, runs on the driver."""
+    log newest-first, falling back to the checkpoint parquet when log
+    cleanup expired the metaData-bearing commits — stdlib + pyarrow,
+    runs on the driver."""
     for v in reversed(_log_versions(table_path)):
         for act in _actions(table_path, v):
             if "metaData" in act:
                 return json.loads(act["metaData"]["schemaString"])
+    log_dir = os.path.join(table_path, "_delta_log")
+    try:
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            info = json.loads(fh.read())
+        if info.get("format") == "v2":
+            names = [info["path"]]
+        elif info.get("parts"):
+            n = int(info["parts"])
+            names = [
+                f"{int(info['version']):020d}.checkpoint."
+                f"{i + 1:010d}.{n:010d}.parquet"
+                for i in range(n)
+            ]
+        else:
+            names = [f"{int(info['version']):020d}.checkpoint.parquet"]
+        for name in names:
+            t = pq.read_table(
+                os.path.join(log_dir, name), columns=["metaData"]
+            )
+            for row in t.column("metaData").to_pylist():
+                if row and row.get("schemaString"):
+                    return json.loads(row["schemaString"])
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
     return None
 
 
@@ -154,7 +182,17 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         ]
         parts: list[DeltaFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            for act in _actions(self.table_path, v):
+            try:
+                acts = _actions(self.table_path, v)
+            except FileNotFoundError:
+                retained = _log_versions(self.table_path)
+                raise RuntimeError(
+                    f"delta_tail: commit version {v} has been cleaned up "
+                    "(log retention); earliest retained version is "
+                    f"{retained[0] if retained else 'none'} — set "
+                    "startingVersion there or bootstrap from a snapshot"
+                ) from None
+            for act in acts:
                 if "remove" in act and act["remove"].get("dataChange"):
                     if not self.ignore_deletes:
                         raise RuntimeError(

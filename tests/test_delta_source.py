@@ -181,3 +181,18 @@ def test_max_versions_per_trigger_paces_backlog(spark, tmp_path):
         q.stop()
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(140)), f"dup or gap: {len(got)} rows"
+
+
+def test_cleaned_up_history_fails_with_retention_error(spark, tmp_path):
+    """A fresh stream over a table whose pre-checkpoint commits were
+    expired by log cleanup must fail with a clear retention error, not a
+    raw FileNotFoundError (and never silently skip the missing data)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    for lo in range(0, 60, 20):
+        delta_writer.write(spark, _ids(spark, lo, lo + 20).coalesce(1), t)
+    DeltaLog(spark, t).checkpoint()
+    maintenance.cleanup_log(spark, t, retention_hours=0.0)
+    with pytest.raises(Exception, match="log retention|cleaned up"):
+        _drain(spark, t, out, ckpt)
