@@ -108,6 +108,88 @@ def _physical_name(fld: dict) -> str:
     return meta.get("delta.columnMapping.physicalName", fld["name"])
 
 
+def _checkpoint_rows(table_path: str) -> tuple[int, list[dict]]:
+    """(checkpoint_version, action rows with their 'version') read
+    driver-side via pyarrow — v1 single/multi-part and v2 layouts."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        info = json.loads(fh.read())
+    v = int(info["version"])
+    if info.get("format") == "v2":
+        names = [info["path"]]
+        top = pq.read_table(os.path.join(log_dir, info["path"]))
+        for row in top.column("sidecar").to_pylist():
+            if row and row.get("path"):
+                names.append(os.path.join("_sidecars", row["path"]))
+    elif info.get("parts"):
+        n = int(info["parts"])
+        names = [f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
+                 for i in range(n)]
+    else:
+        names = [f"{v:020d}.checkpoint.parquet"]
+    rows: list[dict] = []
+    for name in names:
+        t = pq.read_table(os.path.join(log_dir, name))
+        rows.extend(t.to_pylist())
+    return v, rows
+
+
+def _live_adds_at(table_path: str, version: int, ignore_deletes: bool) -> list[dict]:
+    """Driver-side snapshot reconstruction at ``version`` (pure
+    python/pyarrow — the same last-wins-per-path reconciliation the
+    Spark-side DeltaLog runs, add beating remove at equal version):
+    checkpoint base + JSON tail. Used by the snapshot-bootstrap batch,
+    which cannot assume any commit JSON below the checkpoint survives
+    log cleanup."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    state: dict[str, tuple[int, int, dict | None]] = {}
+    live_dvs: list[tuple[int, dict]] = []
+    base = -1
+    if os.path.isfile(os.path.join(log_dir, "_last_checkpoint")):
+        base, rows = _checkpoint_rows(table_path)
+        if base > version:
+            raise RuntimeError(
+                f"delta_tail: cannot bootstrap a snapshot at version "
+                f"{version}: the checkpoint is already at {base}"
+            )
+        for r in rows:
+            rv = int(r.get("version") or base)
+            if r.get("add"):
+                a = r["add"]
+                state[a["path"]] = max(
+                    state.get(a["path"], (-1, -1, None)), (rv, 1, a)
+                )
+            elif r.get("remove"):
+                p = r["remove"]["path"]
+                state[p] = max(state.get(p, (-1, -1, None)), (rv, 0, None))
+            elif r.get("dv") and r["dv"].get("path"):
+                live_dvs.append((rv, r["dv"]))
+    for v in _log_versions(table_path):
+        if v <= base or v > version:
+            continue
+        for act in _actions(table_path, v):
+            if "add" in act:
+                a = act["add"]
+                state[a["path"]] = max(
+                    state.get(a["path"], (-1, -1, None)), (v, 1, a)
+                )
+            elif "remove" in act:
+                p = act["remove"]["path"]
+                state[p] = max(state.get(p, (-1, -1, None)), (v, 0, None))
+            elif "dv" in act and act["dv"].get("path"):
+                live_dvs.append((v, act["dv"]))
+    adds = [a for (_v, is_add, a) in state.values() if is_add and a]
+    if live_dvs and not ignore_deletes:
+        raise RuntimeError(
+            "delta_tail: the snapshot has deletion-vector commits; a "
+            "whole-file bootstrap would resurrect soft-deleted rows — "
+            "apply_deletion_vectors first or set ignoreDeletes"
+        )
+    return adds
+
+
 @dataclass
 class DeltaFilePartition(InputPartition):
     abs_path: str
@@ -136,6 +218,14 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # (and all of Trigger.AvailableNow, which has no admission hook
         # in the Python DataSource API) drains to latest.
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        # bootstrapSnapshot: the stream's FIRST batch is the full table
+        # snapshot at stream-start version (reconstructed driver-side
+        # from checkpoint + JSON tail, so it works even after log
+        # cleanup expired the early commits), then the tail follows —
+        # Delta's "initial snapshot then changes" streaming semantics.
+        self.bootstrap = str(
+            options.get("bootstrapsnapshot", "false")
+        ).lower() in ("true", "1")
         # Planning floor for the cap. The API gives latestOffset() no
         # start argument (and calls it before initialOffset), so the
         # reader cannot know the checkpointed offset when planning the
@@ -150,7 +240,27 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self._floor: int | None = None
         self.schema_struct = schema
 
+    def _head_version(self) -> int:
+        """Newest table version visible to the planner: the JSON head,
+        or the checkpoint version when cleanup left no newer JSONs."""
+        vs = _log_versions(self.table_path)
+        head = vs[-1] if vs else -1
+        try:
+            with open(
+                os.path.join(self.table_path, "_delta_log", "_last_checkpoint")
+            ) as fh:
+                head = max(head, int(json.loads(fh.read())["version"]))
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
+        return head
+
     def initialOffset(self) -> dict:
+        if self.bootstrap:
+            boot = self._head_version()
+            if self._floor is None:
+                self._floor = boot
+            # snap=0 marks the snapshot batch as still pending
+            return {"version": boot, "snap": 0}
         # only SEED the floor (never regress it): the engine may call
         # this after latestOffset/partitions have already advanced it
         if self._floor is None:
@@ -160,11 +270,16 @@ class DeltaTailStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         vs = _log_versions(self.table_path)
         newest = vs[-1] if vs else self.starting_version - 1
+        if self.bootstrap:
+            newest = max(newest, self._head_version())
         if self.max_versions and self._floor is not None:
             newest = max(min(newest, self._floor + self.max_versions),
                          self._floor)
             self._floor = newest
-        return {"version": newest}
+        out = {"version": newest}
+        if self.bootstrap:
+            out["snap"] = 1
+        return out
 
     def commit(self, end: dict) -> None:
         v = int(end["version"])
@@ -181,6 +296,24 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             for f in schema["fields"]
         ]
         parts: list[DeltaFilePartition] = []
+        if start.get("snap", 1) == 0:
+            # the bootstrap batch: full snapshot at start.version, then
+            # the tail below picks up from there
+            for a in _live_adds_at(
+                self.table_path, int(start["version"]), self.ignore_deletes
+            ):
+                rel = a["path"]
+                parts.append(
+                    DeltaFilePartition(
+                        abs_path=(
+                            rel if os.path.isabs(rel)
+                            else os.path.join(self.table_path, rel)
+                        ),
+                        version=int(start["version"]),
+                        fields=fields,
+                        partition_values=dict(a.get("partitionValues") or {}),
+                    )
+                )
         for v in range(start["version"] + 1, end["version"] + 1):
             try:
                 acts = _actions(self.table_path, v)

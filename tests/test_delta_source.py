@@ -196,3 +196,48 @@ def test_cleaned_up_history_fails_with_retention_error(spark, tmp_path):
     maintenance.cleanup_log(spark, t, retention_hours=0.0)
     with pytest.raises(Exception, match="log retention|cleaned up"):
         _drain(spark, t, out, ckpt)
+
+
+def test_bootstrap_snapshot_then_tail(spark, tmp_path):
+    """bootstrapSnapshot: the first batch delivers the FULL current
+    snapshot (reconstructed driver-side from checkpoint + JSON tail,
+    working even after log cleanup expired the early commits), and
+    subsequent batches tail only new commits — exactly once end to
+    end."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    for lo in range(0, 60, 20):
+        delta_writer.write(spark, _ids(spark, lo, lo + 20).coalesce(1), t)
+    delta_writer.delete(spark, t, "id >= 50")  # rewrite: snapshot = 0..49
+    DeltaLog(spark, t).checkpoint()
+    maintenance.cleanup_log(spark, t, retention_hours=0.0)
+
+    got = _drain(spark, t, out, ckpt, bootstrapSnapshot=True)
+    assert sorted(r.id for r in got.collect()) == list(range(50))
+
+    # tail: only the new commit arrives on the SAME checkpoint
+    delta_writer.write(spark, _ids(spark, 100, 120).coalesce(1), t)
+    got = _drain(spark, t, out, ckpt, bootstrapSnapshot=True)
+    assert sorted(r.id for r in got.collect()) == (
+        list(range(50)) + list(range(100, 120))
+    )
+
+    # a v2-checkpointed, DV-bearing table: bootstrap refuses (whole-file
+    # reads would resurrect soft-deleted rows) until vectors are applied
+    t2, out2, ckpt2 = (str(tmp_path / p) for p in ("t2", "out2", "ckpt2"))
+    delta_writer.write(spark, _ids(spark, 0, 30).coalesce(1), t2)
+    delta_writer.delete_with_dv(spark, t2, "id = 7")
+    DeltaLog(spark, t2).checkpoint(format="v2")
+    with pytest.raises(Exception, match="resurrect|ignoreDeletes"):
+        _drain(spark, t2, out2, ckpt2, bootstrapSnapshot=True)
+    maintenance.apply_deletion_vectors(spark, t2)
+    DeltaLog(spark, t2).checkpoint(format="v2")
+    maintenance.cleanup_log(spark, t2, retention_hours=0.0)
+    got = _drain(
+        spark, t2, out2 + "_b", ckpt2 + "_b", bootstrapSnapshot=True,
+        ignoreDeletes=True,
+    )
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(30) if i != 7
+    ]
