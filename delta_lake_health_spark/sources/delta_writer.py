@@ -1202,16 +1202,26 @@ def merge(
     key_cols: list[str],
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    not_matched_by_source_delete: str | None = None,
     ) -> int:
     """Upsert ``source`` into the table by ``key_cols`` (whole-row update
     on match, insert otherwise) — the MERGE operation the reference counts
     in history (delta_python_analyzer.py:168 ops_summary).
 
+    ``not_matched_by_source_delete`` adds Delta's ``WHEN NOT MATCHED BY
+    SOURCE THEN DELETE`` clause with a condition (SQL over target rows;
+    ``"true"`` deletes every unmatched row): target rows with no key
+    match in the source that satisfy it are deleted — the CDC full-sync
+    shape ("source is the truth for the slice it covers", e.g. condition
+    = the source's partition range). Only files actually containing such
+    rows are rewritten, same pruning as the match side.
+
     Implementation: rewrite only the files containing matched keys (same
-    file pruning as delete), dropping their matched rows, then append the
-    full source. One distributed semi-join to find hit files, one rewrite
-    job, one commit. Hit-file detection and the survivor read both go
-    through the DV-aware log reader (``snapshot_with_positions`` /
+    file pruning as delete) or condition-qualified unmatched rows,
+    dropping their matched/deleted rows, then append the full source.
+    One distributed semi-join to find hit files, one rewrite job, one
+    commit. Hit-file detection and the survivor read both go through the
+    DV-aware log reader (``snapshot_with_positions`` /
     ``read_data_files``) — a plain ``snapshot()`` scan cannot resolve
     ``_metadata.file_path`` after its DV anti-join, and a raw parquet
     survivor read would resurrect soft-deleted rows into rewritten files.
@@ -1247,12 +1257,26 @@ def merge(
         .distinct()
         .collect()
     }
+    if not_matched_by_source_delete is not None:
+        # files holding unmatched rows the delete condition qualifies
+        hit_files |= {
+            r._rel_path
+            for r in snap.join(F.broadcast(keys), key_cols, "left_anti")
+            .where(F.expr(not_matched_by_source_delete))
+            .select("_rel_path")
+            .distinct()
+            .collect()
+        }
 
     before = _list_parquet_rel(table_path)
     if hit_files:
         survivors = log.read_data_files(sorted(hit_files)).join(
             F.broadcast(keys), key_cols, "left_anti"
         )
+        if not_matched_by_source_delete is not None:
+            survivors = survivors.where(
+                ~F.expr(not_matched_by_source_delete)
+            )
         survivors = _to_physical(spark, survivors, table_path)
         writer = survivors.write.mode("append")
         if partition_by:

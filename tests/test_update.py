@@ -97,3 +97,56 @@ def test_update_in_change_feed(spark, tmp_path):
     assert by["delete"] == by["insert"]
     new = {r.id: r.v for r in ch.where("_change_type = 'insert'").collect()}
     assert new[7] == 777
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE (conditional):
+    matched rows update, new keys insert, unmatched rows satisfying the
+    condition are deleted, unmatched rows outside it are untouched —
+    and only files containing affected rows are rewritten."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", float(i)) for i in range(100)],
+        "id long, part string, v double",
+    )
+    delta_writer.write(spark, df, t, partition_by=["part"])
+
+    # source covers partition 'a' only: ids 0..9 updated, 1000 inserted;
+    # the delete condition scopes the sync to partition 'a'
+    src = spark.createDataFrame(
+        [(i, "a", 999.0) for i in range(10)] + [(1000, "a", 5.0)],
+        "id long, part string, v double",
+    )
+    delta_writer.merge(
+        spark, t, src, ["id"], not_matched_by_source_delete="part = 'a'"
+    )
+    log = DeltaLog(spark, t)
+    snap = {r.id: (r.part, r.v) for r in log.snapshot().collect()}
+    # partition a: only the source's rows survive
+    assert {i for i, (p, _v) in snap.items() if p == "a"} == set(range(10)) | {1000}
+    assert all(snap[i][1] == 999.0 for i in range(10))
+    assert snap[1000][1] == 5.0
+    # partition b untouched (condition excluded it)
+    assert {i for i, (p, _v) in snap.items() if p == "b"} == set(range(50, 100))
+    assert all(snap[i][1] == float(i) for i in range(50, 100))
+    # file pruning: partition b's file was never rewritten
+    ops = [r for r in log.history().collect() if r.operation == "MERGE"]
+    assert len(ops) == 1
+    removed_b = [
+        r.path
+        for r in log.actions().where("remove is not null").select(
+            "remove.path"
+        ).collect()
+        if "part=b" in r.path
+    ]
+    assert removed_b == []
+
+    # unconditional form: the table becomes exactly the source
+    delta_writer.merge(
+        spark, t, src, ["id"], not_matched_by_source_delete="true"
+    )
+    snap2 = sorted(r.id for r in DeltaLog(spark, t).snapshot().collect())
+    assert snap2 == sorted([*range(10), 1000])
