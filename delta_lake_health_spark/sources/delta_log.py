@@ -260,8 +260,13 @@ class DeltaLog:
                 )
             )
         if json_files:
-            df = self.spark.read.schema(ACTION_SCHEMA).json(
-                [os.path.join(self.log_dir, f) for f in json_files]
+            # FAILFAST: a truncated/corrupted commit line must error
+            # loudly — the default PERMISSIVE mode turns it into an
+            # all-null action row and the snapshot silently loses files
+            df = (
+                self.spark.read.schema(ACTION_SCHEMA)
+                .option("mode", "FAILFAST")
+                .json([os.path.join(self.log_dir, f) for f in json_files])
             )
             parts.append(
                 df.withColumn(

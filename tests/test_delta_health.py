@@ -1624,7 +1624,7 @@ def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
     t3 = str(tmp_path / "t3")
     delta_writer.write(spark, spark.range(0, 5).selectExpr("id"), t3)
     bump(t3, {"minReaderVersion": 3, "minWriterVersion": 7,
-              "readerFeatures": ["v2Checkpoint"],
+              "readerFeatures": ["timestampNtz"],
               "writerFeatures": ["rowTracking"]})
     with pytest.raises(ValueError, match="unsupported Delta reader features"):
         DeltaLog(spark, t3).snapshot()
@@ -1857,3 +1857,26 @@ def test_v2_checkpoint_roundtrip(spark, tmp_path):
     remaining = set(os.listdir(os.path.join(t, "_delta_log", "_sidecars")))
     assert not (remaining & old_sidecars)
     assert DeltaLog(spark, t).snapshot().count() == 780
+
+
+def test_corrupted_commit_fails_loudly(spark, tmp_path):
+    """A truncated commit JSON must ERROR, not silently drop actions:
+    PERMISSIVE json reading would turn the mangled line into an all-null
+    row and the snapshot would lose files without a trace."""
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    delta_writer.write(spark, spark.range(0, 100).selectExpr("id"), t)
+    delta_writer.write(
+        spark, spark.range(100, 200).selectExpr("id"), t, mode="append"
+    )
+    assert DeltaLog(spark, t).snapshot().count() == 200
+    p = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    raw = open(p).read()
+    with open(p, "w") as f:
+        f.write(raw[: len(raw) // 2])
+    with pytest.raises(Exception, match="FAILFAST|Malformed|corrupt"):
+        DeltaLog(spark, t).snapshot().count()
