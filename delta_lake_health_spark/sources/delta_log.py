@@ -132,6 +132,25 @@ ACTION_SCHEMA = StructType(
 )
 
 
+def checkpoint_file_names(info: dict) -> list[str]:
+    """Checkpoint file names (relative to ``_delta_log``) for a
+    ``_last_checkpoint`` record — single, multi-part, or the V2 UUID
+    top-level. Stdlib-only so the streaming source and the writer's
+    driver-side gates share ONE resolution of the layout (sidecar files
+    are indexed inside the V2 top-level, not here)."""
+    v = int(info["version"])
+    if info.get("format") == "v2":
+        return [info["path"]]
+    parts = info.get("parts")
+    if parts:
+        n = int(parts)
+        return [
+            f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
+            for i in range(n)
+        ]
+    return [f"{v:020d}.checkpoint.parquet"]
+
+
 class DeltaLog:
     """Reader for one table's ``_delta_log``."""
 
@@ -423,7 +442,9 @@ class DeltaLog:
         import uuid
 
         if format == "v2":
-            return self._checkpoint_v2(state, version, rows_per_part)
+            return self._checkpoint_v2(
+                state, version, rows_per_part, tombstone_retention_hours
+            )
         if format != "v1":
             raise ValueError(f"unknown checkpoint format {format!r}")
         n_rows = state.count()
@@ -450,7 +471,11 @@ class DeltaLog:
         return version
 
     def _checkpoint_v2(
-        self, state: DataFrame, version: int, rows_per_part: int
+        self,
+        state: DataFrame,
+        version: int,
+        rows_per_part: int,
+        tombstone_retention_hours: float,
     ) -> int:
         """The V2 layout half of ``checkpoint``: sidecar files carry the
         file actions (written by N parallel tasks), the UUID-named
@@ -470,7 +495,6 @@ class DeltaLog:
             self.spark, self.table_path, "v2Checkpoint"
         )
         if upgrade is not None:
-            now = int(__import__("time").time() * 1000)
             version = delta_writer.current_version(self.table_path) + 1
             delta_writer._commit(
                 self.table_path,
@@ -484,7 +508,11 @@ class DeltaLog:
             )
             # the upgrade commit must be part of the checkpointed state
             fresh = DeltaLog(self.spark, self.table_path)
-            return fresh.checkpoint(format="v2", rows_per_part=rows_per_part)
+            return fresh.checkpoint(
+                tombstone_retention_hours=tombstone_retention_hours,
+                rows_per_part=rows_per_part,
+                format="v2",
+            )
 
         sidecar_dir = os.path.join(self.log_dir, "_sidecars")
         os.makedirs(sidecar_dir, exist_ok=True)
@@ -510,26 +538,11 @@ class DeltaLog:
         shutil.rmtree(tmp_dir)
 
         now = int(__import__("time").time() * 1000)
-        top_rows = [r.asDict(recursive=True) for r in other.collect()]
-        for r in top_rows:
-            r.update({"checkpointMetadata": None, "sidecar": None})
-        top_rows.append(
-            {**{c: None for c in [*state.columns]},
-             "checkpointMetadata": {"version": version},
-             "sidecar": None}
-        )
-        for name in sidecars:
-            fp = os.path.join(sidecar_dir, name)
-            top_rows.append(
-                {**{c: None for c in [*state.columns]},
-                 "checkpointMetadata": None,
-                 "sidecar": {"path": name,
-                             "sizeInBytes": os.path.getsize(fp),
-                             "modificationTime": now}}
-            )
-        top_schema = StructType(
+        # index rows are tiny (1 + |sidecars|); the non-file actions stay
+        # a DataFrame end to end — a long-lived table's full commitInfo
+        # history never materializes on the driver
+        index_schema = StructType(
             [
-                *state.schema.fields,
                 StructField(
                     "checkpointMetadata",
                     StructType([StructField("version", LongType())]),
@@ -546,11 +559,17 @@ class DeltaLog:
                 ),
             ]
         )
+        index_rows = [((version,), None)]
+        for name in sidecars:
+            fp = os.path.join(sidecar_dir, name)
+            index_rows.append(
+                (None, (name, os.path.getsize(fp), now))
+            )
+        index_df = self.spark.createDataFrame(index_rows, index_schema)
+        top = other.unionByName(index_df, allowMissingColumns=True)
         top_name = f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
         top_tmp = os.path.join(self.log_dir, f".ckpt-tmp-{uuid.uuid4().hex}")
-        self.spark.createDataFrame(top_rows, top_schema).coalesce(
-            1
-        ).write.parquet(top_tmp)
+        top.coalesce(1).write.parquet(top_tmp)
         part = next(
             f for f in os.listdir(top_tmp) if f.endswith(".parquet")
         )
@@ -560,7 +579,7 @@ class DeltaLog:
         shutil.rmtree(top_tmp)
         info = {
             "version": version,
-            "size": n_files + len(top_rows),
+            "size": n_files + other.count() + len(index_rows),
             "format": "v2",
             "path": top_name,
         }

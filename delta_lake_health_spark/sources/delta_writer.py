@@ -210,18 +210,13 @@ def _latest_protocol_fs(table_path: str) -> dict:
 
         with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
             info = json.loads(fh.read())
-        v, parts = int(info["version"]), info.get("parts")
-        if info.get("format") == "v2":
-            # V2: non-file actions (incl. protocol) live in the UUID
-            # top-level file recorded in _last_checkpoint
-            names = [info["path"]]
-        elif not parts:
-            names = [f"{v:020d}.checkpoint.parquet"]
-        else:
-            names = [
-                f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
-                for i in range(int(parts))
-            ]
+        from delta_lake_health_spark.sources.delta_log import (
+            checkpoint_file_names,
+        )
+
+        # V2: non-file actions (incl. protocol) live in the UUID
+        # top-level file recorded in _last_checkpoint
+        names = checkpoint_file_names(info)
         for name in names:
             t = pq.read_table(os.path.join(log_dir, name), columns=["protocol"])
             for row in t.column("protocol").to_pylist():
@@ -1274,8 +1269,14 @@ def merge(
             F.broadcast(keys), key_cols, "left_anti"
         )
         if not_matched_by_source_delete is not None:
+            # delete only when the condition is TRUE: a NULL condition
+            # must keep the row (matching the hit-file detection above
+            # and Delta's clause semantics) — bare ~expr would turn
+            # NULL into filtered-out, i.e. silent data loss
             survivors = survivors.where(
-                ~F.expr(not_matched_by_source_delete)
+                ~F.coalesce(
+                    F.expr(not_matched_by_source_delete), F.lit(False)
+                )
             )
         survivors = _to_physical(spark, survivors, table_path)
         writer = survivors.write.mode("append")

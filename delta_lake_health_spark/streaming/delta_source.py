@@ -78,20 +78,13 @@ def _latest_schema(table_path: str) -> dict | None:
     try:
         import pyarrow.parquet as pq
 
+        from delta_lake_health_spark.sources.delta_log import (
+            checkpoint_file_names,
+        )
+
         with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
             info = json.loads(fh.read())
-        if info.get("format") == "v2":
-            names = [info["path"]]
-        elif info.get("parts"):
-            n = int(info["parts"])
-            names = [
-                f"{int(info['version']):020d}.checkpoint."
-                f"{i + 1:010d}.{n:010d}.parquet"
-                for i in range(n)
-            ]
-        else:
-            names = [f"{int(info['version']):020d}.checkpoint.parquet"]
-        for name in names:
+        for name in checkpoint_file_names(info):
             t = pq.read_table(
                 os.path.join(log_dir, name), columns=["metaData"]
             )
@@ -114,23 +107,25 @@ def _checkpoint_rows(table_path: str) -> tuple[int, list[dict]]:
     log_dir = os.path.join(table_path, "_delta_log")
     import pyarrow.parquet as pq
 
+    from delta_lake_health_spark.sources.delta_log import (
+        checkpoint_file_names,
+    )
+
     with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
         info = json.loads(fh.read())
     v = int(info["version"])
-    if info.get("format") == "v2":
-        names = [info["path"]]
-        top = pq.read_table(os.path.join(log_dir, info["path"]))
-        for row in top.column("sidecar").to_pylist():
-            if row and row.get("path"):
-                names.append(os.path.join("_sidecars", row["path"]))
-    elif info.get("parts"):
-        n = int(info["parts"])
-        names = [f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
-                 for i in range(n)]
-    else:
-        names = [f"{v:020d}.checkpoint.parquet"]
     rows: list[dict] = []
-    for name in names:
+    sidecars: list[str] = []
+    for name in checkpoint_file_names(info):
+        t = pq.read_table(os.path.join(log_dir, name))
+        rows.extend(t.to_pylist())
+        if "sidecar" in t.column_names:
+            sidecars.extend(
+                os.path.join("_sidecars", row["path"])
+                for row in t.column("sidecar").to_pylist()
+                if row and row.get("path")
+            )
+    for name in sidecars:
         t = pq.read_table(os.path.join(log_dir, name))
         rows.extend(t.to_pylist())
     return v, rows
@@ -257,7 +252,13 @@ class DeltaTailStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.bootstrap:
             boot = self._head_version()
-            if self._floor is None:
+            # the engine may have called latestOffset() FIRST and will
+            # use its result as the first batch's end: snapshotting past
+            # that end would invert the offsets and make the next batch
+            # replay files the snapshot already delivered
+            if self._floor is not None:
+                boot = min(boot, self._floor)
+            else:
                 self._floor = boot
             # snap=0 marks the snapshot batch as still pending
             return {"version": boot, "snap": 0}
@@ -278,6 +279,10 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             self._floor = newest
         out = {"version": newest}
         if self.bootstrap:
+            # record the engine-visible end even without pacing: a later
+            # initialOffset() must not snapshot past it (offset inversion)
+            if self._floor is None or newest > self._floor:
+                self._floor = newest
             out["snap"] = 1
         return out
 
