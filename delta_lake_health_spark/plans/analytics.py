@@ -1540,3 +1540,46 @@ def catalog_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY nation
         """
     )
+
+
+# --------------------------------------------------------------------------
+# A34 — month-over-month growth (LAG-based rate-of-change analytics):
+# monthly revenue, previous month via lag, absolute and percentage
+# deltas — the reporting-layer staple the cumulative window (A20)
+# doesn't cover. The monthly series is driver-scale regardless of order
+# volume; the lone unpartitioned window runs over |months| rows.
+@query(
+    "revenue_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           ROUND(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+           ROUND(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS growth_pct
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias(
+            "growth_pct"
+        ),
+    ).orderBy("month")

@@ -200,3 +200,28 @@ def row_changes(
     if out_cols is not None:
         out = out.select(*out_cols, CHANGE_TYPE, COMMIT_VERSION)
     return out
+
+
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Spark SQL's ``table_changes()`` surface over the log-derived
+    change feed: ``row_changes`` columns plus ``_commit_timestamp``
+    (resolved through the same ICT-preferring, monotonic-adjusted
+    series as ``timestampAsOf``, so feed timestamps and time travel can
+    never disagree). The timestamp map is |versions| rows, broadcast."""
+    log = DeltaLog(spark, table_path)
+    if ending_version is None:
+        ending_version = log.version()
+    changes = row_changes(spark, table_path, starting_version, ending_version)
+    ts = spark.createDataFrame(
+        [(v, t) for v, t in log.commit_timestamps()],
+        "_commit_version long, _ts_millis long",
+    ).select(
+        "_commit_version",
+        F.timestamp_millis(F.col("_ts_millis")).alias("_commit_timestamp"),
+    )
+    return changes.join(F.broadcast(ts), "_commit_version", "left")

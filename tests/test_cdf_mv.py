@@ -167,3 +167,37 @@ def test_mv_group_disappears_when_count_hits_zero(spark, tmp_table, tmp_path):
     mv.refresh_mv(spark, tmp_table, mv_path, ["k"], ["v"])
     ks = [r.k for r in mv.read_mv(spark, mv_path).collect()]
     assert ks == [0]
+
+
+def test_table_changes_carries_commit_timestamps(spark, tmp_path):
+    """The table_changes() veneer: row_changes plus _commit_timestamp
+    resolved from the same ICT series timestampAsOf uses — every change
+    row carries its commit's timestamp, version bounds respected."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.cdf import table_changes
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    delta_writer.write(spark, spark.range(0, 10).selectExpr("id"), t)
+    delta_writer.write(
+        spark, spark.range(10, 20).selectExpr("id"), t, mode="append"
+    )
+    delta_writer.delete(spark, t, "id < 3")
+
+    ch = table_changes(spark, t, starting_version=1)
+    rows = ch.collect()
+    assert {r._commit_version for r in rows} == {1, 2}
+    ict = dict(DeltaLog(spark, t).commit_timestamps())
+    import datetime as dt
+
+    for r in rows:
+        want = ict[r._commit_version]
+        got = int(
+            r._commit_timestamp.replace(tzinfo=dt.timezone.utc).timestamp()
+            * 1000
+        )
+        assert got == want, (r._commit_version, got, want)
+    inserts = [r for r in rows if r._change_type == "insert"]
+    deletes = [r for r in rows if r._change_type == "delete"]
+    assert {r.id for r in inserts} == set(range(10, 20))
+    assert {r.id for r in deletes} == {0, 1, 2}
