@@ -213,6 +213,12 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # (and all of Trigger.AvailableNow, which has no admission hook
         # in the Python DataSource API) drains to latest.
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        # byte-based admission (Delta's maxBytesPerTrigger): admit whole
+        # commit versions until their cumulative add-file bytes exceed
+        # the budget (always at least one version, so progress is
+        # guaranteed); composes with maxVersionsPerTrigger (tighter
+        # bound wins) and shares its floor/first-batch semantics
+        self.max_bytes = int(options.get("maxbytespertrigger", 0))
         # bootstrapSnapshot: the stream's FIRST batch is the full table
         # snapshot at stream-start version (reconstructed driver-side
         # from checkpoint + JSON tail, so it works even after log
@@ -268,14 +274,37 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             self._floor = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
+    def _bytes_capped(self, floor: int, newest: int) -> int:
+        """Walk versions (floor, newest] accumulating add-file bytes;
+        stop once the budget is exceeded (always admitting >= 1 version
+        so the stream can't stall)."""
+        admitted, total = floor, 0
+        for v in range(floor + 1, newest + 1):
+            try:
+                acts = _actions(self.table_path, v)
+            except FileNotFoundError:
+                return newest  # cleaned-up gap: let partitions() report it
+            total += sum(
+                int(a["add"].get("size") or 0)
+                for a in acts
+                if "add" in a and a["add"].get("dataChange")
+            )
+            admitted = v
+            if total >= self.max_bytes:
+                break
+        return admitted
+
     def latestOffset(self) -> dict:
         vs = _log_versions(self.table_path)
         newest = vs[-1] if vs else self.starting_version - 1
         if self.bootstrap:
             newest = max(newest, self._head_version())
-        if self.max_versions and self._floor is not None:
-            newest = max(min(newest, self._floor + self.max_versions),
-                         self._floor)
+        if (self.max_versions or self.max_bytes) and self._floor is not None:
+            if self.max_versions:
+                newest = min(newest, self._floor + self.max_versions)
+            if self.max_bytes and newest > self._floor:
+                newest = min(newest, self._bytes_capped(self._floor, newest))
+            newest = max(newest, self._floor)
             self._floor = newest
         out = {"version": newest}
         if self.bootstrap:

@@ -241,3 +241,50 @@ def test_bootstrap_snapshot_then_tail(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [
         i for i in range(30) if i != 7
     ]
+
+
+def test_max_bytes_per_trigger_paces_by_size(spark, tmp_path):
+    """maxBytesPerTrigger: after the first batch of a run, each trigger
+    admits whole versions until the byte budget trips (at least one per
+    trigger), delivering everything exactly once across several
+    batches."""
+    import time as _time
+
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 20).coalesce(1), t)
+    q = (
+        delta_source.read_stream(spark, t, maxBytesPerTrigger="1")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, timeout=120):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return True
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_rows(20)
+        for lo in range(20, 80, 20):
+            delta_writer.write(
+                spark, _ids(spark, lo, lo + 20).coalesce(1), t, mode="append"
+            )
+        assert wait_rows(80)
+    finally:
+        q.stop()
+    offsets = [
+        f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()
+    ]
+    # a 1-byte budget admits exactly one version per paced trigger
+    assert len(offsets) >= 4, sorted(offsets)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(80))
