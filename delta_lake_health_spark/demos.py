@@ -106,3 +106,73 @@ def demo_health_report(
         metrics.print_results()
         out[name] = metrics
     return out
+
+
+def curate_corpus_to_delta(
+    spark, sf_dir: str, out_path: str, batch_id: int = 0
+) -> dict:
+    """End-to-end LLM-corpus curation INTO a Delta table — the two
+    halves of this engine composed: the pipeline side (Gopher quality
+    filter -> duplicate-cluster dedup -> content-hash split, exactly the
+    oracle-checked ``pipeline_corpus_build`` plan) selects the kept
+    documents, and the Delta side lands them split-partitioned with a
+    ``txn`` replay guard, so re-running a batch (restart, retried
+    orchestrator) is a no-op instead of a duplicate corpus. Returns the
+    committed version and per-split counts read back from the table's
+    own log."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.dedup import dedup_clusters
+    from delta_lake_health_spark.plans.text import (
+        _spark_bucket256,
+        gopher_flags,
+    )
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.catalog import load
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    docs = load(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+    removed = (
+        labels.where(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+        .withColumn("_rm", F.lit(1))
+    )
+    flags = gopher_flags(docs, "doc_id", "lang", "source", "n_chars", "text")
+    keep = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_distinct_ratio")
+    )
+    split = (
+        F.when(_spark_bucket256() < 204, "train")
+        .when(_spark_bucket256() < 230, "val")
+        .otherwise("test")
+    )
+    curated = (
+        flags.where(keep)
+        .join(F.broadcast(removed), "doc_id", "left")
+        .where(F.col("_rm").isNull())
+        .select("doc_id", "text", "lang", "source", "n_chars",
+                split.alias("split"))
+    )
+    version = delta_writer.write(
+        spark,
+        curated,
+        out_path,
+        mode="append",
+        partition_by=["split"],
+        txn_app_id="corpus_curation",
+        txn_version=batch_id,
+    )
+    log = DeltaLog(spark, out_path)
+    counts = {
+        r.split: r.n
+        for r in log.snapshot()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {"version": version, "splits": counts,
+            "total_docs": sum(counts.values())}

@@ -75,3 +75,39 @@ def test_demo_health_report_prints_all_tables(spark, capsys, tmp_path):
         assert metrics.health_score is not None
     # the skewed table must actually read as more skewed than the simple one
     assert out["skewed"].skewness_max > out["simple"].skewness_max
+
+
+def test_curate_corpus_to_delta_exactly_once(spark, tmp_path):
+    """The corpus pipeline lands in a Delta table split-partitioned with
+    a txn replay guard: rerunning the same batch id is a no-op, a new
+    batch id appends, and the per-split counts match the oracle-checked
+    pipeline_corpus_build aggregate."""
+    from delta_lake_health_spark import demos
+    from delta_lake_health_spark.plans.dedup import QUERIES as DEDUP_Q
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    res = demos.curate_corpus_to_delta(spark, sf, out, batch_id=0)
+    assert res["total_docs"] > 0
+    # parity with the oracle-checked census (sum over langs per split)
+    want = {}
+    for r in DEDUP_Q["pipeline_corpus_build"](spark, sf).collect():
+        want[r.split] = want.get(r.split, 0) + r.n_docs
+    assert res["splits"] == want
+
+    # replay of the same batch: no-op (same version, same counts)
+    res2 = demos.curate_corpus_to_delta(spark, sf, out, batch_id=0)
+    assert res2["version"] == res["version"]
+    assert res2["splits"] == res["splits"]
+
+    # the produced table is a real Delta table: partitioned, analyzable
+    log = DeltaLog(spark, out)
+    assert log.partition_columns() == ["split"]
+    assert set(log.snapshot().columns) == {
+        "doc_id", "text", "lang", "source", "n_chars", "split"
+    }
+    # a NEW batch id appends (the guard keys on the version watermark)
+    res3 = demos.curate_corpus_to_delta(spark, sf, out, batch_id=1)
+    assert res3["version"] > res["version"]
+    assert res3["total_docs"] == 2 * res["total_docs"]
