@@ -71,10 +71,38 @@ def _partition_values(rel_path: str) -> dict[str, str]:
     return vals
 
 
+STATS_STRING_PREFIX = 32  # truncation length for string stats
+
+
+def _truncate_min(s: str) -> str:
+    """A truncated MIN stays a valid lower bound (any prefix of s <= s)."""
+    return s[:STATS_STRING_PREFIX]
+
+
+def _truncate_max(s: str) -> str | None:
+    """A truncated MAX must be ADJUSTED UP to stay a valid upper bound:
+    chop to the prefix, then increment the last character that has a
+    successor (dropping everything after it). Returns None when no
+    character can be incremented (all U+10FFFF) — the caller then drops
+    the max stat entirely, which only makes skipping less selective,
+    never wrong. This is the Delta/Iceberg string-stats truncation rule:
+    unbounded raw strings (URLs, JSON blobs) would otherwise bloat every
+    add action and the checkpoint with kilobytes of stats per column."""
+    if len(s) <= STATS_STRING_PREFIX:
+        return s
+    prefix = s[:STATS_STRING_PREFIX]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
 def _column_minmax(md) -> tuple[dict, dict]:
     """Per-file min/max from the parquet footer's row-group statistics —
     no data read. Values must be JSON-encodable; bytes decode as UTF-8 or
-    are skipped."""
+    are skipped. Long string bounds are truncated (min: plain prefix;
+    max: prefix adjusted up) so stats stay small at any payload size."""
     mins: dict = {}
     maxs: dict = {}
     for rg in range(md.num_row_groups):
@@ -100,6 +128,16 @@ def _column_minmax(md) -> tuple[dict, dict]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
+    for name, lo in list(mins.items()):
+        if isinstance(lo, str):
+            mins[name] = _truncate_min(lo)
+    for name, hi in list(maxs.items()):
+        if isinstance(hi, str):
+            adjusted = _truncate_max(hi)
+            if adjusted is None:
+                del maxs[name]
+            else:
+                maxs[name] = adjusted
     return mins, maxs
 
 
@@ -960,8 +998,16 @@ def write(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     checkpoint_interval: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new Delta commit; returns the committed version.
+
+    ``cluster_by`` range-partitions and sorts the batch by the given
+    columns BEFORE writing (Delta's optimized/clustered ingest): each
+    output file then covers a narrow, mostly-disjoint range of the
+    cluster key, so the per-file min/max stats prune sharply from the
+    first write — no OPTIMIZE ZORDER rewrite needed for the common
+    single-key access path. One extra range shuffle per batch.
 
     Idempotent replay guard: with ``txn_app_id``/``txn_version`` set the
     commit carries a ``txn`` action (Delta spec), and a write whose
@@ -1032,6 +1078,10 @@ def write(
         # files carry physical names; a schema-REPLACING overwrite resets
         # the mapping (its metaData is re-emitted from the new df schema)
         df = _to_physical(spark, df, table_path)
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
     if partition_by:

@@ -1880,3 +1880,77 @@ def test_corrupted_commit_fails_loudly(spark, tmp_path):
         f.write(raw[: len(raw) // 2])
     with pytest.raises(Exception, match="FAILFAST|Malformed|corrupt"):
         DeltaLog(spark, t).snapshot().count()
+
+
+def test_string_stats_truncation_is_safe(spark, tmp_path):
+    """Long string stats are truncated without ever enabling a FALSE
+    prune: min is a plain prefix (still a lower bound), max is the
+    prefix adjusted UP (still an upper bound), and skipping with the
+    truncated stats keeps every file that can contain a match."""
+    import json
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "t")
+    long_a = "a" * 100
+    long_z = "z" * 100
+    df = spark.createDataFrame(
+        [(1, long_a + "early"), (2, long_z + "late")], "id long, s string"
+    )
+    delta_writer.write(spark, df.coalesce(1), t)
+
+    stats = json.loads(
+        json.loads(
+            open(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+            .read()
+            .splitlines()[2]  # protocol, metaData, add
+        )["add"]["stats"]
+    )
+    P = delta_writer.STATS_STRING_PREFIX
+    assert stats["minValues"]["s"] == "a" * P
+    # max: last char of the prefix incremented ('z'*P -> 'z'*(P-1) + '{')
+    assert stats["maxValues"]["s"] == "z" * (P - 1) + "{"
+    assert len(stats["minValues"]["s"]) <= P
+    assert stats["minValues"]["s"] <= long_a + "early"
+    assert stats["maxValues"]["s"] >= long_z + "late"
+
+    # pruning with the truncated stats never skips a file with a match
+    log = DeltaLog(spark, t)
+    kept = log.pruned_files("s", long_z, long_z + "~").count()
+    assert kept == 1  # the file contains z*100+late -> must survive
+    # unit edge: untruncatable max (all chars at the ceiling) drops out
+    assert delta_writer._truncate_max(chr(0x10FFFF) * (P + 1)) is None
+    assert delta_writer._truncate_max("short") == "short"
+
+
+def test_cluster_by_write_prunes_like_sorted_files(spark, tmp_path):
+    """write(cluster_by=...): range-partitioned, sorted ingest gives each
+    file a narrow disjoint key range, so a point-range scan prunes to
+    ~one file — where the same data written unclustered keeps every
+    file alive."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    df = spark.range(0, 40_000).selectExpr(
+        "id", "CAST(pmod(hash(id), 10000) AS LONG) AS k"
+    ).repartition(8)  # shuffled: every partition covers the full k range
+
+    t_plain = str(tmp_path / "plain")
+    delta_writer.write(spark, df, t_plain)
+    t_clust = str(tmp_path / "clustered")
+    delta_writer.write(spark, df, t_clust, cluster_by=["k"])
+
+    plain_kept = DeltaLog(spark, t_plain).pruned_files("k", 100, 200).count()
+    clust_kept = DeltaLog(spark, t_clust).pruned_files("k", 100, 200).count()
+    plain_total = DeltaLog(spark, t_plain).active_files().count()
+    clust_total = DeltaLog(spark, t_clust).active_files().count()
+    assert plain_kept == plain_total  # unclustered: nothing prunes
+    assert clust_kept <= max(1, clust_total // 3)  # clustered: sharp prune
+    # same data either way
+    assert (
+        DeltaLog(spark, t_clust).snapshot().count()
+        == DeltaLog(spark, t_plain).snapshot().count()
+        == 40_000
+    )
