@@ -112,51 +112,21 @@ def curate_corpus_to_delta(
     spark, sf_dir: str, out_path: str, batch_id: int = 0
 ) -> dict:
     """End-to-end LLM-corpus curation INTO a Delta table — the two
-    halves of this engine composed: the pipeline side (Gopher quality
-    filter -> duplicate-cluster dedup -> content-hash split, exactly the
-    oracle-checked ``pipeline_corpus_build`` plan) selects the kept
-    documents, and the Delta side lands them split-partitioned with a
-    ``txn`` replay guard, so re-running a batch (restart, retried
-    orchestrator) is a no-op instead of a duplicate corpus. Returns the
-    committed version and per-split counts read back from the table's
-    own log."""
+    halves of this engine composed: the pipeline side selects the kept
+    documents (``plans.dedup.curated_documents`` — the same definition
+    the oracle-checked ``pipeline_corpus_build`` census aggregates) and
+    the Delta side lands them split-partitioned with a ``txn`` replay
+    guard, so re-running a batch (restart, retried orchestrator) is a
+    no-op instead of a duplicate corpus. Returns the committed version
+    and per-split counts derived from the table's LOG alone (add-action
+    partitionValues + stats.numRecords — no data scan)."""
     from pyspark.sql import functions as F
 
-    from delta_lake_health_spark.plans.dedup import dedup_clusters
-    from delta_lake_health_spark.plans.text import (
-        _spark_bucket256,
-        gopher_flags,
-    )
+    from delta_lake_health_spark.plans.dedup import curated_documents
     from delta_lake_health_spark.sources import delta_writer
-    from delta_lake_health_spark.sources.catalog import load
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-    docs = load(spark, sf_dir, "documents")
-    labels = dedup_clusters(spark, sf_dir)
-    removed = (
-        labels.where(F.col("doc_id") != F.col("cluster"))
-        .select("doc_id")
-        .withColumn("_rm", F.lit(1))
-    )
-    flags = gopher_flags(docs, "doc_id", "lang", "source", "n_chars", "text")
-    keep = (
-        F.col("ok_word_count")
-        & F.col("ok_mean_word_len")
-        & F.col("ok_stopwords")
-        & F.col("ok_distinct_ratio")
-    )
-    split = (
-        F.when(_spark_bucket256() < 204, "train")
-        .when(_spark_bucket256() < 230, "val")
-        .otherwise("test")
-    )
-    curated = (
-        flags.where(keep)
-        .join(F.broadcast(removed), "doc_id", "left")
-        .where(F.col("_rm").isNull())
-        .select("doc_id", "text", "lang", "source", "n_chars",
-                split.alias("split"))
-    )
+    curated = curated_documents(spark, sf_dir)
     version = delta_writer.write(
         spark,
         curated,
@@ -169,9 +139,13 @@ def curate_corpus_to_delta(
     log = DeltaLog(spark, out_path)
     counts = {
         r.split: r.n
-        for r in log.snapshot()
+        for r in log.active_files()
+        .select(
+            F.col("partitionValues")["split"].alias("split"),
+            F.col("num_records").alias("nr"),
+        )
         .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("nr").alias("n"))
         .collect()
     }
     return {"version": version, "splits": counts,

@@ -832,6 +832,24 @@ _SQL_STOPS = ", ".join(f"'{w}'" for w in _T_STOPS)
     """,
 )
 def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        curated_documents(spark, sf_dir)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept documents of the corpus pipeline — Gopher-pass,
+    cluster-dedup keep, content-hash split — with full payload columns.
+    The ONE definition of "curated" shared by the oracle-checked
+    ``pipeline_corpus_build`` census and the Delta-landing job
+    (``demos.curate_corpus_to_delta``), so threshold or split-fraction
+    changes can never diverge silently between the two."""
     docs = load(spark, sf_dir, "documents")
     labels = dedup_clusters(spark, sf_dir)
     removed = (
@@ -839,7 +857,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_rm", F.lit(1))
     )
-    flags = gopher_flags(docs, "doc_id", "lang", "n_chars", "text")
+    flags = gopher_flags(docs, "doc_id", "lang", "source", "n_chars", "text")
     keep = (
         F.col("ok_word_count")
         & F.col("ok_mean_word_len")
@@ -851,18 +869,12 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(_spark_bucket256() < 230, "val")
         .otherwise("test")
     )
-    kept = (
+    return (
         flags.where(keep)
         .join(F.broadcast(removed), "doc_id", "left")
         .where(F.col("_rm").isNull())
-    )
-    return (
-        kept.groupBy("lang", split.alias("split"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .orderBy("lang", "split")
+        .select("doc_id", "text", "lang", "source", "n_chars",
+                split.alias("split"))
     )
 
 

@@ -127,12 +127,15 @@ def row_changes(
     table_path: str,
     from_version: int = 0,
     to_version: int | None = None,
+    log: "DeltaLog | None" = None,
 ) -> DataFrame:
     """The row-level change feed for commits in [from_version,
     to_version] (defaults to the full log). Columns = current logical
     table columns (files from older schemas are null-filled for columns
-    they predate) + ``_change_type`` + ``_commit_version``."""
-    log = DeltaLog(spark, table_path)
+    they predate) + ``_change_type`` + ``_commit_version``. Callers that
+    already hold a DeltaLog pass it through ``log`` so its per-instance
+    memos are shared instead of re-collecting the commit list."""
+    log = log or DeltaLog(spark, table_path)
     if to_version is None:
         to_version = log.version()
     out_cols = None
@@ -216,7 +219,9 @@ def table_changes(
     log = DeltaLog(spark, table_path)
     if ending_version is None:
         ending_version = log.version()
-    changes = row_changes(spark, table_path, starting_version, ending_version)
+    changes = row_changes(
+        spark, table_path, starting_version, ending_version, log=log
+    )
     ts = spark.createDataFrame(
         [(v, t) for v, t in log.commit_timestamps()],
         "_commit_version long, _ts_millis long",

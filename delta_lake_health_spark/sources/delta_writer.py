@@ -1074,14 +1074,19 @@ def write(
             )
 
     _validate_constraints(spark, df, table_path)
+    if cluster_by:
+        # BEFORE _to_physical: cluster columns are LOGICAL names (a
+        # renamed table's physical names would not resolve). Partition
+        # count follows the incoming batch, not the shuffle default —
+        # inheriting 200 would shred a small batch into tiny files.
+        n_out = max(1, df.rdd.getNumPartitions())
+        df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     if not (mode == "overwrite" and schema_changed):
         # files carry physical names; a schema-REPLACING overwrite resets
         # the mapping (its metaData is re-emitted from the new df schema)
         df = _to_physical(spark, df, table_path)
-    if cluster_by:
-        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
     if partition_by:

@@ -239,7 +239,19 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # paced. Steady-state and growing backlogs pace exactly; only a
         # cold restart's catch-up batch bypasses the cap.
         self._floor: int | None = None
+        # per-version action memo: commit files are immutable once
+        # written, and with byte pacing the same version's JSON would
+        # otherwise be parsed twice per batch (admission + planning);
+        # commit() prunes entries at or below the completed offset
+        self._acts_memo: dict[int, list] = {}
         self.schema_struct = schema
+
+    def _acts(self, version: int) -> list:
+        out = self._acts_memo.get(version)
+        if out is None:
+            out = _actions(self.table_path, version)
+            self._acts_memo[version] = out
+        return out
 
     def _head_version(self) -> int:
         """Newest table version visible to the planner: the JSON head,
@@ -281,7 +293,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         admitted, total = floor, 0
         for v in range(floor + 1, newest + 1):
             try:
-                acts = _actions(self.table_path, v)
+                acts = self._acts(v)
             except FileNotFoundError:
                 return newest  # cleaned-up gap: let partitions() report it
             total += sum(
@@ -319,6 +331,8 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         v = int(end["version"])
         if self._floor is None or v > self._floor:
             self._floor = v
+        for k in [k for k in self._acts_memo if k <= v]:
+            del self._acts_memo[k]
 
     def partitions(self, start: dict, end: dict):
         hi = max(int(start["version"]), int(end["version"]))
@@ -350,7 +364,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 )
         for v in range(start["version"] + 1, end["version"] + 1):
             try:
-                acts = _actions(self.table_path, v)
+                acts = self._acts(v)
             except FileNotFoundError:
                 retained = _log_versions(self.table_path)
                 raise RuntimeError(

@@ -1954,3 +1954,19 @@ def test_cluster_by_write_prunes_like_sorted_files(spark, tmp_path):
         == DeltaLog(spark, t_plain).snapshot().count()
         == 40_000
     )
+    # file count follows the batch, not the 200-partition shuffle default
+    assert clust_total <= 8
+
+    # cluster columns are LOGICAL names: clustering a renamed column
+    # works (regression: applied after the physical rename, it crashed)
+    delta_writer.rename_column(spark, t_clust, "k", "key")
+    delta_writer.write(
+        spark,
+        spark.range(40_000, 42_000).selectExpr(
+            "id", "CAST(pmod(hash(id), 10000) AS LONG) AS key"
+        ),
+        t_clust,
+        mode="append",
+        cluster_by=["key"],
+    )
+    assert DeltaLog(spark, t_clust).snapshot().count() == 42_000
