@@ -92,6 +92,9 @@ _VERIFY_FIRST = (
     "knn_label_vote",
     "events_funnel_latency",
     "events_hourly_gapfill",
+    "text_bpe_merge_candidates",
+    "embedding_matryoshka_census",
+    "revenue_mom_growth",
     "sketch_user_overlap",
 )
 
