@@ -95,6 +95,8 @@ _VERIFY_FIRST = (
     "text_bpe_merge_candidates",
     "embedding_matryoshka_census",
     "revenue_mom_growth",
+    "supplier_fulfillment_rate",
+    "events_inter_event_gaps",
     "sketch_user_overlap",
 )
 

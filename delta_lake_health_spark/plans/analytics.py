@@ -1583,3 +1583,55 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_pct"
         ),
     ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# A35 — supplier fulfillment: per-supplier on-time-ship rate (shipped
+# within 90 days of the order date) with revenue context, worst 25
+# suppliers — the operational scorecard complement to q21's
+# waiting-supplier count. One fact-fact join on the order key (both
+# sides shuffle-pruned to the needed columns) + a conditional
+# aggregate; the supplier dim broadcasts.
+@query(
+    "supplier_fulfillment_rate",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+           ROUND(CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS on_time_rate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY on_time_rate, s.s_suppkey
+    LIMIT 25
+    """,
+)
+def supplier_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load(spark, sf_dir, "supplier")
+    on_time = F.when(
+        F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 90), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(on_time).alias("n_on_time"),
+            F.round(
+                F.sum(on_time).cast("double") / F.count(F.lit(1)), 6
+            ).alias("on_time_rate"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("on_time_rate", "s_suppkey")
+        .limit(25)
+    )

@@ -936,3 +936,51 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# E24 — inter-event gap distribution: per event type, exact quantiles of
+# the seconds between a user's CONSECUTIVE events — the signal that
+# picks a sessionization gap (E2's 30 min) from data instead of
+# folklore. One per-user-ordered lag window (uniform user_id
+# partitions), then a tiny per-type aggregate.
+@query(
+    "events_inter_event_gaps",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_s) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+           ROUND(MAX(gap_s), 6) AS max_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        ((us - F.lag(us).over(w)) / 1e6).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+            F.round(F.max("gap_s"), 6).alias("max_s"),
+        )
+        .orderBy("event_type")
+    )
