@@ -13,78 +13,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# The correctness driver verifies registry entries in insertion order and
-# caps near 50 rows per round.  Rounds 2+3 together covered the whole
-# registry, but the 37 rows below are green only in CORRECTNESS_r02.json —
-# and the Delta reader/writer underneath the delta_*/health family was
-# rewritten in round 3 (column mapping), so round 4 front-loads exactly
-# those 37 (most-rewritten code first), then this round's new queries.
-# Everything past the cap has a green row in CORRECTNESS_r03.json.
+# STANDING ROTATION RULE (applies every round): the correctness driver
+# verifies registry entries in insertion order and caps near 50 rows per
+# round, so _VERIFY_FIRST must be rebuilt each round as
+#   (1) queries with NO green driver row yet (newest additions + any red
+#       or stale-schema rows), then
+#   (2) queries whose newest green row is OLDEST (so no query's last
+#       green row ages past ~2 rounds), families whose code changed this
+#       round first,
+#   (3) everything else (freshest green rows) is left unlisted — the
+#       registry appends it in module order past the cap.
+# Round 5: front-load media_decode_roundtrip (r3 row predates the
+# WAV/Y4M schema change), profile_table_columns (r4 red row, output made
+# tz-representation-robust this round), the 15 queries added late in
+# round 4 that have never been driver-checked, and this round's new
+# queries; then the r3-green families (dedup/corpus first — their code
+# moved in round 4; events/percentile forms changed this round).
 _VERIFY_FIRST = (
-    # delta log reader/writer + analyzer — the code that changed most
-    "delta_time_travel_v0",
-    "delta_change_feed",
-    "delta_skipping_prune",
-    "delta_dv_snapshot",
-    "health_analyzer_report",
-    # skew / partition-stats family
-    "skew_orders_by_month",
-    "skew_lineitem_returnflag",
-    "skew_orders_status_priority",
-    "records_per_partition_orders",
-    # §2.2 analytics, r2-only rows
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "customers_without_orders",
-    "topn_orders_per_customer",
-    "order_status_rollup",
-    "part_brand_stats",
-    "running_revenue_by_month",
-    "nation_coverage_setops",
-    "orders_rollup",
-    "orders_cube",
-    "revenue_7day_moving",
-    "customer_balance_quartiles",
-    "part_name_textops",
-    # dedup entries with r2-only rows
-    "dedup_exact",
-    "dedup_exact_stats",
-    "dedup_minhash_pairs",
-    # new in round 4
-    "catalog_sql_revenue_by_nation",
-    "dedup_semantic_prune",
-    "text_repetition_census",
-    "text_unigram_surprise",
-    "delta_mv_refresh",
-    "delta_row_changes",
-    "profile_table_columns",
-    "text_chunk_dedup",
-    "text_pack_sequences",
-    "corpus_mixture_weights",
-    "events_anomaly_zscore",
-    "embedding_scalar_quantize",
-    "events_sequence_pattern",
-    "ann_pq_adc_topk",
-    # rows-only (weakest check) deliberately last before the driver cap
-    "sketch_heavy_hitters",
-    # round-4 continuation: media_decode_roundtrip FIRST because its
-    # contract changed this round (WAV/Y4M formats + sample_rate column
-    # — the r3 row describes the old schema), then the new queries in
-    # priority order. Names past the driver's ~50-row cap cost nothing;
-    # they encode what the next round's rotation should front-load.
+    # (1) never driver-verified / stale / previously red
     "media_decode_roundtrip",
+    "profile_table_columns",
+    "ann_pq_adc_topk",
     "dedup_incremental_bloom",
     "text_tfidf_keywords",
     "dedup_graph_pagerank",
@@ -97,7 +46,63 @@ _VERIFY_FIRST = (
     "revenue_mom_growth",
     "supplier_fulfillment_rate",
     "events_inter_event_gaps",
+    "sketch_heavy_hitters",
     "sketch_user_overlap",
+    # (1b) new in round 5 — inserted here as they land
+    # (2) oldest green row is r3; dedup/corpus code moved in round 4
+    "dedup_clusters",
+    "dedup_shingle_duplication",
+    "pipeline_corpus_build",
+    "dedup_keep_corpus",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # flagship analytics whose newest green row is r3
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_values",
+    "q16_supplier_part_counts",
+    "q20_excess_shipments",
+    # events family (r3 rows; percentile internals gain approx twins r5)
+    "events_value_percentiles",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "events_sliding_hourly",
+    "events_purchase_sessions",
+    "events_user_stats",
+    "events_purchase_funnel",
+    "events_purchase_attribution",
+    "events_props_json",
+    "events_type_pivot",
+    "events_daily_retention",
+    "events_funnel_strict_order",
+    "events_session_window_native",
+    "events_activity_heatmap",
+    # similarity family (r3 rows)
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "embedding_label_centroids",
+    # text family (r3 rows) — past the ~50 cap; encodes round-6 priority
+    "text_token_counts",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "corpus_stats",
+    "text_scrub_pii",
+    "text_hash_sample",
+    "text_gopher_quality_filter",
+    "text_top_ngrams",
+    "text_train_val_test_split",
+    "text_split_contamination",
+    "text_language_balance_sample",
+    "text_length_histogram",
+    "sketch_approx_distinct",
+    "sketch_approx_percentiles",
+    "events_windowed_hll_users",
 )
 
 

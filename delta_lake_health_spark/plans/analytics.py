@@ -1612,9 +1612,14 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def supplier_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # project BEFORE the join: parquet pruning alone saves the scan, but
+    # the join shuffle would still carry every lineitem column
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount",
+    )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    sup = load(spark, sf_dir, "supplier")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     on_time = F.when(
         F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 90), 1
     ).otherwise(0)

@@ -1138,16 +1138,19 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # per-edge weight 1/deg precomputed ONCE — iterations only re-join ranks
+    # per-edge degree attached ONCE — iterations only re-join ranks; the
+    # contribution is computed as r / deg (NOT r * (1/deg)) so the ulp
+    # rounding matches the DuckDB oracle's division exactly — a
+    # reciprocal-multiply can flip the 6-dp per-round rounding
     wedges = edges.join(deg, "s").select(
-        "s", "d", (F.lit(1.0) / F.col("deg")).alias("w")
+        "s", "d", F.col("deg").cast("double").alias("deg")
     ).localCheckpoint()
     nodes = deg.select(F.col("s").alias("doc_id")).localCheckpoint()
     ranks = nodes.select("doc_id", F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
         contribs = (
             wedges.join(ranks, wedges["s"] == ranks["doc_id"])
-            .select("d", (F.col("r") * F.col("w")).alias("c"))
+            .select("d", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("in_sum"))
         )

@@ -25,6 +25,22 @@ ORACLE: dict = {}
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
+# t-digest/GK accuracy for the percentile_approx twins: rank error is
+# bounded by 1/accuracy of the group size — fixed-size mergeable state,
+# the 100 TB form of the exact percentiles used for oracle parity.
+PCT_APPROX_ACCURACY = 10_000
+
+
+def _pct(col: str, p: float, approx: bool) -> F.Column:
+    """Exact ``percentile`` (oracle-parity form: interpolating, but its
+    per-group state is the full sorted values — an OOM risk for a
+    mega-group at 100 TB) or ``percentile_approx`` (rank-based on a
+    bounded sketch; the at-scale form). Callers expose ``approx=`` so the
+    swap is a parameter, not a code edit."""
+    if approx:
+        return F.percentile_approx(col, p, PCT_APPROX_ACCURACY)
+    return F.expr(f"percentile({col}, {p})")
+
 
 def query(name: str, sql: str | None):
     def deco(fn):
@@ -478,15 +494,17 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
 )
-def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_value_percentiles(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.round(_pct("value", 0.5, approx), 6).alias("p50"),
+            F.round(_pct("value", 0.95, approx), 6).alias("p95"),
+            F.round(_pct("value", 0.99, approx), 6).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -790,9 +808,9 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 # users who completed the pair in order). One per-user groupBy computes
 # all three first-times (uniform user_id keys); the step pivot unions
 # three tiny projections of that one aggregate — the events table is
-# scanned once. At 100 TB the exact percentile would be swapped for
-# percentile_approx (K2's fixed-size mergeable state); exact stays here
-# for cross-engine oracle parity.
+# scanned once. Exact percentiles are the oracle-parity default;
+# ``approx=True`` swaps in percentile_approx (fixed-size mergeable
+# state) — the form to run at 100 TB.
 @query(
     "events_funnel_latency",
     """
@@ -823,7 +841,26 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY step
     """,
 )
-def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_funnel_latency(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    lags = _funnel_lags(spark, sf_dir)
+    return (
+        lags.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("lag_s"), 6).alias("mean_s"),
+            F.round(_pct("lag_s", 0.5, approx), 6).alias("p50_s"),
+            F.round(_pct("lag_s", 0.9, approx), 6).alias("p90_s"),
+            F.round(_pct("lag_s", 0.99, approx), 6).alias("p99_s"),
+        )
+        .orderBy("step")
+    )
+
+
+def _funnel_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(step, lag_s) rows — the latency distribution E22 aggregates (and
+    the approx-twin test re-brackets)."""
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     per_user = ev.groupBy("user_id").agg(
@@ -842,21 +879,10 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    lags = (
+    return (
         step("view_to_click", "v", "c")
         .unionAll(step("click_to_purchase", "c", "p"))
         .unionAll(step("view_to_purchase", "v", "p"))
-    )
-    return (
-        lags.groupBy("step")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.round(F.avg("lag_s"), 6).alias("mean_s"),
-            F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_s"),
-            F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_s"),
-            F.round(F.expr("percentile(lag_s, 0.99)"), 6).alias("p99_s"),
-        )
-        .orderBy("step")
     )
 
 
@@ -964,23 +990,31 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
 )
-def events_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_inter_event_gaps(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    gaps = _inter_event_gaps(spark, sf_dir)
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(_pct("gap_s", 0.5, approx), 6).alias("p50_s"),
+            F.round(_pct("gap_s", 0.9, approx), 6).alias("p90_s"),
+            F.round(F.max("gap_s"), 6).alias("max_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, gap_s) rows — E24's distribution, reused by the
+    approx-twin rank-error test."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
+    return ev.select(
         "event_type",
         ((us - F.lag(us).over(w)) / 1e6).alias("gap_s"),
     ).where(F.col("gap_s").isNotNull())
-    return (
-        gaps.groupBy("event_type")
-        .agg(
-            F.count("gap_s").alias("n_gaps"),
-            F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
-            F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
-            F.round(F.max("gap_s"), 6).alias("max_s"),
-        )
-        .orderBy("event_type")
-    )

@@ -491,17 +491,18 @@ def _profile_oracle() -> str:
     for c in _PROFILE_NUM:
         parts.append(f"""
         SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
                COUNT(DISTINCT {c}) AS n_distinct,
-               ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_numeric,
-               ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_numeric,
+               CAST(MIN({c}) AS DOUBLE) AS min_numeric,
+               CAST(MAX({c}) AS DOUBLE) AS max_numeric,
                CAST(NULL AS VARCHAR) AS min_text,
                CAST(NULL AS VARCHAR) AS max_text
         FROM orders""")
     for c in _PROFILE_TXT:
         parts.append(f"""
         SELECT '{c}', COUNT(*),
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT {c}),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                MIN({c}), MAX({c})
@@ -509,7 +510,7 @@ def _profile_oracle() -> str:
     for c in _PROFILE_TS:
         parts.append(f"""
         SELECT '{c}', COUNT(*),
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT {c}),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                STRFTIME(MIN({c}), '%Y-%m-%d %H:%M:%S'),
@@ -518,8 +519,46 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def _wallclock_str(col: F.Column, is_ntz: bool) -> F.Column:
+    """Format a timestamp as ``yyyy-MM-dd HH:mm:ss`` of its STORED wall
+    clock, independent of ``spark.sql.session.timeZone``.
+
+    Parquet naive timestamps normally read as TIMESTAMP_NTZ, where
+    ``date_format`` is already tz-free.  But a session with NTZ inference
+    disabled reads them as TIMESTAMP (LTZ) and ``date_format`` would then
+    render in the session zone — so for LTZ we rebuild the string from
+    ``unix_micros`` (the stored instant, tz-free) with pure date/int
+    arithmetic, which DuckDB's naive ``STRFTIME`` matches in any zone.
+    """
+    if is_ntz:
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    secs = F.floor(F.unix_micros(col) / F.lit(1_000_000))
+    days = F.floor(secs / F.lit(86_400))
+    rem = (secs - days * F.lit(86_400)).cast("int")
+    date_part = F.date_format(
+        F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int")),
+        "yyyy-MM-dd",
+    )
+
+    def pad2(x: F.Column) -> F.Column:
+        return F.lpad(x.cast("string"), 2, "0")
+
+    return F.concat_ws(
+        " ",
+        date_part,
+        F.concat_ws(
+            ":",
+            pad2(F.floor(rem / 3600)),
+            pad2(F.floor(rem / 60) % 60),
+            pad2(rem % 60),
+        ),
+    )
+
+
 @query("profile_table_columns", _profile_oracle())
 def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import TimestampNTZType
+
     orders = load(spark, sf_dir, "orders")
     cols = [*_PROFILE_NUM, *_PROFILE_TXT, *_PROFILE_TS]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -530,15 +569,16 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     for c in _PROFILE_NUM:
         aggs += [
-            F.round(F.min(c).cast("double"), 6).alias(f"mn_{c}"),
-            F.round(F.max(c).cast("double"), 6).alias(f"mx_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
         ]
     for c in _PROFILE_TXT:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     for c in _PROFILE_TS:
+        is_ntz = isinstance(orders.schema[c].dataType, TimestampNTZType)
         aggs += [
-            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"mn_{c}"),
-            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"mx_{c}"),
+            _wallclock_str(F.min(c), is_ntz).alias(f"mn_{c}"),
+            _wallclock_str(F.max(c), is_ntz).alias(f"mx_{c}"),
         ]
     one = orders.agg(*aggs)
 

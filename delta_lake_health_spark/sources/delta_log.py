@@ -142,13 +142,51 @@ def checkpoint_file_names(info: dict) -> list[str]:
     if info.get("format") == "v2":
         return [info["path"]]
     parts = info.get("parts")
-    if parts:
+    # parts == 1 uses the classic single-file name (a foreign writer may
+    # record "parts": 1 explicitly) — multi-part naming only when > 1,
+    # matching DeltaLog._checkpoint_paths.
+    if parts and int(parts) > 1:
         n = int(parts)
         return [
             f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
             for i in range(n)
         ]
     return [f"{v:020d}.checkpoint.parquet"]
+
+
+def _conform_column(col, src_type, dst_type):
+    """Align a checkpoint column to ACTION_SCHEMA's (possibly wider) type.
+
+    Spark cannot cast a struct with FEWER fields to a wider struct
+    (DATATYPE_MISMATCH), so a checkpoint written before a schema-widening
+    engine upgrade (e.g. protocol gained readerFeatures/writerFeatures,
+    commitInfo gained inCommitTimestamp) would make the table unreadable
+    under a whole-struct cast. Structs are therefore rebuilt field by
+    field — present subfields conformed recursively, missing ones
+    null-filled — preserving NULL struct values as NULL (not a struct of
+    nulls, which would resurrect e.g. an absent `remove` action)."""
+    from pyspark.sql.types import StructType
+
+    if col is None or src_type is None:
+        return F.lit(None).cast(dst_type)
+    if isinstance(dst_type, StructType):
+        if not isinstance(src_type, StructType):
+            return F.lit(None).cast(dst_type)
+        src_fields = {f.name: f.dataType for f in src_type.fields}
+        rebuilt = F.struct(
+            *[
+                _conform_column(
+                    col.getField(f.name) if f.name in src_fields else None,
+                    src_fields.get(f.name),
+                    f.dataType,
+                ).alias(f.name)
+                for f in dst_type.fields
+            ]
+        )
+        return F.when(col.isNull(), F.lit(None).cast(dst_type)).otherwise(
+            rebuilt
+        )
+    return col.cast(dst_type)
 
 
 class DeltaLog:
@@ -259,20 +297,20 @@ class DeltaLog:
                 ckpt = self.spark.read.parquet(
                     *self._checkpoint_paths(ckpt_version, ckpt_info.get("parts"))
                 )
-            for col in ACTION_SCHEMA.fieldNames():
-                if col not in ckpt.columns:
-                    ckpt = ckpt.withColumn(
-                        col, F.lit(None).cast(ACTION_SCHEMA[col].dataType)
-                    )
             ver = (
                 F.col("version").cast("long")
                 if "version" in ckpt.columns
                 else F.lit(ckpt_version).cast("long")
             )
+            src_types = {f.name: f.dataType for f in ckpt.schema.fields}
             parts.append(
                 ckpt.select(
                     *[
-                        F.col(c).cast(ACTION_SCHEMA[c].dataType).alias(c)
+                        _conform_column(
+                            F.col(c) if c in src_types else None,
+                            src_types.get(c),
+                            ACTION_SCHEMA[c].dataType,
+                        ).alias(c)
                         for c in ACTION_SCHEMA.fieldNames()
                     ],
                     ver.alias("version"),

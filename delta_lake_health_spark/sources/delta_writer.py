@@ -93,6 +93,11 @@ def _truncate_max(s: str) -> str | None:
     prefix = s[:STATS_STRING_PREFIX]
     for i in range(len(prefix) - 1, -1, -1):
         cp = ord(prefix[i])
+        if cp == 0xD7FF:
+            # skip the surrogate block D800-DFFF: lone surrogates are not
+            # valid scalar values for non-Python stats consumers, and JVM
+            # UTF-16 comparison order disagrees with code-point order there
+            return prefix[:i] + chr(0xE000)
         if cp < 0x10FFFF:
             return prefix[:i] + chr(cp + 1)
     return None

@@ -150,7 +150,8 @@ def _live_adds_at(table_path: str, version: int, ignore_deletes: bool) -> list[d
                 f"{version}: the checkpoint is already at {base}"
             )
         for r in rows:
-            rv = int(r.get("version") or base)
+            _rv = r.get("version")
+            rv = base if _rv is None else int(_rv)
             if r.get("add"):
                 a = r["add"]
                 state[a["path"]] = max(
