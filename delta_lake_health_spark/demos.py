@@ -150,3 +150,66 @@ def curate_corpus_to_delta(
     }
     return {"version": version, "splits": counts,
             "total_docs": sum(counts.values())}
+
+
+def generate_visual_report(
+    spark: SparkSession, base_dir: str = SAMPLE_DIR_DEFAULT
+) -> dict:
+    """The reference's notebook walkthrough (notebooks/example.ipynb +
+    the visualization/notebook dashboards) as ONE composable call:
+    build the sample tables, run the analyzer on each, inspect the log
+    the way the notebook inspects ``DeltaTable`` (history / metadata /
+    add actions / file URIs), and render every dashboard to a
+    plotly-schema dict (``Figure.to_dict()`` — displayable via
+    ``to_plotly()`` where the plotly package exists).
+
+    Returns ``{table_name: {"metrics": HealthMetrics,
+    "history_ops": {op: count}, "metadata": dict, "n_files": int,
+    "file_uris": [str], "figures": {figure_name: plotly dict}}}``.
+    """
+    from delta_lake_health_spark.analyzer import DeltaAnalyzer
+    from delta_lake_health_spark.operators.report import historical_trends
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+    from delta_lake_health_spark.visualization.delta_operations import (
+        visualize_delta_operations,
+    )
+    from delta_lake_health_spark.visualization.detailed_history_metrics import (
+        visualize_historical_trends,
+    )
+    from delta_lake_health_spark.visualization.file_distribution import (
+        analyze_file_distribution,
+    )
+    from delta_lake_health_spark.visualization.health_dashboard import (
+        create_health_dashboard,
+    )
+    from delta_lake_health_spark.visualization.skew_analysis import (
+        visualize_skew_analysis,
+    )
+
+    tables = populate_sample_tables(spark, base_dir)
+    analyzer = DeltaAnalyzer(spark=spark)
+    report: dict = {}
+    for name, path in tables.items():
+        metrics = analyzer.analyze(table_path=path)
+        log = DeltaLog(spark, path)
+        uris = [r.path for r in log.active_files().select("path").collect()]
+        dist_fig, _files = analyze_file_distribution(spark, path,
+                                                     analyzer=analyzer)
+        figures = {
+            "health_dashboard": create_health_dashboard(metrics),
+            "skew_analysis": visualize_skew_analysis(metrics),
+            "file_distribution": dist_fig,
+            "delta_operations": visualize_delta_operations(spark, path),
+            "historical_trends": visualize_historical_trends(
+                historical_trends(spark, path)
+            ),
+        }
+        report[name] = {
+            "metrics": metrics,
+            "history_ops": log.operation_counts(),
+            "metadata": log.metadata(),
+            "n_files": len(uris),
+            "file_uris": uris,
+            "figures": {k: f.to_dict() for k, f in figures.items()},
+        }
+    return report
