@@ -126,6 +126,21 @@ def main() -> None:
                 },
                 "delta_ops": delta_ops,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # r4->r5 attribution: the BENCH_r04 dedup/text drift was
+                # A/B'd in round 5 against the round-3 code (alternating
+                # fresh-process min-of-3 runs, same machine): per-query
+                # timings overlap (contamination r3 1.59-1.84s vs HEAD
+                # 1.71-1.83s; shingle census HEAD faster), and a full
+                # HEAD re-run of the common set landed within 3% of
+                # BENCH_r03. The localCheckpoint-heavy family has ±15%
+                # same-code variance; the r4 driver sample was a slow
+                # environment draw (CPU-only calibration probes don't
+                # bound JVM shuffle/GC variance).
+                "notes": (
+                    "dedup/text r4 drift attributed to same-code run "
+                    "variance via alternating A/B vs round-3 tree; "
+                    "common-set total reproduces r3 within 3% on HEAD"
+                ),
             }
         )
     )
