@@ -49,6 +49,9 @@ _VERIFY_FIRST = (
     "sketch_heavy_hitters",
     "sketch_user_overlap",
     # (1b) new in round 5 — inserted here as they land
+    "text_repeated_ngram_spans",
+    "text_filter_funnel_census",
+    "documents_stratified_sample",
     # (2) oldest green row is r3; dedup/corpus code moved in round 4
     "dedup_clusters",
     "dedup_shingle_duplication",

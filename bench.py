@@ -201,6 +201,10 @@ def _bench_delta_ops(spark) -> dict[str, float]:
     ))
     step("zorder", lambda: maintenance.zorder_cluster(spark, path, ["k", "v"]))
     step("checkpoint", lambda: DeltaLog(spark, path).checkpoint())
+    # lite first (log-only, leaves orphan-free debris), then full sweeps
+    step("vacuum_lite", lambda: maintenance.vacuum(
+        spark, path, retention_hours=0.0, mode="lite"
+    ))
     step("vacuum", lambda: maintenance.vacuum(spark, path, retention_hours=0.0))
     step("log_cleanup", lambda: maintenance.cleanup_log(
         spark, path, retention_hours=0.0

@@ -100,6 +100,7 @@ def vacuum(
     table_path: str,
     retention_hours: float = 168.0,
     dry_run: bool = False,
+    mode: str = "full",
 ) -> dict:
     """Physically delete unreferenced data files older than the retention
     window: files on disk that are not in the live set AND whose latest
@@ -109,32 +110,58 @@ def vacuum(
     Also deletes deletion-vector sidecar directories no longer referenced
     by any retained ``dv`` action (``checkpoint`` drops vectors whose
     target files are all dead; the sidecars then age out here by mtime,
-    so time travel within the retention window keeps working)."""
-    from delta_lake_health_spark.operators.health import _list_folder_files
+    so time travel within the retention window keeps working).
 
+    ``mode="lite"`` (Delta 3.3's VACUUM LITE): candidates come from the
+    LOG's retained remove tombstones alone — no recursive table-folder
+    listing, which on object storage at 100 TB is the dominant cost of a
+    full vacuum (one LIST per ~1000 keys across millions of files).
+    Lite cannot see true orphans (files never committed to the log, e.g.
+    a crashed writer's debris) — run a periodic full vacuum for those;
+    every tombstoned file is still collected exactly as in full mode."""
+    if mode not in ("full", "lite"):
+        raise ValueError(f"vacuum mode must be 'full' or 'lite': {mode!r}")
     log = DeltaLog(spark, table_path)
     cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
 
-    folder = _list_folder_files(spark, table_path)
-    live = log.active_files().select(F.col("path").alias("rel_path"))
     tomb = log.tombstones().select(
         F.col("path").alias("rel_path"),
         F.col("deletionTimestamp").alias("del_ts"),
     )
-    dead = (
-        folder.join(F.broadcast(live), "rel_path", "left_anti")
-        .join(F.broadcast(tomb), "rel_path", "left")
-    )
-    # inclusive cutoff: a tombstone stamped in the same millisecond as a
-    # zero-retention cutoff is already "past retention" (write always
-    # precedes the vacuum call)
-    candidates = [
-        r.rel_path
-        for r in dead.collect()
-        if (r.del_ts if r.del_ts is not None
-            else int(os.path.getmtime(os.path.join(table_path, r.rel_path)) * 1000))
-        <= cutoff_ms
-    ]
+    if mode == "lite":
+        # log-only: tombstoned paths past retention that still exist
+        # (same aging rule as full mode: deletionTimestamp, mtime fallback)
+        candidates = []
+        for r in tomb.collect():
+            fp = os.path.join(table_path, r.rel_path)
+            if not os.path.isfile(fp):
+                continue
+            aged = (r.del_ts if r.del_ts is not None
+                    else int(os.path.getmtime(fp) * 1000))
+            if aged <= cutoff_ms:
+                candidates.append(r.rel_path)
+    else:
+        from delta_lake_health_spark.operators.health import (
+            _list_folder_files,
+        )
+
+        folder = _list_folder_files(spark, table_path)
+        live = log.active_files().select(F.col("path").alias("rel_path"))
+        dead = (
+            folder.join(F.broadcast(live), "rel_path", "left_anti")
+            .join(F.broadcast(tomb), "rel_path", "left")
+        )
+        # inclusive cutoff: a tombstone stamped in the same millisecond as
+        # a zero-retention cutoff is already "past retention" (write
+        # always precedes the vacuum call)
+        candidates = [
+            r.rel_path
+            for r in dead.collect()
+            if (r.del_ts if r.del_ts is not None
+                else int(os.path.getmtime(
+                    os.path.join(table_path, r.rel_path)) * 1000))
+            <= cutoff_ms
+        ]
     # DV sidecar dirs referenced by no retained dv action (dropped at
     # checkpoint time) are dead weight once past the retention window
     referenced = set(log.deletion_vector_paths())
@@ -164,7 +191,7 @@ def vacuum(
             [
                 delta_writer._commit_info(
                     "VACUUM END",
-                    {"retentionHours": retention_hours},
+                    {"retentionHours": retention_hours, "mode": mode},
                     {"numDeletedFiles": len(candidates),
                      "numDeletedDvSidecars": len(dead_sidecars)},
                 )
@@ -172,7 +199,8 @@ def vacuum(
         )
     return {"numDeletedFiles": len(candidates), "files": sorted(candidates),
             "numDeletedDvSidecars": len(dead_sidecars),
-            "dvSidecars": dead_sidecars, "dryRun": dry_run}
+            "dvSidecars": dead_sidecars, "dryRun": dry_run,
+            "mode": mode}
 
 
 def apply_deletion_vectors(spark: SparkSession, table_path: str) -> dict:

@@ -1162,3 +1162,264 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# T21 — repeated-n-gram span census (the exact-substring dedup signal of
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better", at n-gram granularity): per source, how many tokens sit
+# inside a window-W shingle that ALSO occurs in some other document.
+# The span union per doc is computed with one lag window: spans all have
+# length W and arrive sorted by start, so the running covered length is
+# min(W, start - prev_start) per span — identical arithmetic in both
+# engines. Scale shape: positions shuffle once on the uniform md5 hash
+# for the cross-doc census, once on doc_id for the span merge; no
+# doc x doc or shingle x shingle term anywhere.
+_SPAN_W = 8
+
+
+@query(
+    "text_repeated_ngram_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(
+               t[CAST(i AS INT):CAST(i + {_SPAN_W - 1} AS INT)], ' ')) AS h
+      FROM t, UNNEST(range(1, len(t) - {_SPAN_W - 2})) u(i)
+      WHERE len(t) >= {_SPAN_W}
+    ), dup_h AS (
+      SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ), dup_pos AS (
+      SELECT doc_id, source, i,
+             lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+      FROM pos WHERE h IN (SELECT h FROM dup_h)
+    ), per_doc AS (
+      SELECT doc_id, source,
+             SUM(CASE WHEN prev_i IS NULL THEN {_SPAN_W}
+                      ELSE LEAST({_SPAN_W}, i - prev_i) END) AS covered
+      FROM dup_pos GROUP BY doc_id, source
+    ), totals AS (
+      SELECT source, SUM(len(string_split(text, ' '))) AS total_tokens,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT totals.source,
+           CAST(totals.total_tokens AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(per_doc.covered), 0) AS BIGINT)
+             AS covered_tokens,
+           COUNT(per_doc.doc_id) AS n_docs_with_dups,
+           ROUND(CAST(COALESCE(SUM(per_doc.covered), 0) AS DOUBLE)
+                 / totals.total_tokens, 6) AS covered_rate
+    FROM totals LEFT JOIN per_doc ON per_doc.source = totals.source
+    GROUP BY totals.source, totals.total_tokens
+    ORDER BY totals.source
+    """,
+)
+def text_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    pos = (
+        docs.where(F.size(t) >= _SPAN_W)
+        .select("doc_id", "source", t.alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_W}))))"
+                )
+            ).alias("p", "h"),
+        )
+        .select("doc_id", "source", (F.col("p") + 1).cast("long").alias("i"),
+                "h")
+    )
+    pos = pos.localCheckpoint()  # census side and position side share it
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    per_doc = (
+        pos.join(dup_h, "h")
+        .select("doc_id", "source", "i", F.lag("i").over(w).alias("prev_i"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.when(F.col("prev_i").isNull(), F.lit(_SPAN_W)).otherwise(
+                    F.least(F.lit(_SPAN_W), F.col("i") - F.col("prev_i"))
+                )
+            ).alias("covered")
+        )
+    )
+    totals = docs.groupBy("source").agg(
+        F.sum(F.size(t)).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        totals.join(per_doc, "source", "left")
+        .groupBy("source", "total_tokens")
+        .agg(
+            F.coalesce(F.sum("covered"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.count("doc_id").alias("n_docs_with_dups"),
+            F.round(
+                F.coalesce(F.sum("covered"), F.lit(0)).cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("covered_rate"),
+        )
+        .select(
+            "source",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            "covered_tokens",
+            "n_docs_with_dups",
+            "covered_rate",
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# T22 — filter-funnel overlap census: the pass/fail combination matrix
+# of four independent quality gates (length, stopword presence,
+# punctuation ratio, digit ratio) with doc and token counts per cell —
+# the attribution view ("which filter is actually doing the removing,
+# and how much do they overlap") a pipeline owner reads before tuning
+# thresholds. One narrow pass, one tiny (<=16-group) aggregate.
+@query(
+    "text_filter_funnel_census",
+    """
+    WITH base AS (
+      SELECT len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+             length(text)
+               - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS n_punct,
+             length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT (n_tok BETWEEN 5 AND 1000) AS len_ok,
+           (n_stop >= 1) AS stop_ok,
+           (CAST(n_punct AS DOUBLE) / n_chars <= 0.3) AS punct_ok,
+           (CAST(n_digit AS DOUBLE) / n_chars <= 0.3) AS digit_ok,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM base
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1, 2, 3, 4
+    """,
+)
+def text_filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    base = docs.select(
+        F.size(t).alias("n_tok"),
+        F.size(
+            F.expr(f"filter(split(text, ' '), t -> t IN ({stop_arr}))")
+        ).alias("n_stop"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+        ).alias("n_punct"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("n_digit"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        base.select(
+            F.col("n_tok").between(5, 1000).alias("len_ok"),
+            (F.col("n_stop") >= 1).alias("stop_ok"),
+            (F.col("n_punct").cast("double") / F.col("n_chars") <= 0.3).alias(
+                "punct_ok"
+            ),
+            (F.col("n_digit").cast("double") / F.col("n_chars") <= 0.3).alias(
+                "digit_ok"
+            ),
+            "n_tok",
+        )
+        .groupBy("len_ok", "stop_ok", "punct_ok", "digit_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("len_ok", "stop_ok", "punct_ok", "digit_ok")
+    )
+
+
+# --------------------------------------------------------------------------
+# T23 — exact stratified sampling: per (source, lang) stratum keep
+# exactly ceil(n * fraction) documents, chosen deterministically as the
+# smallest md5(doc_id || text) ranks — the exact-allocation counterpart
+# to T12's hash-threshold (approximate) rebalancing. Scale note: exact
+# allocation needs a per-stratum ORDER (a sort within each stratum
+# partition); at 100 TB with mega-strata, swap to the T12 threshold form
+# — the census below is identical either way, which is what this query
+# emits and checks.
+_STRATIFIED_FRACTION = 0.2
+
+
+@query(
+    "documents_stratified_sample",
+    f"""
+    WITH ranked AS (
+      SELECT source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || text), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= CEIL(n * {_STRATIFIED_FRACTION})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN rn <= CEIL(n * {_STRATIFIED_FRACTION})
+                              THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n), 6)
+             AS kept_rate
+    FROM ranked
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text")))
+    w = Window.partitionBy("source", "lang").orderBy(key, "doc_id")
+    wn = Window.partitionBy("source", "lang")
+    ranked = docs.select(
+        "source",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = F.when(
+        F.col("rn") <= F.ceil(F.col("n") * _STRATIFIED_FRACTION), 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("source", "lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(kept).cast("double") / F.max("n"), 6
+            ).alias("kept_rate"),
+        )
+        .orderBy("source", "lang")
+    )

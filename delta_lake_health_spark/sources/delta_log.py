@@ -49,6 +49,10 @@ ACTION_SCHEMA = StructType(
                     StructField("modificationTime", LongType()),
                     StructField("dataChange", BooleanType()),
                     StructField("stats", StringType()),
+                    # Delta row tracking: this file's rows carry fresh
+                    # row ids [baseRowId, baseRowId + numRecords - 1]
+                    StructField("baseRowId", LongType()),
+                    StructField("defaultRowCommitVersion", LongType()),
                 ]
             ),
         ),
@@ -111,6 +115,19 @@ ACTION_SCHEMA = StructType(
                     StructField("appId", StringType()),
                     StructField("version", LongType()),
                     StructField("lastUpdated", LongType()),
+                ]
+            ),
+        ),
+        # Domain metadata (Delta spec's domainMetadata action): named,
+        # system-maintained configuration that rides the log — the row
+        # tracking high-water mark lives in domain "delta.rowTracking".
+        StructField(
+            "domainMetadata",
+            StructType(
+                [
+                    StructField("domain", StringType()),
+                    StructField("configuration", StringType()),
+                    StructField("removed", BooleanType()),
                 ]
             ),
         ),
@@ -466,6 +483,17 @@ class DeltaLog:
             .where(F.col("rn") == 1)
             .drop("rn")
         )
+        # latest domainMetadata per domain (Delta spec): the row-tracking
+        # high-water mark must survive checkpoint truncation
+        w_dom = Window.partitionBy(F.col("domainMetadata.domain")).orderBy(
+            F.desc("version")
+        )
+        domains = (
+            acts.where(F.col("domainMetadata").isNotNull())
+            .withColumn("rn", F.row_number().over(w_dom))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
         state = (
             add_rows.select(*cols)
             .unionByName(tomb_rows.select(*cols))
@@ -474,6 +502,7 @@ class DeltaLog:
             .unionByName(infos.select(*cols))
             .unionByName(dvs.select(*cols))
             .unionByName(txns.select(*cols))
+            .unionByName(domains.select(*cols))
         )
         import math
         import shutil

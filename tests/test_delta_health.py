@@ -2062,3 +2062,45 @@ def test_truncate_max_skips_surrogate_range():
     assert out >= s[:P]  # still a valid upper bound for the prefix
     # and the result round-trips through UTF-8 (no lone surrogate)
     out.encode("utf-8")
+
+
+def test_vacuum_lite_collects_tombstones_without_listing(spark, monkeypatch):
+    """VACUUM LITE: candidates come from the log's tombstones only — the
+    recursive folder listing must never run, tombstoned files past
+    retention are deleted, live files and true orphans survive."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/lite_vac"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite",
+                       partition_by=["day"])
+    delta_writer.delete(spark, path, "total_bill > 40")  # makes tombstones
+    # an orphan the log never saw
+    orphan = os.path.join(path, "day=Mon", "orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    from delta_lake_health_spark.operators import health as health_mod
+
+    def boom(*a, **k):
+        raise AssertionError("lite vacuum must not list the table folder")
+
+    monkeypatch.setattr(health_mod, "_list_folder_files", boom)
+    out = maintenance.vacuum(spark, path, retention_hours=0.0, mode="lite")
+    assert out["mode"] == "lite"
+    assert out["numDeletedFiles"] >= 1
+    for rel in out["files"]:
+        assert not os.path.exists(os.path.join(path, rel))
+    assert os.path.isfile(orphan)  # lite cannot see orphans, by contract
+    # table still reads: only tombstoned (dead) files were removed
+    log = DeltaLog(spark, path)
+    assert log.snapshot().count() > 0
+    monkeypatch.undo()
+    # a later FULL vacuum still collects the orphan
+    out_full = maintenance.vacuum(spark, path, retention_hours=0.0)
+    assert "day=Mon/orphan.parquet" in out_full["files"]
+    assert not os.path.exists(orphan)
+    shutil.rmtree(tmp)
+
+
+def test_vacuum_rejects_unknown_mode(spark):
+    with pytest.raises(ValueError):
+        maintenance.vacuum(spark, "/nonexistent", mode="turbo")
