@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_graph_pagerank",
     "text_tfidf_keywords",
     "events_hourly_gapfill",
+    # round-5 additions
+    "text_repeated_ngram_spans",
+    "documents_stratified_sample",
 ]
 
 

@@ -1164,7 +1164,10 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("r"),
             )
-            .localCheckpoint()  # truncate the iteration lineage
+            # lineage truncation per round; measured neutral at sf0.1
+            # (5.6s with vs 5.9s without — the minhash candidate
+            # pipeline dominates), kept for bounded recovery scope
+            .localCheckpoint()
         )
     return (
         ranks.select("doc_id", F.col("r").alias("pagerank"))

@@ -651,3 +651,69 @@ def delta_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Row tracking end-to-end as an oracle-checked query: the fixture writes
+# ids 0..599 sorted into one file, enables row tracking (backfill
+# assigns baseRowId 0), appends 600..999 sorted into one file (baseRowId
+# 600), then DV-deletes id % 10 == 0 — by construction every surviving
+# row's _row_id EQUALS its id, so the per-bucket (n_rows, sum__row_id)
+# aggregate has a closed form over range(1000) that any mis-assignment
+# (wrong base, wrong index origin, DV shifting survivor positions)
+# breaks.
+_RT_FIXTURE = "/tmp/delta_lake_health_spark_fixture/row_tracking"
+_RT_MARKER = os.path.join(_RT_FIXTURE, "_RT_FIXTURE_COMPLETE")
+
+_RT_ORACLE = """
+    SELECT CAST(id % 7 AS BIGINT) AS k,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_row_id
+    FROM range(1000) t(id)
+    WHERE id % 10 <> 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_rt_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_RT_MARKER):
+        return
+    shutil.rmtree(_RT_FIXTURE, ignore_errors=True)
+
+    def rows(lo: int, hi: int):
+        return (
+            spark.range(lo, hi)
+            .selectExpr("id", "CAST(id % 7 AS BIGINT) AS k")
+            .orderBy("id")
+            .coalesce(1)
+        )
+
+    delta_writer.write(spark, rows(0, 600), _RT_FIXTURE)       # v0
+    delta_writer.enable_row_tracking(spark, _RT_FIXTURE)       # backfill
+    delta_writer.write(spark, rows(600, 1000), _RT_FIXTURE)    # append
+    delta_writer.delete_with_dv(spark, _RT_FIXTURE, "id % 10 = 0")
+    with open(_RT_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_row_ids", _RT_ORACLE)
+def delta_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket census over ``DeltaLog.row_ids()`` (sf_dir unused —
+    the fixture is scale-independent)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_rt_fixture(spark)
+    return (
+        DeltaLog(spark, _RT_FIXTURE)
+        .row_ids()
+        .groupBy(F.col("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").cast("long").alias("sum_row_id"),
+        )
+        .orderBy("k")
+    )

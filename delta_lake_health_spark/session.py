@@ -25,6 +25,9 @@ def get_spark(app_name: str = "delta-lake-health-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", "32")
         # Dim tables (region/nation/supplier/part/customer) stay broadcastable.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Push MIN/MAX/COUNT of unfiltered scans into parquet footers —
+        # a metadata read instead of a table scan (off by default).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Arrow for every pandas_udf / mapInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

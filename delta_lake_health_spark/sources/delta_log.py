@@ -1021,6 +1021,65 @@ class DeltaLog:
         )
         return int(row.v) if row.v is not None else None
 
+    # -- row tracking ------------------------------------------------------
+
+    def domain_metadata(self, domain: str) -> dict | None:
+        """Latest configuration for a ``domainMetadata`` domain (Delta
+        spec), or None if never set / tombstoned (``removed=true``)."""
+        rows = (
+            self.actions()
+            .where(F.col("domainMetadata.domain") == domain)
+            .orderBy(F.desc("version"))
+            .select("domainMetadata.configuration", "domainMetadata.removed")
+            .limit(1)
+            .collect()
+        )
+        if not rows or rows[0].removed:
+            return None
+        return json.loads(rows[0].configuration or "{}")
+
+    def row_id_high_water_mark(self) -> int:
+        """Highest assigned fresh row id (``delta.rowTracking`` domain),
+        -1 when row tracking was never enabled."""
+        cfg = self.domain_metadata("delta.rowTracking")
+        if cfg is None:
+            return -1
+        return int(cfg.get("rowIdHighWaterMark", -1))
+
+    def row_ids(self, as_of: int | None = None) -> DataFrame:
+        """Snapshot plus Delta row-tracking lineage: ``_row_id`` =
+        the file's ``baseRowId`` + the row's PHYSICAL index (fresh row
+        ids per the spec — DV soft-deletes leave survivors' ids stable
+        because the physical index is captured before the anti-join),
+        and ``_row_commit_version`` = ``defaultRowCommitVersion``.
+
+        Scale shape: the per-file (path, baseRowId) map is |files| rows
+        and broadcasts; the data never shuffles."""
+        base = self.snapshot_with_positions(as_of)
+        use_ckpt = True if as_of is None else self._as_of_source(as_of)
+        acts = self.actions(use_checkpoint=use_ckpt)
+        if as_of is not None:
+            acts = acts.where(F.col("version") <= as_of)
+        adds = acts.where(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("_rel_path"),
+            F.col("add.baseRowId").alias("_base_row_id"),
+            F.col("add.defaultRowCommitVersion").alias("_row_commit_version"),
+            "version",
+        )
+        w = Window.partitionBy("_rel_path").orderBy(F.desc("version"))
+        latest = (
+            adds.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn", "version")
+        )
+        return (
+            base.join(F.broadcast(latest), "_rel_path", "left")
+            .withColumn(
+                "_row_id", F.col("_base_row_id") + F.col("_row_index")
+            )
+            .drop("_base_row_id")
+        )
+
     # -- deletion vectors --------------------------------------------------
 
     def deletion_vector_paths(self, as_of: int | None = None) -> list[str]:

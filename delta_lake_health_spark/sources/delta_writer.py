@@ -175,7 +175,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "appendOnly", "invariants", "checkConstraints", "generatedColumns",
         "changeDataFeed", "columnMapping", "deletionVectors",
-        "inCommitTimestamp", "v2Checkpoint",
+        "inCommitTimestamp", "v2Checkpoint", "rowTracking",
     }
 )
 # Legacy minWriterVersion -> the features it implies (Delta spec table);
@@ -324,6 +324,24 @@ def _protocol_upgrade_action(
                 ),
             }
         }
+    if feature == "rowTracking":
+        # writer-only table feature (readers may ignore row ids): the
+        # writer protocol moves to table features (7) and enumerates,
+        # the reader version is untouched
+        if w >= 7 and feature in p["writerFeatures"]:
+            return None
+        writer_feats = (
+            set(p["writerFeatures"]) if w >= 7
+            else set(_LEGACY_WRITER_FEATURES.get(w, set()))
+        )
+        proto: dict = {
+            "minReaderVersion": r,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(writer_feats | {feature}),
+        }
+        if r >= 3:
+            proto["readerFeatures"] = sorted(set(p["readerFeatures"]))
+        return {"protocol": proto}
     if feature in ("deletionVectors", "v2Checkpoint"):
         # table-features-only capabilities: upgrade to (3, 7) and
         # enumerate every feature the table already relies on
@@ -371,7 +389,108 @@ def _prev_in_commit_ts(table_path: str, version: int) -> int:
     return -1
 
 
+def _row_tracking_enabled(table_path: str) -> bool:
+    p = _latest_protocol_fs(table_path)
+    return (
+        p["minWriterVersion"] >= 7
+        and "rowTracking" in p["writerFeatures"]
+    )
+
+
+def _latest_row_id_hwm(table_path: str) -> int:
+    """Driver-side row-id high-water-mark lookup (same shape as
+    ``_latest_protocol_fs``: substring-screened newest-first scan of the
+    post-checkpoint JSON tail, checkpoint parquet fallback). -1 when the
+    ``delta.rowTracking`` domain was never written."""
+    log_dir = os.path.join(table_path, LOG_DIR)
+    try:
+        files = sorted(
+            (f for f in os.listdir(log_dir)
+             if f.endswith(".json") and f[:20].isdigit()),
+            reverse=True,
+        )
+    except FileNotFoundError:
+        return -1
+    ckpt_version = -1
+    try:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            ckpt_version = int(json.loads(fh.read())["version"])
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+
+    def hwm_of(dm: dict) -> int:
+        if dm.get("domain") != "delta.rowTracking" or dm.get("removed"):
+            return -1
+        cfg = json.loads(dm.get("configuration") or "{}")
+        return int(cfg.get("rowIdHighWaterMark", -1))
+
+    for f in files:
+        v = int(f[:20])
+        if v < ckpt_version:
+            break  # the checkpoint folds the latest domainMetadata
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if '"delta.rowTracking"' not in line:
+                    continue
+                a = json.loads(line)
+                if "domainMetadata" in a:
+                    return hwm_of(a["domainMetadata"])
+    try:
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            info = json.loads(fh.read())
+        from delta_lake_health_spark.sources.delta_log import (
+            checkpoint_file_names,
+        )
+
+        for name in checkpoint_file_names(info):
+            t = pq.read_table(os.path.join(log_dir, name))
+            if "domainMetadata" not in t.schema.names:
+                continue
+            for row in t.column("domainMetadata").to_pylist():
+                if row and row.get("domain") == "delta.rowTracking":
+                    return hwm_of(row)
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    return -1
+
+
+def _assign_row_ids(table_path: str, version: int, actions: list[dict]) -> None:
+    """Row-tracking assignment (in ``_commit`` so EVERY operator —
+    write, delete, merge, update, compact, clone — gets ids, and a
+    retried commit re-derives them from the then-current high-water
+    mark instead of reusing stale ones): each add action gets
+    ``baseRowId`` (fresh ids [base, base + numRecords - 1]) and
+    ``defaultRowCommitVersion``; the commit carries the advanced
+    ``delta.rowTracking`` domainMetadata."""
+    adds = [a["add"] for a in actions if "add" in a]
+    if not adds or not _row_tracking_enabled(table_path):
+        return
+    hwm = _latest_row_id_hwm(table_path)
+    for add in adds:
+        n = int(json.loads(add.get("stats") or "{}").get("numRecords", 0))
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        hwm += n
+    # replace any stale domainMetadata from a previous attempt
+    actions[:] = [
+        a for a in actions
+        if a.get("domainMetadata", {}).get("domain") != "delta.rowTracking"
+    ]
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+    )
+
+
 def _commit(table_path: str, version: int, actions: list[dict]) -> None:
+    _assign_row_ids(table_path, version, actions)
     # In-commit timestamps (Delta ICT): the commit's own monotonic
     # timestamp is the authority for timestampAsOf — max(wall clock,
     # predecessor + 1 ms), so clock skew between writers can never make
@@ -1425,6 +1544,11 @@ def clone_shallow(spark: SparkSession, source_path: str, target_path: str) -> in
         a = dict(a)
         if not os.path.isabs(a["path"]):
             a["path"] = os.path.join(src.table_path, a["path"])
+        # the clone starts without rowTracking (fresh v0 protocol):
+        # carrying the source's ids would collide with ids assigned from
+        # the clone's own (empty) high-water mark after a later enable
+        a.pop("baseRowId", None)
+        a.pop("defaultRowCommitVersion", None)
         actions.append({"add": a})
     actions.append(
         _commit_info(
@@ -1439,6 +1563,93 @@ def clone_shallow(spark: SparkSession, source_path: str, target_path: str) -> in
 
 
 DELETES_DIR = "_deletes"
+
+
+def enable_row_tracking(spark: SparkSession, table_path: str) -> int:
+    """Enable Delta row tracking (writer feature ``rowTracking``): every
+    subsequent commit's add actions carry ``baseRowId`` /
+    ``defaultRowCommitVersion`` (assigned centrally in ``_commit``), and
+    the ``delta.rowTracking`` domainMetadata tracks the id high-water
+    mark. Existing live files are BACKFILLED in a second commit
+    (dataChange=false re-adds), so ``DeltaLog.row_ids()`` resolves an id
+    for every row immediately.
+
+    Scope note (fresh vs stable ids, Delta spec): ids here are FRESH row
+    ids — stable under appends and DV soft-deletes, REASSIGNED by
+    file-rewriting operations (OPTIMIZE / UPDATE / MERGE rewrite);
+    stable-id materialization into a physical column is not implemented.
+    Returns the version of the backfill (or upgrade) commit."""
+    _require_writable(spark, table_path)
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    upgrade = _protocol_upgrade_action(spark, table_path, "rowTracking")
+    if upgrade is not None:
+        _commit(
+            table_path,
+            current_version(table_path) + 1,
+            [
+                upgrade,
+                _commit_info(
+                    "UPGRADE PROTOCOL",
+                    {"feature": "rowTracking"},
+                    {},
+                ),
+            ],
+        )
+    # backfill: re-add live files that predate row tracking so every
+    # current row resolves an id (assignment happens inside _commit)
+    log = DeltaLog(spark, table_path)
+    adds = (
+        log.actions()
+        .where(F.col("add").isNotNull())
+        .select(
+            F.col("add.path").alias("_p"),
+            F.col("add.baseRowId").alias("_base"),
+            "version",
+        )
+    )
+    live = log.active_files().select(
+        F.col("path").alias("_p"), F.col("version").alias("_v")
+    )
+    need = [
+        r._p
+        for r in adds.join(
+            live,
+            (adds["_p"] == live["_p"]) & (F.col("version") == F.col("_v")),
+            "left_semi",
+        )
+        .where(F.col("_base").isNull())
+        .select("_p")
+        .collect()
+    ]
+    version = current_version(table_path)
+    if not need:
+        return version
+    # re-add paired with a same-version remove: add outranks remove at
+    # the same version (the documented add-wins rule), so the file stays
+    # live while the incremental .crc checksum nets to zero instead of
+    # double-counting the re-added bytes
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        _add_action(table_path, rel, data_change=False) for rel in sorted(need)
+    ]
+    actions += [
+        {"remove": {"path": rel.replace(os.sep, "/"),
+                    "deletionTimestamp": now, "dataChange": False}}
+        for rel in sorted(need)
+    ]
+    actions.append(
+        _commit_info(
+            "ROW TRACKING BACKFILL",
+            {},
+            {"numBackfilledFiles": len(need)},
+        )
+    )
+    _commit(table_path, version + 1, actions)
+    return version + 1
 
 
 def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:

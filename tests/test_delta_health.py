@@ -1623,9 +1623,11 @@ def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
 
     t3 = str(tmp_path / "t3")
     delta_writer.write(spark, spark.range(0, 5).selectExpr("id"), t3)
+    # identityColumns: a real Delta writer feature this engine does NOT
+    # maintain (rowTracking graduated to supported in round 5)
     bump(t3, {"minReaderVersion": 3, "minWriterVersion": 7,
               "readerFeatures": ["timestampNtz"],
-              "writerFeatures": ["rowTracking"]})
+              "writerFeatures": ["identityColumns"]})
     with pytest.raises(ValueError, match="unsupported Delta reader features"):
         DeltaLog(spark, t3).snapshot()
     with pytest.raises(ValueError, match="unsupported Delta writer"):
