@@ -48,6 +48,7 @@ _VERIFY_FIRST = (
     "events_inter_event_gaps",
     "sketch_heavy_hitters",
     "sketch_user_overlap",
+    "embedding_pca_census",
     # (1b) new in round 5 — inserted here as they land
     "text_repeated_ngram_spans",
     "text_filter_funnel_census",

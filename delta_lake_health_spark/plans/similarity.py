@@ -899,3 +899,28 @@ def embedding_matryoshka_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dims")
     )
+
+
+# --------------------------------------------------------------------------
+# S11 — distributed PCA census (operators/pca.py): fit k=8 components on
+# the embedding corpus in ONE moment-accumulation pass (d x d state,
+# N-independent), then report each component's explained-variance share
+# and the cumulative curve — the "how many dims does this embedding
+# space really have" diagnostic read before choosing a matryoshka
+# truncation (S10) or PQ subspace split (S8). Rows-only by design, like
+# the sketches: eigendecomposition is not expressible in the oracle's
+# SQL; the numerical contracts (orthonormality, parity with numpy on the
+# same data, projection variance ordering) are pytest-asserted.
+@query("embedding_pca_census", None)
+def embedding_pca_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.pca import fit_pca
+
+    model = fit_pca(_emb(spark, sf_dir), "emb", k=8)
+    cum = 0.0
+    rows = []
+    for i, share in enumerate(model.explained):
+        cum += float(share)
+        rows.append((i, round(float(share), 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows, "component int, explained_share double, cum_share double"
+    )

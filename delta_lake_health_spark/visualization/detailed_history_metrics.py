@@ -55,7 +55,12 @@ def _as_rows(historical_df) -> list[dict]:
 
 def visualize_historical_trends(historical_df) -> Figure:
     rows = _as_rows(historical_df)
-    dates = [r.get("date", r.get("ts")) for r in rows]
+    # datetimes render as ISO strings so the figure dict stays plain-JSON
+    # serializable (plotly parses ISO date strings on the axis natively)
+    dates = [
+        d.isoformat(sep=" ") if hasattr(d, "isoformat") else d
+        for d in (r.get("date", r.get("ts")) for r in rows)
+    ]
 
     fig = make_subplots(
         rows=2, cols=2,

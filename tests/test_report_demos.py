@@ -127,7 +127,7 @@ def test_generate_visual_report_end_to_end(spark, tmp_path):
         assert entry["metrics"].table_path
         assert entry["history_ops"].get("WRITE", 0) >= 1
         assert entry["n_files"] == len(entry["file_uris"]) > 0
-        assert entry["metadata"].get("partitionColumns") == ["day"]
+        assert entry["metadata"].get("partition_columns") == ["day"]
         assert set(entry["figures"]) == {
             "health_dashboard", "skew_analysis", "file_distribution",
             "delta_operations", "historical_trends",

@@ -147,3 +147,49 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     hits = sum(len(got[q] & exact[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.5, f"recall@5 = {hits / total:.2f}"
+
+
+def test_pca_matches_numpy_and_is_orthonormal(spark):
+    """fit_pca's one-pass distributed moments must agree with a numpy
+    reference PCA on the same vectors (eigenvalue shares to 1e-9,
+    components up to sign), components orthonormal, projection = the
+    centered matmul."""
+    import numpy as np
+
+    from delta_lake_health_spark.operators.pca import fit_pca, project_pca
+    from delta_lake_health_spark.plans.similarity import _emb
+
+    sf = "/root/testdata/sf0.001"
+    df = _emb(spark, sf)
+    k = 6
+    model = fit_pca(df, "emb", k)
+
+    x = np.asarray([r.emb for r in df.select("emb").collect()])
+    assert model.n == x.shape[0]
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    ref_share = evals[:k] / evals.sum()
+    assert np.allclose(model.explained, ref_share, atol=1e-9)
+    # orthonormal components
+    eye = model.components.T @ model.components
+    assert np.allclose(eye, np.eye(k), atol=1e-9)
+    # projection equals the centered matmul and has descending variance
+    proj = project_pca(df, "emb", model)
+    y = {r.vec_id: r.pca for r in proj.select("vec_id", "pca").collect()}
+    ids = [r.vec_id for r in df.select("vec_id").collect()]
+    ys = np.asarray([y[i] for i in ids])
+    ref = (x - model.mean) @ model.components
+    assert np.allclose(ys, ref, atol=1e-9)
+    var = ys.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(k - 1))
+
+
+def test_pca_census_query_shape(spark):
+    from delta_lake_health_spark.plans.similarity import QUERIES
+
+    rows = QUERIES["embedding_pca_census"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 8
+    assert rows[0].explained_share >= rows[-1].explained_share
+    assert 0 < rows[-1].cum_share <= 1.0 + 1e-9
