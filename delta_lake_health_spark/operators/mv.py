@@ -107,10 +107,19 @@ def refresh_mv(
         {
             p
             for slot in changed_actions(src, last + 1, cur)
-            for p in slot["adds"] + slot["removes"] + slot["dvs"]
+            # a cdc commit's feed reads ONLY its change-data files
+            for p in (
+                slot["cdcs"]
+                if slot.get("cdcs")
+                else slot["adds"] + slot["removes"] + slot["dvs"]
+            )
         }
     )
-    sign = F.when(F.col(CHANGE_TYPE) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    # postimage rows fold like inserts, preimage rows like deletes — the
+    # signed-delta algebra is unchanged by true row-level updates
+    sign = F.when(
+        F.col(CHANGE_TYPE).isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
     delta_aggs = [F.sum(sign).alias("d_n")]
     delta_aggs += [
         F.sum(sign * F.col(c)).alias(f"d_{c}") for c in sum_cols

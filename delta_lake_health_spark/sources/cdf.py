@@ -97,11 +97,14 @@ def changed_actions(
             "remove_path"
         ),
         F.col("dv.path").alias("dv_path"),
+        F.col("cdc.path").alias("cdc_path"),
     ).collect()
     by_v: dict[int, dict] = {}
     for r in rows:
         slot = by_v.setdefault(
-            r.version, {"version": r.version, "adds": [], "removes": [], "dvs": []}
+            r.version,
+            {"version": r.version, "adds": [], "removes": [], "dvs": [],
+             "cdcs": []},
         )
         if r.add_path is not None:
             slot["adds"].append(r.add_path)
@@ -109,6 +112,8 @@ def changed_actions(
             slot["removes"].append(r.remove_path)
         if r.dv_path is not None:
             slot["dvs"].append(r.dv_path)
+        if r.cdc_path is not None:
+            slot["cdcs"].append(r.cdc_path)
     return [by_v[v] for v in sorted(by_v)]
 
 
@@ -155,6 +160,18 @@ def row_changes(
     parts: list[DataFrame] = []
     for slot in changed_actions(log, from_version, to_version):
         v = slot["version"]
+        if slot.get("cdcs"):
+            # Delta spec: when a commit carries cdc actions, its change
+            # data is EXACTLY those files (rows already tagged
+            # update_preimage/update_postimage) — the add/remove
+            # reconstruction below would double-report the rewrite
+            cdc = spark.read.parquet(
+                *[os.path.join(log.table_path, p) for p in slot["cdcs"]]
+            )
+            parts.append(
+                cdc.withColumn(COMMIT_VERSION, F.lit(v).cast("long"))
+            )
+            continue
         if slot["adds"]:
             parts.append(_tag(_read_raw(log, slot["adds"], v, False), "insert", v))
         if slot["removes"]:

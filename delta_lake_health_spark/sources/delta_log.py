@@ -118,6 +118,23 @@ ACTION_SCHEMA = StructType(
                 ]
             ),
         ),
+        # Change-data file (Delta spec's cdc action / AddCDCFile): a
+        # parquet under _change_data/ carrying this commit's row-level
+        # changes WITH their _change_type (update_preimage /
+        # update_postimage), written when delta.enableChangeDataFeed is
+        # set. Not part of table state (never checkpointed); CDF readers
+        # prefer it over add/remove reconstruction for its commit.
+        StructField(
+            "cdc",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField("partitionValues", _STR_MAP),
+                    StructField("size", LongType()),
+                    StructField("dataChange", BooleanType()),
+                ]
+            ),
+        ),
         # Domain metadata (Delta spec's domainMetadata action): named,
         # system-maintained configuration that rides the log — the row
         # tracking high-water mark lives in domain "delta.rowTracking".

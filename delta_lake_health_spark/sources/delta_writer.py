@@ -1565,6 +1565,32 @@ def clone_shallow(spark: SparkSession, source_path: str, target_path: str) -> in
 DELETES_DIR = "_deletes"
 
 
+CHANGE_DATA_DIR = "_change_data"
+
+
+def _write_change_data(spark: SparkSession, table_path: str, change) -> str:
+    """Write one commit's change-data parquet under ``_change_data/``
+    (underscore-prefixed: excluded from data-file listings and from the
+    folder walks, like ``_deletes``). Columns are the table's LOGICAL
+    names at write time plus ``_change_type``; the CDF reader unions
+    with allowMissingColumns, so files predating a later RENAME
+    null-fill exactly like old data files do. Returns the relative
+    path."""
+    out_dir = os.path.join(table_path, CHANGE_DATA_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".cdc-tmp-{uuid.uuid4().hex}")
+    change.coalesce(1).write.parquet(tmp)
+    part = next(
+        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+    )
+    rel = f"{CHANGE_DATA_DIR}/cdc-{uuid.uuid4().hex}.parquet"
+    os.rename(os.path.join(tmp, part), os.path.join(table_path, rel))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rel
+
+
 def enable_row_tracking(spark: SparkSession, table_path: str) -> int:
     """Enable Delta row tracking (writer feature ``rowTracking``): every
     subsequent commit's add actions carry ``baseRowId`` /
@@ -1789,6 +1815,32 @@ def update(
     _validate_constraints(spark, rewritten, table_path)
     n_updated = df.where(cond).count()
 
+    # CDF (Delta spec cdc action): with delta.enableChangeDataFeed set,
+    # the commit carries a _change_data file holding exactly the changed
+    # rows as update_preimage / update_postimage — so the feed reports
+    # true row-level updates instead of delete+insert pairs for every
+    # row of the rewritten files. Work ∝ |matched rows|, not file size.
+    cdc_rel: str | None = None
+    config = meta.get("configuration", {}) or {}
+    if str(config.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        matched = df.where(cond)
+        post = matched.select(
+            *[
+                (
+                    F.expr(set_exprs[c]).cast(dtypes[c]).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
+        for gcol, gexpr in gens.items():
+            post = post.withColumn(gcol, F.expr(gexpr).cast(dtypes[gcol]))
+        change = matched.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
+        cdc_rel = _write_change_data(spark, table_path, change)
+
     rewritten = _to_physical(spark, rewritten, table_path)
     partition_by = log.partition_columns()
     before = _list_parquet_rel(table_path)
@@ -1805,6 +1857,19 @@ def update(
                     "dataChange": True}}
         for rel in sorted(hit_files)
     ]
+    if cdc_rel is not None:
+        actions.append(
+            {
+                "cdc": {
+                    "path": cdc_rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(table_path, cdc_rel)
+                    ),
+                    "dataChange": False,
+                }
+            }
+        )
     actions.append(
         _commit_info("UPDATE", {"predicate": predicate},
                      {"numRemovedFiles": len(hit_files),

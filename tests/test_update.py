@@ -150,3 +150,101 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
     )
     snap2 = sorted(r.id for r in DeltaLog(spark, t).snapshot().collect())
     assert snap2 == sorted([*range(10), 1000])
+
+
+def test_update_writes_cdc_pre_post_images(spark, tmp_path):
+    """With delta.enableChangeDataFeed set, UPDATE commits carry a
+    _change_data file (Delta's cdc action): the feed reports exactly the
+    matched rows as update_preimage/update_postimage — NOT delete+insert
+    pairs for every row of the rewritten files."""
+    from delta_lake_health_spark.sources.cdf import row_changes
+
+    t = str(tmp_path / "cdc_upd")
+    delta_writer.write(
+        spark,
+        spark.range(0, 100).selectExpr(
+            "id", "CAST(id % 10 AS DOUBLE) AS v"
+        ).repartition(2),
+        t,
+    )
+    delta_writer.set_table_property(
+        spark, t, "delta.enableChangeDataFeed", "true"
+    )
+    v = delta_writer.update(spark, t, "id % 20 = 3", {"v": "v + 100.0"})
+
+    ch = row_changes(spark, t, from_version=v, to_version=v).collect()
+    # 5 matched rows -> 5 preimages + 5 postimages, nothing else
+    assert len(ch) == 10
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    pre = {r.id: r.v for r in by_type["update_preimage"]}
+    post = {r.id: r.v for r in by_type["update_postimage"]}
+    assert set(pre) == set(post) == {3, 23, 43, 63, 83}
+    for i in pre:
+        assert post[i] == pre[i] + 100.0
+    assert all(r._commit_version == v for r in ch)
+    # the cdc action is in the commit; table state is unaffected
+    import json as _json
+    import os as _os
+
+    acts = [
+        _json.loads(line)
+        for line in open(_os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert any("cdc" in a for a in acts)
+    snap = {r.id: r.v for r in DeltaLog(spark, t).snapshot().collect()}
+    assert len(snap) == 100 and snap[3] == 103.0 and snap[4] == 4.0
+
+
+def test_update_without_cdf_property_keeps_delete_insert_feed(spark, tmp_path):
+    from delta_lake_health_spark.sources.cdf import row_changes
+
+    t = str(tmp_path / "nocdc_upd")
+    delta_writer.write(
+        spark,
+        spark.range(0, 40).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .repartition(1),
+        t,
+    )
+    v = delta_writer.update(spark, t, "id = 7", {"v": "0.0"})
+    types = {
+        r._change_type
+        for r in row_changes(spark, t, from_version=v, to_version=v).collect()
+    }
+    assert types == {"insert", "delete"}  # reconstruction path unchanged
+
+
+def test_mv_refresh_folds_cdc_updates(spark, tmp_path):
+    """Incremental MV maintenance over a CDF-enabled source: an UPDATE's
+    pre/postimage rows fold as -old +new, and the refresh plans ONLY the
+    change-data file for that commit."""
+    from delta_lake_health_spark.operators import mv as mv_ops
+
+    src = str(tmp_path / "cdc_src")
+    view = str(tmp_path / "cdc_view")
+    delta_writer.write(
+        spark,
+        spark.range(0, 90).selectExpr(
+            "id", "CAST(id % 3 AS BIGINT) AS k", "CAST(id AS BIGINT) AS v"
+        ).repartition(2),
+        src,
+    )
+    delta_writer.set_table_property(
+        spark, src, "delta.enableChangeDataFeed", "true"
+    )
+    mv_ops.create_mv(spark, src, view, ["k"], ["v"])
+    out = delta_writer.update(spark, src, "k = 1", {"v": "v + 1000"})
+    res = mv_ops.refresh_mv(spark, src, view, ["k"], ["v"])
+    assert res["refreshed"]
+    assert all(f.startswith("_change_data/") for f in res["files_read"])
+    got = {r.k: (r.n_rows, r.sum_v) for r in mv_ops.read_mv(spark, view).collect()}
+    exp = {}
+    for i in range(90):
+        k = i % 3
+        v2 = i + 1000 if k == 1 else i
+        n, s = exp.get(k, (0, 0))
+        exp[k] = (n + 1, s + v2)
+    assert got == exp
+    del out
