@@ -49,6 +49,7 @@ _VERIFY_FIRST = (
     "sketch_heavy_hitters",
     "sketch_user_overlap",
     "embedding_pca_census",
+    "text_bpe_tokenize_fertility",
     # (1b) new in round 5 — inserted here as they land
     "text_repeated_ngram_spans",
     "text_filter_funnel_census",

@@ -1423,3 +1423,47 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T24 — BPE tokenizer fertility census (operators/bpe.py): learn 48
+# merges on the |vocab|-bounded word-frequency table, tokenize each
+# DISTINCT word once driver-side, broadcast the word -> token-count map
+# back, and report per-language fertility (BPE tokens per word / per
+# char) — the number a tokenizer owner checks per language before
+# fixing a vocab. The corpus path is pure JVM (explode + broadcast
+# join); Python only ever touches the bounded vocab. Rows-only by
+# design: iterative merge learning is not expressible in the oracle's
+# SQL; learn/apply parity is pytest-asserted against an independent
+# reference implementation.
+_BPE_MERGES = 48
+
+
+@query("text_bpe_tokenize_fertility", None)
+def text_bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.bpe import token_count_map
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(toks()).alias("word")
+    ).localCheckpoint()  # vocab build and census join share one pass
+    vocab = [
+        (r.word, r.f)
+        for r in words.groupBy("word").agg(F.count(F.lit(1)).alias("f")).collect()
+    ]
+    _, counts = token_count_map(vocab, _BPE_MERGES)
+    tokmap = spark.createDataFrame(
+        list(counts.items()), "word string, n_bpe int"
+    )
+    return (
+        words.join(F.broadcast(tokmap), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
