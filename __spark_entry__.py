@@ -55,6 +55,7 @@ _VERIFY_FIRST = (
     "text_filter_funnel_census",
     "documents_stratified_sample",
     "delta_row_ids",
+    "delta_skipping_conjunction",
     # (2) oldest green row is r3; dedup/corpus code moved in round 4
     "dedup_clusters",
     "dedup_shingle_duplication",

@@ -311,6 +311,66 @@ def delta_skipping_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D26b — conjunctive skipping + partition pruning in ONE log pass:
+# files passing (idx interval) AND (val interval) AND (day IN set).
+# The oracle replays the identical reconciliation + per-column interval
+# tests + partitionValues membership from the raw log, so a missed
+# conjunct or a partition filter applied to the wrong reconciliation
+# rank breaks the hash.
+_MSKIP = {"idx": (90, 610), "val": (20.0, 26.0), "days": ("Mon", "Tue")}
+
+_MULTI_SKIPPING_ORACLE = f"""
+    WITH acts AS (
+      SELECT *, CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT)
+               AS version
+      FROM read_json('{FIXTURE_PATH}/_delta_log/*.json',
+                     format='newline_delimited', filename=true,
+                     columns={_FIXTURE_LOG_COLUMNS})
+    ),
+    ranked AS (
+      SELECT COALESCE(add.path, remove.path) AS path,
+             add IS NOT NULL AS is_add,
+             CAST(json_extract_string(add.stats, '$.minValues.idx') AS DOUBLE)
+               AS ilo,
+             CAST(json_extract_string(add.stats, '$.maxValues.idx') AS DOUBLE)
+               AS ihi,
+             CAST(json_extract_string(add.stats, '$.minValues.val') AS DOUBLE)
+               AS vlo,
+             CAST(json_extract_string(add.stats, '$.maxValues.val') AS DOUBLE)
+               AS vhi,
+             add.partitionValues.day AS day,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(add.path, remove.path)
+               ORDER BY version DESC, (add IS NOT NULL) DESC) AS rn
+      FROM acts WHERE add IS NOT NULL OR remove IS NOT NULL
+    )
+    SELECT path FROM ranked
+    WHERE rn = 1 AND is_add
+      AND (ilo IS NULL OR ihi IS NULL
+           OR (ihi >= {_MSKIP["idx"][0]} AND ilo <= {_MSKIP["idx"][1]}))
+      AND (vlo IS NULL OR vhi IS NULL
+           OR (vhi >= {_MSKIP["val"][0]} AND vlo <= {_MSKIP["val"][1]}))
+      AND day IN ('{_MSKIP["days"][0]}', '{_MSKIP["days"][1]}')
+    ORDER BY path
+"""
+
+
+@query("delta_skipping_conjunction", _MULTI_SKIPPING_ORACLE)
+def delta_skipping_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    path = ensure_fixture()
+    return (
+        DeltaLog(spark, path)
+        .pruned_files_multi(
+            [("idx", *_MSKIP["idx"]), ("val", *_MSKIP["val"])],
+            partition_filter={"day": list(_MSKIP["days"])},
+        )
+        .orderBy("path")
+    )
+
+
+# --------------------------------------------------------------------------
 # D31 end-to-end — deletion vectors applied by BOTH engines from first
 # principles: Spark reconstructs the snapshot and anti-joins the
 # position-delete sidecar via _metadata.row_index; the oracle replays the

@@ -1553,30 +1553,51 @@ class DeltaLog:
         written before stats existed (no min/max) are conservatively
         kept. Z-order clustering narrows per-file intervals, which is
         exactly what makes this prune selective."""
-        # stats keys carry PHYSICAL column names (footer-derived)
-        column = self.column_mapping(self.metadata().get("schema")).get(
-            column, column
-        )
-        lo_s = F.get_json_object(F.col("stats"), f"$.minValues.{column}")
-        hi_s = F.get_json_object(F.col("stats"), f"$.maxValues.{column}")
-        numeric = isinstance(lower, (int, float))
-        lo = lo_s.cast("double") if numeric else lo_s
-        hi = hi_s.cast("double") if numeric else hi_s
-        keep = (
-            lo_s.isNull()
-            | hi_s.isNull()
-            | ((hi >= F.lit(lower)) & (lo <= F.lit(upper)))
-        )
+        return self.pruned_files_multi([(column, lower, upper)])
+
+    def pruned_files_multi(
+        self,
+        predicates: list[tuple],
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        """Conjunctive data skipping: live files passing EVERY
+        ``(column, lower, upper)`` interval test AND the optional
+        partition filter (``{col: value-or-list}`` on the logged
+        partitionValues — pure partition pruning, no stats needed).
+        Per-column missing stats are conservatively kept; the whole
+        evaluation is one filter over |files| rows, never a data read —
+        at 100 TB this is the difference between planning from GBs of
+        log and listing/reading the table."""
+        keep = F.lit(True)
+        mapping = self.column_mapping(self.metadata().get("schema"))
+        for column, lower, upper in predicates:
+            # stats keys carry PHYSICAL column names (footer-derived)
+            phys = mapping.get(column, column)
+            lo_s = F.get_json_object(F.col("stats"), f"$.minValues.{phys}")
+            hi_s = F.get_json_object(F.col("stats"), f"$.maxValues.{phys}")
+            numeric = isinstance(lower, (int, float))
+            lo = lo_s.cast("double") if numeric else lo_s
+            hi = hi_s.cast("double") if numeric else hi_s
+            keep = keep & (
+                lo_s.isNull()
+                | hi_s.isNull()
+                | ((hi >= F.lit(lower)) & (lo <= F.lit(upper)))
+            )
+        for col, want in (partition_filter or {}).items():
+            vals = [str(v) for v in (want if isinstance(want, (list, tuple, set)) else [want])]
+            keep = keep & F.col("partitionValues")[col].isin(vals)
         acts = self.actions()
         adds = acts.where(F.col("add").isNotNull()).select(
             F.col("add.path").alias("path"),
             F.col("add.stats").alias("stats"),
+            F.col("add.partitionValues").alias("partitionValues"),
             "version",
             F.lit(1).alias("is_add"),
         )
         removes = acts.where(F.col("remove").isNotNull()).select(
             F.col("remove.path").alias("path"),
             F.lit(None).cast("string").alias("stats"),
+            F.lit(None).cast(_STR_MAP).alias("partitionValues"),
             "version",
             F.lit(0).alias("is_add"),
         )
