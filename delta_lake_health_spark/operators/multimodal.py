@@ -325,12 +325,191 @@ def _decode_y4m_header(payload: bytes) -> dict:
             "n_bytes": n_frames * frame_size}
 
 
+# --- GIF: a real LZW-compressed format, decoded codec-free ----------------
+# (GIF87a/89a per the CompuServe spec; LZW is pure algorithm, so unlike
+# JPEG/PNG no codec library is needed — the whole decode is ~60 lines.)
+
+
+def _gif_palette(media_id: int) -> bytes:
+    """Deterministic 256-entry RGB global color table."""
+    out = bytearray()
+    i = 0
+    while len(out) < 768:
+        out += hashlib.sha256(f"gifpal:{media_id}:{i}".encode()).digest()
+        i += 1
+    return bytes(out[:768])
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/END codes,
+    code width grows when the table fills (cap 12 bits), KwKwK case."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def base_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = base_table()
+    code_size = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = base_table()
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if code < len(table) and (code < clear or code > end):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise NotImplementedError(f"corrupt LZW code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at pos; return (data, next)."""
+    out = bytearray()
+    while True:
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out += payload[pos : pos + n]
+        pos += n
+
+
+def encode_gif(media_id: int, width: int, height: int) -> bytes:
+    """A REAL single-frame GIF89a (global 256-color table, LZW image
+    data in the fixed-9-bit form: CLEAR emitted before the table can
+    force a width change — the classic 'uncompressed GIF' encoding every
+    conformant decoder accepts)."""
+    idx = bytearray()
+    for p in range(width * height):
+        idx.append(
+            hashlib.sha256(f"gif:{media_id}:{p}".encode()).digest()[0]
+        )
+    clear, end = 256, 257
+    codes: list[int] = []
+    for i, px in enumerate(idx):
+        if i % 128 == 0:
+            codes.append(clear)
+        codes.append(px)
+    codes.append(end)
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:  # 9-bit LSB-first, width never grows (cleared early)
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    blocks = bytearray()
+    for off in range(0, len(packed), 255):
+        chunk = packed[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF7, 0, 0])  # GCT present, 256 entries
+        + _gif_palette(media_id)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
+def _gif_walk(payload: bytes):
+    """Yield (left, top, w, h, interlaced, palette, lzw_data) per frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    pos = 10
+    packed = payload[pos]
+    pos += 3
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        mcs = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        yield left, top, w, h, bool(ipacked & 0x40), pal, (mcs, data)
+
+
+def _decode_gif_header(payload: bytes) -> dict:
+    w, h = struct.unpack("<HH", payload[6:10])
+    n_frames = sum(1 for _ in _gif_walk(payload))
+    return {"width": w, "height": h, "n_frames": n_frames,
+            "n_bytes": n_frames * w * h * 3}
+
+
+def gif_pixels(payload: bytes) -> bytes:
+    """Fully decode the FIRST frame to RGB bytes: LZW-decompress the
+    index stream, then map through the active color table."""
+    for left, top, w, h, interlaced, pal, (mcs, data) in _gif_walk(payload):
+        if interlaced:
+            raise NotImplementedError("interlaced GIF not supported")
+        if pal is None:
+            raise NotImplementedError("GIF frame without a color table")
+        idx = _lzw_decode(data, mcs)
+        if len(idx) < w * h:
+            raise NotImplementedError(
+                f"short LZW stream: {len(idx)} of {w * h} pixels"
+            )
+        out = bytearray()
+        for p in idx[: w * h]:
+            out += pal[3 * p : 3 * p + 3]
+        return bytes(out)
+    raise NotImplementedError("GIF has no image frame")
+
+
 def _decode_payload(payload: bytes) -> dict:
     """Parse the payload header: real BMP/WAV/Y4M, synthetic SIMG/SVID,
     then a Pillow fallback for other real image formats. Non-audio
     formats report sample_rate 0."""
     if payload[:2] == b"BM":
         return {**_decode_bmp_header(payload), "sample_rate": 0}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return {**_decode_gif_header(payload), "sample_rate": 0}
     if payload[:4] == b"RIFF":
         d = _decode_wav_header(payload)
         return {k: d[k] for k in
@@ -378,6 +557,9 @@ def media_row(i: int) -> tuple[str, bytes, int, int, int, int]:
     if i % 8 == 6:  # real PCM16 WAV audio (n_frames = samples)
         ns, rate = 800 + (i % 7) * 37, 8000 + (i % 3) * 4000
         return "wav", encode_wav(i, ns, rate), 0, 0, ns, rate
+    if i % 8 == 2:  # real LZW-compressed GIF89a
+        w, h = 10 + (i % 4) * 3, 8 + (i % 3) * 2
+        return "gif", encode_gif(i, w, h), w, h, 1, 0
     w, h = 64 + (i % 7) * 32, 48 + (i % 4) * 32
     return "image", encode_image(i, w, h), w, h, 1, 0
 

@@ -47,6 +47,7 @@ def query(name: str, sql: str | None):
     SELECT media_id, media_type, width, height, n_frames, sample_rate,
            CAST(CASE media_type
                      WHEN 'bmp'   THEN width * height * 3
+                     WHEN 'gif'   THEN width * height * 3
                      WHEN 'image' THEN octet_length(payload) - 12
                      WHEN 'video' THEN octet_length(payload) - 16
                      WHEN 'wav'   THEN n_frames * 2

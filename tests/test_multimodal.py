@@ -73,8 +73,9 @@ def test_featurize(spark, media):
 
 def test_media_stats(spark, media):
     stats = {r.media_type: r for r in mm.media_stats(mm.decode_media(media)).collect()}
-    assert stats["image"].n_media == 24
+    assert stats["image"].n_media == 16
     assert stats["bmp"].n_media == 16
+    assert stats["gif"].n_media == 8
     assert stats["video"].n_media == 8
     assert stats["y4m"].n_media == 8
     assert stats["wav"].n_media == 8
@@ -225,3 +226,103 @@ def test_y4m_is_a_real_decode(spark):
     assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
     by_idx = {r.frame_idx: r.frame_checksum for r in rows}
     assert by_idx[2] == hashlib.md5(frames[2]).hexdigest()
+
+
+# ---- GIF / LZW (round-5) ---------------------------------------------------
+
+def _pack_lsb(codes, widths):
+    """Independent LSB-first bit packer for hand-built LZW streams."""
+    acc = nbits = 0
+    out = bytearray()
+    for c, w in zip(codes, widths):
+        acc |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_hand_derived_vectors():
+    """Ground truth worked by hand from the GIF spec's LZW semantics —
+    NOT produced by our encoder, so encoder and decoder can't be wrong
+    together."""
+    from delta_lake_health_spark.operators.multimodal import _lzw_decode
+
+    # mcs=2 (clear=4, end=5), all 3-bit codes:
+    # 4(clear) 1 2 4(clear) 0 0 5(end)  ->  indices 1,2,0,0
+    data = _pack_lsb([4, 1, 2, 4, 0, 0, 5], [3] * 7)
+    assert _lzw_decode(data, 2) == bytes([1, 2, 0, 0])
+
+    # KwKwK: 4(clear) 0 6 5(end) — code 6 not yet in the table ->
+    # prev + prev[0] = 0,0 ; total output 0,0,0
+    data = _pack_lsb([4, 0, 6, 5], [3] * 4)
+    assert _lzw_decode(data, 2) == bytes([0, 0, 0])
+
+    # dictionary reuse: 4(clear) 1 0 6 5(end) — 6 = "1,0" learned from
+    # the first two literals -> output 1,0,1,0
+    data = _pack_lsb([4, 1, 0, 6, 5], [3] * 5)
+    assert _lzw_decode(data, 2) == bytes([1, 0, 1, 0])
+
+
+def test_lzw_code_width_growth():
+    """After the table fills 2^width entries the code width must grow
+    (3 -> 4 bits with mcs=2): hand-packed stream with the width change
+    at exactly the spec'd position."""
+    from delta_lake_health_spark.operators.multimodal import _lzw_decode
+
+    # mcs=2: base table len 6. Literals 0,1,2,3,0 learn 4 entries
+    # (table 6->10); after the append that makes len==8 the width is 4,
+    # so codes are 3,3,3 then 4-bit from the point len(table)==8.
+    # Walk: clear(3b) 0(3b) 1(3b: len->7) 2(3b: len->8, width->4)
+    #       3(4b: len->9) 0(4b: len->10) end(4b)
+    codes = [4, 0, 1, 2, 3, 0, 5]
+    widths = [3, 3, 3, 3, 4, 4, 4]
+    data = _pack_lsb(codes, widths)
+    assert _lzw_decode(data, 2) == bytes([0, 1, 2, 3, 0])
+
+
+def test_gif_roundtrip_and_known_layout():
+    from delta_lake_health_spark.operators.multimodal import (
+        _decode_gif_header,
+        _gif_palette,
+        encode_gif,
+        gif_pixels,
+    )
+    import hashlib as _hl
+
+    payload = encode_gif(9, 10, 8)
+    assert payload[:6] == b"GIF89a"
+    assert payload[-1:] == b"\x3b"
+    hdr = _decode_gif_header(payload)
+    assert hdr == {"width": 10, "height": 8, "n_frames": 1,
+                   "n_bytes": 10 * 8 * 3}
+    rgb = gif_pixels(payload)
+    assert len(rgb) == 10 * 8 * 3
+    # first pixel: palette entry of the deterministic first index
+    pal = _gif_palette(9)
+    first_idx = _hl.sha256(b"gif:9:0").digest()[0]
+    assert rgb[:3] == pal[3 * first_idx : 3 * first_idx + 3]
+
+
+def test_gif_flows_through_decode_media(spark):
+    from delta_lake_health_spark.operators.multimodal import (
+        decode_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 24)
+    got = {
+        r.media_id: r
+        for r in decode_media(media).collect()
+    }
+    gif_ids = [i for i in range(24) if i % 8 == 2]
+    assert gif_ids
+    for i in gif_ids:
+        r = got[i]
+        assert r.media_type == "gif"
+        assert r.n_bytes == r.width * r.height * 3
+        assert r.n_frames == 1 and r.sample_rate == 0
