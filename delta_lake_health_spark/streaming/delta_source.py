@@ -194,6 +194,11 @@ class DeltaFilePartition(InputPartition):
     fields: list = field(default_factory=list)
     # hive partition values parsed from the path: {logical_name: str}
     partition_values: dict = field(default_factory=dict)
+    # "data" (an added data file) or "cdc" (a _change_data file whose
+    # rows carry their own _change_type; columns are logical names)
+    kind: str = "data"
+    # readChangeFeed mode: append _change_type/_commit_version columns
+    cdf: bool = False
 
 
 class DeltaTailStreamReader(DataSourceStreamReader):
@@ -227,6 +232,13 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # Delta's "initial snapshot then changes" streaming semantics.
         self.bootstrap = str(
             options.get("bootstrapsnapshot", "false")
+        ).lower() in ("true", "1")
+        # readChangeFeed (Delta's streaming CDF): rows gain _change_type
+        # and _commit_version; commits carrying cdc actions feed their
+        # change-data files VERBATIM (true update_preimage/postimage)
+        # instead of their add files, appends feed as inserts
+        self.cdf = str(
+            options.get("readchangefeed", "false")
         ).lower() in ("true", "1")
         # Planning floor for the cap. The API gives latestOffset() no
         # start argument (and calls it before initialOffset), so the
@@ -361,6 +373,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                         version=int(start["version"]),
                         fields=fields,
                         partition_values=dict(a.get("partitionValues") or {}),
+                        cdf=self.cdf,
                     )
                 )
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -374,6 +387,26 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     f"{retained[0] if retained else 'none'} — set "
                     "startingVersion there or bootstrap from a snapshot"
                 ) from None
+            cdc_rels = [
+                a["cdc"]["path"] for a in acts
+                if "cdc" in a and a["cdc"].get("path")
+            ]
+            if self.cdf and cdc_rels:
+                # Delta spec: a commit with cdc actions feeds EXACTLY its
+                # change-data files (rows carry their own _change_type);
+                # its add/remove actions describe the rewrite, not the
+                # change, so they are skipped entirely
+                for rel in cdc_rels:
+                    parts.append(
+                        DeltaFilePartition(
+                            abs_path=os.path.join(self.table_path, rel),
+                            version=v,
+                            fields=fields,
+                            kind="cdc",
+                            cdf=True,
+                        )
+                    )
+                continue
             for act in acts:
                 if "remove" in act and act["remove"].get("dataChange"):
                     if not self.ignore_deletes:
@@ -381,6 +414,11 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                             f"delta_tail: version {v} removes data "
                             f"({act['remove']['path']}); streaming reads are "
                             "append-only — set ignoreDeletes to skip"
+                            + (
+                                " (readChangeFeed streams full deletes only "
+                                "for commits that wrote change-data files)"
+                                if self.cdf else ""
+                            )
                         )
                 if "dv" in act and not self.ignore_deletes:
                     raise RuntimeError(
@@ -397,6 +435,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                             partition_values=dict(
                                 act["add"].get("partitionValues") or {}
                             ),
+                            cdf=self.cdf,
                         )
                     )
         return parts
@@ -418,8 +457,11 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             arrow_t = to_arrow_type(
                 _parse_datatype_json_string(json.dumps(json.loads(type_json)))
             )
-            if physical in table.column_names:
-                col = table.column(physical)
+            # change-data files store LOGICAL names (delta_writer
+            # contract); data files store physical names
+            in_file = logical if partition.kind == "cdc" else physical
+            if in_file in table.column_names:
+                col = table.column(in_file)
                 if col.type != arrow_t:
                     col = col.cast(arrow_t)
             elif logical in partition.partition_values:
@@ -430,6 +472,17 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 col = pa.nulls(n, arrow_t)
             out_cols.append(col)
             out_names.append(logical)
+        if partition.cdf:
+            if partition.kind == "cdc":
+                ct = table.column("_change_type").cast(pa.string())
+            else:
+                ct = pa.array(["insert"] * n, pa.string())
+            out_cols.append(ct)
+            out_names.append("_change_type")
+            out_cols.append(
+                pa.array([partition.version] * n, pa.int64())
+            )
+            out_names.append("_commit_version")
         out = pa.table(out_cols, names=out_names)
         yield from out.to_batches(max_chunksize=1 << 16)
 
@@ -446,7 +499,16 @@ class DeltaTailDataSource(DataSource):
         schema = _latest_schema(path)
         if schema is None:
             raise ValueError(f"no Delta log at {path}")
-        return StructType.fromJson(schema)
+        out = StructType.fromJson(schema)
+        if str(self.options.get("readchangefeed", "false")).lower() in (
+            "true", "1",
+        ):
+            from pyspark.sql.types import LongType, StringType
+
+            out = out.add("_change_type", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return out
 
     def streamReader(self, schema: StructType) -> DeltaTailStreamReader:
         return DeltaTailStreamReader(schema, self.options)

@@ -288,3 +288,50 @@ def test_max_bytes_per_trigger_paces_by_size(spark, tmp_path):
     assert len(offsets) >= 4, sorted(offsets)
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(80))
+
+
+# ---- readChangeFeed (streaming CDF, round 5) -------------------------------
+
+def test_read_change_feed_appends_are_inserts(spark, tmp_path):
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 30).coalesce(1), t)
+    delta_writer.write(spark, _ids(spark, 30, 50).coalesce(1), t)
+    df = _drain(spark, t, out, ckpt, readChangeFeed=True)
+    assert set(df.columns) == {"id", "k", "_change_type", "_commit_version"}
+    rows = df.collect()
+    assert len(rows) == 50
+    assert {r._change_type for r in rows} == {"insert"}
+    assert {r._commit_version for r in rows} == {0, 1}
+
+
+def test_read_change_feed_streams_update_images(spark, tmp_path):
+    """An UPDATE on a CDF-enabled table streams as true pre/post images
+    read from the commit's change-data file — the rewrite's add files
+    never feed the stream."""
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 40).coalesce(1), t)
+    delta_writer.set_table_property(
+        spark, t, "delta.enableChangeDataFeed", "true"
+    )
+    _drain(spark, t, out, ckpt, readChangeFeed=True)
+    v = delta_writer.update(spark, t, "id < 4", {"k": "k + 100"})
+    df = _drain(spark, t, out, ckpt, readChangeFeed=True)
+    batch = [r for r in df.collect() if r._commit_version == v]
+    assert len(batch) == 8  # 4 pre + 4 post, NOT the 40-row rewrite
+    pre = {r.id: r.k for r in batch if r._change_type == "update_preimage"}
+    post = {r.id: r.k for r in batch if r._change_type == "update_postimage"}
+    assert set(pre) == set(post) == {0, 1, 2, 3}
+    for i in pre:
+        assert post[i] == pre[i] + 100
+
+
+def test_read_change_feed_update_without_cdc_fails(spark, tmp_path):
+    """An UPDATE on a table WITHOUT change data feed rewrites files via
+    remove+add; the CDF stream must refuse (not fabricate row-level
+    changes), same contract as the plain tail."""
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 20).coalesce(1), t)
+    _drain(spark, t, out, ckpt, readChangeFeed=True)
+    delta_writer.update(spark, t, "id = 1", {"k": "0"})
+    with pytest.raises(Exception, match="ignoreDeletes|removes data"):
+        _drain(spark, t, out, ckpt, readChangeFeed=True)
