@@ -19,13 +19,17 @@ def test_registry_integrity():
     assert list(qs)[: len(e._VERIFY_FIRST)] == [
         n for n in e._VERIFY_FIRST if n in qs
     ]
-    # only the by-design rows-only sketch queries lack oracles
+    # only the by-design rows-only queries lack oracles (sketches +
+    # the eigendecomposition/iterative-BPE censuses — none expressible
+    # in the oracle's SQL)
     assert sorted(set(qs) - set(orc)) == [
+        "embedding_pca_census",
         "events_windowed_hll_users",
         "sketch_approx_distinct",
         "sketch_approx_percentiles",
         "sketch_heavy_hitters",
         "sketch_user_overlap",
+        "text_bpe_tokenize_fertility",
     ]
 
 
