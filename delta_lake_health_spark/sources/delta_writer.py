@@ -1336,6 +1336,15 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
         )
         return version + 1
 
+    cdc_rel: str | None = None
+    if _cdf_enabled(log.metadata()):
+        change = (
+            snap.where(F.expr(predicate))
+            .drop("_rel_path", "_row_index")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_rel = _write_change_data(spark, table_path, change)
+
     # rewrite survivors of the hit files only, preserving partitioning;
     # DV-aware read so soft-deleted positions don't resurrect
     survivors = log.read_data_files(sorted(hit_files)).where(~F.expr(predicate))
@@ -1355,6 +1364,8 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
                     "dataChange": True}}
         for rel in sorted(hit_files)
     ]
+    if cdc_rel is not None:
+        actions.append(_cdc_action(table_path, cdc_rel))
     actions.append(
         _commit_info("DELETE", {"predicate": predicate},
                      {"numRemovedFiles": len(hit_files),
@@ -1442,6 +1453,43 @@ def merge(
             .collect()
         }
 
+    cdc_rel: str | None = None
+    if _cdf_enabled(log.metadata()):
+        # change rows, whole-row-update semantics: matched target rows
+        # are preimages, their source rows postimages; unmatched source
+        # rows are inserts; condition-qualified unmatched target rows
+        # are deletes. All derived from frames already computed — one
+        # extra narrow write ∝ |changed rows|.
+        out_cols = [c for c in source.columns]
+        tgt = snap.drop("_rel_path", "_row_index").select(*out_cols)
+        matched_tgt = tgt.join(F.broadcast(keys), key_cols, "left_semi")
+        matched_keys = matched_tgt.select(*key_cols).distinct()
+        src_upd = source.select(*out_cols).join(
+            F.broadcast(matched_keys), key_cols, "left_semi"
+        )
+        src_ins = source.select(*out_cols).join(
+            F.broadcast(matched_keys), key_cols, "left_anti"
+        )
+        change = (
+            matched_tgt.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                src_upd.withColumn("_change_type", F.lit("update_postimage"))
+            )
+            .unionByName(src_ins.withColumn("_change_type", F.lit("insert")))
+        )
+        if not_matched_by_source_delete is not None:
+            deleted = (
+                tgt.join(F.broadcast(keys), key_cols, "left_anti")
+                .where(
+                    F.coalesce(
+                        F.expr(not_matched_by_source_delete), F.lit(False)
+                    )
+                )
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            change = change.unionByName(deleted)
+        cdc_rel = _write_change_data(spark, table_path, change)
+
     before = _list_parquet_rel(table_path)
     if hit_files:
         survivors = log.read_data_files(sorted(hit_files)).join(
@@ -1475,6 +1523,8 @@ def merge(
                     "dataChange": True}}
         for rel in sorted(hit_files)
     ]
+    if cdc_rel is not None:
+        actions.append(_cdc_action(table_path, cdc_rel))
     if txn_app_id is not None:
         actions.append(
             {"txn": {"appId": txn_app_id, "version": txn_version,
@@ -1566,6 +1616,22 @@ DELETES_DIR = "_deletes"
 
 
 CHANGE_DATA_DIR = "_change_data"
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    config = (meta or {}).get("configuration", {}) or {}
+    return str(config.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def _cdc_action(table_path: str, rel: str) -> dict:
+    return {
+        "cdc": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table_path, rel)),
+            "dataChange": False,
+        }
+    }
 
 
 def _write_change_data(spark: SparkSession, table_path: str, change) -> str:
@@ -1720,6 +1786,17 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
         return version + 1
     dv_rel = f"{DELETES_DIR}/dv-{version + 1:020d}"
     hits.coalesce(1).write.parquet(os.path.join(table_path, dv_rel))
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(log.metadata()):
+        change = (
+            log.snapshot_with_positions()
+            .where(F.expr(predicate))
+            .drop("_rel_path", "_row_index")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_actions = [
+            _cdc_action(table_path, _write_change_data(spark, table_path, change))
+        ]
     # first DV on this table: the same commit upgrades the protocol to
     # the table-features form with deletionVectors enumerated, so
     # conforming readers without DV support refuse instead of reading
@@ -1731,6 +1808,7 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
         ([upgrade] if upgrade else [])
         + [
             {"dv": {"path": dv_rel, "numDeletedRows": n}},
+            *cdc_actions,
             _commit_info("DELETE", {"predicate": predicate, "mode": "dv"},
                          {"numDeletedRows": n, "numRewrittenFiles": 0}),
         ],
@@ -1751,8 +1829,10 @@ def update(
     remove+add with operation UPDATE, mirroring Delta's copy-on-write
     UPDATE. Generated columns are recomputed from their expressions after
     the assignment (updating one directly is refused), and CHECK / NOT
-    NULL constraints validate the rewritten batch. The row-level change
-    feed surfaces the commit as delete+insert pairs for the touched
+    NULL constraints validate the rewritten batch. With
+    ``delta.enableChangeDataFeed`` set the commit carries a change-data
+    file (true update_preimage/postimage rows); without it the feed
+    reconstructs the commit as delete+insert pairs for the touched
     files, same as Delta's UPDATE without CDF."""
     _require_writable(spark, table_path)
 
@@ -1821,8 +1901,7 @@ def update(
     # true row-level updates instead of delete+insert pairs for every
     # row of the rewritten files. Work ∝ |matched rows|, not file size.
     cdc_rel: str | None = None
-    config = meta.get("configuration", {}) or {}
-    if str(config.get("delta.enableChangeDataFeed", "")).lower() == "true":
+    if _cdf_enabled(meta):
         matched = df.where(cond)
         post = matched.select(
             *[
@@ -1858,18 +1937,7 @@ def update(
         for rel in sorted(hit_files)
     ]
     if cdc_rel is not None:
-        actions.append(
-            {
-                "cdc": {
-                    "path": cdc_rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(
-                        os.path.join(table_path, cdc_rel)
-                    ),
-                    "dataChange": False,
-                }
-            }
-        )
+        actions.append(_cdc_action(table_path, cdc_rel))
     actions.append(
         _commit_info("UPDATE", {"predicate": predicate},
                      {"numRemovedFiles": len(hit_files),

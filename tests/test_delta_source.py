@@ -335,3 +335,19 @@ def test_read_change_feed_update_without_cdc_fails(spark, tmp_path):
     delta_writer.update(spark, t, "id = 1", {"k": "0"})
     with pytest.raises(Exception, match="ignoreDeletes|removes data"):
         _drain(spark, t, out, ckpt, readChangeFeed=True)
+
+
+def test_read_change_feed_streams_cdc_deletes(spark, tmp_path):
+    """A DELETE on a CDF-enabled table streams its change-data file as
+    delete rows — no append-only refusal, no rewrite rows."""
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 30).coalesce(1), t)
+    delta_writer.set_table_property(
+        spark, t, "delta.enableChangeDataFeed", "true"
+    )
+    _drain(spark, t, out, ckpt, readChangeFeed=True)
+    v = delta_writer.delete(spark, t, "id >= 25")
+    df = _drain(spark, t, out, ckpt, readChangeFeed=True)
+    batch = [r for r in df.collect() if r._commit_version == v]
+    assert sorted(r.id for r in batch) == [25, 26, 27, 28, 29]
+    assert {r._change_type for r in batch} == {"delete"}

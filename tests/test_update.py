@@ -248,3 +248,65 @@ def test_mv_refresh_folds_cdc_updates(spark, tmp_path):
         exp[k] = (n + 1, s + v2)
     assert got == exp
     del out
+
+
+def test_delete_and_dv_delete_write_cdc(spark, tmp_path):
+    """DELETE (rewrite) and DV DELETE both carry change-data files when
+    CDF is enabled: the feed reports exactly the deleted rows."""
+    from delta_lake_health_spark.sources.cdf import row_changes
+
+    for mode in ("rewrite", "dv"):
+        t = str(tmp_path / f"cdc_del_{mode}")
+        delta_writer.write(
+            spark,
+            spark.range(0, 60).selectExpr("id", "CAST(id % 5 AS LONG) AS k")
+            .repartition(2),
+            t,
+        )
+        delta_writer.set_table_property(
+            spark, t, "delta.enableChangeDataFeed", "true"
+        )
+        if mode == "rewrite":
+            v = delta_writer.delete(spark, t, "k = 2")
+        else:
+            v = delta_writer.delete_with_dv(spark, t, "k = 2")
+        ch = row_changes(spark, t, from_version=v, to_version=v).collect()
+        assert {r._change_type for r in ch} == {"delete"}
+        assert sorted(r.id for r in ch) == [i for i in range(60) if i % 5 == 2]
+        assert DeltaLog(spark, t).snapshot().count() == 48
+
+
+def test_merge_writes_full_cdc(spark, tmp_path):
+    """MERGE change data: matched rows as pre/post images, unmatched
+    source rows as inserts, not-matched-by-source deletes as deletes."""
+    from delta_lake_health_spark.operators import mv as mv_ops
+    from delta_lake_health_spark.sources.cdf import row_changes
+
+    t = str(tmp_path / "cdc_merge")
+    delta_writer.write(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS LONG) AS v")
+        .repartition(1),
+        t,
+    )
+    delta_writer.set_table_property(
+        spark, t, "delta.enableChangeDataFeed", "true"
+    )
+    src = spark.range(8, 13).selectExpr("id", "CAST(id + 100 AS LONG) AS v")
+    v = delta_writer.merge(
+        spark, t, src, ["id"], not_matched_by_source_delete="id < 2"
+    )
+    ch = row_changes(spark, t, from_version=v, to_version=v).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r._change_type, []).append((r.id, r.v))
+    assert sorted(by["update_preimage"]) == [(8, 8), (9, 9)]
+    assert sorted(by["update_postimage"]) == [(8, 108), (9, 109)]
+    assert sorted(by["insert"]) == [(10, 110), (11, 111), (12, 112)]
+    assert sorted(by["delete"]) == [(0, 0), (1, 1)]
+    # the MV fold over this feed reproduces a full recompute
+    snap = {r.id: r.v for r in DeltaLog(spark, t).snapshot().collect()}
+    exp = {i: i for i in range(2, 8)}
+    exp.update({i: i + 100 for i in range(8, 13)})
+    assert snap == exp
+    del mv_ops
