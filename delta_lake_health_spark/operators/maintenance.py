@@ -300,6 +300,7 @@ def zorder_cluster(
     target_file_size: int = TARGET_FILE_SIZE,
     interleaved: bool = True,
     partition_filter: dict | None = None,
+    incremental: bool = False,
 ) -> dict:
     """Z-ORDER clustering rewrite. With ``interleaved`` (default) rows are
     range-partitioned and sorted by a true bit-interleaved z-value, so
@@ -308,13 +309,25 @@ def zorder_cluster(
     ``interleaved=False`` falls back to lexicographic range-partitioning,
     which only narrows the leading column. Rewrites the live set —
     scoped to matching partitions when ``partition_filter`` is given
-    (``OPTIMIZE ... WHERE ... ZORDER BY``) — and commits as OPTIMIZE."""
+    (``OPTIMIZE ... WHERE ... ZORDER BY``) — and commits as OPTIMIZE.
+
+    ``incremental=True`` (Delta's ZCUBE behavior): files written by a
+    previous z-order over the SAME columns (recorded in ``add.tags``)
+    are left alone, so periodic maintenance rewrites only the data
+    appended since the last run — at 100 TB this is the difference
+    between clustering the daily delta and re-clustering the table."""
     log = DeltaLog(spark, table_path)
     active = log.active_files()
     if partition_filter:
         for k, v in partition_filter.items():
             active = active.where(F.col("partitionValues")[k] == str(v))
     live = active.collect()
+    if incremental and live:
+        clustered_paths = _zcube_member_paths(log, cluster_cols)
+        live = [r for r in live if r.path not in clustered_paths]
+        if len(live) < 1:
+            return {"numRemovedFiles": 0, "numAddedFiles": 0,
+                    "skipped": True, "alreadyClustered": len(clustered_paths)}
     if not live:
         return {"numRemovedFiles": 0, "numAddedFiles": 0, "skipped": True}
     partition_by = log.partition_columns()
@@ -342,10 +355,18 @@ def zorder_cluster(
     new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
 
     now = int(time.time() * 1000)
-    actions = [
-        delta_writer._add_action(table_path, rel, data_change=False)
-        for rel in new_files
-    ]
+    import json as _json
+    import uuid as _uuid
+
+    zcube_tags = {
+        "ZCUBE_ID": _uuid.uuid4().hex,
+        "ZCUBE_ZORDER_BY": _json.dumps(sorted(cluster_cols)),
+    }
+    actions = []
+    for rel in new_files:
+        a = delta_writer._add_action(table_path, rel, data_change=False)
+        a["add"]["tags"] = zcube_tags  # membership for incremental runs
+        actions.append(a)
     actions += [
         {"remove": {"path": r.path, "deletionTimestamp": now, "dataChange": False}}
         for r in live
@@ -354,7 +375,8 @@ def zorder_cluster(
     actions.append(
         delta_writer._commit_info(
             "OPTIMIZE",
-            {"zOrderBy": ",".join(cluster_cols)},
+            {"zOrderBy": ",".join(cluster_cols),
+             **({"incremental": True} if incremental else {})},
             metrics,
         )
     )
@@ -362,6 +384,67 @@ def zorder_cluster(
         table_path, delta_writer.current_version(table_path) + 1, actions
     )
     return metrics
+
+
+def _zcube_member_paths(log: DeltaLog, cluster_cols: list[str]) -> set[str]:
+    """Live paths whose latest add carries a ZCUBE tag for the same
+    column set — one |files| log pass, no data read."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    want = _json.dumps(sorted(cluster_cols))
+    acts = log.actions()
+    adds = acts.where(F.col("add").isNotNull()).select(
+        F.col("add.path").alias("path"),
+        F.col("add.tags")["ZCUBE_ZORDER_BY"].alias("zby"),
+        "version",
+    )
+    w = Window.partitionBy("path").orderBy(F.desc("version"))
+    latest = (
+        adds.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("zby") == want))
+    )
+    return {r.path for r in latest.select("path").collect()}
+
+
+def compute_stats(spark: SparkSession, table_path: str) -> dict:
+    """ANALYZE-style stats backfill: re-emit add actions (with fresh
+    footer-derived min/max/numRecords stats) for live files whose logged
+    ``stats`` are missing or empty — e.g. a table written by a
+    stats-less foreign writer, where every scan plan falls back to
+    conservative keep-everything skipping. Metadata-only: reads parquet
+    FOOTERS, never data; the re-adds pair with same-version removes so
+    the incremental .crc checksum stays exact (same trick as the
+    row-tracking backfill). Returns ``{"numFilesBackfilled": n}``."""
+    delta_writer._require_writable(spark, table_path)
+    log = DeltaLog(spark, table_path)
+    need = [
+        r.path
+        for r in log.active_files().collect()
+        if r.num_records is None
+    ]
+    if not need:
+        return {"numFilesBackfilled": 0}
+    now = int(time.time() * 1000)
+    actions = [
+        delta_writer._add_action(table_path, rel, data_change=False)
+        for rel in sorted(need)
+    ]
+    actions += [
+        {"remove": {"path": rel.replace(os.sep, "/"),
+                    "deletionTimestamp": now, "dataChange": False}}
+        for rel in sorted(need)
+    ]
+    actions.append(
+        delta_writer._commit_info(
+            "COMPUTE STATISTICS", {}, {"numFilesBackfilled": len(need)}
+        )
+    )
+    delta_writer._commit(
+        table_path, delta_writer.current_version(table_path) + 1, actions
+    )
+    return {"numFilesBackfilled": len(need)}
 
 
 def restore(spark: SparkSession, table_path: str, to_version: int) -> dict:

@@ -49,6 +49,10 @@ ACTION_SCHEMA = StructType(
                     StructField("modificationTime", LongType()),
                     StructField("dataChange", BooleanType()),
                     StructField("stats", StringType()),
+                    # free-form writer tags (Delta spec add.tags):
+                    # z-order incremental maintenance records its ZCUBE
+                    # membership here
+                    StructField("tags", _STR_MAP),
                     # Delta row tracking: this file's rows carry fresh
                     # row ids [baseRowId, baseRowId + numRecords - 1]
                     StructField("baseRowId", LongType()),

@@ -2106,3 +2106,96 @@ def test_vacuum_lite_collects_tombstones_without_listing(spark, monkeypatch):
 def test_vacuum_rejects_unknown_mode(spark):
     with pytest.raises(ValueError):
         maintenance.vacuum(spark, "/nonexistent", mode="turbo")
+
+
+def test_incremental_zorder_rewrites_only_new_files(spark):
+    """ZCUBE-style incremental OPTIMIZE ZORDER: a second run over the
+    same columns leaves previously clustered files alone and clusters
+    only the data appended since."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/inc_z"
+    df = spark.range(0, 3000).selectExpr(
+        "id", "CAST(id % 50 AS LONG) AS a", "CAST(id % 37 AS LONG) AS b"
+    )
+    delta_writer.write(spark, df.repartition(4), path)
+    out1 = maintenance.zorder_cluster(
+        spark, path, ["a", "b"], incremental=True,
+        target_file_size=1 << 16,
+    )
+    assert out1["numRemovedFiles"] == 4
+    n_clustered = out1["numAddedFiles"]
+    # idempotent: nothing new to cluster
+    out_noop = maintenance.zorder_cluster(
+        spark, path, ["a", "b"], incremental=True
+    )
+    assert out_noop.get("skipped") and out_noop["alreadyClustered"] == n_clustered
+    # append fresh data; only IT gets rewritten
+    delta_writer.write(
+        spark,
+        spark.range(3000, 3500).selectExpr(
+            "id", "CAST(id % 50 AS LONG) AS a", "CAST(id % 37 AS LONG) AS b"
+        ).repartition(2),
+        path,
+    )
+    out2 = maintenance.zorder_cluster(
+        spark, path, ["a", "b"], incremental=True
+    )
+    assert out2["numRemovedFiles"] == 2  # just the appended files
+    # a DIFFERENT column set ignores the old cube's membership: every
+    # live file (old cube + the out2 rewrite) is re-clustered
+    out3 = maintenance.zorder_cluster(spark, path, ["b"], incremental=True)
+    assert out3["numRemovedFiles"] == n_clustered + out2["numAddedFiles"]
+    log = DeltaLog(spark, path)
+    assert log.snapshot().count() == 3500
+    assert log.record_count() == 3500
+    shutil.rmtree(tmp)
+
+
+def test_compute_stats_backfills_foreign_writer(spark):
+    """A stats-less log (foreign writer) skips nothing and falls back to
+    scans for counts; COMPUTE STATISTICS backfills footer-derived stats
+    metadata-only and restores selective skipping, with the .crc
+    checksum staying exact."""
+    import json
+
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/nostats"
+    delta_writer.write(
+        spark,
+        spark.range(0, 900).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .orderBy("id").coalesce(3),
+        path,
+        cluster_by=["id"],
+    )
+    # strip the stats from every add action (simulate a foreign writer)
+    log_file = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = []
+    for line in open(log_file):
+        a = json.loads(line)
+        if "add" in a:
+            a["add"].pop("stats", None)
+        lines.append(json.dumps(a))
+    with open(log_file, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    log = DeltaLog(spark, path)
+    assert all(r.num_records is None for r in log.active_files().collect())
+    n_files = log.active_files().count()
+    assert log.pruned_files("id", 0, 10).count() == n_files  # keeps all
+
+    detail_before = log.detail()
+    out = maintenance.compute_stats(spark, path)
+    assert out["numFilesBackfilled"] == n_files
+    log2 = DeltaLog(spark, path)
+    assert all(
+        r.num_records is not None for r in log2.active_files().collect()
+    )
+    # cluster_by gave each file a disjoint id range -> point range prunes
+    assert log2.pruned_files("id", 0, 10).count() == 1
+    assert log2.record_count() == 900
+    detail_after = log2.detail()
+    assert detail_after["numFiles"] == detail_before["numFiles"]
+    assert detail_after["sizeInBytes"] == detail_before["sizeInBytes"]
+    # idempotent
+    assert maintenance.compute_stats(spark, path) == {"numFilesBackfilled": 0}
+    shutil.rmtree(tmp)
