@@ -186,6 +186,43 @@ def _live_adds_at(table_path: str, version: int, ignore_deletes: bool) -> list[d
     return adds
 
 
+def _parse_ts_ms(s: str) -> int:
+    """Epoch-ms integer, or an ISO 'YYYY-MM-DD[ HH:MM:SS]' string read
+    as UTC (matching the engine's UTC session convention)."""
+    if s.isdigit():
+        return int(s)
+    from datetime import datetime, timezone
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in s or "T" in s else "%Y-%m-%d"
+    dt = datetime.strptime(s.replace("T", " "), fmt)
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+
+def _commit_ts_ms(table_path: str, version: int) -> int | None:
+    for act in _actions(table_path, version):
+        if "commitInfo" in act:
+            ci = act["commitInfo"]
+            ts = ci.get("inCommitTimestamp")
+            if ts is None:
+                ts = ci.get("timestamp")
+            return int(ts) if ts is not None else None
+    return None
+
+
+def _version_at_or_after(table_path: str, ts_ms: int) -> int:
+    """Earliest retained version whose commit timestamp >= ts_ms;
+    one past the head when every commit predates it (an empty tail —
+    the stream starts with the NEXT write)."""
+    versions = _log_versions(table_path)
+    if not versions:
+        return 0
+    for v in versions:
+        t = _commit_ts_ms(table_path, v)
+        if t is not None and t >= ts_ms:
+            return v
+    return versions[-1] + 1
+
+
 @dataclass
 class DeltaFilePartition(InputPartition):
     abs_path: str
@@ -210,6 +247,19 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             options.get("ignoredeletes", "false")
         ).lower() in ("true", "1")
         self.starting_version = int(options.get("startingversion", 0))
+        # startingTimestamp (Delta's option): resolve to the earliest
+        # commit AT or AFTER the timestamp (epoch ms or ISO date[time]),
+        # using inCommitTimestamp when present (the same authority as
+        # timestampAsOf). Mutually exclusive with startingVersion.
+        st = options.get("startingtimestamp")
+        if st is not None:
+            if "startingversion" in options:
+                raise ValueError(
+                    "delta_tail: set startingVersion OR startingTimestamp"
+                )
+            self.starting_version = _version_at_or_after(
+                self.table_path, _parse_ts_ms(str(st))
+            )
         # admission control (Delta's maxFilesPerTrigger analogue at the
         # source's natural offset granularity — commit versions): bounds
         # how much backlog one micro-batch admits, so a stream restarted

@@ -351,3 +351,45 @@ def test_read_change_feed_streams_cdc_deletes(spark, tmp_path):
     batch = [r for r in df.collect() if r._commit_version == v]
     assert sorted(r.id for r in batch) == [25, 26, 27, 28, 29]
     assert {r._change_type for r in batch} == {"delete"}
+
+
+def test_starting_timestamp_resolves_to_commit(spark, tmp_path):
+    """startingTimestamp begins the tail at the earliest commit at or
+    after the timestamp (ICT-aware), mirroring Delta's option."""
+    import json as _json
+
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 20).coalesce(1), t)
+    delta_writer.write(spark, _ids(spark, 20, 30).coalesce(1), t)
+    # read v1's commit timestamp from the log, start exactly there
+    v1 = _json.loads(
+        [
+            line for line in open(os.path.join(t, "_delta_log",
+                                               f"{1:020d}.json"))
+            if '"commitInfo"' in line
+        ][0]
+    )["commitInfo"]
+    ts = v1.get("inCommitTimestamp") or v1["timestamp"]
+    df = _drain(spark, t, out, ckpt, startingTimestamp=int(ts))
+    assert sorted(r.id for r in df.select("id").collect()) == list(range(20, 30))
+    # a FUTURE timestamp yields an empty tail (stream starts with the
+    # next write), not an error
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    df2 = _drain(spark, t, out2, ckpt2, startingTimestamp=int(ts) + 10_000_000)
+    assert df2.count() == 0
+
+
+def test_starting_timestamp_and_version_conflict(spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_writer.write(spark, _ids(spark, 0, 5).coalesce(1), t)
+    with pytest.raises(Exception, match="startingVersion OR startingTimestamp"):
+        q = (
+            delta_source.read_stream(
+                spark, t, startingVersion=0, startingTimestamp="2020-01-01"
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
