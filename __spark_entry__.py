@@ -56,6 +56,8 @@ _VERIFY_FIRST = (
     "documents_stratified_sample",
     "delta_row_ids",
     "delta_skipping_conjunction",
+    "orders_grouping_sets",
+    "customer_rfm_scores",
     # (2) oldest green row is r3; dedup/corpus code moved in round 4
     "dedup_clusters",
     "dedup_shingle_duplication",

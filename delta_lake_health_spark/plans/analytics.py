@@ -1640,3 +1640,107 @@ def supplier_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("on_time_rate", "s_suppkey")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# A36 — explicit GROUPING SETS with grouping_id: per-(status, priority),
+# per-status, per-priority, and grand-total revenue in ONE aggregation
+# pass (completes the rollup/cube trio with the arbitrary-set form).
+# grouping_id disambiguates NULL-as-total from NULL-as-value, the thing
+# naive union-of-groupbys gets wrong. Single shuffle; Spark expands the
+# sets map-side exactly like rollup/cube.
+@query(
+    "orders_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# A37 — RFM customer segmentation: quintile scores for recency (days
+# since last order), frequency (order count), monetary (total spend),
+# then the census of the 125 possible segments. ntile ties broken by
+# c_custkey so both engines bucket identically. One per-customer
+# aggregate (uniform keys) + three global ntile windows over the
+# |customers|-sized frame + a tiny census — the standard CRM cut,
+# shuffle-bounded by |customers|, never |orders|.
+@query(
+    "customer_rfm_scores",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY spend DESC, o_custkey) AS m,
+             spend
+      FROM per_cust
+    )
+    SELECT r, f, m,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(spend), 2) AS segment_spend
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("spend"),
+    )
+    scored = per_cust.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order"), F.col("o_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("n_orders"), F.col("o_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("spend"), F.col("o_custkey")))
+        .alias("m"),
+        "spend",
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("segment_spend"),
+        )
+        .orderBy("r", "f", "m")
+    )
