@@ -130,10 +130,18 @@ def vacuum(
     )
     if mode == "lite":
         # log-only: tombstoned paths past retention that still exist
-        # (same aging rule as full mode: deletionTimestamp, mtime fallback)
+        # (same aging rule as full mode: deletionTimestamp, mtime
+        # fallback). Paths OUTSIDE the table root are skipped: a shallow
+        # clone's tombstones reference the SOURCE table's files by
+        # absolute path, and deleting those would corrupt the source —
+        # full mode is immune because its candidates come from the
+        # clone's own folder listing, and lite must match that contract.
+        root = os.path.abspath(table_path)
         candidates = []
         for r in tomb.collect():
-            fp = os.path.join(table_path, r.rel_path)
+            fp = os.path.abspath(os.path.join(table_path, r.rel_path))
+            if os.path.commonpath([root, fp]) != root:
+                continue
             if not os.path.isfile(fp):
                 continue
             aged = (r.del_ts if r.del_ts is not None
@@ -427,10 +435,23 @@ def compute_stats(spark: SparkSession, table_path: str) -> dict:
     if not need:
         return {"numFilesBackfilled": 0}
     now = int(time.time() * 1000)
-    actions = [
-        delta_writer._add_action(table_path, rel, data_change=False)
-        for rel in sorted(need)
-    ]
+    # metadata-only re-adds carry forward the previous add's tags and
+    # row-tracking ids — the file's rows did not move, so reassigning
+    # ids (or dropping ZCUBE membership) would be silent corruption
+    carried = delta_writer._latest_add_fields(log, set(need))
+    actions = []
+    for rel in sorted(need):
+        a = delta_writer._add_action(table_path, rel, data_change=False)
+        keep = carried.get(rel, {})
+        if keep.get("tags"):
+            a["add"]["tags"] = keep["tags"]
+        if "baseRowId" in keep:
+            a["add"]["baseRowId"] = keep["baseRowId"]
+            a["add"]["defaultRowCommitVersion"] = keep.get(
+                "defaultRowCommitVersion"
+            )
+            a["add"][delta_writer.PRESERVE_ROW_ID_FLAG] = True
+        actions.append(a)
     actions += [
         {"remove": {"path": rel.replace(os.sep, "/"),
                     "deletionTimestamp": now, "dataChange": False}}

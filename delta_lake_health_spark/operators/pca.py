@@ -72,7 +72,9 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PCAModel:
         raise ValueError("fit_pca: no vectors")
     s = np.zeros(d)
     xtx = np.zeros((d, d))
-    for r in sorted(parts, key=lambda r: r.s):  # fixed combine order
+    # total combine order: (n, sum, xtx) is unique per distinct moment
+    # set, so partitions with tying sums still combine deterministically
+    for r in sorted(parts, key=lambda r: (r.n, r.s, r.xtx)):
         if r.n:
             s += np.asarray(r.s)
             xtx += np.asarray(r.xtx).reshape(d, d)

@@ -1296,11 +1296,11 @@ def text_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # thresholds. One narrow pass, one tiny (<=16-group) aggregate.
 @query(
     "text_filter_funnel_census",
-    """
+    f"""
     WITH base AS (
       SELECT len(string_split(text, ' ')) AS n_tok,
              len(list_filter(string_split(text, ' '),
-                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+                 t -> t IN ({_sql_list(STOPWORDS)}))) AS n_stop,
              length(text)
                - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
                AS n_punct,
@@ -1323,7 +1323,7 @@ def text_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = toks()
-    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_arr = _sql_list(STOPWORDS)
     base = docs.select(
         F.size(t).alias("n_tok"),
         F.size(

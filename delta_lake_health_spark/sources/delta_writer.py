@@ -201,18 +201,26 @@ _LEGACY_WRITER_FEATURES = {
 _LEGACY_READER_FEATURES = {1: frozenset(), 2: frozenset({"columnMapping"})}
 
 
-def _latest_protocol_fs(table_path: str) -> dict:
-    """Driver-side protocol lookup (no Spark job — the write gate runs
-    on EVERY commit): scan commit JSONs newest-first for a protocol
-    action, stopping at the last checkpoint (a checkpoint always folds
-    the protocol, so older commits can't hold a newer one); fall back to
-    the checkpoint parquet via pyarrow. Lines are substring-screened
-    before json.loads — protocol actions are rare (v0 + upgrades), so
-    the common cost is one cheap string scan of the post-checkpoint
-    tail, not a JSON parse of the whole retained log."""
+_SCAN_MISS = object()
+
+
+def _scan_log_then_checkpoint(
+    table_path: str,
+    screen: str,
+    json_handler,
+    ckpt_column: str,
+    ckpt_handler,
+    default,
+):
+    """Shared driver-side action lookup (no Spark job): scan commit
+    JSONs newest-first — lines substring-screened by ``screen`` before
+    json.loads — stopping at the last checkpoint (a checkpoint always
+    folds the latest of every scanned action), then fall back to the
+    checkpoint parquet's ``ckpt_column`` via pyarrow. Handlers return
+    ``_SCAN_MISS`` to keep scanning. One implementation for every
+    per-commit driver gate (protocol check, row-id high-water mark), so
+    the tail-walk/boundary/fallback rules can never diverge."""
     log_dir = os.path.join(table_path, LOG_DIR)
-    default = {"minReaderVersion": 1, "minWriterVersion": 2,
-               "readerFeatures": [], "writerFeatures": []}
     try:
         files = sorted(
             (f for f in os.listdir(log_dir)
@@ -227,6 +235,45 @@ def _latest_protocol_fs(table_path: str) -> dict:
             ckpt_version = int(json.loads(fh.read())["version"])
     except (FileNotFoundError, KeyError, ValueError):
         pass
+    for f in files:
+        if int(f[:20]) < ckpt_version:
+            break  # the checkpoint (read below) folds anything older
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if screen not in line:
+                    continue
+                out = json_handler(json.loads(line))
+                if out is not _SCAN_MISS:
+                    return out
+    try:
+        import pyarrow.parquet as pq
+
+        from delta_lake_health_spark.sources.delta_log import (
+            checkpoint_file_names,
+        )
+
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            info = json.loads(fh.read())
+        # V2: non-file actions live in the UUID top-level file
+        for name in checkpoint_file_names(info):
+            fp = os.path.join(log_dir, name)
+            if ckpt_column not in pq.read_schema(fp).names:
+                continue
+            t = pq.read_table(fp, columns=[ckpt_column])
+            for row in t.column(ckpt_column).to_pylist():
+                out = ckpt_handler(row)
+                if out is not _SCAN_MISS:
+                    return out
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    return default
+
+
+def _latest_protocol_fs(table_path: str) -> dict:
+    """Driver-side protocol lookup (the write gate runs on EVERY
+    commit) via the shared tail-then-checkpoint scan."""
+    default = {"minReaderVersion": 1, "minWriterVersion": 2,
+               "readerFeatures": [], "writerFeatures": []}
 
     def norm(p: dict) -> dict:
         return {
@@ -236,38 +283,20 @@ def _latest_protocol_fs(table_path: str) -> dict:
             "writerFeatures": list(p.get("writerFeatures") or []),
         }
 
-    for f in files:
-        v = int(f[:20])
-        if v < ckpt_version:
-            break  # the checkpoint (read below) carries the protocol
-        with open(os.path.join(log_dir, f)) as fh:
-            for line in fh:
-                if '"protocol"' not in line:
-                    continue
-                a = json.loads(line)
-                if "protocol" in a:
-                    return norm(a["protocol"])
-    # no protocol in the retained JSON tail: it lives in the checkpoint
-    try:
-        import pyarrow.parquet as pq
-
-        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
-            info = json.loads(fh.read())
-        from delta_lake_health_spark.sources.delta_log import (
-            checkpoint_file_names,
-        )
-
-        # V2: non-file actions (incl. protocol) live in the UUID
-        # top-level file recorded in _last_checkpoint
-        names = checkpoint_file_names(info)
-        for name in names:
-            t = pq.read_table(os.path.join(log_dir, name), columns=["protocol"])
-            for row in t.column("protocol").to_pylist():
-                if row and row.get("minReaderVersion") is not None:
-                    return norm(row)
-    except (FileNotFoundError, KeyError, ValueError):
-        pass
-    return default
+    return _scan_log_then_checkpoint(
+        table_path,
+        screen='"protocol"',
+        json_handler=lambda a: (
+            norm(a["protocol"]) if "protocol" in a else _SCAN_MISS
+        ),
+        ckpt_column="protocol",
+        ckpt_handler=lambda row: (
+            norm(row)
+            if row and row.get("minReaderVersion") is not None
+            else _SCAN_MISS
+        ),
+        default=default,
+    )
 
 
 def _require_writable(spark: SparkSession, table_path: str) -> None:
@@ -398,25 +427,9 @@ def _row_tracking_enabled(table_path: str) -> bool:
 
 
 def _latest_row_id_hwm(table_path: str) -> int:
-    """Driver-side row-id high-water-mark lookup (same shape as
-    ``_latest_protocol_fs``: substring-screened newest-first scan of the
-    post-checkpoint JSON tail, checkpoint parquet fallback). -1 when the
-    ``delta.rowTracking`` domain was never written."""
-    log_dir = os.path.join(table_path, LOG_DIR)
-    try:
-        files = sorted(
-            (f for f in os.listdir(log_dir)
-             if f.endswith(".json") and f[:20].isdigit()),
-            reverse=True,
-        )
-    except FileNotFoundError:
-        return -1
-    ckpt_version = -1
-    try:
-        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
-            ckpt_version = int(json.loads(fh.read())["version"])
-    except (FileNotFoundError, KeyError, ValueError):
-        pass
+    """Driver-side row-id high-water-mark lookup via the shared
+    tail-then-checkpoint scan. -1 when the ``delta.rowTracking`` domain
+    was never written."""
 
     def hwm_of(dm: dict) -> int:
         if dm.get("domain") != "delta.rowTracking" or dm.get("removed"):
@@ -424,36 +437,25 @@ def _latest_row_id_hwm(table_path: str) -> int:
         cfg = json.loads(dm.get("configuration") or "{}")
         return int(cfg.get("rowIdHighWaterMark", -1))
 
-    for f in files:
-        v = int(f[:20])
-        if v < ckpt_version:
-            break  # the checkpoint folds the latest domainMetadata
-        with open(os.path.join(log_dir, f)) as fh:
-            for line in fh:
-                if '"delta.rowTracking"' not in line:
-                    continue
-                a = json.loads(line)
-                if "domainMetadata" in a:
-                    return hwm_of(a["domainMetadata"])
-    try:
-        import pyarrow.parquet as pq
+    return _scan_log_then_checkpoint(
+        table_path,
+        screen='"delta.rowTracking"',
+        json_handler=lambda a: (
+            hwm_of(a["domainMetadata"])
+            if "domainMetadata" in a
+            else _SCAN_MISS
+        ),
+        ckpt_column="domainMetadata",
+        ckpt_handler=lambda row: (
+            hwm_of(row)
+            if row and row.get("domain") == "delta.rowTracking"
+            else _SCAN_MISS
+        ),
+        default=-1,
+    )
 
-        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
-            info = json.loads(fh.read())
-        from delta_lake_health_spark.sources.delta_log import (
-            checkpoint_file_names,
-        )
 
-        for name in checkpoint_file_names(info):
-            t = pq.read_table(os.path.join(log_dir, name))
-            if "domainMetadata" not in t.schema.names:
-                continue
-            for row in t.column("domainMetadata").to_pylist():
-                if row and row.get("domain") == "delta.rowTracking":
-                    return hwm_of(row)
-    except (FileNotFoundError, KeyError, ValueError):
-        pass
-    return -1
+PRESERVE_ROW_ID_FLAG = "__preserveRowId__"
 
 
 def _assign_row_ids(table_path: str, version: int, actions: list[dict]) -> None:
@@ -463,16 +465,31 @@ def _assign_row_ids(table_path: str, version: int, actions: list[dict]) -> None:
     mark instead of reusing stale ones): each add action gets
     ``baseRowId`` (fresh ids [base, base + numRecords - 1]) and
     ``defaultRowCommitVersion``; the commit carries the advanced
-    ``delta.rowTracking`` domainMetadata."""
+    ``delta.rowTracking`` domainMetadata.
+
+    A metadata-only re-add of an UNCHANGED file (stats backfill) marks
+    itself with ``PRESERVE_ROW_ID_FLAG`` and keeps its carried-over
+    baseRowId — reassigning would break the spec's id stability for
+    rows that never moved. The flag is stripped before serialization."""
     adds = [a["add"] for a in actions if "add" in a]
-    if not adds or not _row_tracking_enabled(table_path):
+    if not adds:
+        return
+    if not _row_tracking_enabled(table_path):
+        for add in adds:
+            add.pop(PRESERVE_ROW_ID_FLAG, None)
         return
     hwm = _latest_row_id_hwm(table_path)
+    assigned = False
     for add in adds:
+        if add.pop(PRESERVE_ROW_ID_FLAG, None):
+            continue
         n = int(json.loads(add.get("stats") or "{}").get("numRecords", 0))
         add["baseRowId"] = hwm + 1
         add["defaultRowCommitVersion"] = version
         hwm += n
+        assigned = True
+    if not assigned:
+        return  # nothing new assigned: leave the hwm domain untouched
     # replace any stale domainMetadata from a previous attempt
     actions[:] = [
         a for a in actions
@@ -1338,9 +1355,12 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
 
     cdc_rel: str | None = None
     if _cdf_enabled(log.metadata()):
+        # read only the HIT files (DV-aware, like the survivor rewrite) —
+        # filtering the full snapshot would make the change-data write
+        # scan the table instead of ∝ |changed rows|
         change = (
-            snap.where(F.expr(predicate))
-            .drop("_rel_path", "_row_index")
+            log.read_data_files(sorted(hit_files))
+            .where(F.expr(predicate))
             .withColumn("_change_type", F.lit("delete"))
         )
         cdc_rel = _write_change_data(spark, table_path, change)
@@ -1657,6 +1677,45 @@ def _write_change_data(spark: SparkSession, table_path: str, change) -> str:
     return rel
 
 
+def _latest_add_fields(log, paths: set[str]) -> dict[str, dict]:
+    """Per path, the preserved fields of its latest add action (tags,
+    baseRowId, defaultRowCommitVersion) — what a metadata-only re-add
+    must carry forward so backfills can't silently destroy ZCUBE
+    membership or row-id stability."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not paths:
+        return {}
+    adds = (
+        log.actions()
+        .where(F.col("add").isNotNull() & F.col("add.path").isin(list(paths)))
+        .select(
+            F.col("add.path").alias("p"),
+            F.col("add.tags").alias("tags"),
+            F.col("add.baseRowId").alias("base"),
+            F.col("add.defaultRowCommitVersion").alias("dcv"),
+            "version",
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.desc("version"))
+    out: dict[str, dict] = {}
+    for r in (
+        adds.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    ):
+        keep: dict = {}
+        if r.tags:
+            keep["tags"] = dict(r.tags)
+        if r.base is not None:
+            keep["baseRowId"] = int(r.base)
+            if r.dcv is not None:
+                keep["defaultRowCommitVersion"] = int(r.dcv)
+        out[r.p] = keep
+    return out
+
+
 def enable_row_tracking(spark: SparkSession, table_path: str) -> int:
     """Enable Delta row tracking (writer feature ``rowTracking``): every
     subsequent commit's add actions carry ``baseRowId`` /
@@ -1725,9 +1784,16 @@ def enable_row_tracking(spark: SparkSession, table_path: str) -> int:
     # live while the incremental .crc checksum nets to zero instead of
     # double-counting the re-added bytes
     now = int(time.time() * 1000)
-    actions: list[dict] = [
-        _add_action(table_path, rel, data_change=False) for rel in sorted(need)
-    ]
+    carried = _latest_add_fields(log, set(need))
+    actions: list[dict] = []
+    for rel in sorted(need):
+        a = _add_action(table_path, rel, data_change=False)
+        # the re-add must not destroy the file's existing tags (ZCUBE
+        # membership for incremental z-order rides there)
+        tags = carried.get(rel, {}).get("tags")
+        if tags:
+            a["add"]["tags"] = tags
+        actions.append(a)
     actions += [
         {"remove": {"path": rel.replace(os.sep, "/"),
                     "deletionTimestamp": now, "dataChange": False}}
@@ -1788,10 +1854,15 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
     hits.coalesce(1).write.parquet(os.path.join(table_path, dv_rel))
     cdc_actions: list[dict] = []
     if _cdf_enabled(log.metadata()):
+        # restrict to the files the hit positions live in (∝ |changed
+        # rows|, not table size); read_data_files is DV-aware, so rows
+        # already soft-deleted earlier are not re-reported
+        hit_rels = sorted(
+            {r.rel_path for r in hits.select("rel_path").distinct().collect()}
+        )
         change = (
-            log.snapshot_with_positions()
+            log.read_data_files(hit_rels)
             .where(F.expr(predicate))
-            .drop("_rel_path", "_row_index")
             .withColumn("_change_type", F.lit("delete"))
         )
         cdc_actions = [

@@ -198,15 +198,21 @@ def _parse_ts_ms(s: str) -> int:
     return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
 
 
-def _commit_ts_ms(table_path: str, version: int) -> int | None:
+def _commit_ts_ms(table_path: str, version: int) -> int:
+    """Commit timestamp: inCommitTimestamp, then commitInfo.timestamp,
+    then the commit FILE's mtime — the same fallback chain Delta uses,
+    so a foreign log without commitInfo never makes a commit invisible
+    to timestamp resolution."""
     for act in _actions(table_path, version):
         if "commitInfo" in act:
             ci = act["commitInfo"]
             ts = ci.get("inCommitTimestamp")
             if ts is None:
                 ts = ci.get("timestamp")
-            return int(ts) if ts is not None else None
-    return None
+            if ts is not None:
+                return int(ts)
+    p = os.path.join(table_path, "_delta_log", f"{version:020d}.json")
+    return int(os.path.getmtime(p) * 1000)
 
 
 def _version_at_or_after(table_path: str, ts_ms: int) -> int:
@@ -217,8 +223,7 @@ def _version_at_or_after(table_path: str, ts_ms: int) -> int:
     if not versions:
         return 0
     for v in versions:
-        t = _commit_ts_ms(table_path, v)
-        if t is not None and t >= ts_ms:
+        if _commit_ts_ms(table_path, v) >= ts_ms:
             return v
     return versions[-1] + 1
 

@@ -2199,3 +2199,95 @@ def test_compute_stats_backfills_foreign_writer(spark):
     # idempotent
     assert maintenance.compute_stats(spark, path) == {"numFilesBackfilled": 0}
     shutil.rmtree(tmp)
+
+
+def test_vacuum_lite_never_touches_clone_source_files(spark):
+    """Review round-5 (HIGH): a shallow clone's tombstones reference the
+    SOURCE table's files by absolute path; lite vacuum must skip
+    anything outside the clone's root — deleting them would corrupt the
+    source (the clone docstring's explicit guarantee)."""
+    tmp = tempfile.mkdtemp()
+    src, clone = f"{tmp}/src", f"{tmp}/clone"
+    delta_writer.write(
+        spark,
+        spark.range(0, 200).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .repartition(2),
+        src,
+    )
+    delta_writer.clone_shallow(spark, src, clone)
+    # a delete on the clone tombstones the ABSOLUTE source paths
+    delta_writer.delete(spark, clone, "id < 150")
+    src_files_before = {
+        r.path for r in DeltaLog(spark, src).active_files().collect()
+    }
+    out = maintenance.vacuum(spark, clone, retention_hours=0.0, mode="lite")
+    for rel in out["files"]:
+        assert not os.path.isabs(rel)
+    # every source data file still exists and the source still reads
+    for rel in src_files_before:
+        assert os.path.isfile(os.path.join(src, rel))
+    assert DeltaLog(spark, src).snapshot().count() == 200
+    assert DeltaLog(spark, clone).snapshot().count() == 50
+    shutil.rmtree(tmp)
+
+
+def test_backfills_preserve_zcube_tags_and_row_ids(spark):
+    """Review round-5 (HIGH): metadata-only re-adds (row-tracking
+    backfill, stats backfill) must carry the previous add's ZCUBE tags
+    — and compute_stats must keep row ids stable."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/keep_tags"
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 40 AS LONG) AS a", "CAST(id % 23 AS LONG) AS b"
+    )
+    delta_writer.write(spark, df.repartition(3), path)
+    out1 = maintenance.zorder_cluster(
+        spark, path, ["a", "b"], incremental=True, target_file_size=1 << 16
+    )
+    n_clustered = out1["numAddedFiles"]
+
+    # enable row tracking: the backfill re-add must keep the ZCUBE tags
+    delta_writer.enable_row_tracking(spark, path)
+    noop = maintenance.zorder_cluster(
+        spark, path, ["a", "b"], incremental=True
+    )
+    assert noop.get("skipped"), "backfill destroyed ZCUBE membership"
+    assert noop["alreadyClustered"] == n_clustered
+
+    ids_before = {
+        r.id: r._row_id
+        for r in DeltaLog(spark, path).row_ids().select("id", "_row_id").collect()
+    }
+    hwm_before = DeltaLog(spark, path).row_id_high_water_mark()
+
+    # strip stats from the latest adds to force a stats backfill, then
+    # verify compute_stats preserves both ids and tags
+    import json as _json
+
+    log_dir = os.path.join(path, "_delta_log")
+    newest = max(
+        f for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    lines = []
+    for line in open(os.path.join(log_dir, newest)):
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"].pop("stats", None)
+        lines.append(_json.dumps(a))
+    with open(os.path.join(log_dir, newest), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    out = maintenance.compute_stats(spark, path)
+    assert out["numFilesBackfilled"] > 0
+    log = DeltaLog(spark, path)
+    ids_after = {
+        r.id: r._row_id
+        for r in log.row_ids().select("id", "_row_id").collect()
+    }
+    assert ids_after == ids_before  # stable, not reassigned
+    assert log.row_id_high_water_mark() == hwm_before
+    noop2 = maintenance.zorder_cluster(
+        spark, path, ["a", "b"], incremental=True
+    )
+    assert noop2.get("skipped"), "stats backfill destroyed ZCUBE tags"
+    shutil.rmtree(tmp)
