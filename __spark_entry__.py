@@ -58,7 +58,18 @@ _VERIFY_FIRST = (
     "delta_skipping_conjunction",
     "orders_grouping_sets",
     "customer_rfm_scores",
-    # (2) oldest green row is r3; dedup/corpus code moved in round 4
+    # (2a) r4-green rows whose code moved MOST in round 5: the delta
+    # reader/writer gained struct-schema conforming, row tracking
+    # (tags/baseRowId/domainMetadata columns), CDC actions, and the
+    # shared driver-side scan — re-prove the delta family on it
+    "delta_time_travel_v0",
+    "delta_change_feed",
+    "delta_skipping_prune",
+    "delta_dv_snapshot",
+    "delta_mv_refresh",
+    "delta_row_changes",
+    "health_analyzer_report",
+    # (2b) oldest green row is r3; dedup/corpus code moved in round 4
     "dedup_clusters",
     "dedup_shingle_duplication",
     "pipeline_corpus_build",
