@@ -227,13 +227,36 @@ def table_changes(
     table_path: str,
     starting_version: int = 0,
     ending_version: int | None = None,
+    starting_timestamp=None,
+    ending_timestamp=None,
 ) -> DataFrame:
     """Spark SQL's ``table_changes()`` surface over the log-derived
     change feed: ``row_changes`` columns plus ``_commit_timestamp``
     (resolved through the same ICT-preferring, monotonic-adjusted
     series as ``timestampAsOf``, so feed timestamps and time travel can
-    never disagree). The timestamp map is |versions| rows, broadcast."""
+    never disagree). The timestamp map is |versions| rows, broadcast.
+
+    ``starting_timestamp`` / ``ending_timestamp`` (epoch-ms ints) pick
+    the version range from the SAME adjusted series — starting = the
+    earliest commit at/after the timestamp, ending = the latest commit
+    at/before it — so the two addressing modes can never disagree."""
     log = DeltaLog(spark, table_path)
+    if starting_timestamp is not None or ending_timestamp is not None:
+        if ending_version is not None or starting_version != 0:
+            raise ValueError(
+                "table_changes: address by versions OR timestamps, not both"
+            )
+        series = log.commit_timestamps()
+        if starting_timestamp is not None:
+            after = [v for v, t in series if t >= int(starting_timestamp)]
+            starting_version = after[0] if after else series[-1][0] + 1
+        if ending_timestamp is not None:
+            upto = [v for v, t in series if t <= int(ending_timestamp)]
+            if not upto:
+                raise ValueError(
+                    "table_changes: ending_timestamp predates the table"
+                )
+            ending_version = upto[-1]
     if ending_version is None:
         ending_version = log.version()
     changes = row_changes(

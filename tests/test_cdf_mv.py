@@ -201,3 +201,36 @@ def test_table_changes_carries_commit_timestamps(spark, tmp_path):
     deletes = [r for r in rows if r._change_type == "delete"]
     assert {r.id for r in inserts} == set(range(10, 20))
     assert {r.id for r in deletes} == {0, 1, 2}
+
+
+def test_table_changes_by_timestamp_range(spark, tmp_path):
+    """Timestamp addressing resolves through the same adjusted commit
+    series as timestampAsOf: starting = earliest commit at/after,
+    ending = latest at/before — and mixing modes is refused."""
+    import pytest as _pytest
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.cdf import table_changes
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "ts_changes")
+    for lo in (0, 10, 20):
+        delta_writer.write(
+            spark,
+            spark.range(lo, lo + 10).selectExpr("id").coalesce(1),
+            t,
+        )
+    series = DeltaLog(spark, t).commit_timestamps()  # [(v, ts_ms)]
+    ts_by_v = dict(series)
+    # exactly v1..v2
+    got = table_changes(
+        spark, t,
+        starting_timestamp=ts_by_v[1], ending_timestamp=ts_by_v[2],
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(10, 30))
+    assert {r._commit_version for r in got.collect()} == {1, 2}
+    # a future starting timestamp yields an empty feed
+    empty = table_changes(spark, t, starting_timestamp=ts_by_v[2] + 10_000)
+    assert empty.count() == 0
+    with _pytest.raises(ValueError, match="versions OR timestamps"):
+        table_changes(spark, t, starting_version=1, starting_timestamp=1)
