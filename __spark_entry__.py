@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "delta_skipping_conjunction",
     "orders_grouping_sets",
     "customer_rfm_scores",
+    "referential_integrity_audit",
     # (2a) r4-green rows whose code moved MOST in round 5: the delta
     # reader/writer gained struct-schema conforming, row tracking
     # (tags/baseRowId/domainMetadata columns), CDC actions, and the

@@ -777,3 +777,95 @@ def delta_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (the cross-table data-quality check a
+# health toolkit pairs with column profiling): for each FK edge of the
+# schema, child rows whose key resolves to no parent. Each edge is one
+# LEFT ANTI join — dimension parents broadcast, the lineitem→orders
+# edge shuffles once on the uniform orderkey — then a 4-row union.
+# Dangle counts are 0 on healthy data; the query's value is that a
+# broken pipeline (partial parent load, late dimension) flips them
+# non-zero, and the oracle proves BOTH engines agree on exactly which
+# side dangles.
+@query(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_dangling
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    ORDER BY fk_edge
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def edge(name, child, child_key, parent, parent_key, broadcast_parent):
+        parent = parent.select(parent_key)
+        if broadcast_parent:
+            parent = F.broadcast(parent)
+        dangling = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+        ).crossJoin(
+            F.broadcast(dangling.agg(F.count(F.lit(1)).alias("n_dangling")))
+        )
+
+    parts = [
+        edge(
+            "lineitem.l_orderkey -> orders",
+            li.select("l_orderkey"), "l_orderkey",
+            orders.select("o_orderkey"), "o_orderkey",
+            broadcast_parent=False,  # fact-fact: shuffle on the key
+        ),
+        edge(
+            "lineitem.l_partkey -> part",
+            li.select("l_partkey"), "l_partkey",
+            load(spark, sf_dir, "part"), "p_partkey",
+            broadcast_parent=True,
+        ),
+        edge(
+            "lineitem.l_suppkey -> supplier",
+            li.select("l_suppkey"), "l_suppkey",
+            load(spark, sf_dir, "supplier"), "s_suppkey",
+            broadcast_parent=True,
+        ),
+        edge(
+            "orders.o_custkey -> customer",
+            orders.select("o_custkey"), "o_custkey",
+            load(spark, sf_dir, "customer"), "c_custkey",
+            broadcast_parent=True,
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk_edge")
