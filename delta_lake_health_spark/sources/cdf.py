@@ -236,34 +236,56 @@ def table_changes(
     series as ``timestampAsOf``, so feed timestamps and time travel can
     never disagree). The timestamp map is |versions| rows, broadcast.
 
-    ``starting_timestamp`` / ``ending_timestamp`` (epoch-ms ints) pick
-    the version range from the SAME adjusted series — starting = the
-    earliest commit at/after the timestamp, ending = the latest commit
-    at/before it — so the two addressing modes can never disagree."""
+    ``starting_timestamp`` / ``ending_timestamp`` (epoch ms, ISO string,
+    or datetime — the same coercion as ``timestampAsOf``) pick the
+    version range from the SAME adjusted series — starting = the
+    earliest retained commit at/after the timestamp, ending = the
+    latest at/before it — so the two addressing modes can never
+    disagree. A ``starting_timestamp`` that predates the retained log
+    window raises the same retention error version addressing does:
+    silently returning a feed missing the expired commits' changes
+    would corrupt an incremental consumer."""
     log = DeltaLog(spark, table_path)
+    series = log.commit_timestamps()  # ONE collect, reused for the map
     if starting_timestamp is not None or ending_timestamp is not None:
         if ending_version is not None or starting_version != 0:
             raise ValueError(
                 "table_changes: address by versions OR timestamps, not both"
             )
-        series = log.commit_timestamps()
-        if starting_timestamp is not None:
-            after = [v for v, t in series if t >= int(starting_timestamp)]
-            starting_version = after[0] if after else series[-1][0] + 1
+        if not series:
+            raise ValueError(
+                "table_changes: the retained log has no resolvable "
+                "commit timestamps"
+            )
         if ending_timestamp is not None:
-            upto = [v for v, t in series if t <= int(ending_timestamp)]
+            tgt = DeltaLog._to_millis(ending_timestamp)
+            upto = [v for v, t in series if t <= tgt]
             if not upto:
                 raise ValueError(
-                    "table_changes: ending_timestamp predates the table"
+                    f"no retained commit at or before {tgt} (earliest "
+                    f"retained commit timestamp: {series[0][1]})"
                 )
             ending_version = upto[-1]
+        if starting_timestamp is not None:
+            tgt = DeltaLog._to_millis(starting_timestamp)
+            if tgt < series[0][1] and log.earliest_version() > 0:
+                # expired commits all read strictly below the earliest
+                # retained timestamp, so a start below it cannot prove
+                # the feed complete — same bound as require_history_from
+                raise ValueError(
+                    f"log history before version {log.earliest_version()} "
+                    f"has been cleaned up; starting_timestamp {tgt} "
+                    "predates the retained window"
+                )
+            after = [v for v, t in series if t >= tgt]
+            starting_version = after[0] if after else series[-1][0] + 1
     if ending_version is None:
         ending_version = log.version()
     changes = row_changes(
         spark, table_path, starting_version, ending_version, log=log
     )
     ts = spark.createDataFrame(
-        [(v, t) for v, t in log.commit_timestamps()],
+        [(v, t) for v, t in series],
         "_commit_version long, _ts_millis long",
     ).select(
         "_commit_version",

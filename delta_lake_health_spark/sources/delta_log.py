@@ -1296,15 +1296,27 @@ class DeltaLog:
             else F.col("commitInfo.timestamp")
         )
         rows = (
-            acts.where(F.col("commitInfo").isNotNull())
-            .select("version", ts_col.alias("ts"))
+            acts.groupBy("version")
+            .agg(F.max(ts_col).alias("ts"))
             .orderBy("version")
             .collect()
         )
         out: list[tuple[int, int]] = []
         prev = -1
         for r in rows:
-            ts = max(int(r.ts), prev + 1)
+            ts = r.ts
+            if ts is None:
+                # commitInfo is OPTIONAL per the Delta spec: a foreign
+                # commit without one falls back to the commit FILE's
+                # mtime (the same chain Delta and the delta_tail
+                # timestamp resolution use) instead of becoming
+                # invisible to timestamp addressing
+                p = os.path.join(self.log_dir, f"{int(r.version):020d}.json")
+                try:
+                    ts = int(os.path.getmtime(p) * 1000)
+                except OSError:
+                    continue  # checkpoint-folded version without info
+            ts = max(int(ts), prev + 1)
             out.append((int(r.version), ts))
             prev = ts
         return out

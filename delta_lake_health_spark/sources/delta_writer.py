@@ -472,16 +472,15 @@ def _assign_row_ids(table_path: str, version: int, actions: list[dict]) -> None:
     baseRowId — reassigning would break the spec's id stability for
     rows that never moved. The flag is stripped before serialization."""
     adds = [a["add"] for a in actions if "add" in a]
-    if not adds:
-        return
-    if not _row_tracking_enabled(table_path):
-        for add in adds:
-            add.pop(PRESERVE_ROW_ID_FLAG, None)
+    if not adds or not _row_tracking_enabled(table_path):
         return
     hwm = _latest_row_id_hwm(table_path)
     assigned = False
     for add in adds:
-        if add.pop(PRESERVE_ROW_ID_FLAG, None):
+        # the flag is READ, never popped: a retried commit re-enters
+        # here with the same actions list and must still preserve —
+        # serialization in _commit strips the private key
+        if add.get(PRESERVE_ROW_ID_FLAG):
             continue
         n = int(json.loads(add.get("stats") or "{}").get("numRecords", 0))
         add["baseRowId"] = hwm + 1
@@ -524,9 +523,19 @@ def _commit(table_path: str, version: int, actions: list[dict]) -> None:
     path = _log_path(table_path, version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{uuid.uuid4().hex}"
+
+    def _serializable(a: dict) -> dict:
+        # strip the in-memory preserve marker WITHOUT mutating the
+        # caller's actions (commit retries must still see it)
+        add = a.get("add")
+        if add and PRESERVE_ROW_ID_FLAG in add:
+            return {**a, "add": {k: v for k, v in add.items()
+                                 if k != PRESERVE_ROW_ID_FLAG}}
+        return a
+
     with open(tmp, "w") as f:
         for a in actions:
-            f.write(json.dumps(a) + "\n")
+            f.write(json.dumps(_serializable(a)) + "\n")
     # atomic single-writer commit; a real multi-writer would need
     # put-if-absent on the log store
     if os.path.exists(path):

@@ -216,14 +216,21 @@ def _commit_ts_ms(table_path: str, version: int) -> int:
 
 
 def _version_at_or_after(table_path: str, ts_ms: int) -> int:
-    """Earliest retained version whose commit timestamp >= ts_ms;
-    one past the head when every commit predates it (an empty tail —
-    the stream starts with the NEXT write)."""
+    """Earliest retained version whose ADJUSTED commit timestamp >=
+    ts_ms (the same reader-side monotonicity rule as
+    ``DeltaLog.commit_timestamps`` — each commit reads as at least its
+    predecessor + 1 ms — so this surface and ``table_changes`` resolve
+    a timestamp to the same version); one past the head when every
+    commit predates it (an empty tail — the stream starts with the
+    NEXT write)."""
     versions = _log_versions(table_path)
     if not versions:
         return 0
+    prev = -1
     for v in versions:
-        if _commit_ts_ms(table_path, v) >= ts_ms:
+        t = max(_commit_ts_ms(table_path, v), prev + 1)
+        prev = t
+        if t >= ts_ms:
             return v
     return versions[-1] + 1
 

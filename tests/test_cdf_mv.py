@@ -234,3 +234,38 @@ def test_table_changes_by_timestamp_range(spark, tmp_path):
     assert empty.count() == 0
     with _pytest.raises(ValueError, match="versions OR timestamps"):
         table_changes(spark, t, starting_version=1, starting_timestamp=1)
+
+
+def test_table_changes_timestamp_bounded_by_retention(spark, tmp_path):
+    """Second-review round-5 (HIGH): a starting_timestamp that predates
+    the retained log window must raise the retention error — returning
+    a feed silently missing the expired commits' changes would corrupt
+    an incremental consumer."""
+    import pytest as _pytest
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.cdf import table_changes
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    t = str(tmp_path / "ret_changes")
+    for lo in (0, 10, 20, 30):
+        delta_writer.write(
+            spark, spark.range(lo, lo + 10).selectExpr("id").coalesce(1), t
+        )
+    series_before = dict(DeltaLog(spark, t).commit_timestamps())
+    DeltaLog(spark, t).checkpoint()
+    maintenance.cleanup_log(spark, t, retention_hours=0.0)
+    # a timestamp inside the EXPIRED window raises, like version addressing
+    with _pytest.raises(ValueError, match="cleaned up|predates the retained"):
+        table_changes(spark, t, starting_timestamp=series_before[1])
+    # a timestamp at/after the earliest retained commit still works...
+    delta_writer.write(
+        spark, spark.range(40, 45).selectExpr("id").coalesce(1), t
+    )
+    got = table_changes(
+        spark, t, starting_timestamp=dict(
+            DeltaLog(spark, t).commit_timestamps()
+        )[4]
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(40, 45))
