@@ -2291,3 +2291,51 @@ def test_backfills_preserve_zcube_tags_and_row_ids(spark):
     )
     assert noop2.get("skipped"), "stats backfill destroyed ZCUBE tags"
     shutil.rmtree(tmp)
+
+
+def test_pre_r5_checkpoint_missing_new_action_columns(spark):
+    """A checkpoint written BEFORE this round's schema additions has no
+    cdc/domainMetadata top-level columns and no add.tags/baseRowId
+    subfields at all; reading it must null-fill every one of them — the
+    upgrade path for every existing table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/pre_r5"
+    delta_writer.write(spark, _tips_df(spark), path, mode="overwrite")
+    log = DeltaLog(spark, path)
+    n = log.snapshot().count()
+    v = log.checkpoint()
+    ckpt = os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    tbl = pq.read_table(ckpt)
+    # drop the round-5 top-level columns entirely
+    for col in ("cdc", "domainMetadata"):
+        if col in tbl.schema.names:
+            tbl = tbl.drop_columns([col])
+    # and the round-5 add subfields
+    arr = tbl.column("add").combine_chunks()
+    keep = [f for f in arr.type
+            if f.name not in {"tags", "baseRowId", "defaultRowCommitVersion"}]
+    new_add = pa.StructArray.from_arrays(
+        [arr.field(f.name) for f in keep], fields=keep, mask=arr.is_null()
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("add"), pa.field("add", new_add.type),
+        new_add,
+    )
+    pq.write_table(tbl, ckpt)
+
+    delta_writer.write(spark, _tips_df(spark, 2, 2, 2, offset=500), path,
+                       mode="append")
+    log2 = DeltaLog(spark, path)
+    assert log2.snapshot().count() == n + 6
+    assert log2.row_id_high_water_mark() == -1  # domain reads as absent
+    assert log2.domain_metadata("delta.rowTracking") is None
+    # and the table can still ENABLE row tracking from this state
+    delta_writer.enable_row_tracking(spark, path)
+    ids = [
+        r._row_id for r in DeltaLog(spark, path).row_ids().collect()
+    ]
+    assert None not in ids and len(set(ids)) == len(ids)
+    shutil.rmtree(tmp)
