@@ -23,91 +23,28 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #       round first,
 #   (3) everything else (freshest green rows) is left unlisted — the
 #       registry appends it in module order past the cap.
-# Round 5: front-load media_decode_roundtrip (r3 row predates the
-# WAV/Y4M schema change), profile_table_columns (r4 red row, output made
-# tz-representation-robust this round), the 15 queries added late in
-# round 4 that have never been driver-checked, and this round's new
-# queries; then the r3-green families (dedup/corpus first — their code
-# moved in round 4; events/percentile forms changed this round).
+# Round 7: every red/stale row was cleared in r6, so the front of the
+# list is pure rotation — the 30 queries whose newest green row dates to
+# r3 (13 events + 13 text + 4 ann, per the r6 verdict), then the new
+# rows-only approx twins and the queries whose code the round-7
+# vocab-floor work touches, then the oldest r4 rows up to the ~50 cap.
+# Everything past the cap encodes round-8 priority (remaining r4 rows).
 _VERIFY_FIRST = (
-    # (1) never driver-verified / stale / previously red
-    "media_decode_roundtrip",
-    "profile_table_columns",
-    "ann_pq_adc_topk",
-    "dedup_incremental_bloom",
-    "text_tfidf_keywords",
-    "dedup_graph_pagerank",
-    "dedup_source_overlap",
-    "knn_label_vote",
-    "events_funnel_latency",
-    "events_hourly_gapfill",
-    "text_bpe_merge_candidates",
-    "embedding_matryoshka_census",
-    "revenue_mom_growth",
-    "supplier_fulfillment_rate",
-    "events_inter_event_gaps",
-    "sketch_heavy_hitters",
-    "sketch_user_overlap",
-    "embedding_pca_census",
-    "text_bpe_tokenize_fertility",
-    # (1b) new in round 5 — inserted here as they land
-    "text_repeated_ngram_spans",
-    "text_filter_funnel_census",
-    "documents_stratified_sample",
-    "delta_row_ids",
-    "delta_skipping_conjunction",
-    "orders_grouping_sets",
-    "customer_rfm_scores",
-    "referential_integrity_audit",
-    # (2a) r4-green rows whose code moved MOST in round 5: the delta
-    # reader/writer gained struct-schema conforming, row tracking
-    # (tags/baseRowId/domainMetadata columns), CDC actions, and the
-    # shared driver-side scan — re-prove the delta family on it
-    "delta_time_travel_v0",
-    "delta_change_feed",
-    "delta_skipping_prune",
-    "delta_dv_snapshot",
-    "delta_mv_refresh",
-    "delta_row_changes",
-    "health_analyzer_report",
-    # (2b) oldest green row is r3; dedup/corpus code moved in round 4
-    "dedup_clusters",
-    "dedup_shingle_duplication",
-    "pipeline_corpus_build",
-    "dedup_keep_corpus",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    # flagship analytics whose newest green row is r3
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_values",
-    "q16_supplier_part_counts",
-    "q20_excess_shipments",
-    # events family (r3 rows; percentile internals gain approx twins r5)
-    "events_value_percentiles",
+    # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",
-    "events_sliding_hourly",
-    "events_purchase_sessions",
     "events_user_stats",
     "events_purchase_funnel",
     "events_purchase_attribution",
+    "events_purchase_sessions",
+    "events_sliding_hourly",
     "events_props_json",
     "events_type_pivot",
     "events_daily_retention",
     "events_funnel_strict_order",
     "events_session_window_native",
     "events_activity_heatmap",
-    # similarity family (r3 rows)
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
-    "embedding_label_centroids",
-    # text family (r3 rows) — past the ~50 cap; encodes round-6 priority
+    # r3 rows — text family (13)
     "text_token_counts",
     "text_quality_scores",
     "text_lang_id",
@@ -121,9 +58,62 @@ _VERIFY_FIRST = (
     "text_split_contamination",
     "text_language_balance_sample",
     "text_length_histogram",
-    "sketch_approx_distinct",
-    "sketch_approx_percentiles",
-    "events_windowed_hll_users",
+    # r3 rows — similarity family (4)
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "embedding_label_centroids",
+    # (1) new rows-only entries this round: the percentile_approx twins
+    "events_value_percentiles_approx",
+    "events_funnel_latency_approx",
+    "events_inter_event_gaps_approx",
+    # (1b) code touched by the round-7 vocab-floor work — re-prove
+    "text_unigram_surprise",
+    "text_tfidf_keywords",
+    "text_bpe_tokenize_fertility",
+    # (2b) oldest r4 rows, filling to the ~50 cap
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "customers_without_orders",
+    # --- past the ~50 cap: remaining r4 rows, encodes round-8 priority
+    "topn_orders_per_customer",
+    "order_status_rollup",
+    "part_brand_stats",
+    "running_revenue_by_month",
+    "nation_coverage_setops",
+    "orders_rollup",
+    "q21_waiting_suppliers",
+    "orders_cube",
+    "revenue_7day_moving",
+    "customer_balance_quartiles",
+    "part_name_textops",
+    "catalog_sql_revenue_by_nation",
+    "skew_orders_by_month",
+    "skew_lineitem_returnflag",
+    "skew_orders_status_priority",
+    "records_per_partition_orders",
+    "events_anomaly_zscore",
+    "events_sequence_pattern",
+    "dedup_exact",
+    "dedup_exact_stats",
+    "dedup_minhash_pairs",
+    "text_repetition_census",
+    "text_chunk_dedup",
+    "text_pack_sequences",
+    "corpus_mixture_weights",
+    "dedup_semantic_prune",
+    "embedding_scalar_quantize",
 )
 
 

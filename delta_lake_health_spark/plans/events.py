@@ -1018,3 +1018,33 @@ def _inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         ((us - F.lag(us).over(w)) / 1e6).alias("gap_s"),
     ).where(F.col("gap_s").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Rows-only registry entries for the percentile_approx twins (E6/E22/E24
+# at-scale forms): the exact-percentile base queries carry the DuckDB
+# oracles; these run the SAME plans with `percentile_approx` (GK sketch,
+# fixed-size mergeable state — the operator that actually ships at
+# 100 TB) so the driver harness exercises the scale-path code itself.
+# No oracle by design: the sketch's rank-error is engine-specific; the
+# bound vs the exact form is pytest-asserted in
+# tests/test_events_queries.py (rank-error brackets per family).
+@query("events_value_percentiles_approx", None)
+def events_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return events_value_percentiles(spark, sf_dir, approx=True)
+
+
+@query("events_funnel_latency_approx", None)
+def events_funnel_latency_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return events_funnel_latency(spark, sf_dir, approx=True)
+
+
+@query("events_inter_event_gaps_approx", None)
+def events_inter_event_gaps_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return events_inter_event_gaps(spark, sf_dir, approx=True)
