@@ -5,10 +5,13 @@ application run over the VOCABULARY (distinct words with frequencies),
 never the corpus — the vocab of any natural-language corpus is bounded
 (Heaps' law: ~1e6-1e7 entries at web scale) while the corpus is not.
 The Spark side reduces documents to the vocab with one groupBy, learns
-merges driver-side on that bounded table, tokenizes each DISTINCT word
-once driver-side, and broadcasts the (word -> n_tokens / token list)
-map back — so the per-document fertility census is a broadcast join,
-zero Python in the corpus path.
+merges driver-side on the frequency HEAD of that table (bounded by
+``plans.text.VOCAB_HEAD_CAP`` — raw-crawl token diversity can reach
+1e8+, so even the vocab is never collected whole), tokenizes each
+DISTINCT word once in a distributed Arrow-batched pass, and joins the
+(word -> n_tokens) map back through the bounded head/tail vocab join —
+zero Python in the corpus path, nothing driver-side scaling with raw
+token diversity.
 
 Determinism: merge selection is (max frequency, then lexicographically
 smallest pair); word iteration order is sorted. No RNG.

@@ -51,6 +51,50 @@ def toks(col: str = "text"):
 
 
 # --------------------------------------------------------------------------
+# |vocab| scale bound (round 7): nothing driver-side or broadcast may
+# scale with RAW corpus token diversity. A clean-text vocabulary obeys
+# Heaps' law (~1e6-1e7 entries at web scale), but a raw 100 TB crawl's
+# distinct-token count — typos, numbers, URLs, unicode junk — can reach
+# 1e8+, which would sink any plan that broadcasts or collects the whole
+# distinct-token table. VOCAB_HEAD_CAP bounds those structures: tokens
+# with corpus frequency >= max(2, ceil(total/cap)) form the "head"
+# (their number cannot exceed the cap, because the frequencies sum to
+# total), and the singleton-heavy tail is left distributed. The floor is
+# derived from one scalar aggregate of the vocab table itself, so it
+# adapts to corpus size with no tuning.
+VOCAB_HEAD_CAP = 1_000_000
+
+
+def _vocab_floor_col(cnt: str) -> F.Column:
+    """Frequency floor above which at most VOCAB_HEAD_CAP tokens exist."""
+    return F.greatest(
+        F.lit(2).cast("long"),
+        F.ceil(F.sum(cnt) / F.lit(VOCAB_HEAD_CAP)).cast("long"),
+    )
+
+
+def _join_vocab_bounded(
+    tokens: DataFrame, vocab: DataFrame, key: str, cnt: str
+) -> DataFrame:
+    """Join a corpus-side frame against a |vocab|-shaped count table with
+    a BOUNDED broadcast: the head (frequency >= floor, <= VOCAB_HEAD_CAP
+    rows by construction) broadcasts — covering the zipfian mass of the
+    corpus side map-side, so the hot token keys never shuffle — while the
+    long tail joins by shuffle on its near-unique, uniform keys (each
+    tail key matches < floor corpus rows, so no task ever receives a hot
+    key). head ∪ tail = the full vocab, disjoint: the result is exactly
+    the single-join form at any cap (pytest-asserted by comparing cap
+    settings on the fixture)."""
+    floor = vocab.agg(_vocab_floor_col(cnt).alias("_floor"))
+    v = vocab.crossJoin(F.broadcast(floor))
+    head = v.where(F.col(cnt) >= F.col("_floor")).drop("_floor")
+    tail = v.where(F.col(cnt) < F.col("_floor")).drop("_floor")
+    return tokens.join(F.broadcast(head), key).unionByName(
+        tokens.join(tail, key)
+    )
+
+
+# --------------------------------------------------------------------------
 # T1 — token counting: whitespace tokens + BPE-ish regex tokens.
 @query(
     "text_token_counts",
@@ -750,8 +794,10 @@ def text_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probability of its tokens. Low surprise = common boilerplate; high
 # surprise = rare-token noise. Scale shape: the vocab is one (token)
 # groupBy with map-side partials — bounded by |vocab|, not corpus — then
-# BROADCAST back onto the token stream, so the corpus side never shuffles
-# on the (zipfian-hot) token key.
+# joined back through the BOUNDED head/tail split (_join_vocab_bounded):
+# the <=VOCAB_HEAD_CAP frequency head broadcasts, covering the
+# zipfian-hot token keys map-side, and only the near-unique singleton
+# tail shuffles.
 @query(
     "text_unigram_surprise",
     """
@@ -778,7 +824,7 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("c").cast("double").alias("n"))
     surprise = -F.log(F.col("c") / F.col("n"))
     return (
-        words.join(F.broadcast(vocab), "w")
+        _join_vocab_bounded(words, vocab, "w", "c")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1042,9 +1088,11 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # terms per document ranked on the ROUNDED score so cross-engine libm
 # ulp differences can never flip a rank. Scale shape: tf is one
 # (doc_id, token) groupBy (uniform — doc_id dominates the key); the df
-# vocab table is bounded by |vocab| and broadcast back, so the corpus
-# never shuffles on the zipfian token key; the per-doc length and top-k
-# windows partition on doc_id (uniform).
+# vocab table is bounded by |vocab| and joined back through the bounded
+# head/tail split (hot keys broadcast, singleton tail shuffles on
+# near-unique keys), so neither the corpus nor the driver ever holds a
+# structure scaling with raw token diversity; the per-doc length and
+# top-k windows partition on doc_id (uniform).
 _TFIDF_K = 3
 
 
@@ -1089,7 +1137,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        _join_vocab_bounded(tf, dfreq, "w", "df")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1427,12 +1475,16 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # T24 — BPE tokenizer fertility census (operators/bpe.py): learn 48
-# merges on the |vocab|-bounded word-frequency table, tokenize each
-# DISTINCT word once driver-side, broadcast the word -> token-count map
-# back, and report per-language fertility (BPE tokens per word / per
-# char) — the number a tokenizer owner checks per language before
-# fixing a vocab. The corpus path is pure JVM (explode + broadcast
-# join); Python only ever touches the bounded vocab. Rows-only by
+# merges from the frequency HEAD of the word-frequency table (the only
+# driver-side collect, <= VOCAB_HEAD_CAP entries by construction),
+# tokenize each DISTINCT word once in a distributed Arrow-batched pass
+# over the vocab table, and join the (word -> token-count) map back
+# through the bounded head/tail split to report per-language fertility
+# (BPE tokens per word / per char) — the number a tokenizer owner
+# checks per language before fixing a vocab. The corpus path is pure
+# JVM (explode + join); Python only ever touches the distributed vocab
+# table, and nothing driver-side scales with raw token diversity.
+# Rows-only by
 # design: iterative merge learning is not expressible in the oracle's
 # SQL; learn/apply parity is pytest-asserted against an independent
 # reference implementation.
@@ -1441,22 +1493,45 @@ _BPE_MERGES = 48
 
 @query("text_bpe_tokenize_fertility", None)
 def text_bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_health_spark.operators.bpe import token_count_map
+    from delta_lake_health_spark.operators.bpe import apply_bpe, learn_bpe
 
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "lang", F.explode(toks()).alias("word")
     ).localCheckpoint()  # vocab build and census join share one pass
-    vocab = [
+    vocab_df = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("f")).localCheckpoint()
+    )
+    # Driver-side structure bound (round 7): ONLY the frequency head of
+    # the vocab (<= VOCAB_HEAD_CAP entries by construction; singletons
+    # always excluded) is collected for merge learning — merge statistics
+    # are frequency-weighted, so the words below the floor contribute
+    # noise-level weight (capped==uncapped agreement on the fixture is
+    # pytest-asserted). Tokenization of the FULL vocab stays distributed:
+    # one Arrow-batched pass over the |vocab| table with the tiny ranks
+    # map closed over — Python never touches the corpus, and nothing
+    # driver-side scales with raw token diversity.
+    head = [
         (r.word, r.f)
-        for r in words.groupBy("word").agg(F.count(F.lit(1)).alias("f")).collect()
+        for r in vocab_df.where(
+            F.col("f")
+            >= vocab_df.agg(_vocab_floor_col("f")).collect()[0][0]
+        ).collect()
     ]
-    _, counts = token_count_map(vocab, _BPE_MERGES)
-    tokmap = spark.createDataFrame(
-        list(counts.items()), "word string, n_bpe int"
+    ranks = {p: i for i, p in enumerate(learn_bpe(head, _BPE_MERGES))}
+
+    def _tokenize(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_bpe"] = [len(apply_bpe(w, ranks)) for w in pdf["word"]]
+            yield pdf
+
+    tokmap = vocab_df.mapInPandas(
+        _tokenize, "word string, f long, n_bpe integer"
     )
     return (
-        words.join(F.broadcast(tokmap), "word")
+        _join_vocab_bounded(words, tokmap, "word", "f")
+        .drop("f")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
