@@ -112,6 +112,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    sweep = (
+        _sf_sweep(spark, qs, names, timings)
+        if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
+        else None
+    )
     delta_ops = _bench_delta_ops(spark)
 
     total = round(sum(timings.values()), 3)
@@ -128,6 +133,7 @@ def main() -> None:
                     "spark_range_sum_sec": calib_spark,
                 },
                 "delta_ops": delta_ops,
+                "sf_sweep": sweep,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # r4->r5 attribution: the BENCH_r04 dedup/text drift was
                 # A/B'd in round 5 against the round-3 code (alternating
@@ -147,6 +153,64 @@ def main() -> None:
             }
         )
     )
+
+
+def _sf_sweep(spark, qs, names, main_timings) -> dict:
+    """Scale-trend sweep (round 7): time the headline set at every
+    available SF and report the per-query log-log slope of wall time vs
+    scale factor (rows scale linearly with SF, so this IS the slope vs
+    row count). The headline slope uses the TOP decade only
+    (sf0.01 -> sf0.1): the bottom decade is dominated by fixed JVM/plan
+    overhead, which reads as artificially sub-linear. Slope ~1 = linear
+    scaling (the empirical backing for SURVEY §4's 100x claims);
+    anything > 1.3 is named in `superlinear` and owes an explanation in
+    the round notes. Disable with SPARK_GRAFT_SWEEP=0."""
+    import math
+
+    sweep: dict[float, dict[str, float]] = {}
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(d) or os.path.abspath(d) == os.path.abspath(SF_DIR):
+            continue
+        sf = float(d.rstrip("/").split("sf")[-1])
+        tm: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            tm[name] = round(best, 3)
+        sweep[sf] = tm
+        print(f"# sweep sf={sf}: {round(sum(tm.values()), 1)}s", file=sys.stderr)
+    main_sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sweep[float(main_sf)] = main_timings
+    except ValueError:
+        pass
+    sfs = sorted(sweep)
+    if len(sfs) < 2:
+        return {"sfs": sfs, "note": "fewer than 2 SFs available; no slope"}
+    a, b = sfs[-2], sfs[-1]
+    slopes = {
+        name: round(
+            math.log(max(sweep[b][name], 1e-3) / max(sweep[a][name], 1e-3))
+            / math.log(b / a),
+            3,
+        )
+        for name in names
+        if name in sweep[a] and name in sweep[b]
+    }
+    return {
+        "sfs": sfs,
+        "timings_sec": {str(sf): sweep[sf] for sf in sfs},
+        "slope_decade": [a, b],
+        "slope_top_decade": slopes,
+        "superlinear": sorted(n for n, s in slopes.items() if s > 1.3),
+        "note": (
+            "slope = d log(wall)/d log(sf) over the top decade; ~1 is "
+            "linear, <1 is fixed-overhead-dominated, >1.3 flagged"
+        ),
+    }
 
 
 def _bench_delta_ops(spark) -> dict[str, float]:
@@ -204,6 +268,77 @@ def _bench_delta_ops(spark) -> dict[str, float]:
     ))
     step("zorder", lambda: maintenance.zorder_cluster(spark, path, ["k", "v"]))
     step("checkpoint", lambda: DeltaLog(spark, path).checkpoint())
+
+    # Streaming-source backlog drain (round 7): a 15-commit backlog
+    # drained through the delta_tail source in PACED micro-batches
+    # (maxVersionsPerTrigger=4 -> 4 batches), exercising offset
+    # planning, admission control, per-file InputPartitions, and Arrow
+    # batch emission — the pacing paths were previously pytest-only.
+    # The first batch of a fresh run is unbounded by API necessity, so a
+    # 1-commit priming run establishes the checkpoint before the
+    # backlog is appended. Reported as seconds like every other op; the
+    # stderr line carries micro-batch count and derived rows/s (the
+    # 0.2s completion-poll granularity is inside the measurement).
+    from delta_lake_health_spark.streaming import delta_source
+
+    tail = os.path.join(tmp, "tail")
+    tail_out = os.path.join(tmp, "tail_out")
+    tail_ckpt = os.path.join(tmp, "tail_ckpt")
+    backlog_rows = 15 * 25_000
+
+    def _tail_commits(lo_commit: int, n_commits: int) -> None:
+        for b in range(lo_commit, lo_commit + n_commits):
+            delta_writer.write(
+                spark,
+                spark.range(b * 25_000, (b + 1) * 25_000)
+                .selectExpr("id", "id % 7 AS k")
+                .coalesce(2),
+                tail,
+                mode="append",
+            )
+
+    def _drain(expect_rows: int) -> None:
+        q = (
+            delta_source.read_stream(spark, tail, maxVersionsPerTrigger=4)
+            .writeStream.format("parquet")
+            .option("path", tail_out)
+            .option("checkpointLocation", tail_ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(tail_out).count() >= expect_rows:
+                        return
+                except Exception:
+                    pass
+                time.sleep(0.2)
+            raise TimeoutError("tail drain did not complete")
+        finally:
+            q.stop()
+
+    _tail_commits(0, 1)
+    _drain(25_000)  # priming run: checkpoint exists, pacing now binds
+    step("tail_build_15_commits", lambda: _tail_commits(1, 15))
+    step("tail_drain_15_commits", lambda: _drain(16 * 25_000))
+    n_batches = (
+        len(
+            [
+                f
+                for f in os.listdir(os.path.join(tail_ckpt, "offsets"))
+                if f.isdigit()
+            ]
+        )
+        - 1  # minus the priming batch
+    )
+    print(
+        f"# delta_ops.tail_drain: {n_batches} paced micro-batches, "
+        f"{round(backlog_rows / max(ops['tail_drain_15_commits'], 1e-3))}"
+        " rows/s",
+        file=sys.stderr,
+    )
     # lite first (log-only, leaves orphan-free debris), then full sweeps
     step("vacuum_lite", lambda: maintenance.vacuum(
         spark, path, retention_hours=0.0, mode="lite"

@@ -822,10 +822,28 @@ class DeltaLog:
     def history(self, limit: int | None = None) -> DataFrame:
         """DESCRIBE HISTORY equivalent: version, timestamp, operation,
         operationParameters, operationMetrics — newest first; ``limit``
-        keeps only the most recent N commits (`DESCRIBE HISTORY ... LIMIT`)."""
+        keeps only the most recent N commits (`DESCRIBE HISTORY ... LIMIT`).
+
+        Sources BOTH the checkpoint-merged view and the retained commit
+        JSONs, deduplicated by version. Spec-compliant foreign
+        checkpoints carry NO commitInfo, so the checkpoint-merged view
+        alone would lose every pre-checkpoint commit even though its
+        JSON is still on disk — Delta's DeltaHistoryManager walks the
+        commit files directly for the same reason (cost ∝ retained log
+        window). Our own checkpoints RETAIN commitInfo rows, so after
+        log cleanup (D49) expires pre-checkpoint JSONs the checkpoint
+        side still serves the full operation history — strictly more
+        than Delta preserves. Where both sources have a version, the
+        rows are identical and the dedup picks either."""
+        src = self.actions()
+        if self.last_checkpoint() is not None:
+            try:
+                src = src.unionByName(self.actions(use_checkpoint=False))
+            except FileNotFoundError:
+                pass  # checkpoint-only log: no commit JSONs retained
         out = (
-            self.actions()
-            .where(F.col("commitInfo").isNotNull())
+            src.where(F.col("commitInfo").isNotNull())
+            .dropDuplicates(["version"])
             .select(
                 "version",
                 F.col("commitInfo.timestamp").alias("timestamp"),

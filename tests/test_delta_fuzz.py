@@ -1,0 +1,177 @@
+"""Property-based end-to-end fuzz of the Delta log (round 7, SURVEY §5):
+hypothesis generates random mutation sequences — append / overwrite /
+DELETE / DV-delete / UPDATE / MERGE / compact / checkpoint / RESTORE —
+and after EVERY step asserts that
+
+1. ``DeltaLog.snapshot()`` equals a driver-maintained pure-Python model
+   of the table contents (the conflict matrix, DV application, restore
+   semantics, and checkpoint replay all have unit tests; this drives
+   them end-to-end in arbitrary interleavings), and
+2. ``detail()`` — which serves from the incremental ``.crc`` checksum
+   fast path when present — agrees with a from-the-log replay
+   (live_add_actions) on numFiles and sizeInBytes.
+
+At the end of each sequence, one recorded version is time-traveled to
+and compared against the model's state as of that version.
+
+``derandomize=True`` keeps the generated sequences identical across
+runs, so a red run is always reproducible and example counts compose:
+the default suite runs SPARK_GRAFT_FUZZ_EXAMPLES=6 sequences (~3-4 min
+— each step is several Spark jobs), and the per-round full pass runs
+the same deterministic generator at 25 (executed + recorded in SURVEY
+§5; `SPARK_GRAFT_FUZZ_EXAMPLES=25 pytest tests/test_delta_fuzz.py`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+FUZZ_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "6"))
+
+
+def _op_strategy():
+    return st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 6)),
+        st.tuples(st.just("overwrite"), st.integers(1, 6)),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("dv_delete"), st.integers(0, 4)),
+        st.tuples(st.just("update"), st.integers(0, 4)),
+        st.tuples(st.just("merge"), st.integers(1, 4)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("checkpoint"), st.just(0)),
+        st.tuples(st.just("restore"), st.integers(0, 1_000_000)),
+    )
+
+
+def _rows(next_id: int, n: int) -> list[tuple[int, int, float]]:
+    return [(i, i % 5, float(i % 11)) for i in range(next_id, next_id + n)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, k long, v double").coalesce(1)
+
+
+@settings(
+    max_examples=FUZZ_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(ops=st.lists(_op_strategy(), min_size=3, max_size=8))
+def test_random_mutation_sequences_match_model(spark, ops):
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    tmp = tempfile.mkdtemp(prefix="fuzz_delta_")
+    path = tmp + "/t"
+    try:
+        model: dict[int, tuple[int, float]] = {}  # id -> (k, v)
+        model_at: dict[int, dict] = {}
+        next_id = 0
+
+        def record():
+            v = delta_writer.current_version(path)
+            model_at[v] = dict(model)
+
+        def check():
+            log = DeltaLog(spark, path)
+            got = sorted(
+                (r.id, r.k, r.v)
+                for r in log.snapshot().select("id", "k", "v").collect()
+            )
+            want = sorted((i, k, v) for i, (k, v) in model.items())
+            assert got == want, f"snapshot diverged after {ops}"
+            # checksum fast path vs replay
+            det = log.detail()
+            adds = log.live_add_actions()
+            assert det["numFiles"] == len(adds)
+            assert det["sizeInBytes"] == sum(int(a["size"]) for a in adds)
+
+        # sequence always starts from a real table
+        delta_writer.write(spark, _df(spark, _rows(0, 5)), path)
+        model.update({i: (k, v) for i, k, v in _rows(0, 5)})
+        next_id = 5
+        record()
+        check()
+
+        for op in ops:
+            kind = op[0]
+            if kind == "append":
+                n = op[1]
+                delta_writer.write(
+                    spark, _df(spark, _rows(next_id, n)), path, mode="append"
+                )
+                model.update({i: (k, v) for i, k, v in _rows(next_id, n)})
+                next_id += n
+            elif kind == "overwrite":
+                n = op[1]
+                delta_writer.write(
+                    spark,
+                    _df(spark, _rows(next_id, n)),
+                    path,
+                    mode="overwrite",
+                )
+                model = {i: (k, v) for i, k, v in _rows(next_id, n)}
+                next_id += n
+            elif kind == "delete":
+                c = op[1]
+                delta_writer.delete(spark, path, f"k = {c}")
+                model = {i: kv for i, kv in model.items() if kv[0] != c}
+            elif kind == "dv_delete":
+                c = op[1]
+                delta_writer.delete_with_dv(spark, path, f"k = {c}")
+                model = {i: kv for i, kv in model.items() if kv[0] != c}
+            elif kind == "update":
+                c = op[1]
+                delta_writer.update(
+                    spark, path, f"k = {c}", {"v": "v + 100.0"}
+                )
+                model = {
+                    i: (k, v + 100.0 if k == c else v)
+                    for i, (k, v) in model.items()
+                }
+            elif kind == "merge":
+                n = op[1]
+                # half-new, half-existing keys: updates + inserts in one op
+                existing = sorted(model)[:n]
+                src = [(i, (i % 5), 999.0) for i in existing] + _rows(
+                    next_id, n
+                )
+                delta_writer.merge(spark, path, _df(spark, src), ["id"])
+                for i, k, v in src:
+                    model[i] = (k, v)
+                next_id += n
+            elif kind == "compact":
+                maintenance.compact(spark, path)
+            elif kind == "checkpoint":
+                DeltaLog(spark, path).checkpoint()
+            elif kind == "restore":
+                versions = sorted(model_at)
+                target = versions[op[1] % len(versions)]
+                maintenance.restore(spark, path, target)
+                model = dict(model_at[target])
+            record()
+            check()
+
+        # time travel to one recorded mid-sequence version
+        versions = sorted(model_at)
+        v = versions[len(versions) // 2]
+        got = sorted(
+            (r.id, r.k, r.v)
+            for r in DeltaLog(spark, path)
+            .snapshot(as_of=v)
+            .select("id", "k", "v")
+            .collect()
+        )
+        want = sorted(
+            (i, k, v2) for i, (k, v2) in model_at[v].items()
+        )
+        assert got == want, f"time travel to v{v} diverged after {ops}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
