@@ -185,3 +185,29 @@ def test_round4_queries_prune_unused_columns(spark, mod, qname, banned):
     for rs in schemas:
         for col in banned:
             assert col not in rs, f"{qname} scan reads unused column {col}"
+
+
+def test_bounded_vocab_join_shape(spark):
+    """The r7 head/tail vocab join must show BOTH shapes in one plan: a
+    BroadcastHashJoin for the frequency head (the zipfian-hot keys never
+    shuffle the corpus side) and a non-broadcast join for the singleton
+    tail. With the cap forced below the fixture vocab the tail branch is
+    non-empty, so Spark cannot broadcast-collapse it away — the tail
+    must hash/sort-merge on its near-unique keys."""
+    import delta_lake_health_spark.plans.text as T
+
+    old = T.VOCAB_HEAD_CAP
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # floor = ceil(total/cap): cap=2000 puts part of the 31-word
+        # fixture vocab in each branch (total tokens ~28k -> floor ~15).
+        # autoBroadcast off simulates scale: ONLY the explicit head hint
+        # may broadcast; the tail must pick a shuffle join on its own.
+        T.VOCAB_HEAD_CAP = 2000
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(T.QUERIES["text_unigram_surprise"](spark, SF_DIR))
+    finally:
+        T.VOCAB_HEAD_CAP = old
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" in plan  # head branch (explicit hint)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # tail
