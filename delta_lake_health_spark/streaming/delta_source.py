@@ -272,14 +272,14 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             self.starting_version = _version_at_or_after(
                 self.table_path, _parse_ts_ms(str(st))
             )
-        # admission control (Delta's maxFilesPerTrigger analogue at the
-        # source's natural offset granularity — commit versions): bounds
-        # how much backlog one micro-batch admits, so a stream restarted
-        # after downtime drains in paced batches instead of one giant
-        # catch-up batch. 0 = unbounded. Applies to periodic-trigger
-        # batches from the second batch of a run onward; the first batch
-        # (and all of Trigger.AvailableNow, which has no admission hook
-        # in the Python DataSource API) drains to latest.
+        # admission control at the source's natural offset granularity —
+        # commit versions: bounds how much backlog one micro-batch
+        # admits, so a stream restarted after downtime drains in paced
+        # batches instead of one giant catch-up batch. 0 = unbounded.
+        # Applies to periodic-trigger batches from the second batch of a
+        # run onward; the first batch (and all of Trigger.AvailableNow,
+        # which has no admission hook in the Python DataSource API)
+        # drains to latest.
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         # byte-based admission (Delta's maxBytesPerTrigger): admit whole
         # commit versions until their cumulative add-file bytes exceed
@@ -287,6 +287,13 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # guaranteed); composes with maxVersionsPerTrigger (tighter
         # bound wins) and shares its floor/first-batch semantics
         self.max_bytes = int(options.get("maxbytespertrigger", 0))
+        # file-count admission (Delta's maxFilesPerTrigger, its default
+        # pacing knob — default 1000 there, unbounded here to preserve
+        # this source's existing semantics): admit whole commit versions
+        # until their cumulative dataChange add-file count reaches the
+        # budget; same >= 1 version floor, composes with the other two
+        # caps (tightest bound wins)
+        self.max_files = int(options.get("maxfilespertrigger", 0))
         # bootstrapSnapshot: the stream's FIRST batch is the full table
         # snapshot at stream-start version (reconstructed driver-side
         # from checkpoint + JSON tail, so it works even after log
@@ -381,16 +388,40 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 break
         return admitted
 
+    def _files_capped(self, floor: int, newest: int) -> int:
+        """Walk versions (floor, newest] accumulating dataChange
+        add-file counts; stop once the budget is reached (always
+        admitting >= 1 version so the stream can't stall)."""
+        admitted, total = floor, 0
+        for v in range(floor + 1, newest + 1):
+            try:
+                acts = self._acts(v)
+            except FileNotFoundError:
+                return newest  # cleaned-up gap: let partitions() report it
+            total += sum(
+                1
+                for a in acts
+                if "add" in a and a["add"].get("dataChange")
+            )
+            admitted = v
+            if total >= self.max_files:
+                break
+        return admitted
+
     def latestOffset(self) -> dict:
         vs = _log_versions(self.table_path)
         newest = vs[-1] if vs else self.starting_version - 1
         if self.bootstrap:
             newest = max(newest, self._head_version())
-        if (self.max_versions or self.max_bytes) and self._floor is not None:
+        if (
+            self.max_versions or self.max_bytes or self.max_files
+        ) and self._floor is not None:
             if self.max_versions:
                 newest = min(newest, self._floor + self.max_versions)
             if self.max_bytes and newest > self._floor:
                 newest = min(newest, self._bytes_capped(self._floor, newest))
+            if self.max_files and newest > self._floor:
+                newest = min(newest, self._files_capped(self._floor, newest))
             newest = max(newest, self._floor)
             self._floor = newest
         out = {"version": newest}

@@ -290,6 +290,56 @@ def test_max_bytes_per_trigger_paces_by_size(spark, tmp_path):
     assert got == list(range(80))
 
 
+def test_max_files_per_trigger_paces_by_file_count(spark, tmp_path):
+    """maxFilesPerTrigger (Delta's default pacing knob): after the first
+    batch of a run, each trigger admits whole versions until the
+    cumulative dataChange add-file count reaches the budget (at least
+    one version per trigger), delivering everything exactly once. Each
+    backlog commit here has 2 files, so a budget of 3 admits exactly 2
+    versions per paced trigger (2 files < 3, 4 files >= 3 -> stop)."""
+    import time as _time
+
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 20).coalesce(1), t)
+    q = (
+        delta_source.read_stream(spark, t, maxFilesPerTrigger="3")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, timeout=120):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return True
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_rows(20)
+        for lo in range(20, 100, 20):
+            delta_writer.write(
+                spark, _ids(spark, lo, lo + 20).coalesce(2), t, mode="append"
+            )
+        assert wait_rows(100)
+    finally:
+        q.stop()
+    offsets = [
+        f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()
+    ]
+    # 4 backlog commits x 2 files at budget 3 -> >= 2 paced triggers
+    # beyond the first batch
+    assert len(offsets) >= 3, sorted(offsets)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(100))
+
+
 # ---- readChangeFeed (streaming CDF, round 5) -------------------------------
 
 def test_read_change_feed_appends_are_inserts(spark, tmp_path):
