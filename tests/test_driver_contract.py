@@ -19,11 +19,15 @@ def test_registry_integrity():
     assert list(qs)[: len(e._VERIFY_FIRST)] == [
         n for n in e._VERIFY_FIRST if n in qs
     ]
-    # only the by-design rows-only queries lack oracles (sketches +
-    # the eigendecomposition/iterative-BPE censuses — none expressible
-    # in the oracle's SQL)
+    # only the by-design rows-only queries lack oracles (sketches, the
+    # eigendecomposition/iterative-BPE censuses, and the r7
+    # percentile_approx twins — none expressible in the oracle's SQL;
+    # each carries a pytest error-bound/parity test instead)
     assert sorted(set(qs) - set(orc)) == [
         "embedding_pca_census",
+        "events_funnel_latency_approx",
+        "events_inter_event_gaps_approx",
+        "events_value_percentiles_approx",
         "events_windowed_hll_users",
         "sketch_approx_distinct",
         "sketch_approx_percentiles",
