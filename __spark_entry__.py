@@ -30,6 +30,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # vocab-floor work touches, then the oldest r4 rows up to the ~50 cap.
 # Everything past the cap encodes round-8 priority (remaining r4 rows).
 _VERIFY_FIRST = (
+    # (1) NEW this round (no driver row yet): Markov transitions, decayed
+    # engagement, radius retrieval, Zipf-slope census
+    "events_markov_transitions",
+    "events_user_decay_scores",
+    "ann_range_search",
+    "text_zipf_slope",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

@@ -1048,3 +1048,103 @@ def events_inter_event_gaps_approx(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return events_inter_event_gaps(spark, sf_dir, approx=True)
+
+
+# --------------------------------------------------------------------------
+# E25 — Markov transition matrix over per-user event-type sequences: the
+# behavioral "what follows what" model read before funnel design and the
+# input to next-event-prediction features. One window shuffle by user_id
+# (the sessionization partitioning, reused), then an aggregate on the
+# bounded (src, dst) key space — |event_types|^2 rows — whose row-count
+# is data-size-INDEPENDENT, so the normalizing window runs on a tiny
+# frame. p_transition is an exact-integer ratio: no float noise can
+# cross the engines.
+@query(
+    "events_markov_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ), c AS (
+      SELECT src, dst, COUNT(*) AS n_transitions
+      FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n_transitions,
+           ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY src),
+                 6) AS p_transition
+    FROM c ORDER BY src, dst
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("src")
+    return (
+        counts.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(wsrc), 6
+            ),
+        )
+        .select("src", "dst", "n_transitions", "p_transition")
+        .orderBy("src", "dst")
+    )
+
+
+# --------------------------------------------------------------------------
+# E26 — exponentially time-decayed engagement score per user (half-life
+# weighting relative to the corpus's newest event): the standard
+# recency-weighted LTV / activity feature. The decay argument is an
+# exact-integer microsecond age divided by a constant, so both engines
+# exponentiate the SAME double; per-term ulp noise is absorbed by the
+# 4 dp round on the sum. Scale: one scalar broadcast (global max ts) +
+# one user_id shuffle with map-side partial aggregation — the decayed
+# sum is associative, so combiners run before the exchange.
+DECAY_TAU_US = 7 * 24 * 3600 * 1_000_000  # 7-day e-folding time
+
+
+@query(
+    "events_user_decay_scores",
+    f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(epoch_us(ts)) AS last_seen_us,
+           ROUND(SUM(value * EXP(-((mx.max_us - epoch_us(ts))
+                                   / {DECAY_TAU_US}.0))), 4)
+             AS decayed_value
+    FROM events, mx
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    mx = ev.agg(F.max("ts_us").alias("max_us"))
+    decay = F.exp(
+        -((F.col("max_us") - F.col("ts_us")) / F.lit(float(DECAY_TAU_US)))
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts_us").alias("last_seen_us"),
+            F.round(F.sum(F.col("value") * decay), 4).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )

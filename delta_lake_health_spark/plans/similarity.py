@@ -924,3 +924,44 @@ def embedding_pca_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, explained_share double, cum_share double"
     )
+
+
+# --------------------------------------------------------------------------
+# S12 — radius (range) retrieval: every corpus vector within a fixed
+# cosine radius of each query — the output shape used to calibrate a
+# dedup/near-match threshold (S6/X6 consume a radius, and this is the
+# query that tells you what a radius *means* on your corpus) and the
+# exact baseline for bucketed radius variants. Same declared
+# |Q|-broadcast one-pass scan as S1 (broadcast nested-loop over the
+# tiny query set; the corpus streams, norms precomputed per vector) —
+# but the result is threshold-defined, not rank-defined, so its size
+# audits the neighborhood density rather than clamping it at k.
+RANGE_THRESHOLD = 0.3
+
+
+@query(
+    "ann_range_search",
+    f"""
+    WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES})
+    SELECT q_id, vec_id, ROUND({_sql_cos("q_emb", "emb")}, 6) AS cosine
+    FROM q JOIN e ON vec_id >= {N_QUERIES}
+    WHERE {_sql_cos("q_emb", "emb")} >= {RANGE_THRESHOLD}
+    ORDER BY q_id, vec_id
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    corpus = emb.where(F.col("vec_id") >= N_QUERIES)
+    cos = _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))
+    return (
+        F.broadcast(q)
+        .join(corpus, cos >= RANGE_THRESHOLD)
+        .select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy("q_id", "vec_id")
+    )

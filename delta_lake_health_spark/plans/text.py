@@ -1542,3 +1542,76 @@ def text_bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T25 — Zipf-slope census per language: OLS slope of ln(frequency) vs
+# ln(rank) over each language's head vocabulary — the corpus-statistics
+# diagnostic (natural text sits near -1; templated/boilerplate corpora
+# flatten, spam steepens) read next to T15's unigram surprise when
+# triaging a new source. Scale: token counting is the same
+# partial-aggregated (lang, token) shuffle as T10; before the per-lang
+# ranking window, the count table is pruned by the per-language
+# VOCAB_HEAD_CAP frequency floor (see _vocab_floor_col) so the window's
+# input is bounded by the cap, never by raw token diversity — the
+# slope's top-ZIPF_TOP_RANKS tokens of any zipfian corpus sit far above
+# the floor. The fit itself is regr_slope over <= ZIPF_TOP_RANKS points
+# per language, rounded to 6 dp (absorbs the <=1e-13 accumulation-order
+# noise of a 50-term covariance).
+ZIPF_TOP_RANKS = 50
+
+
+@query(
+    "text_zipf_slope",
+    f"""
+    WITH tok AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+    ), fl AS (
+      SELECT lang,
+             GREATEST(2, CEIL(SUM(cnt) / {VOCAB_HEAD_CAP})) AS floor_cnt
+      FROM c GROUP BY lang
+    ), ranked AS (
+      SELECT c.lang, c.cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.lang ORDER BY c.cnt DESC, c.token) AS rnk
+      FROM c JOIN fl ON c.lang = fl.lang AND c.cnt >= fl.floor_cnt
+    )
+    SELECT lang, COUNT(*) AS n_ranks,
+           ROUND(REGR_SLOPE(LN(cnt), LN(rnk)), 6) AS zipf_slope
+    FROM ranked WHERE rnk <= {ZIPF_TOP_RANKS}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(toks()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # per-language frequency floor: the window below sorts at most
+    # VOCAB_HEAD_CAP rows per language, regardless of raw diversity
+    floors = counts.groupBy("lang").agg(
+        _vocab_floor_col("cnt").alias("floor_cnt")
+    )
+    head = counts.join(F.broadcast(floors), "lang").where(
+        F.col("cnt") >= F.col("floor_cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    ranked = head.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= ZIPF_TOP_RANKS
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranks"),
+            F.round(
+                F.regr_slope(F.log("cnt"), F.log("rnk")), 6
+            ).alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,105 @@
+"""Semantic invariants for the round-7 query additions (their oracle
+parity is covered by the parametrized family tests in
+test_pipeline_plans.py / test_similarity.py; these pin the properties
+the oracle comparison alone can't see — distribution laws, containment
+vs the exact baseline, and the at-scale plan shape)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR, SF_ORACLE
+
+
+def test_markov_rows_are_a_distribution_per_src(spark):
+    """Outgoing transition probabilities sum to 1 per src (up to the
+    6 dp round), and total transitions = n_events - n_active_users
+    (each user's last event has no successor)."""
+    from delta_lake_health_spark.plans.events import QUERIES
+
+    rows = QUERIES["events_markov_transitions"](spark, SF_ORACLE).collect()
+    by_src: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_src[r.src] = by_src.get(r.src, 0.0) + r.p_transition
+        total += r.n_transitions
+    for src, p in by_src.items():
+        assert abs(p - 1.0) < 1e-4, f"{src}: sum(p)={p}"
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_decay_scores_bounded_by_undecayed_sum(spark):
+    """All event values are positive, the decay weight is in (0, 1], and
+    a user's newest event has weight exactly 1 — so per user:
+    0 < decayed_value <= sum(value)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.events import QUERIES
+
+    got = {
+        r.user_id: r
+        for r in QUERIES["events_user_decay_scores"](spark, SF_ORACLE).collect()
+    }
+    raw = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(raw)
+    for uid, r in got.items():
+        n, s = raw[uid]
+        assert r.n_events == n
+        assert 0.0 < r.decayed_value <= s + 1e-6, (uid, r.decayed_value, s)
+
+
+def test_range_search_contains_thresholded_topk(spark):
+    """Radius retrieval is exact: every corpus vector the brute-force
+    top-k ranks with cosine >= RANGE_THRESHOLD must appear in the range
+    result, and every returned cosine clears the threshold."""
+    from delta_lake_health_spark.plans.similarity import (
+        N_QUERIES,
+        QUERIES,
+        RANGE_THRESHOLD,
+    )
+
+    rng = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in QUERIES["ann_range_search"](spark, SF_ORACLE).collect()
+    }
+    assert rng, "threshold yields no matches at sf0.01 — recalibrate"
+    assert all(c >= RANGE_THRESHOLD for c in rng.values())
+    topk = QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
+    for r in topk:
+        if r.vec_id >= N_QUERIES and r.cosine >= RANGE_THRESHOLD:
+            assert (r.q_id, r.vec_id) in rng, (r.q_id, r.vec_id)
+
+
+def test_range_search_plans_broadcast_not_cartesian(spark):
+    """Like S1/S9, the radius scan is a DECLARED |Q|-broadcast corpus
+    pass: BroadcastNestedLoopJoin, never a shuffled cartesian."""
+    from delta_lake_health_spark.plans.similarity import QUERIES
+
+    plan = (
+        QUERIES["ann_range_search"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_slope_is_negative_and_rank_bounded(spark):
+    """Frequency decreases with rank by construction (ranked by count
+    desc), so the fitted slope must be negative for every language, and
+    the fit never uses more than ZIPF_TOP_RANKS points."""
+    from delta_lake_health_spark.plans.text import QUERIES, ZIPF_TOP_RANKS
+
+    rows = QUERIES["text_zipf_slope"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_ranks <= ZIPF_TOP_RANKS
+        assert r.zipf_slope < 0.0, (r.lang, r.zipf_slope)
