@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -1637,6 +1638,145 @@ def clone_shallow(spark: SparkSession, source_path: str, target_path: str) -> in
         )
     )
     os.makedirs(target_path, exist_ok=True)
+    _commit(target_path, 0, actions)
+    return 0
+
+
+def clone_deep(spark: SparkSession, source_path: str, target_path: str) -> int:
+    """DEEP CLONE (Delta `CREATE TABLE ... CLONE src`): an independent
+    table holding the source's CURRENT snapshot — every live data file
+    (and every deletion-vector sidecar still masking one) is COPIED into
+    the target directory, and a fresh v0 log references the copies by
+    relative path. Unlike :func:`clone_shallow`, the result shares no
+    storage with the source: either table can be vacuumed, overwritten,
+    or deleted without affecting the other. It is also the standard way
+    to MATERIALIZE a shallow clone (absolute source references become
+    local copies). Add-action stats and partitionValues carry over
+    verbatim — no stats recompute, no data scan beyond the byte copy.
+    Row-tracking ids are stripped for the same reason as shallow clone
+    (the clone's high-water mark starts empty). Scale shape: the log
+    commit is O(|files|) metadata like shallow clone; the byte copy is
+    the data-sized step and is embarrassingly parallel (one task per
+    file on a cluster — there is no shuffle, no ordering constraint).
+
+    DV sidecars are copied verbatim: their ``rel_path`` keys match the
+    copied files' relative paths, so the clone's snapshot masks exactly
+    the rows the source masks. Refused only when the source mixes live
+    DVs with absolute-path adds (a materialization would change the
+    paths the sidecars key on)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    src = DeltaLog(spark, source_path)
+    if os.path.isdir(os.path.join(target_path, LOG_DIR)):
+        raise ValueError(f"target is already a Delta table: {target_path}")
+    meta = src.metadata()
+    if not meta.get("schema"):
+        raise ValueError("source table has no logged schema")
+    adds = src.live_add_actions()
+    live_dvs = src._live_dv_paths(src.active_files())
+    if live_dvs and any(os.path.isabs(a["path"]) for a in adds):
+        raise ValueError(
+            "deep clone of a table mixing live deletion vectors with "
+            "absolute-path file references is unsupported; run "
+            "apply_deletion_vectors on the source first"
+        )
+
+    def _target_rel(a: dict) -> str:
+        p = a["path"]
+        if not os.path.isabs(p):
+            return p
+        root = src.table_path.rstrip("/") + "/"
+        if p.startswith(root):
+            return p[len(root):]
+        # foreign absolute reference (source is a shallow clone):
+        # re-root under the hive layout its partitionValues imply
+        parts = [
+            f"{k}={a.get('partitionValues', {})[k]}"
+            for k in meta.get("partition_columns", [])
+            if (a.get("partitionValues") or {}).get(k) is not None
+        ]
+        return "/".join(parts + [os.path.basename(p)])
+
+    os.makedirs(target_path, exist_ok=True)
+    copied: list[tuple[dict, str]] = []
+    seen: set[str] = set()
+    for a in adds:
+        rel = _target_rel(a).replace(os.sep, "/")
+        if rel in seen:
+            raise ValueError(f"deep clone target path collision: {rel}")
+        seen.add(rel)
+        src_abs = (
+            a["path"]
+            if os.path.isabs(a["path"])
+            else os.path.join(src.table_path, a["path"])
+        )
+        dst_abs = os.path.join(target_path, rel)
+        os.makedirs(os.path.dirname(dst_abs) or target_path, exist_ok=True)
+        shutil.copy2(src_abs, dst_abs)
+        copied.append((a, rel))
+    dv_counts: dict[str, int] = {}
+    if live_dvs:
+        dv_acts = (
+            src.actions()
+            .where(F.col("dv").isNotNull())
+            .select(F.col("dv.path").alias("p"),
+                    F.col("dv.numDeletedRows").alias("n"))
+            .collect()
+        )
+        n_by_path = {r.p: int(r.n) for r in dv_acts}
+        for rel in live_dvs:
+            dst_abs = os.path.join(target_path, rel)
+            os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+            src_abs = os.path.join(src.table_path, rel)
+            if os.path.isdir(src_abs):  # sidecar written as a parquet dir
+                shutil.copytree(src_abs, dst_abs)
+            else:
+                shutil.copy2(src_abs, dst_abs)
+            dv_counts[rel] = n_by_path.get(rel, 0)
+
+    now = int(time.time() * 1000)
+    if live_dvs:
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": sorted(
+                set(_LEGACY_WRITER_FEATURES[2]) | {"deletionVectors"}
+            ),
+        }
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    actions: list[dict] = [
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(meta["schema"]),
+                "partitionColumns": meta.get("partition_columns", []),
+                "configuration": meta.get("configuration", {}),
+                "createdTime": now,
+            }
+        },
+    ]
+    for a, rel in copied:
+        a = dict(a)
+        a["path"] = rel
+        a.pop("baseRowId", None)
+        a.pop("defaultRowCommitVersion", None)
+        actions.append({"add": a})
+    for rel, n in sorted(dv_counts.items()):
+        actions.append({"dv": {"path": rel, "numDeletedRows": n}})
+    actions.append(
+        _commit_info(
+            "CLONE",
+            {"source": src.table_path, "isShallow": False},
+            {"numFiles": len(copied), "numCopiedFiles": len(copied),
+             "numCopiedDVs": len(dv_counts)},
+        )
+    )
     _commit(target_path, 0, actions)
     return 0
 

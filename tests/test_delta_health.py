@@ -5,6 +5,7 @@ golden health-score values and log-reader roundtrips."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -985,6 +986,94 @@ def test_shallow_clone_unpartitioned_compact_copy_on_write(spark):
     assert all(not os.path.isabs(p) for p in paths)
     # source intact
     assert sorted(r.id for r in DeltaLog(spark, src).snapshot().collect()) == list(range(30))
+    shutil.rmtree(tmp)
+
+
+def test_deep_clone_copies_files_and_is_fully_independent(spark):
+    """DEEP CLONE: snapshot parity with copied (not referenced) files,
+    stats carried verbatim, and full storage independence — deleting the
+    SOURCE's directory afterwards leaves the clone readable."""
+    tmp = tempfile.mkdtemp()
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    delta_writer.write(spark, _tips_df(spark, 20, 10, 10), src,
+                       mode="overwrite", partition_by=["day"])
+    delta_writer.write(spark, _tips_df(spark, 3, 3, 3, offset=300), src,
+                       mode="append", partition_by=["day"])
+    src_rows = sorted(map(tuple, DeltaLog(spark, src).snapshot().collect()))
+
+    delta_writer.clone_deep(spark, src, dst)
+    log = DeltaLog(spark, dst)
+    cols = DeltaLog(spark, src).snapshot().columns
+    assert sorted(map(tuple, log.snapshot().select(*cols).collect())) == src_rows
+    # every live path is clone-local and physically present
+    acts = log.live_add_actions()
+    assert acts and all(not os.path.isabs(a["path"]) for a in acts)
+    assert all(os.path.isfile(os.path.join(dst, a["path"])) for a in acts)
+    # add-stats carried verbatim: record count readable without a scan
+    def _stats(a):
+        s = a["stats"]
+        return json.loads(s) if isinstance(s, str) else s
+
+    assert sum(_stats(a)["numRecords"] for a in acts) == len(src_rows)
+    # history records a deep CLONE
+    top = DeltaLog(spark, dst).history().collect()[0]
+    assert top.operation == "CLONE"
+    params = top.operationParameters
+    params = json.loads(params) if isinstance(params, str) else params
+    assert str(params["isShallow"]).lower() == "false"
+
+    # storage independence: remove the source tree entirely
+    shutil.rmtree(src)
+    assert sorted(
+        map(tuple, DeltaLog(spark, dst).snapshot().select(*cols).collect())
+    ) == src_rows
+    shutil.rmtree(tmp)
+
+
+def test_deep_clone_materializes_a_shallow_clone(spark):
+    """clone_deep over a shallow clone re-roots the absolute source
+    references into local copies — the standard materialization path."""
+    tmp = tempfile.mkdtemp()
+    src, sh, dp = f"{tmp}/src", f"{tmp}/sh", f"{tmp}/dp"
+    delta_writer.write(spark, _tips_df(spark, 8, 4, 4), src,
+                       mode="overwrite", partition_by=["day"])
+    delta_writer.clone_shallow(spark, src, sh)
+    delta_writer.clone_deep(spark, sh, dp)
+    want = sorted(map(tuple, DeltaLog(spark, src).snapshot().collect()))
+    cols = DeltaLog(spark, src).snapshot().columns
+    log = DeltaLog(spark, dp)
+    assert sorted(map(tuple, log.snapshot().select(*cols).collect())) == want
+    acts = log.live_add_actions()
+    assert all(not os.path.isabs(a["path"]) for a in acts)
+    # hive layout re-rooted from the logged partitionValues
+    assert all(a["path"].startswith(f"day={a['partitionValues']['day']}/")
+               for a in acts)
+    shutil.rmtree(src)
+    shutil.rmtree(sh)
+    assert sorted(map(tuple, DeltaLog(spark, dp).snapshot().select(*cols)
+                      .collect())) == want
+    shutil.rmtree(tmp)
+
+
+def test_deep_clone_copies_live_deletion_vectors(spark):
+    """Live DVs travel with a deep clone: sidecars are copied, the v0
+    protocol enumerates deletionVectors, and the clone's snapshot masks
+    exactly the rows the source masks — even after the source is gone."""
+    tmp = tempfile.mkdtemp()
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    delta_writer.write(spark, spark.range(0, 10), src, mode="overwrite")
+    delta_writer.delete_with_dv(spark, src, "id IN (2, 7)")
+    delta_writer.clone_deep(spark, src, dst)
+    log = DeltaLog(spark, dst)
+    assert sorted(r.id for r in log.snapshot().collect()) == [0, 1, 3, 4, 5, 6, 8, 9]
+    proto = log.protocol()
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    shutil.rmtree(src)
+    assert sorted(r.id for r in DeltaLog(spark, dst).snapshot().collect()) \
+        == [0, 1, 3, 4, 5, 6, 8, 9]
+    # the clone vacuums/evolves independently of the (gone) source
+    delta_writer.write(spark, spark.range(100, 103), dst, mode="append")
+    assert DeltaLog(spark, dst).snapshot().count() == 11
     shutil.rmtree(tmp)
 
 
