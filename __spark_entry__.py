@@ -31,11 +31,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Everything past the cap encodes round-8 priority (remaining r4 rows).
 _VERIFY_FIRST = (
     # (1) NEW this round (no driver row yet): Markov transitions, decayed
-    # engagement, radius retrieval, Zipf-slope census
+    # engagement, radius retrieval, Zipf-slope census, hashed linear
+    # quality scorer, weekly cohort retention
     "events_markov_transitions",
     "events_user_decay_scores",
     "ann_range_search",
     "text_zipf_slope",
+    "text_hashed_linear_quality",
+    "events_weekly_cohort_retention",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

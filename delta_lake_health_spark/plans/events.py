@@ -1148,3 +1148,80 @@ def events_user_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E27 — weekly cohort retention matrix: users grouped by first-seen week
+# (the cohort), counted per week-offset of later activity, with the
+# retention share against the cohort's size — the canonical growth
+# triangle. Scale shape: first-seen is one uniform user_id groupBy; the
+# join back to events co-partitions on the SAME key (no second shuffle
+# key); per-(user, cohort, offset) distinct runs with map-side partials;
+# the cohort-size table is |weeks|-bounded and broadcast. week_offset is
+# an exact integer (day difference of week-truncated dates / 7), and
+# retention is one integer ratio — no float accumulation crosses the
+# engines.
+@query(
+    "events_weekly_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(DATE_DIFF('day', f.cohort_week,
+                            CAST(DATE_TRUNC('week', e.ts) AS DATE)) / 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT a.cohort_week, a.week_offset,
+           COUNT(*) AS n_users,
+           ROUND(COUNT(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM act a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+)
+def events_weekly_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(
+                F.col("n_users") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1615,3 +1615,63 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T26 — hashed-feature linear quality scorer: the fasttext-style pattern
+# every production quality classifier at corpus scale reduces to — per
+# token, a weight looked up by HASH (no vocabulary, no embedding
+# matrix), summed per document, thresholded. The weights here are
+# hash-derived stand-ins for learned ones (the container has no model
+# artifacts), but the PLAN is the real one: explode → inline per-token
+# weight from md5 nibbles (pure JVM, whole-stage codegen) → one
+# uniform doc_id groupBy with map-side partials. Zero broadcast state,
+# zero driver state, linear in corpus size. Cross-engine exactness: the
+# per-token weight is an INTEGER (md5 16-bit nibble value − 32768), the
+# per-doc sum is exact integer arithmetic, and the only float op is one
+# final division — no accumulation-order noise can split the engines.
+def _hex_nibble(col, i: int):
+    return F.instr(F.lit(_HEX), F.substring(F.md5(col), i, 1)) - 1
+
+
+def _sql_nibble(expr: str, i: int) -> str:
+    return f"(strpos('{_HEX}', substr(md5({expr}), {i}, 1)) - 1)"
+
+
+@query(
+    "text_hashed_linear_quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), weighted AS (
+      SELECT doc_id,
+             ((({_sql_nibble('w', 1)} * 16 + {_sql_nibble('w', 2)}) * 16
+               + {_sql_nibble('w', 3)}) * 16 + {_sql_nibble('w', 4)})
+               - 32768 AS w_int
+      FROM tok
+    )
+    SELECT doc_id, COUNT(*) AS n_tok,
+           ROUND(SUM(w_int) / (32768.0 * COUNT(*)), 6) AS quality_score,
+           (SUM(w_int) >= 0) AS keep
+    FROM weighted GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(toks()).alias("w"))
+    h4 = (
+        (_hex_nibble("w", 1) * 16 + _hex_nibble("w", 2)) * 16
+        + _hex_nibble("w", 3)
+    ) * 16 + _hex_nibble("w", 4)
+    return (
+        words.select("doc_id", (h4 - 32768).cast("long").alias("w_int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                F.sum("w_int") / (F.lit(32768.0) * F.count(F.lit(1))), 6
+            ).alias("quality_score"),
+            (F.sum("w_int") >= 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

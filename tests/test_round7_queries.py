@@ -103,3 +103,51 @@ def test_zipf_slope_is_negative_and_rank_bounded(spark):
     for r in rows:
         assert 0 < r.n_ranks <= ZIPF_TOP_RANKS
         assert r.zipf_slope < 0.0, (r.lang, r.zipf_slope)
+
+
+def test_hashed_quality_score_bounds_and_threshold(spark):
+    """The hashed linear score is a mean of per-token integer weights in
+    [-32768, 32767]/32768 — so |score| <= 1, keep == (score >= 0), one
+    row per document, and n_tok equals the whitespace token count."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.text import QUERIES
+
+    rows = QUERIES["text_hashed_linear_quality"](spark, SF_ORACLE).collect()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert -1.0 <= r.quality_score <= 1.0
+        assert r.keep == (r.quality_score >= 0.0)
+        assert r.n_tok == n_tok[r.doc_id]
+
+
+def test_cohort_retention_matrix_laws(spark):
+    """Offset-0 retention is exactly 1 for every cohort (a user is active
+    in their own first week by definition), retention never exceeds 1,
+    and summing cohort sizes recovers the distinct-user count."""
+    from delta_lake_health_spark.plans.events import QUERIES
+
+    rows = QUERIES["events_weekly_cohort_retention"](spark, SF_ORACLE).collect()
+    assert rows
+    sizes = {}
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+            sizes[r.cohort_week] = r.n_users
+    cohorts = {r.cohort_week for r in rows}
+    assert set(sizes) == cohorts, "every cohort must have an offset-0 row"
+    n_users = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(sizes.values()) == n_users
