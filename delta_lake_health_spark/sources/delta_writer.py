@@ -1781,6 +1781,69 @@ def clone_deep(spark: SparkSession, source_path: str, target_path: str) -> int:
     return 0
 
 
+def convert_to_delta(
+    spark: SparkSession, table_path: str, partition_by: list[str] | None = None
+) -> int:
+    """``CONVERT TO DELTA parquet.`path``` — in-place, metadata-only
+    adoption of an existing plain-parquet directory: the data files stay
+    exactly where they are; a v0 log is written that references them
+    with footer-derived stats (numRecords + min/max per column, read
+    from parquet FOOTERS — no data scan), so skipping and log-only
+    health metrics work from the first query. Partition columns are
+    declared via ``partition_by`` or inferred from the hive
+    ``key=value`` directory layout (every file must agree on the key
+    set — mixed layouts are refused, as Delta does). After conversion
+    the table is a first-class Delta table: append/delete/time-travel/
+    OPTIMIZE all apply. Scale shape: one footer read per file
+    (parallelizable one-task-per-file on a cluster; no shuffle) and an
+    O(|files|) metadata commit."""
+    if os.path.isdir(os.path.join(table_path, LOG_DIR)):
+        raise ValueError(f"already a Delta table: {table_path}")
+    rels = sorted(_list_parquet_rel(table_path))
+    if not rels:
+        raise ValueError(f"no parquet data files under {table_path}")
+    # hive partition keys, in directory order (from the deepest path so
+    # nested layouts keep their level order)
+    key_sets = {tuple(_partition_values(r)) for r in rels}
+    if len(key_sets) > 1:
+        raise ValueError(
+            f"inconsistent hive partitioning across files: "
+            f"{sorted(key_sets)}"
+        )
+    inferred = list(key_sets.pop())
+    part_cols = list(partition_by) if partition_by is not None else inferred
+    if set(part_cols) != set(inferred):
+        raise ValueError(
+            f"declared partition columns {part_cols} do not match the "
+            f"directory layout {inferred}"
+        )
+    schema = spark.read.parquet(table_path).schema
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    for rel in rels:
+        actions.append(_add_action(table_path, rel))
+    actions.append(
+        _commit_info(
+            "CONVERT",
+            {"partitionedBy": json.dumps(part_cols)},
+            {"numConvertedFiles": len(rels)},
+        )
+    )
+    _commit(table_path, 0, actions)
+    return 0
+
+
 DELETES_DIR = "_deletes"
 
 

@@ -1077,6 +1077,59 @@ def test_deep_clone_copies_live_deletion_vectors(spark):
     shutil.rmtree(tmp)
 
 
+def test_convert_to_delta_adopts_parquet_dir_in_place(spark):
+    """CONVERT TO DELTA: a plain partitioned parquet directory becomes a
+    Delta table without moving a byte — snapshot parity, footer stats
+    logged (skipping works immediately), partition columns inferred from
+    the hive layout, and normal Delta evolution afterwards."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/plain"
+    df = _tips_df(spark, 20, 10, 10)
+    df.write.partitionBy("day").parquet(path)
+    want = sorted(map(tuple, df.select("total_bill", "tip", "day").collect()))
+
+    delta_writer.convert_to_delta(spark, path)
+    log = DeltaLog(spark, path)
+    got = log.snapshot().select("total_bill", "tip", "day")
+    assert sorted(map(tuple, got.collect())) == want
+    assert log.metadata()["partition_columns"] == ["day"]
+    # footer stats landed: record counts readable from the log alone
+    files = log.active_files().collect()
+    assert all(r.num_records is not None for r in files)
+    assert sum(r.num_records for r in files) == len(want)
+    assert log.history().collect()[-1].operation == "CONVERT"
+
+    # the converted table evolves like any Delta table (conversion logs
+    # the partitioned-read column order: partition column last)
+    order = [f["name"] for f in log.metadata()["schema"]["fields"]]
+    delta_writer.write(spark, _tips_df(spark, 2, 2, 2, offset=400)
+                       .select(*order), path,
+                       mode="append", partition_by=["day"])
+    delta_writer.delete(spark, path, "day = 'Wed'")
+    assert DeltaLog(spark, path).snapshot().where(
+        F.col("day") == "Wed").count() == 0
+    # time travel back to the conversion version
+    assert DeltaLog(spark, path).snapshot(as_of=0).count() == len(want)
+    shutil.rmtree(tmp)
+
+
+def test_convert_to_delta_refusals(spark):
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, spark.range(0, 5), path, mode="overwrite")
+    with pytest.raises(ValueError, match="already a Delta table"):
+        delta_writer.convert_to_delta(spark, path)
+    empty = f"{tmp}/empty"
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet data files"):
+        delta_writer.convert_to_delta(spark, empty)
+    plain = f"{tmp}/plain"
+    spark.range(0, 5).write.parquet(plain)
+    with pytest.raises(ValueError, match="do not match"):
+        delta_writer.convert_to_delta(spark, plain, partition_by=["id"])
+    shutil.rmtree(tmp)
+
+
 def test_shallow_clone_refuses_live_dvs_and_existing_target(spark):
     tmp = tempfile.mkdtemp()
     src, dst = f"{tmp}/src", f"{tmp}/dst"
