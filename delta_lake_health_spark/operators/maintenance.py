@@ -728,3 +728,44 @@ def generate_symlink_manifest(spark: SparkSession, table_path: str) -> dict:
                 f.write("file:" + p + "\n")
                 n_files += 1
     return {"numManifestFiles": len(by_partition), "numDataFiles": n_files}
+
+
+def fsck_repair(
+    spark: SparkSession, table_path: str, dry_run: bool = False
+) -> dict:
+    """``FSCK REPAIR TABLE``: drop add actions whose data files no
+    longer exist on storage (deleted out-of-band, a lost bucket prefix,
+    a botched manual cleanup), so reads stop failing at scan time.
+    Like Delta's FSCK, the removes carry ``dataChange = true`` — rows
+    genuinely disappeared from the table's visible state. Metadata-only:
+    one existence probe per LIVE file (parallelizable one-task-per-file
+    at cluster scale; no data read) and one O(|missing|) commit.
+    ``dry_run`` reports without committing. Returns
+    ``{"numMissingFiles": n, "repaired": bool}``."""
+    delta_writer._require_writable(spark, table_path)
+    log = DeltaLog(spark, table_path)
+    live = [r.path for r in log.active_files().select("path").collect()]
+    missing = [
+        p
+        for p in live
+        if not os.path.exists(
+            p if os.path.isabs(p) else os.path.join(table_path, p)
+        )
+    ]
+    if dry_run or not missing:
+        return {"numMissingFiles": len(missing), "repaired": False}
+    now = int(time.time() * 1000)
+    actions = [
+        {"remove": {"path": p.replace(os.sep, "/"),
+                    "deletionTimestamp": now, "dataChange": True}}
+        for p in sorted(missing)
+    ]
+    actions.append(
+        delta_writer._commit_info(
+            "FSCK", {"dryRun": "false"}, {"numRemovedFiles": len(missing)}
+        )
+    )
+    delta_writer._commit(
+        table_path, delta_writer.current_version(table_path) + 1, actions
+    )
+    return {"numMissingFiles": len(missing), "repaired": True}

@@ -2481,3 +2481,31 @@ def test_pre_r5_checkpoint_missing_new_action_columns(spark):
     ]
     assert None not in ids and len(set(ids)) == len(ids)
     shutil.rmtree(tmp)
+
+
+def test_fsck_repair_drops_missing_files(spark):
+    """FSCK: an out-of-band file deletion makes the snapshot unreadable;
+    repair removes the dangling reference (dataChange=true remove), the
+    table reads again, and dry_run only reports."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, spark.range(0, 10).withColumn(
+        "g", F.col("id") % 2), path, mode="overwrite", partition_by=["g"])
+    log = DeltaLog(spark, path)
+    files = sorted(r.path for r in log.active_files().collect())
+    assert len(files) >= 2
+    os.remove(os.path.join(path, files[0]))
+
+    probe = maintenance.fsck_repair(spark, path, dry_run=True)
+    assert probe == {"numMissingFiles": 1, "repaired": False}
+    res = maintenance.fsck_repair(spark, path)
+    assert res == {"numMissingFiles": 1, "repaired": True}
+    snap = DeltaLog(spark, path).snapshot()
+    remaining = {r.path for r in DeltaLog(spark, path).active_files().collect()}
+    assert files[0] not in remaining and len(remaining) == len(files) - 1
+    assert 0 < snap.count() < 10
+    assert DeltaLog(spark, path).history().collect()[0].operation == "FSCK"
+    # idempotent once healthy
+    assert maintenance.fsck_repair(spark, path) == {
+        "numMissingFiles": 0, "repaired": False}
+    shutil.rmtree(tmp)
