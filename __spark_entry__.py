@@ -39,6 +39,7 @@ _VERIFY_FIRST = (
     "text_zipf_slope",
     "text_hashed_linear_quality",
     "events_weekly_cohort_retention",
+    "ann_ivf_pq_topk",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

@@ -965,3 +965,128 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy("q_id", "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# S13 — IVF + PQ composed retrieval: the architecture a 100 TB ANN
+# service actually ships (FAISS IVFPQ; Johnson et al. 2017) — the coarse
+# quantizer routes each query to IVFPQ_NPROBE inverted lists (so the
+# scan touches nprobe/k of the corpus), the scan inside those lists runs
+# in the COMPRESSED domain (per-subspace code distances summed from a
+# broadcast lookup table — no float vectors move), and only the ADC
+# shortlist is reranked exactly. S2 (route, full-precision scan) and S8
+# (ADC over the whole corpus) are its two halves; this is the drop-in
+# composition, sharing their deterministic quantizer/codebook families.
+# Rows-only by design (iterative k-means + two quantizers exceed the
+# oracle's SQL); recall-vs-bruteforce and exactness-of-reranked-cosines
+# are pytest-asserted like S2/S8.
+IVFPQ_NPROBE = 4
+IVFPQ_RERANK = 25
+
+
+@query("ann_ivf_pq_topk", None)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(emb, x -> x / sqrt(aggregate(zip_with(emb, emb,"
+            " (a, b) -> a * b), 0d, (acc, v) -> acc + v)))"
+        ).alias("emb"),
+    ).localCheckpoint()  # quantizer, codes, route, and rerank share it
+
+    # coarse quantizer + routing (S2's family; unit vectors, so nrm = 1)
+    embn = emb.withColumn("nrm", F.lit(1.0))
+    cent = _with_norm(_kmeans_centroids(embn), "cent", "cnrm")
+    ccos = _dot("emb", "cent") / F.col("cnrm")
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cid", ccos.alias("ccos"))
+        .withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "cid")
+    )
+    qprobe = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent))
+        .select(F.col("vec_id").alias("q_id"), "cid", ccos.alias("ccos"))
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.col("cid"))
+            ),
+        )
+        .where(F.col("prn") <= IVFPQ_NPROBE)
+        .select("q_id", "cid")
+    )
+
+    # PQ codebook + codes (S8's family)
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> slice(emb, m * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("m", "sv"),
+    )
+    cb = sub.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv")
+    )
+    d2 = (
+        _dot("sv", "sv")
+        - 2 * F.expr(
+            "aggregate(zip_with(sv, cv, (x, y) -> x * y), 0d, (a, x) -> a + x)"
+        )
+        + _dot("cv", "cv")
+    )
+    dists = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", d2.alias("d2")
+    ).localCheckpoint()  # feeds both the code table and the query tables
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qtab = dists.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", "code", F.col("d2").alias("qd2")
+    )
+
+    # route-then-ADC: only vectors in probed lists enter the compressed
+    # scan; the (q, m, code) distance table broadcasts
+    cand = (
+        F.broadcast(qprobe)
+        .join(assign, "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qtab), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd2").alias("approx_d2"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("approx_d2", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= IVFPQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+
+    # exact rerank (unit vectors: dot == cosine)
+    qv = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    reranked = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(emb, "vec_id")
+        .select("q_id", "vec_id", _dot("q_emb", "emb").alias("cos"))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        reranked.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )

@@ -20,10 +20,12 @@ def test_registry_integrity():
         n for n in e._VERIFY_FIRST if n in qs
     ]
     # only the by-design rows-only queries lack oracles (sketches, the
-    # eigendecomposition/iterative-BPE censuses, and the r7
-    # percentile_approx twins — none expressible in the oracle's SQL;
-    # each carries a pytest error-bound/parity test instead)
+    # eigendecomposition/iterative-BPE censuses, the r7
+    # percentile_approx twins, and the two-quantizer IVF+PQ composition
+    # — none expressible in the oracle's SQL; each carries a pytest
+    # error-bound/parity test instead)
     assert sorted(set(qs) - set(orc)) == [
+        "ann_ivf_pq_topk",
         "embedding_pca_census",
         "events_funnel_latency_approx",
         "events_inter_event_gaps_approx",

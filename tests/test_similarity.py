@@ -193,3 +193,38 @@ def test_pca_census_query_shape(spark):
     assert len(rows) == 8
     assert rows[0].explained_share >= rows[-1].explained_share
     assert 0 < rows[-1].cum_share <= 1.0 + 1e-9
+
+
+def test_ivfpq_recall_and_exact_rerank(spark):
+    """The IVF+PQ composition keeps recall@5 >= 0.5 vs brute force on
+    the synthetic clusters (same floor as its S2/S8 halves), and every
+    returned cosine is EXACT (the rerank runs on full-precision
+    vectors), matching the brute-force cosine for the same pair."""
+    from delta_lake_health_spark.plans import similarity as sim
+    from tests.conftest import SF_ORACLE
+
+    exact_rows = sim.QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
+    got_rows = sim.QUERIES["ann_ivf_pq_topk"](spark, SF_ORACLE).collect()
+    exact = {(r.q_id, r.vec_id) for r in exact_rows}
+    approx = {(r.q_id, r.vec_id) for r in got_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVFPQ recall@{sim.TOP_K} too low: {recall}"
+    exact_cos = {(r.q_id, r.vec_id): r.cosine for r in exact_rows}
+    for r in got_rows:
+        if (r.q_id, r.vec_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.q_id, r.vec_id)]
+
+
+def test_ivfpq_plan_routes_no_cartesian(spark):
+    """The corpus enters the compressed scan only through the routed
+    candidate join — no CartesianProduct anywhere in the plan."""
+    from delta_lake_health_spark.plans import similarity as sim
+    from tests.conftest import SF_DIR
+
+    plan = (
+        sim.QUERIES["ann_ivf_pq_topk"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
