@@ -40,6 +40,7 @@ _VERIFY_FIRST = (
     "text_hashed_linear_quality",
     "events_weekly_cohort_retention",
     "ann_ivf_pq_topk",
+    "events_user_value_pareto",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

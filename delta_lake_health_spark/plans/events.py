@@ -1225,3 +1225,87 @@ def events_weekly_cohort_retention(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# E28 — user-value Pareto census: how concentrated is total event value
+# across users (the "do 10% of users carry 80% of value" read before any
+# sampling or rate-limit decision). Every sum is EXACT integer
+# micro-units (value * 1e6 rounded once per event), so ranking and
+# shares are bit-identical across engines; the only float op is the
+# final share division. Scale shape — deliberately NOT a global
+# ROW_NUMBER window (single task at |users| = 1e9): per-user totals are
+# range-bucketed by value (bucket count bounded by the value DOMAIN,
+# not user count), ranked within buckets in parallel, and stitched with
+# a |buckets|-sized broadcast prefix — the same two-phase prefix-sum
+# pattern as text_pack_sequences. Deciles come from a closed-form rank
+# binning (1 + floor(10(r-1)/n)), identical in both engines.
+_PARETO_BUCKET_US = 1_000_000  # micro-unit width of one rank bucket
+
+
+@query(
+    "events_user_value_pareto",
+    """
+    WITH uv AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS v_int
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT v_int,
+             ROW_NUMBER() OVER (ORDER BY v_int DESC, user_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM uv
+    )
+    SELECT CAST(1 + FLOOR(10.0 * (r - 1) / n) AS BIGINT) AS decile,
+           COUNT(*) AS n_users,
+           SUM(v_int) AS v_int_sum,
+           ROUND(SUM(v_int)
+                 / (SELECT CAST(SUM(v_int) AS DOUBLE) FROM uv), 6)
+             AS value_share
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    uv = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("v_int")
+    )
+    # phase 1: rank inside value-range buckets (parallel windows)
+    b = uv.withColumn(
+        "bucket", F.floor(F.col("v_int") / _PARETO_BUCKET_US).cast("long")
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy(
+        F.desc("v_int"), "user_id"
+    )
+    local = b.withColumn("lr", F.row_number().over(in_bucket))
+    # phase 2: |buckets|-sized prefix over DESC bucket order, broadcast
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    bw = Window.orderBy(F.desc("bucket"))  # |buckets| rows only
+    prefix = counts.withColumn(
+        "off", F.coalesce(F.sum("bn").over(bw) - F.col("bn"), F.lit(0))
+    ).select("bucket", "off")
+    tot = uv.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_int").alias("v_tot")
+    )
+    ranked = (
+        local.join(F.broadcast(prefix), "bucket")
+        .withColumn("r", F.col("off") + F.col("lr"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        ranked.withColumn(
+            "decile",
+            (
+                1 + F.floor(10.0 * (F.col("r") - 1) / F.col("n"))
+            ).cast("long"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("v_int").alias("v_int_sum"),
+            F.round(
+                F.sum("v_int") / F.max("v_tot").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy("decile")
+    )

@@ -678,6 +678,16 @@ def _merge_append_schema(spark, df: DataFrame, table_path: str, merge_schema: bo
     cur = json.loads(df.schema.json())
     if logged is None or _norm_fields(logged) == _norm_fields(cur):
         return df, False, None
+    # a batch that is merely STRICTER on nullability (non-null values
+    # into a nullable column) is always safe — not a schema change
+    lf, cf = _norm_fields(logged), _norm_fields(cur)
+    if [(f["name"], f["type"]) for f in lf] == [
+        (f["name"], f["type"]) for f in cf
+    ] and all(
+        l.get("nullable") or not c.get("nullable")
+        for l, c in zip(lf, cf)
+    ):
+        return df, False, None
     if not merge_schema:
         raise ValueError(
             "append schema differs from the table schema; pass "

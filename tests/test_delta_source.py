@@ -443,3 +443,18 @@ def test_starting_timestamp_and_version_conflict(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_tail_streams_a_converted_table(spark, tmp_path):
+    """CONVERT TO DELTA interop: a converted plain-parquet directory is
+    a first-class streaming source — its v0 adds replay, and post-
+    conversion appends arrive incrementally through the same
+    checkpoint."""
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    _ids(spark, 0, 40).coalesce(2).write.parquet(t)
+    delta_writer.convert_to_delta(spark, t)
+    assert _drain(spark, t, out, ckpt).count() == 40
+    delta_writer.write(spark, _ids(spark, 40, 55).coalesce(1), t,
+                       mode="append")
+    got = sorted(r.id for r in _drain(spark, t, out, ckpt).select("id").collect())
+    assert got == list(range(55))

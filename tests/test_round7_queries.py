@@ -151,3 +151,23 @@ def test_cohort_retention_matrix_laws(spark):
         .count()
     )
     assert sum(sizes.values()) == n_users
+
+
+def test_pareto_census_is_monotone_and_exact(spark):
+    """Deciles are ranked by per-user value, so value_share is
+    non-increasing across deciles; the integer micro-unit sums
+    reconstruct the corpus total exactly; user counts cover all users."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.events import QUERIES
+
+    rows = QUERIES["events_user_value_pareto"](spark, SF_ORACLE).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.value_share for r in rows]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    v_tot = ev.select(
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("t")
+    ).collect()[0].t
+    assert sum(r.v_int_sum for r in rows) == v_tot
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
