@@ -41,6 +41,7 @@ _VERIFY_FIRST = (
     "events_weekly_cohort_retention",
     "ann_ivf_pq_topk",
     "events_user_value_pareto",
+    "text_bigram_cross_entropy",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

@@ -1675,3 +1675,86 @@ def text_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T27 — bigram-LM cross-entropy scoring: the perplexity-filter signal
+# (CCNet / Wenzek et al. 2020) at order 2 — score every document by the
+# Laplace-smoothed corpus bigram model and surface the per-doc mean
+# -ln p(w|prev), the number a quality gate thresholds on (T15 is the
+# order-1 form). Counts are exact integers (c2, c1, |V|) and the only
+# float ops are one division + one log per position, summed per doc and
+# rounded to 6 dp — the same cross-engine envelope T15 passes under.
+# Scale shape: bigram extraction is one JVM transform/explode pass; the
+# bigram and context count tables are corpus-bounded but their join
+# keys are zipfian-hot, so BOTH joins route through the bounded
+# head/tail split (_join_vocab_bounded: the <=VOCAB_HEAD_CAP frequency
+# head broadcasts and covers the hot mass map-side, the singleton tail
+# shuffles on near-unique keys); |V| is one scalar broadcast. Nothing
+# driver-side scales with raw token diversity. The space-joined bigram
+# key is collision-free because tokens are whitespace-split.
+@query(
+    "text_bigram_cross_entropy",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS p, t[CAST(i + 1 AS INT)] AS w
+      FROM t, UNNEST(range(1, len(t))) u(i)
+      WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT p, w, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT p, COUNT(*) AS c1 FROM bg GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(SUM(-LN((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)))
+                 / COUNT(*), 6) AS cross_entropy
+    FROM bg JOIN c2 USING (p, w) JOIN c1 USING (p), v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", toks().alias("t")).where(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS p, t[i + 1] AS w))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
+    bg = bg.withColumn("bk", F.concat_ws(" ", "p", "w"))
+    c2 = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c2")).select(
+        F.concat_ws(" ", "p", "w").alias("bk"), "c2"
+    )
+    c1 = bg.groupBy("p").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select(F.explode(toks()).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = _join_vocab_bounded(bg, c2, "bk", "c2")
+    scored = _join_vocab_bounded(scored, c1, "p", "c1")
+    return (
+        scored.crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    -F.log(
+                        (F.col("c2") + 1)
+                        / (F.col("c1") + F.col("v")).cast("double")
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -171,3 +171,32 @@ def test_pareto_census_is_monotone_and_exact(spark):
     ).collect()[0].t
     assert sum(r.v_int_sum for r in rows) == v_tot
     assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+
+
+def test_bigram_cross_entropy_bounds(spark):
+    """Laplace smoothing bounds every per-position term: 0 < -ln p <=
+    ln(c1_max + V) — so the per-doc mean is positive and below ln(N+V);
+    docs with fewer than 2 tokens are excluded; n_bigrams = n_tok - 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.text import QUERIES
+
+    rows = QUERIES["text_bigram_cross_entropy"](spark, SF_ORACLE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    n_pos = words.count()
+    v = words.distinct().count()
+    ub = math.log(n_pos + v)
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert len(rows) == sum(1 for n in n_tok.values() if n >= 2)
+    for r in rows:
+        assert r.n_bigrams == n_tok[r.doc_id] - 1
+        assert 0.0 < r.cross_entropy <= ub
