@@ -55,6 +55,10 @@ HEADLINE = [
     # round-5 additions
     "text_repeated_ngram_spans",
     "documents_stratified_sample",
+    # round-7 additions
+    "text_bigram_cross_entropy",
+    "events_user_value_pareto",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -487,6 +487,7 @@ def restore(spark: SparkSession, table_path: str, to_version: int) -> dict:
     metaData is re-emitted so readers reconstruct the restored schema.
     """
     log = DeltaLog(spark, table_path)
+    delta_writer._refuse_append_only(spark, table_path, "RESTORE")
     cur_version = delta_writer.current_version(table_path)
     if to_version < 0 or to_version > cur_version:
         raise ValueError(

@@ -300,6 +300,25 @@ def _latest_protocol_fs(table_path: str) -> dict:
     )
 
 
+def _refuse_append_only(spark: SparkSession, table_path: str, op: str) -> None:
+    """`delta.appendOnly=true` tables refuse data-removing operations
+    (Delta's enforcement for the appendOnly writer feature): DELETE,
+    DV-DELETE, UPDATE, file-removing MERGE, OVERWRITE, RESTORE. Pure
+    maintenance rewrites (OPTIMIZE / z-order / DV purge, dataChange =
+    false) stay allowed, as in Delta. One cached metadata read; called
+    only from the rare mutation paths, never the append hot path."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    if current_version(table_path) < 0:
+        return
+    cfg = DeltaLog(spark, table_path).metadata().get("configuration", {})
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            f"{op} is not allowed on an append-only table "
+            f"(delta.appendOnly=true): {table_path}"
+        )
+
+
 def _require_writable(spark: SparkSession, table_path: str) -> None:
     """Protocol gate for writes (Delta spec): refuse to commit to a
     table whose protocol demands writer capabilities this engine lacks —
@@ -1260,6 +1279,7 @@ def write(
     for attempt in range(max_commit_retries + 1):
         removed: list[str] = []
         if mode == "overwrite" and version >= 0:
+            _refuse_append_only(spark, table_path, "OVERWRITE")
             removed = [
                 p for p in _active_rel_paths(spark, table_path)
                 if p not in set(new_files)
@@ -1347,6 +1367,7 @@ def delete(spark: SparkSession, table_path: str, predicate: str) -> int:
     files that contain matching rows (file-pruned via a per-file match
     count), commits remove+add with operation DELETE."""
     _require_writable(spark, table_path)
+    _refuse_append_only(spark, table_path, "DELETE")
 
     from pyspark.sql import functions as F
 
@@ -1492,6 +1513,11 @@ def merge(
             .distinct()
             .collect()
         }
+
+    if hit_files:
+        # insert-only merges append; a file-removing merge is a data
+        # removal and falls under the append-only refusal like UPDATE
+        _refuse_append_only(spark, table_path, "MERGE (file-rewriting)")
 
     cdc_rel: str | None = None
     if _cdf_enabled(log.metadata()):
@@ -2045,6 +2071,7 @@ def delete_with_dv(spark: SparkSession, table_path: str, predicate: str) -> int:
     touches 1% of rows in every file from a full-table rewrite into a
     |deleted rows|-sized append."""
     _require_writable(spark, table_path)
+    _refuse_append_only(spark, table_path, "DELETE (deletion vector)")
 
     from pyspark.sql import functions as F
 
@@ -2128,6 +2155,7 @@ def update(
     reconstructs the commit as delete+insert pairs for the touched
     files, same as Delta's UPDATE without CDF."""
     _require_writable(spark, table_path)
+    _refuse_append_only(spark, table_path, "UPDATE")
 
     from pyspark.sql import functions as F
 

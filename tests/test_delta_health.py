@@ -2509,3 +2509,47 @@ def test_fsck_repair_drops_missing_files(spark):
     assert maintenance.fsck_repair(spark, path) == {
         "numMissingFiles": 0, "repaired": False}
     shutil.rmtree(tmp)
+
+
+def test_append_only_table_refuses_data_removal(spark):
+    """delta.appendOnly=true enforcement (Delta's appendOnly writer
+    feature): appends and insert-only merges keep working, OPTIMIZE
+    stays allowed (dataChange=false), but DELETE / DV-DELETE / UPDATE /
+    file-rewriting MERGE / OVERWRITE / RESTORE are refused; unsetting
+    the property re-enables them."""
+    tmp = tempfile.mkdtemp()
+    path = f"{tmp}/t"
+    delta_writer.write(spark, spark.range(0, 20).withColumn(
+        "v", F.col("id") * 2), path, mode="overwrite")
+    delta_writer.set_table_property(spark, path, "delta.appendOnly", "true")
+
+    delta_writer.write(spark, spark.range(20, 25).withColumn(
+        "v", F.col("id") * 2), path, mode="append")  # appends fine
+    # insert-only merge (no key overlap): allowed
+    delta_writer.merge(spark, path,
+                       spark.range(100, 103).withColumn("v", F.col("id") * 2),
+                       key_cols=["id"])
+    assert DeltaLog(spark, path).snapshot().count() == 28
+
+    for op in (
+        lambda: delta_writer.delete(spark, path, "id = 1"),
+        lambda: delta_writer.delete_with_dv(spark, path, "id = 2"),
+        lambda: delta_writer.update(spark, path, "id = 3", {"v": "v + 1"}),
+        lambda: delta_writer.merge(
+            spark, path,
+            spark.range(0, 2).withColumn("v", F.lit(0).cast("long")),
+            key_cols=["id"]),
+        lambda: delta_writer.write(spark, spark.range(0, 1).withColumn(
+            "v", F.col("id")), path, mode="overwrite"),
+        lambda: maintenance.restore(spark, path, 0),
+    ):
+        with pytest.raises(ValueError, match="append-only"):
+            op()
+    # maintenance rewrite is NOT a data removal
+    maintenance.compact(spark, path, small_file_size=32 * 1024 * 1024)
+    assert DeltaLog(spark, path).snapshot().count() == 28
+
+    delta_writer.set_table_property(spark, path, "delta.appendOnly", "false")
+    delta_writer.delete(spark, path, "id = 1")
+    assert DeltaLog(spark, path).snapshot().count() == 27
+    shutil.rmtree(tmp)
