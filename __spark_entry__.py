@@ -42,6 +42,7 @@ _VERIFY_FIRST = (
     "ann_ivf_pq_topk",
     "events_user_value_pareto",
     "text_bigram_cross_entropy",
+    "dedup_minhash_calibration",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

@@ -1174,3 +1174,113 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# X14 — MinHash estimator calibration census: for every LSH candidate
+# pair, the signature-agreement estimate (n_agree/16 — the number
+# MinHash dedup thresholds on) against the TRUE shingle Jaccard, rolled
+# up per agreement level with the mean absolute error. This is the
+# query a dedup owner runs before picking X3's band/threshold settings:
+# it says what "14 of 16 rows agree" actually means on this corpus.
+# Composes X3's candidate machinery with X5's shingle-Jaccard math.
+# Scale shape: the pair set is LSH-bucket-bounded (never all-pairs),
+# signature joins shuffle on uniform doc ids, the true-Jaccard side
+# reuses the capped posting-list expansion, and the final aggregate is
+# 17 rows (one per possible agreement count). Estimates are exact
+# integer ratios; the per-bucket means are rounded to 6 dp.
+@query(
+    "dedup_minhash_calibration",
+    f"""
+    WITH {SQL_PAIRS_CTES},
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT p.doc_a, p.doc_b,
+             list_sum(list_transform(range(1, {N_HASHES + 1}), i ->
+               CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]
+                    THEN 1 ELSE 0 END)) AS n_agree
+      FROM cand_pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b
+    ), tj AS (
+      SELECT e.n_agree,
+             COALESCE(CAST(s.n_shared AS DOUBLE)
+                      / (za.n_sh + zb.n_sh - s.n_shared), 0.0) AS j
+      FROM est e
+      LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+      JOIN sizes za ON za.doc_id = e.doc_a
+      JOIN sizes zb ON zb.doc_id = e.doc_b
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree, COUNT(*) AS n_pairs,
+           ROUND(AVG(j), 6) AS mean_true_jaccard,
+           ROUND(AVG(ABS(n_agree / {N_HASHES}.0 - j)), 6) AS mean_abs_err
+    FROM tj GROUP BY n_agree ORDER BY n_agree
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sigs = _signatures(docs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+                " 0, (a, v) -> a + v)"
+            ).cast("long").alias("n_agree"),
+        )
+    )
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        _posting_pairs(sh, ["shingle"], "doc_id", "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    tj = (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "n_agree",
+            F.coalesce(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                F.lit(0.0),
+            ).alias("j"),
+        )
+    )
+    return (
+        tj.groupBy("n_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("j"), 6).alias("mean_true_jaccard"),
+            F.round(
+                F.avg(F.abs(F.col("n_agree") / F.lit(float(N_HASHES)) - F.col("j"))), 6
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("n_agree")
+    )

@@ -200,3 +200,21 @@ def test_bigram_cross_entropy_bounds(spark):
     for r in rows:
         assert r.n_bigrams == n_tok[r.doc_id] - 1
         assert 0.0 < r.cross_entropy <= ub
+
+
+def test_minhash_calibration_covers_all_candidates(spark):
+    """Every LSH candidate pair lands in exactly one agreement bucket
+    (totals match X3's pair count), agreement levels are within [0, 16],
+    and the reported error is consistent with |est - mean_true| at the
+    bucket level (Jensen: mean abs err >= |mean err|)."""
+    from delta_lake_health_spark.plans.dedup import N_HASHES, QUERIES
+
+    rows = QUERIES["dedup_minhash_calibration"](spark, SF_ORACLE).collect()
+    assert rows
+    n_pairs = QUERIES["dedup_minhash_pairs"](spark, SF_ORACLE).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert 0 <= r.n_agree <= N_HASHES
+        assert 0.0 <= r.mean_true_jaccard <= 1.0
+        est = r.n_agree / N_HASHES
+        assert r.mean_abs_err >= abs(est - r.mean_true_jaccard) - 1e-9
