@@ -258,6 +258,12 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self.ignore_deletes = str(
             options.get("ignoredeletes", "false")
         ).lower() in ("true", "1")
+        # Delta's skipChangeCommits: skip data-changing commits (rewrites
+        # from UPDATE/DELETE/MERGE) entirely instead of failing — neither
+        # their removes nor their re-added files feed the stream
+        self.skip_change_commits = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
         self.starting_version = int(options.get("startingversion", 0))
         # startingTimestamp (Delta's option): resolve to the earliest
         # commit AT or AFTER the timestamp (epoch ms or ISO date[time]),
@@ -499,6 +505,16 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                             cdf=True,
                         )
                     )
+                continue
+            if self.skip_change_commits and any(
+                ("remove" in a and a["remove"].get("dataChange")) or "dv" in a
+                for a in acts
+            ):
+                # Delta's skipChangeCommits: a commit that changes
+                # existing data (UPDATE/DELETE/MERGE rewrite) is skipped
+                # ENTIRELY — its re-added files never feed the stream,
+                # so downstream sees no duplicates (vs ignoreDeletes,
+                # which streams the commit's adds)
                 continue
             for act in acts:
                 if "remove" in act and act["remove"].get("dataChange"):

@@ -458,3 +458,19 @@ def test_tail_streams_a_converted_table(spark, tmp_path):
                        mode="append")
     got = sorted(r.id for r in _drain(spark, t, out, ckpt).select("id").collect())
     assert got == list(range(55))
+
+
+def test_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits: an UPDATE's rewrite commit is skipped entirely
+    — the stream sees neither a failure nor duplicate rows from the
+    re-added files; later plain appends still arrive."""
+    t, out, ckpt = (str(tmp_path / p) for p in ("t", "out", "ckpt"))
+    delta_writer.write(spark, _ids(spark, 0, 30).coalesce(1), t)
+    assert _drain(spark, t, out, ckpt, skipChangeCommits=True).count() == 30
+    delta_writer.update(spark, t, "id = 5", {"k": "99"})
+    delta_writer.write(spark, _ids(spark, 30, 40).coalesce(1), t,
+                       mode="append")
+    got = _drain(spark, t, out, ckpt, skipChangeCommits=True)
+    ids = sorted(r.id for r in got.select("id").collect())
+    assert ids == list(range(40))  # no dupes from the rewrite
+    assert got.where("k = 99").count() == 0  # rewrite never fed the stream
