@@ -43,6 +43,7 @@ _VERIFY_FIRST = (
     "events_user_value_pareto",
     "text_bigram_cross_entropy",
     "dedup_minhash_calibration",
+    "events_metronome_census",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

@@ -1309,3 +1309,77 @@ def events_user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# E29 — metronome (bot-cadence) census: per user, how often their
+# inter-event gap equals their single most common gap — scripted
+# clients fire on fixed timers, so a high modal-gap share with enough
+# events is the classic bot signal read next to E24's gap distribution.
+# Everything is exact integer arithmetic (microsecond gaps, counts, one
+# final ratio), so no float accumulation can split the engines; the
+# modal gap ties break to the smallest gap in both. Scale shape: one
+# per-user lag window (uniform user_id partitioning, same shuffle as
+# E24), one (user, gap) count with map-side partials, one per-user
+# top-1 window — every stage keyed by user_id.
+_METRONOME_MIN_GAPS = 5
+_METRONOME_SHARE = 0.5
+
+
+@query(
+    "events_metronome_census",
+    f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), c AS (
+      SELECT user_id, gap_us, COUNT(*) AS cnt
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1, 2
+    ), top1 AS (
+      SELECT user_id, gap_us, cnt,
+             SUM(cnt) OVER (PARTITION BY user_id) AS n_gaps,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, gap_us) AS rn
+      FROM c
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           gap_us AS modal_gap_us,
+           ROUND(cnt / CAST(n_gaps AS DOUBLE), 6) AS modal_share,
+           (n_gaps >= {_METRONOME_MIN_GAPS}
+            AND cnt / CAST(n_gaps AS DOUBLE) >= {_METRONOME_SHARE})
+             AS metronomic
+    FROM top1 WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def events_metronome_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    counts = gaps.groupBy("user_id", "gap_us").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wu = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "gap_us")
+    share = F.col("cnt") / F.col("n_gaps").cast("double")
+    return (
+        counts.withColumn("n_gaps", F.sum("cnt").over(wu))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.col("gap_us").alias("modal_gap_us"),
+            F.round(share, 6).alias("modal_share"),
+            (
+                (F.col("n_gaps") >= _METRONOME_MIN_GAPS)
+                & (share >= _METRONOME_SHARE)
+            ).alias("metronomic"),
+        )
+        .orderBy("user_id")
+    )

@@ -218,3 +218,33 @@ def test_minhash_calibration_covers_all_candidates(spark):
         assert 0.0 <= r.mean_true_jaccard <= 1.0
         est = r.n_agree / N_HASHES
         assert r.mean_abs_err >= abs(est - r.mean_true_jaccard) - 1e-9
+
+
+def test_metronome_census_laws(spark):
+    """One row per user with >= 2 events; modal_share in (0, 1]; the
+    flag is exactly the (min-gaps AND share-threshold) conjunction; a
+    user's gap count is their event count minus one."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.plans.events import (
+        _METRONOME_MIN_GAPS,
+        _METRONOME_SHARE,
+        QUERIES,
+    )
+
+    rows = QUERIES["events_metronome_census"](spark, SF_ORACLE).collect()
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    per_user = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.user_id for r in rows} == {
+        u for u, n in per_user.items() if n >= 2
+    }
+    for r in rows:
+        assert r.n_gaps == per_user[r.user_id] - 1
+        assert 0.0 < r.modal_share <= 1.0
+        assert r.metronomic == (
+            r.n_gaps >= _METRONOME_MIN_GAPS
+            and r.modal_share >= _METRONOME_SHARE
+        )
