@@ -394,6 +394,143 @@ def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(media_id: int, width: int, height: int) -> bytes:
+    """A REAL PNG (8-bit RGB, color type 2, no interlace) built from the
+    standard library alone: IHDR + one zlib IDAT + IEND, CRCs included.
+    Scanline filters CYCLE through all five spec types (None/Sub/Up/
+    Average/Paeth, §9 of the PNG spec) so the decoder's unfilter path is
+    exercised on every type, not just the trivial one. Pixels are the
+    same deterministic sha256 pattern the BMP encoder uses."""
+    import zlib
+
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += hashlib.sha256(f"png:{media_id}:{x}:{y}".encode()).digest()[:3]
+        raw_rows.append(bytes(row))
+    stride = width * 3
+    filtered = bytearray()
+    prev = b"\x00" * stride
+    for y, row in enumerate(raw_rows):
+        ft = y % 5
+        filtered.append(ft)
+        for i in range(stride):
+            left = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                f = row[i]
+            elif ft == 1:
+                f = row[i] - left
+            elif ft == 2:
+                f = row[i] - up
+            elif ft == 3:
+                f = row[i] - (left + up) // 2
+            else:
+                f = row[i] - _paeth(left, up, ul)
+            filtered.append(f & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _decode_png_header(payload: bytes) -> dict:
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG is supported "
+                    f"(depth={depth} color={color} interlace={interlace})"
+                )
+            return {"width": w, "height": h, "n_frames": 1,
+                    "n_bytes": w * h * 3}
+    raise NotImplementedError("PNG payload without an IHDR chunk")
+
+
+def png_pixels(payload: bytes) -> bytes:
+    """Fully decode to RGB bytes: zlib-inflate the concatenated IDAT
+    stream, then unfilter every scanline (all five PNG filter types)."""
+    import zlib
+
+    hdr = _decode_png_header(payload)
+    w, h = hdr["width"], hdr["height"]
+    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError(
+            f"short PNG pixel stream: {len(raw)} of {h * (stride + 1)}"
+        )
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        if ft > 4:
+            raise NotImplementedError(f"unknown PNG filter type {ft}")
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        for i in range(stride):
+            left = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ft == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        out += line
+        prev = line
+    return bytes(out)
+
+
 def encode_gif(media_id: int, width: int, height: int) -> bytes:
     """A REAL single-frame GIF89a (global 256-color table, LZW image
     data in the fixed-9-bit form: CLEAR emitted before the table can
@@ -510,6 +647,8 @@ def _decode_payload(payload: bytes) -> dict:
         return {**_decode_bmp_header(payload), "sample_rate": 0}
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return {**_decode_gif_header(payload), "sample_rate": 0}
+    if payload[:8] == _PNG_SIG:
+        return {**_decode_png_header(payload), "sample_rate": 0}
     if payload[:4] == b"RIFF":
         d = _decode_wav_header(payload)
         return {k: d[k] for k in
@@ -560,6 +699,9 @@ def media_row(i: int) -> tuple[str, bytes, int, int, int, int]:
     if i % 8 == 2:  # real LZW-compressed GIF89a
         w, h = 10 + (i % 4) * 3, 8 + (i % 3) * 2
         return "gif", encode_gif(i, w, h), w, h, 1, 0
+    if i % 8 == 4:  # real zlib-compressed PNG (all 5 filter types)
+        w, h = 12 + (i % 5) * 4, 10 + (i % 3) * 5
+        return "png", encode_png(i, w, h), w, h, 1, 0
     w, h = 64 + (i % 7) * 32, 48 + (i % 4) * 32
     return "image", encode_image(i, w, h), w, h, 1, 0
 

@@ -48,6 +48,7 @@ def query(name: str, sql: str | None):
            CAST(CASE media_type
                      WHEN 'bmp'   THEN width * height * 3
                      WHEN 'gif'   THEN width * height * 3
+                     WHEN 'png'   THEN width * height * 3
                      WHEN 'image' THEN octet_length(payload) - 12
                      WHEN 'video' THEN octet_length(payload) - 16
                      WHEN 'wav'   THEN n_frames * 2
