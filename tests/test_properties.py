@@ -257,3 +257,89 @@ def test_shingle_duplication_fraction_matches_python(spark, corpora):
     else:
         assert got_rows[0].n_shingles == total
         assert got_rows[0].n_dup == dup
+
+
+@settings(deadline=None, max_examples=12,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_event_lists, _event_lists, st.integers(1, 500))
+def test_asof_forward_matches_naive(spark, lefts, rights, tol):
+    """asof_forward_join == argmin-over-qualifying-rights (earliest ts,
+    highest tiebreak among equals), per left row."""
+    from delta_lake_health_spark.operators.asof import asof_forward_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in lefts] or [(0, -1, -1)],
+        "k int, lts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rights] or [(99, -1, -1)],
+        "k int, rts long, rid long",
+    )
+    got = {
+        (r.k, r.lts, r.lid): (r._asof_ts, r.rid_out)
+        for r in asof_forward_join(
+            ldf, rdf, ["k"], "lts", "rts",
+            payload={"rid_out": "rid"}, tolerance=tol, right_tiebreak="rid",
+        ).collect()
+    }
+    for k, lt, lid in (lefts or [(0, -1, -1)]):
+        q = [
+            (rt, rid)
+            for rk, rt, rid in (rights or [(99, -1, -1)])
+            if rk == k and rt >= lt and rt < lt + tol
+        ]
+        want = min(q, key=lambda x: (x[0], -x[1])) if q else None
+        have = got[(k, lt, lid)]
+        if want is None:
+            assert have[0] is None, (k, lt, have)
+        else:
+            assert have == want, (k, lt, have, want)
+
+
+@settings(deadline=None, max_examples=12,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_event_lists, _event_lists, st.integers(1, 500))
+def test_asof_nearest_matches_naive(spark, lefts, rights, tol):
+    """asof_nearest_join == min-|distance| with past-preferred ties,
+    per left row."""
+    from delta_lake_health_spark.operators.asof import asof_nearest_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in lefts] or [(0, -1, -1)],
+        "k int, lts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rights] or [(99, -1, -1)],
+        "k int, rts long, rid long",
+    )
+    got = {
+        (r.k, r.lts, r.lid): (r._asof_ts, r.rid_out)
+        for r in asof_nearest_join(
+            ldf, rdf, ["k"], "lts", "rts",
+            payload={"rid_out": "rid"}, tolerance=tol, right_tiebreak="rid",
+        ).collect()
+    }
+    for k, lt, lid in (lefts or [(0, -1, -1)]):
+        qb = [
+            (rt, rid)
+            for rk, rt, rid in (rights or [(99, -1, -1)])
+            if rk == k and rt <= lt and rt > lt - tol
+        ]
+        qf = [
+            (rt, rid)
+            for rk, rt, rid in (rights or [(99, -1, -1)])
+            if rk == k and rt >= lt and rt < lt + tol
+        ]
+        bb = max(qb) if qb else None
+        bf = min(qf, key=lambda x: (x[0], -x[1])) if qf else None
+        if bb is None:
+            want = bf
+        elif bf is None:
+            want = bb
+        else:
+            want = bb if (lt - bb[0]) <= (bf[0] - lt) else bf
+        have = got[(k, lt, lid)]
+        if want is None:
+            assert have[0] is None, (k, lt, have)
+        else:
+            assert have == want, (k, lt, have, want)
