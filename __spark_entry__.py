@@ -44,6 +44,7 @@ _VERIFY_FIRST = (
     "text_bigram_cross_entropy",
     "dedup_minhash_calibration",
     "events_metronome_census",
+    "events_click_to_purchase",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

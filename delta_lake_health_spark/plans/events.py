@@ -1383,3 +1383,71 @@ def events_metronome_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E30 — click-to-next-purchase (forward as-of): for every click, the
+# NEXT purchase by the same user within the session gap — the
+# conversion-wait mirror of E8's backward attribution, driving the new
+# forward as-of direction through the registry. Same scale shape as E8:
+# union + one user_id shuffle + per-key carry, never the range-join
+# pair set (the ORACLE is the pair set + row_number, which is exactly
+# what the operator avoids).
+@query(
+    "events_click_to_purchase",
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT click_id, user_id, purchase_id,
+           CAST(pt - ct AS BIGINT) AS wait_us,
+           ROUND(value, 2) AS purchase_value
+    FROM (
+      SELECT c.click_id, c.user_id, p.purchase_id, p.pt, c.ct, p.value,
+             ROW_NUMBER() OVER (PARTITION BY c.click_id
+                                ORDER BY p.pt ASC, p.purchase_id DESC) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id
+         AND p.pt >= c.ct AND p.pt < c.ct + {SESSION_GAP_US}
+    ) WHERE rn = 1
+    ORDER BY click_id
+    """,
+)
+def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.asof import asof_forward_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_evt"), "ts_us", "value"
+    )
+    joined = asof_forward_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload={"purchase_id": "purchase_evt", "purchase_value": "value"},
+        tolerance=SESSION_GAP_US,
+        right_tiebreak="purchase_evt",
+    )
+    return (
+        joined.where(F.col("purchase_id").isNotNull())
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            (F.col("_asof_ts") - F.col("ts_us")).cast("long").alias("wait_us"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        .orderBy("click_id")
+    )
