@@ -1729,11 +1729,19 @@ def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
-    bg = bg.withColumn("bk", F.concat_ws(" ", "p", "w"))
-    c2 = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c2")).select(
-        F.concat_ws(" ", "p", "w").alias("bk"), "c2"
+    # materialization barriers: the head/tail split references the token
+    # stream twice per join (4x nested) and each count table three times
+    # (floor agg + head + tail) — without them the corpus explode and the
+    # groupBys re-run per reference (same CollapseProject behavior the
+    # minhash signature pass documents)
+    bg = bg.withColumn("bk", F.concat_ws(" ", "p", "w")).localCheckpoint()
+    c2 = (
+        bg.groupBy("p", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .select(F.concat_ws(" ", "p", "w").alias("bk"), "c2")
+        .localCheckpoint()
     )
-    c1 = bg.groupBy("p").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = bg.groupBy("p").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
     v = (
         docs.select(F.explode(toks()).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
