@@ -170,13 +170,14 @@ def _add_action(table_path: str, rel: str, data_change: bool = True) -> dict:
 
 
 # Writer features this engine actually maintains; the write gate refuses
-# tables demanding anything else (e.g. identityColumns — a write that
-# doesn't maintain the identity high-water mark would corrupt the table).
+# tables demanding anything else — a commit that ignores a writer feature
+# it doesn't understand corrupts the table for conforming writers.
 SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "appendOnly", "invariants", "checkConstraints", "generatedColumns",
         "changeDataFeed", "columnMapping", "deletionVectors",
         "inCommitTimestamp", "v2Checkpoint", "rowTracking",
+        "identityColumns",
     }
 )
 # Legacy minWriterVersion -> the features it implies (Delta spec table);
@@ -373,12 +374,17 @@ def _protocol_upgrade_action(
                 ),
             }
         }
-    if feature == "rowTracking":
-        # writer-only table feature (readers may ignore row ids): the
-        # writer protocol moves to table features (7) and enumerates,
-        # the reader version is untouched
+    if feature in ("rowTracking", "identityColumns"):
+        # writer-only table features (readers may ignore row ids;
+        # identity values are plain data once written): the writer
+        # protocol moves to table features (7) and enumerates, the
+        # reader version is untouched. identityColumns is also legacy
+        # minWriterVersion 6, but we always upgrade through features —
+        # a (1,6) protocol would drag in every v6-implied feature.
         if w >= 7 and feature in p["writerFeatures"]:
             return None
+        if feature == "identityColumns" and w == 6:
+            return None  # legacy v6 already implies it
         writer_feats = (
             set(p["writerFeatures"]) if w >= 7
             else set(_LEGACY_WRITER_FEATURES.get(w, set()))
@@ -1107,6 +1113,299 @@ def _fill_generated_columns(spark: SparkSession, df: DataFrame, table_path: str)
     return df
 
 
+def _identity_specs(schema: dict | None) -> dict[str, dict]:
+    """{column: spec} for Delta identity columns — the spec's field
+    metadata keys ``delta.identity.start`` / ``step`` /
+    ``highWaterMark`` (absent until the first value is generated) /
+    ``allowExplicitInsert`` (False = GENERATED ALWAYS, True = GENERATED
+    BY DEFAULT)."""
+    out: dict[str, dict] = {}
+    for f in (schema or {}).get("fields", []):
+        md = f.get("metadata") or {}
+        if "delta.identity.start" in md:
+            out[f["name"]] = {
+                "start": int(md["delta.identity.start"]),
+                "step": int(md["delta.identity.step"]),
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+                "allow_explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
+def _identity_fields(
+    meta: dict, updates: dict[str, int]
+) -> list[dict]:
+    """The table's schema fields with each column's
+    ``delta.identity.highWaterMark`` replaced per ``updates`` — the
+    field list a HWM-advancing commit re-emits in its metaData."""
+    fields = [dict(f) for f in (meta.get("schema") or {}).get("fields", [])]
+    for f in fields:
+        if f["name"] in updates:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = updates[f["name"]]
+            f["metadata"] = md
+    return fields
+
+
+def _identity_metadata_action(meta: dict, fields: list[dict]) -> dict:
+    """metaData action re-emitting the logged table state with updated
+    ``fields`` — id, partitioning, and configuration all carry over
+    (this is an append-path re-emit, never a schema replacement)."""
+    return {
+        "metaData": {
+            "id": meta["id"],
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": meta.get("partition_columns", []),
+            "configuration": dict(meta.get("configuration") or {}),
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def set_identity_column(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    start: int = 1,
+    step: int = 1,
+    allow_explicit_insert: bool = False,
+) -> int:
+    """Declare ``col`` an IDENTITY column (Delta identity columns,
+    writer feature ``identityColumns``): subsequent ``write`` batches
+    that omit the column get values ``start + k*step`` assigned
+    distributed (per-partition contiguous blocks — the same reservation
+    shape Delta's tasks use), with the high-water mark re-emitted in the
+    SAME commit's metaData so concurrent writers conflict instead of
+    duplicating values. ``allow_explicit_insert=False`` is GENERATED
+    ALWAYS (providing the column refuses); True is GENERATED BY DEFAULT
+    (provided values accepted, the mark advances past them).
+
+    Declaring on a table with existing data syncs the mark to the
+    column's current extreme so generated values never collide
+    (the spec's SYNC IDENTITY, run once at declaration)."""
+    _require_writable(spark, table_path)
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    log = DeltaLog(spark, table_path)
+    meta = log.metadata()
+    schema = meta.get("schema") or {}
+    field = next(
+        (f for f in schema.get("fields", []) if f["name"] == col), None
+    )
+    if field is None:
+        raise ValueError(f"column {col!r} not in table schema")
+    if field.get("type") != "long":
+        raise ValueError(
+            f"identity column must be LONG, {col!r} is {field.get('type')!r}"
+        )
+    if col in meta.get("partition_columns", []):
+        raise ValueError(f"identity column {col!r} cannot be a partition column")
+    md = field.get("metadata") or {}
+    if "delta.generationExpression" in md:
+        raise ValueError(f"column {col!r} is already a generated column")
+    if "delta.identity.start" in md:
+        raise ValueError(f"column {col!r} is already an identity column")
+
+    # sync the mark to existing data so generated values never collide
+    agg = F.max(col) if step > 0 else F.min(col)
+    row = log.snapshot().agg(agg.alias("m")).collect()[0]
+    hwm = None
+    if row["m"] is not None:
+        hwm = int(row["m"])
+        if (step > 0 and hwm < start) or (step < 0 and hwm > start):
+            hwm = None  # all existing values sit before start; fresh series
+
+    fields = [dict(f) for f in schema["fields"]]
+    for f in fields:
+        if f["name"] == col:
+            fmd = dict(f.get("metadata") or {})
+            fmd["delta.identity.start"] = start
+            fmd["delta.identity.step"] = step
+            fmd["delta.identity.allowExplicitInsert"] = allow_explicit_insert
+            if hwm is not None:
+                fmd["delta.identity.highWaterMark"] = hwm
+            f["metadata"] = fmd
+    actions: list[dict] = []
+    upgrade = _protocol_upgrade_action(spark, table_path, "identityColumns")
+    if upgrade is not None:
+        actions.append(upgrade)
+    actions.append(_identity_metadata_action(meta, fields))
+    actions.append(
+        _commit_info(
+            "SET IDENTITY COLUMN",
+            {"column": col, "start": start, "step": step,
+             "allowExplicitInsert": allow_explicit_insert},
+            {},
+        )
+    )
+    version = current_version(table_path)
+    _commit(table_path, version + 1, actions)
+    return version + 1
+
+
+def sync_identity(spark: SparkSession, table_path: str, col: str) -> int:
+    """ALTER TABLE ... SYNC IDENTITY: recompute the high-water mark from
+    the column's actual data (max for positive step, min for negative)
+    and re-emit metaData when it moved. The mark only ever advances —
+    shrinking it would let future generated values collide with rows a
+    concurrent reader already saw."""
+    _require_writable(spark, table_path)
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    meta = log.metadata()
+    specs = _identity_specs(meta.get("schema"))
+    if col not in specs:
+        raise ValueError(f"column {col!r} is not an identity column")
+    spec = specs[col]
+    agg = F.max(col) if spec["step"] > 0 else F.min(col)
+    row = log.snapshot().agg(agg.alias("m")).collect()[0]
+    version = current_version(table_path)
+    if row["m"] is None:
+        return version  # empty table: nothing to sync
+    data_mark = int(row["m"])
+    hwm = spec["hwm"]
+    if hwm is not None and (
+        (spec["step"] > 0 and data_mark <= hwm)
+        or (spec["step"] < 0 and data_mark >= hwm)
+    ):
+        return version  # mark already covers the data
+    fields = _identity_fields(meta, {col: data_mark})
+    _commit(
+        table_path,
+        version + 1,
+        [
+            _identity_metadata_action(meta, fields),
+            _commit_info("SYNC IDENTITY", {"column": col}, {}),
+        ],
+    )
+    return version + 1
+
+
+_PARTITION_ID_BITS = 33  # monotonically_increasing_id: pid<<33 | local row
+
+
+def _fill_identity_columns(
+    spark: SparkSession, df: DataFrame, table_path: str, meta: dict | None
+):
+    """Assign identity values to columns the batch omits and validate
+    explicit values; returns ``(df, hwm_updates)`` where ``hwm_updates``
+    maps column -> new high-water mark the commit must re-emit (empty
+    when the table has no identity columns or nothing advanced).
+
+    Scale shape: one ``localCheckpoint`` pins the batch (freezing the
+    nondeterministic partition ids so the count pass and the assignment
+    pass agree), one tiny per-partition-count aggregate (|partitions|
+    rows to the driver — bounded by the batch's task count, not its
+    rows), then values come from a broadcast offsets join: each
+    partition gets a contiguous block past the mark, exactly the
+    reservation scheme Delta writers use per task. No data shuffle."""
+    specs = _identity_specs((meta or {}).get("schema"))
+    if not specs:
+        return df, {}
+    from pyspark.sql import functions as F
+
+    updates: dict[str, int] = {}
+    to_generate: dict[str, dict] = {}
+    explicit_aggs = []
+    for col, spec in specs.items():
+        if col in df.columns:
+            if not spec["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {col!r} is GENERATED ALWAYS; the "
+                    "batch must not provide it"
+                )
+            explicit_aggs.append(
+                (F.max(col) if spec["step"] > 0 else F.min(col)).alias(col)
+            )
+        else:
+            to_generate[col] = spec
+
+    if to_generate:
+        df = df.withColumn(
+            "_id_mid", F.monotonically_increasing_id()
+        ).localCheckpoint()
+        pid = F.shiftright("_id_mid", _PARTITION_ID_BITS)
+        counts = sorted(
+            df.groupBy(pid.alias("_id_pid"))
+            .agg(F.count(F.lit(1)).alias("_id_cnt"))
+            .collect(),
+            key=lambda r: r["_id_pid"],
+        )
+        offsets, acc = [], 0
+        for r in counts:
+            offsets.append((int(r["_id_pid"]), acc))
+            acc += int(r["_id_cnt"])
+        off_df = spark.createDataFrame(
+            offsets or [(0, 0)], "_id_pid long, _id_off long"
+        )
+        df = df.join(
+            F.broadcast(off_df),
+            pid == F.col("_id_pid"),
+            "left",
+        ).drop("_id_pid")
+        local = F.col("_id_mid").bitwiseAND(
+            F.lit((1 << _PARTITION_ID_BITS) - 1)
+        )
+        for col, spec in to_generate.items():
+            base = spec["hwm"]
+            if base is None:
+                base = spec["start"] - spec["step"]
+            value = (
+                F.lit(base)
+                + F.lit(spec["step"]) * (F.col("_id_off") + local + F.lit(1))
+            ).cast("long")
+            # the offsets join covers every partition id by construction,
+            # so the value is never null — coalesce restores the
+            # non-nullable flag the join's schema lost (the logged column
+            # may be NOT NULL and the append comparison is nullability-
+            # sensitive)
+            df = df.withColumn(col, F.coalesce(value, F.lit(0).cast("long")))
+            if acc > 0:
+                updates[col] = base + spec["step"] * acc
+        df = df.drop("_id_mid", "_id_off")
+
+    if explicit_aggs:
+        row = df.agg(*explicit_aggs).collect()[0]
+        for col, spec in specs.items():
+            if col not in df.columns or col in to_generate:
+                continue
+            if row[col] is None:
+                continue
+            seen = int(row[col])
+            hwm = spec["hwm"]
+            if hwm is None:
+                hwm = spec["start"] - spec["step"]
+            if (spec["step"] > 0 and seen > hwm) or (
+                spec["step"] < 0 and seen < hwm
+            ):
+                updates[col] = seen
+
+    if to_generate:
+        # withColumn appended the filled columns at the END; restore the
+        # logged field order so the append-schema comparison (which is
+        # order-sensitive) sees the table's own shape
+        logged_order = [
+            f["name"] for f in (meta or {}).get("schema", {}).get("fields", [])
+        ]
+        if set(df.columns) == set(logged_order):
+            df = df.select(*logged_order)
+    return df, updates
+
+
 def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
     """One pass over the batch being written (NOT the table): every CHECK
     constraint and every non-nullable logged column is folded into a
@@ -1238,10 +1537,14 @@ def write(
 
     schema_changed = False
     merged_schema: dict | None = None
+    hwm_updates: dict[str, int] = {}
     meta_at_validation = _logged_meta()
     logged_schema = (meta_at_validation or {}).get("schema")
     if version >= 0:
         df = _fill_generated_columns(spark, df, table_path)
+        df, hwm_updates = _fill_identity_columns(
+            spark, df, table_path, meta_at_validation
+        )
         if mode == "append":
             df, schema_changed, merged_schema = _merge_append_schema(
                 spark, df, table_path, merge_schema
@@ -1295,10 +1598,31 @@ def write(
             # schema-changing write: re-emit metaData so snapshot() of a
             # later-emptied table reconstructs the NEW schema; table id and
             # configuration (constraints) carry over from the current
-            # metadata — re-emitting must not drop them
+            # metadata — re-emitting must not drop them. Identity marks
+            # advanced by this very batch fold into the same action.
+            if hwm_updates and merged_schema is not None:
+                merged_schema = {
+                    **merged_schema,
+                    "fields": _identity_fields(
+                        {**meta_at_validation, "schema": merged_schema},
+                        hwm_updates,
+                    ),
+                }
             actions.append(
                 _metadata_action(
                     df, partition_by, merged_schema, existing=meta_at_validation
+                )
+            )
+        elif hwm_updates:
+            # identity-only metaData re-emit: the schema shape is
+            # unchanged, only the high-water marks moved — committing
+            # them with the data is what makes concurrent identity
+            # writers CONFLICT (metadata change) instead of silently
+            # generating duplicate values
+            actions.append(
+                _identity_metadata_action(
+                    meta_at_validation,
+                    _identity_fields(meta_at_validation, hwm_updates),
                 )
             )
         actions.extend(adds)
@@ -1492,6 +1816,34 @@ def merge(
         p.replace(os.sep, "/") for p in _active_rel_paths(spark, table_path)
     }
     source = _fill_generated_columns(spark, source, table_path)
+    merge_meta = log.metadata()
+    identity_updates: dict[str, int] = {}
+    id_specs = _identity_specs(merge_meta.get("schema"))
+    if id_specs:
+        # MERGE is a whole-row upsert here: the source must carry every
+        # column, so GENERATED ALWAYS identity (explicit values refused)
+        # cannot be merged into; BY DEFAULT accepts the source's values
+        # and the mark advances past them in this same commit.
+        always = [c for c, s in id_specs.items() if not s["allow_explicit"]]
+        if always:
+            raise ValueError(
+                f"cannot MERGE into GENERATED ALWAYS identity column(s) "
+                f"{always}; declare them with allow_explicit_insert=True "
+                "or use write()"
+            )
+        row = source.agg(
+            *[
+                (F.max(c) if s["step"] > 0 else F.min(c)).alias(c)
+                for c, s in id_specs.items()
+            ]
+        ).collect()[0]
+        for c, s in id_specs.items():
+            if row[c] is None:
+                continue
+            seen = int(row[c])
+            hwm = s["hwm"] if s["hwm"] is not None else s["start"] - s["step"]
+            if (s["step"] > 0 and seen > hwm) or (s["step"] < 0 and seen < hwm):
+                identity_updates[c] = seen
     _validate_constraints(spark, source, table_path)
     partition_by = log.partition_columns()
     keys = source.select(*key_cols).distinct()
@@ -1591,6 +1943,12 @@ def merge(
     ]
     if cdc_rel is not None:
         actions.append(_cdc_action(table_path, cdc_rel))
+    if identity_updates:
+        actions.append(
+            _identity_metadata_action(
+                merge_meta, _identity_fields(merge_meta, identity_updates)
+            )
+        )
     if txn_app_id is not None:
         actions.append(
             {"txn": {"appId": txn_app_id, "version": txn_version,
@@ -2164,11 +2522,17 @@ def update(
     log = DeltaLog(spark, table_path)
     meta = log.metadata()
     gens = _generated_columns(meta.get("schema"))
+    idents = _identity_specs(meta.get("schema"))
     for col in set_exprs:
         if col in gens:
             raise ValueError(
                 f"column {col!r} is generated ({gens[col]!r}); it is "
                 "recomputed automatically and cannot be assigned"
+            )
+        if col in idents:
+            raise ValueError(
+                f"column {col!r} is an identity column and cannot be "
+                "assigned by UPDATE (Delta identity semantics)"
             )
     version = current_version(table_path)
     read_files = {

@@ -1765,11 +1765,11 @@ def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
 
     t3 = str(tmp_path / "t3")
     delta_writer.write(spark, spark.range(0, 5).selectExpr("id"), t3)
-    # identityColumns: a real Delta writer feature this engine does NOT
-    # maintain (rowTracking graduated to supported in round 5)
+    # defaultColumns: a real Delta writer feature this engine does NOT
+    # maintain (rowTracking graduated in round 5, identityColumns in r7)
     bump(t3, {"minReaderVersion": 3, "minWriterVersion": 7,
               "readerFeatures": ["timestampNtz"],
-              "writerFeatures": ["identityColumns"]})
+              "writerFeatures": ["defaultColumns"]})
     with pytest.raises(ValueError, match="unsupported Delta reader features"):
         DeltaLog(spark, t3).snapshot()
     with pytest.raises(ValueError, match="unsupported Delta writer"):
@@ -1784,13 +1784,12 @@ def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported Delta writer"):
         delta_writer.delete(spark, t4, "id = 1")
 
-    # legacy minWriterVersion 6 implies identityColumns -> write refused
+    # legacy minWriterVersion 6 (implies identityColumns, supported
+    # since r7): both reading AND writing are fine now
     t5 = str(tmp_path / "t5")
     delta_writer.write(spark, spark.range(0, 5).selectExpr("id"), t5)
     bump(t5, {"minReaderVersion": 1, "minWriterVersion": 6})
-    with pytest.raises(ValueError, match="identityColumns"):
-        delta_writer.update(spark, t5, "id = 1", {"id": "id + 10"})
-    # ...but reading it is fine (identity is a writer-only feature)
+    delta_writer.update(spark, t5, "id = 1", {"id": "id + 10"})
     assert DeltaLog(spark, t5).snapshot().count() == 5
 
     # the driver-side gate survives log cleanup: after checkpoint +
