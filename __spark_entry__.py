@@ -45,6 +45,7 @@ _VERIFY_FIRST = (
     "dedup_minhash_calibration",
     "events_metronome_census",
     "events_click_to_purchase",
+    "delta_identity_series",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

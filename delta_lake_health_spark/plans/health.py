@@ -780,6 +780,72 @@ def delta_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Identity columns end-to-end as an oracle-checked query: the fixture
+# seeds 100 rows with EXPLICIT uids 0,2,..,198, declares the column
+# IDENTITY (the declaration syncs the high-water mark to 198), then two
+# appends omit the column — the writer's distributed per-partition-block
+# assignment must produce EXACTLY the contiguous series 199..498 (any
+# wrong base, collision, or gap breaks the per-bucket count/sum).
+# sf_dir unused — the fixture is scale-independent.
+_ID_FIXTURE = "/tmp/delta_lake_health_spark_fixture/identity"
+_ID_MARKER = os.path.join(_ID_FIXTURE, "_ID_FIXTURE_COMPLETE")
+
+_ID_ORACLE = """
+    WITH u AS (
+        SELECT id * 2 AS uid FROM range(100) t(id)
+        UNION ALL
+        SELECT 199 + id FROM range(300) t(id)
+    )
+    SELECT CAST(uid % 5 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(uid) AS BIGINT) AS sum_uid
+    FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_identity_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_ID_MARKER):
+        return
+    shutil.rmtree(_ID_FIXTURE, ignore_errors=True)
+    seed = spark.range(0, 100).selectExpr(
+        "CAST(id AS STRING) AS name", "CAST(id * 2 AS LONG) AS uid"
+    )
+    delta_writer.write(spark, seed, _ID_FIXTURE)                      # v0
+    delta_writer.set_identity_column(spark, _ID_FIXTURE, "uid")      # hwm=198
+
+    def names(lo: int, hi: int):
+        return spark.range(lo, hi).selectExpr("CAST(id AS STRING) AS name")
+
+    delta_writer.write(spark, names(100, 350).repartition(4), _ID_FIXTURE)
+    delta_writer.write(spark, names(350, 400).repartition(2), _ID_FIXTURE)
+    with open(_ID_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_identity_series", _ID_ORACLE)
+def delta_identity_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket census over the identity column of the fixture table
+    (explicit seed + two generated appends)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_identity_fixture(spark)
+    return (
+        DeltaLog(spark, _ID_FIXTURE)
+        .snapshot()
+        .groupBy((F.col("uid") % 5).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("uid").cast("long").alias("sum_uid"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
 # Referential-integrity audit (the cross-table data-quality check a
 # health toolkit pairs with column profiling): for each FK edge of the
 # schema, child rows whose key resolves to no parent. Each edge is one
