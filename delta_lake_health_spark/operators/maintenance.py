@@ -122,6 +122,12 @@ def vacuum(
     if mode not in ("full", "lite"):
         raise ValueError(f"vacuum mode must be 'full' or 'lite': {mode!r}")
     log = DeltaLog(spark, table_path)
+    # the vacuumProtocolCheck table feature's mandate: VACUUM must
+    # consult the full protocol (reader AND writer gates) before
+    # touching any file — deleting by a stale live-set under an
+    # ununderstood feature would destroy data
+    log.require_readable()
+    delta_writer._require_writable(spark, table_path)
     cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
 
     tomb = log.tombstones().select(

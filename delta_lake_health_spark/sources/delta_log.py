@@ -923,8 +923,13 @@ class DeltaLog:
     # Reader features this engine actually implements; protocol gating
     # below refuses tables demanding anything else (Delta table-features
     # protocol: better a clear refusal than a silently wrong read).
+    # timestampNtz only gates the TIMESTAMP_NTZ data type, which Spark 4
+    # reads natively through the logged schema; vacuumProtocolCheck
+    # mandates that VACUUM consult the protocol before touching files —
+    # maintenance.vacuum() runs both gates.
     SUPPORTED_READER_FEATURES = frozenset(
-        {"deletionVectors", "columnMapping", "v2Checkpoint"}
+        {"deletionVectors", "columnMapping", "v2Checkpoint",
+         "timestampNtz", "vacuumProtocolCheck"}
     )
 
     def protocol(self) -> dict:

@@ -178,6 +178,13 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "changeDataFeed", "columnMapping", "deletionVectors",
         "inCommitTimestamp", "v2Checkpoint", "rowTracking",
         "identityColumns",
+        # interop features modern delta-spark writers stamp routinely:
+        # domainMetadata (this engine writes/checkpoints domain metadata
+        # for row tracking already — latest-per-domain reconciliation in
+        # delta_log), timestampNtz (gates only the TIMESTAMP_NTZ type,
+        # native in Spark 4), vacuumProtocolCheck (vacuum() consults
+        # both protocol gates before touching files)
+        "domainMetadata", "timestampNtz", "vacuumProtocolCheck",
     }
 )
 # Legacy minWriterVersion -> the features it implies (Delta spec table);

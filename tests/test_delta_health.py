@@ -1768,7 +1768,7 @@ def test_protocol_feature_gating_and_upgrades(spark, tmp_path):
     # defaultColumns: a real Delta writer feature this engine does NOT
     # maintain (rowTracking graduated in round 5, identityColumns in r7)
     bump(t3, {"minReaderVersion": 3, "minWriterVersion": 7,
-              "readerFeatures": ["timestampNtz"],
+              "readerFeatures": ["futureSkippingIndex"],
               "writerFeatures": ["defaultColumns"]})
     with pytest.raises(ValueError, match="unsupported Delta reader features"):
         DeltaLog(spark, t3).snapshot()
