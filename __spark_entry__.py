@@ -46,6 +46,7 @@ _VERIFY_FIRST = (
     "events_metronome_census",
     "events_click_to_purchase",
     "delta_identity_series",
+    "text_scrub_repeated_spans",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

@@ -1336,6 +1336,150 @@ def text_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T28 — exact-substring SCRUB (the removal action T21 only censuses —
+# Lee et al. 2022's ExactSubstr dedup applied): every token sitting
+# inside a window-W shingle that also occurs in another document is
+# REMOVED, and the doc is reassembled from the survivors. A token j is
+# covered iff some duplicated span starts in [j-W+1, j]; rather than a
+# token x span range join (pair-set explosion), both streams union into
+# one per-doc sweep — starts carry reach = i+W-1, and a running MAX of
+# reach over one doc_id-partitioned window marks each token covered iff
+# max_reach >= j. Scale shape: one md5-hash shuffle for the cross-doc
+# census, one doc_id shuffle for the sweep, intermediate size
+# |tokens| + |dup starts| — never tokens x spans. Output: the 20 most
+# scrubbed docs with an md5 of the reassembled text, so the two engines
+# must agree on the exact surviving token sequence, not just counts.
+@query(
+    "text_scrub_repeated_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(
+               t[CAST(i AS INT):CAST(i + {_SPAN_W - 1} AS INT)], ' ')) AS h
+      FROM t, UNNEST(range(1, len(t) - {_SPAN_W - 2})) u(i)
+      WHERE len(t) >= {_SPAN_W}
+    ), dup_h AS (
+      SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ), starts AS (
+      SELECT doc_id, i FROM pos WHERE h IN (SELECT h FROM dup_h)
+    ), tk AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS j, t[CAST(j AS INT)] AS tok
+      FROM t, UNNEST(range(1, len(t) + 1)) v(j)
+    ), kept AS (
+      SELECT k.doc_id, k.j, k.tok FROM tk k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM starts s
+        WHERE s.doc_id = k.doc_id
+          AND s.i BETWEEN k.j - {_SPAN_W - 1} AND k.j
+      )
+    ), tot AS (
+      SELECT doc_id, len(t) AS total_tokens FROM t
+    ), ka AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             md5(string_agg(tok, ' ' ORDER BY j)) AS sh
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(total_tokens - COALESCE(kept_tokens, 0) AS BIGINT)
+             AS removed_tokens,
+           COALESCE(sh, md5('')) AS scrub_hash
+    FROM tot LEFT JOIN ka USING (doc_id)
+    WHERE total_tokens - COALESCE(kept_tokens, 0) > 0
+    ORDER BY removed_tokens DESC, tot.doc_id
+    LIMIT 20
+    """,
+)
+def text_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", toks().alias("toks")
+    )
+    posh = (
+        docs.where(F.size("toks") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_W}))))"
+                )
+            ).alias("p", "h"),
+        )
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("i"), "h")
+        .localCheckpoint()  # census side and start side share it
+    )
+    dup_h = (
+        posh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    starts = posh.join(dup_h, "h").select(
+        "doc_id",
+        F.col("i").alias("pos"),
+        F.lit(0).alias("side"),
+        (F.col("i") + _SPAN_W - 1).alias("reach"),
+        F.lit(None).cast("string").alias("tok"),
+    )
+    tokens = docs.select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("reach"),
+        "tok",
+    )
+    sweep = Window.partitionBy("doc_id").orderBy("pos", "side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept = (
+        starts.unionByName(tokens)
+        .withColumn("max_reach", F.max("reach").over(sweep))
+        .where(
+            (F.col("side") == 1)
+            & (F.col("max_reach").isNull()
+               | (F.col("max_reach") < F.col("pos")))
+        )
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tok))),"
+                    " x -> x.tok)"
+                ),
+            )
+        ).alias("sh"),
+    )
+    tot = docs.select("doc_id", F.size("toks").cast("long").alias("total_tokens"))
+    return (
+        tot.join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            (
+                F.col("total_tokens") - F.coalesce("kept_tokens", F.lit(0))
+            ).cast("long").alias("removed_tokens"),
+            F.coalesce("sh", F.md5(F.lit(""))).alias("scrub_hash"),
+        )
+        .where(F.col("removed_tokens") > 0)
+        .orderBy(F.col("removed_tokens").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # T22 — filter-funnel overlap census: the pass/fail combination matrix
 # of four independent quality gates (length, stopword presence,
 # punctuation ratio, digit ratio) with doc and token counts per cell —
