@@ -59,6 +59,7 @@ HEADLINE = [
     "text_bigram_cross_entropy",
     "events_user_value_pareto",
     "ann_ivf_pq_topk",
+    "text_scrub_repeated_spans",
 ]
 
 

@@ -310,7 +310,7 @@ def _zvalue_column(df, cluster_cols: list[str]):
 def zorder_cluster(
     spark: SparkSession,
     table_path: str,
-    cluster_cols: list[str],
+    cluster_cols: list[str] | None = None,
     target_file_size: int = TARGET_FILE_SIZE,
     interleaved: bool = True,
     partition_filter: dict | None = None,
@@ -329,7 +329,18 @@ def zorder_cluster(
     previous z-order over the SAME columns (recorded in ``add.tags``)
     are left alone, so periodic maintenance rewrites only the data
     appended since the last run — at 100 TB this is the difference
-    between clustering the daily delta and re-clustering the table."""
+    between clustering the daily delta and re-clustering the table.
+
+    ``cluster_cols=None`` reads the table's DECLARED liquid-clustering
+    columns (``set_cluster_columns``) — the bare ``OPTIMIZE`` of a
+    clustered table."""
+    if cluster_cols is None:
+        cluster_cols = delta_writer.clustering_columns(table_path)
+        if not cluster_cols:
+            raise ValueError(
+                "no cluster_cols given and the table declares no "
+                "clustering columns (set_cluster_columns)"
+            )
     log = DeltaLog(spark, table_path)
     active = log.active_files()
     if partition_filter:

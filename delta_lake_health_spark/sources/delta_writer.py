@@ -185,6 +185,9 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         # native in Spark 4), vacuumProtocolCheck (vacuum() consults
         # both protocol gates before touching files)
         "domainMetadata", "timestampNtz", "vacuumProtocolCheck",
+        # liquid clustering: declared columns in the delta.clustering
+        # domain, applied on ingest and by OPTIMIZE (set_cluster_columns)
+        "clustering",
     }
 )
 # Legacy minWriterVersion -> the features it implies (Delta spec table);
@@ -404,6 +407,24 @@ def _protocol_upgrade_action(
         if r >= 3:
             proto["readerFeatures"] = sorted(set(p["readerFeatures"]))
         return {"protocol": proto}
+    if feature == "clustering":
+        # liquid clustering depends on domainMetadata (the declared
+        # columns live in the delta.clustering domain) — enumerate both
+        need = {"clustering", "domainMetadata"}
+        if w >= 7 and need <= set(p["writerFeatures"]):
+            return None
+        writer_feats = (
+            set(p["writerFeatures"]) if w >= 7
+            else set(_LEGACY_WRITER_FEATURES.get(w, set()))
+        )
+        proto = {
+            "minReaderVersion": r,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(writer_feats | need),
+        }
+        if r >= 3:
+            proto["readerFeatures"] = sorted(set(p["readerFeatures"]))
+        return {"protocol": proto}
     if feature in ("deletionVectors", "v2Checkpoint"):
         # table-features-only capabilities: upgrade to (3, 7) and
         # enumerate every feature the table already relies on
@@ -486,6 +507,89 @@ def _latest_row_id_hwm(table_path: str) -> int:
         ),
         default=-1,
     )
+
+
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def clustering_columns(table_path: str) -> list[str]:
+    """The table's declared liquid-clustering columns (latest
+    ``delta.clustering`` domainMetadata), [] when never declared or
+    cleared. Driver-side via the shared tail-then-checkpoint scan — no
+    Spark job, so the per-write default lookup stays commit-cost; a
+    table whose protocol never enabled the feature short-circuits
+    without scanning the log at all (every write calls this)."""
+    p = _latest_protocol_fs(table_path)
+    if p["minWriterVersion"] < 7 or "clustering" not in p["writerFeatures"]:
+        return []
+
+    def cols_of(dm: dict) -> list[str]:
+        if dm.get("removed"):
+            return []
+        cfg = json.loads(dm.get("configuration") or "{}")
+        return list(cfg.get("clusteringColumns", []))
+
+    return _scan_log_then_checkpoint(
+        table_path,
+        screen=f'"{CLUSTERING_DOMAIN}"',
+        json_handler=lambda a: (
+            cols_of(a["domainMetadata"])
+            if a.get("domainMetadata", {}).get("domain") == CLUSTERING_DOMAIN
+            else _SCAN_MISS
+        ),
+        ckpt_column="domainMetadata",
+        ckpt_handler=lambda row: (
+            cols_of(row)
+            if row and row.get("domain") == CLUSTERING_DOMAIN
+            else _SCAN_MISS
+        ),
+        default=[],
+    )
+
+
+def set_cluster_columns(
+    spark: SparkSession, table_path: str, cols: list[str]
+) -> int:
+    """ALTER TABLE ... CLUSTER BY (Delta liquid clustering, writer
+    feature ``clustering``): records the declared columns in the
+    ``delta.clustering`` domainMetadata. Every subsequent ``write`` that
+    doesn't pass an explicit ``cluster_by`` range-partitions and sorts
+    its batch by the declared columns (clustered ingest), and
+    ``zorder_cluster(cluster_cols=None)`` re-clusters incrementally over
+    them — the two halves of liquid clustering's contract. ``cols=[]``
+    clears the declaration (CLUSTER BY NONE)."""
+    _require_writable(spark, table_path)
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    names = {f["name"] for f in (meta.get("schema") or {}).get("fields", [])}
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"cluster column {c!r} not in table schema")
+        if c in meta.get("partition_columns", []):
+            raise ValueError(
+                f"cluster column {c!r} is a partition column — clustering "
+                "within a partition value is a no-op"
+            )
+    actions: list[dict] = []
+    upgrade = _protocol_upgrade_action(spark, table_path, "clustering")
+    if upgrade is not None:
+        actions.append(upgrade)
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": CLUSTERING_DOMAIN,
+                "configuration": json.dumps({"clusteringColumns": list(cols)}),
+                "removed": False,
+            }
+        }
+    )
+    actions.append(
+        _commit_info("CLUSTER BY", {"clusterBy": json.dumps(list(cols))}, {})
+    )
+    version = current_version(table_path)
+    _commit(table_path, version + 1, actions)
+    return version + 1
 
 
 PRESERVE_ROW_ID_FLAG = "__preserveRowId__"
@@ -1564,6 +1668,13 @@ def write(
             )
 
     _validate_constraints(spark, df, table_path)
+    if cluster_by is None and version >= 0:
+        # liquid clustering: a clustered table's declared columns apply
+        # to every ingest that doesn't choose its own layout (skipped
+        # when a schema-replacing overwrite dropped a declared column)
+        declared = clustering_columns(table_path)
+        if declared and all(c in df.columns for c in declared):
+            cluster_by = declared
     if cluster_by:
         # BEFORE _to_physical: cluster columns are LOGICAL names (a
         # renamed table's physical names would not resolve). Partition

@@ -225,6 +225,33 @@ def test_sync_identity_recomputes_and_never_shrinks(spark, table):
         delta_writer.sync_identity(spark, table, "name")
 
 
+def test_streaming_sink_batches_get_unique_ids_replay_safe(spark, table):
+    """The streaming-sink contract (write with txn appId/version, what
+    stream_to_delta's foreachBatch issues) composed with identity:
+    micro-batches get disjoint contiguous blocks, and a REPLAYED batch
+    is skipped before any values are generated — the mark must not
+    advance and no duplicates appear."""
+    delta_writer.write(spark, _with_id_col(spark, 0, 1), table)
+    delta_writer.write(spark, _with_id_col(spark, 0, 0), table, mode="overwrite")
+    delta_writer.set_identity_column(spark, table, "uid")
+    for bid, (lo, hi) in enumerate([(0, 10), (10, 25), (25, 30)]):
+        delta_writer.write(
+            spark, _payload(spark, lo, hi).repartition(2), table,
+            txn_app_id="cp", txn_version=bid,
+        )
+    assert _spec(spark, table)["hwm"] == 30
+    # replay batch 1: skipped, mark unchanged, count unchanged
+    v = delta_writer.write(
+        spark, _payload(spark, 10, 25), table, txn_app_id="cp", txn_version=1
+    )
+    assert v == delta_writer.current_version(table)
+    assert _spec(spark, table)["hwm"] == 30
+    vals = sorted(
+        r.uid for r in DeltaLog(spark, table).snapshot().select("uid").collect()
+    )
+    assert vals == list(range(1, 31))
+
+
 def test_legacy_v6_table_is_writable_and_maintained(spark, table):
     """A foreign minWriterVersion=6 log (the legacy identityColumns
     protocol) is accepted and its identity column maintained."""
