@@ -45,6 +45,12 @@ def _op_strategy():
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("checkpoint"), st.just(0)),
         st.tuples(st.just("restore"), st.integers(0, 1_000_000)),
+        # r7 features: both inject protocol upgrades + domainMetadata /
+        # field-metadata actions into arbitrary interleavings — the
+        # checkpoint fold, the .crc fast path, restore, and time travel
+        # must all absorb them without perturbing the DATA
+        st.tuples(st.just("zorder"), st.just(0)),
+        st.tuples(st.just("identity_declare"), st.just(0)),
     )
 
 
@@ -149,6 +155,29 @@ def test_random_mutation_sequences_match_model(spark, ops):
                 next_id += n
             elif kind == "compact":
                 maintenance.compact(spark, path)
+            elif kind == "zorder":
+                # declare-once, then the bare OPTIMIZE of a clustered
+                # table; dataChange=false — the model is untouched
+                if not delta_writer.clustering_columns(path):
+                    delta_writer.set_cluster_columns(spark, path, ["k"])
+                maintenance.zorder_cluster(spark, path)
+            elif kind == "identity_declare":
+                # BY DEFAULT identity on id: every append keeps providing
+                # explicit values, so the model is untouched — the op's
+                # value is the protocol + field-metadata actions landing
+                # mid-sequence (restore may legitimately roll the mark
+                # back with the rest of the metadata)
+                from delta_lake_health_spark.sources.delta_log import (
+                    DeltaLog as _DL,
+                )
+
+                specs = delta_writer._identity_specs(
+                    _DL(spark, path).metadata().get("schema")
+                )
+                if "id" not in specs:
+                    delta_writer.set_identity_column(
+                        spark, path, "id", allow_explicit_insert=True
+                    )
             elif kind == "checkpoint":
                 DeltaLog(spark, path).checkpoint()
             elif kind == "restore":
