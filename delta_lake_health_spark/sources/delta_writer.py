@@ -1949,6 +1949,12 @@ def merge(
                 f"{always}; declare them with allow_explicit_insert=True "
                 "or use write()"
             )
+        missing = [c for c in id_specs if c not in source.columns]
+        if missing:
+            raise ValueError(
+                "MERGE is a whole-row upsert: the source must provide "
+                f"the identity column(s) {missing}"
+            )
         row = source.agg(
             *[
                 (F.max(c) if s["step"] > 0 else F.min(c)).alias(c)

@@ -171,6 +171,9 @@ def test_merge_refuses_generated_always_allows_by_default(spark, table):
         spark, path2, "uid", allow_explicit_insert=True
     )
     delta_writer.write(spark, _payload(spark, 0, 3), path2)  # uids 1..3
+    # a source missing the column gets a clear refusal, not a crash
+    with pytest.raises(ValueError, match="must provide the identity"):
+        delta_writer.merge(spark, path2, src.drop("uid"), ["name"])
     delta_writer.merge(spark, path2, src, ["name"])
     assert _spec(spark, path2)["hwm"] == 51
     delta_writer.write(spark, _payload(spark, 10, 12), path2)
