@@ -47,6 +47,7 @@ _VERIFY_FIRST = (
     "events_click_to_purchase",
     "delta_identity_series",
     "text_scrub_repeated_spans",
+    "ann_filtered_topk",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

@@ -1090,3 +1090,60 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# S14 — FILTERED top-k (hybrid search): nearest neighbors constrained to
+# the query's own label — the metadata-predicate + vector composition
+# production retrieval almost always runs (filtered ANN / pre-filter
+# strategy). Unlike S1's declared broadcast nested-loop, the equality
+# predicate turns the scan into a broadcast HASH join on label: each
+# query only ever meets its own label's slice of the corpus — candidate
+# set |corpus|/|labels| per query instead of |corpus|, the pre-filter
+# win no post-filter ANN can match when the predicate is selective.
+# One broadcast, one window top-k; no pair set beyond the label-matched
+# candidates.
+@query(
+    "ann_filtered_topk",
+    f"""
+    WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+          FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q_id, vec_id, {_sql_cos("q_emb", "emb")} AS cos
+      FROM q JOIN e ON e.label = q.q_label AND vec_id <> q_id
+    ), ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = emb.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("q_label"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        (_dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )
