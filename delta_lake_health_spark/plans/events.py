@@ -1451,3 +1451,79 @@ def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E31 — nearest-purchase alignment: for every click, the purchase by
+# the same user CLOSEST in time in EITHER direction (within the session
+# gap), distance ties toward the past — the sensor-alignment semantics
+# of pandas merge_asof(direction="nearest"), driving the third as-of
+# direction through the driver gate (E8 backward, E30 forward). The
+# operator computes both carries over ONE user_id exchange (two
+# in-partition sorts) and compares distances; the ORACLE is the range
+# pair set + the equivalent (|dist|, side, tiebreak) ranking — exactly
+# what the operator avoids building.
+@query(
+    "events_click_purchase_nearest",
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT click_id, user_id, purchase_id,
+           CAST(ABS(pt - ct) AS BIGINT) AS dist_us,
+           ROUND(value, 2) AS purchase_value
+    FROM (
+      SELECT c.click_id, c.user_id, p.purchase_id, p.pt, c.ct, p.value,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.click_id
+               ORDER BY ABS(p.pt - c.ct) ASC,
+                        CASE WHEN p.pt <= c.ct THEN 0 ELSE 1 END ASC,
+                        p.purchase_id DESC) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id
+         AND p.pt > c.ct - {SESSION_GAP_US}
+         AND p.pt < c.ct + {SESSION_GAP_US}
+    ) WHERE rn = 1
+    ORDER BY click_id
+    """,
+)
+def events_click_purchase_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.asof import asof_nearest_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_evt"), "ts_us", "value"
+    )
+    joined = asof_nearest_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload={"purchase_id": "purchase_evt", "purchase_value": "value"},
+        tolerance=SESSION_GAP_US,
+        right_tiebreak="purchase_evt",
+    )
+    return (
+        joined.where(F.col("purchase_id").isNotNull())
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            F.abs(F.col("_asof_ts") - F.col("ts_us")).cast("long").alias(
+                "dist_us"
+            ),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        .orderBy("click_id")
+    )
