@@ -49,6 +49,7 @@ _VERIFY_FIRST = (
     "text_scrub_repeated_spans",
     "ann_filtered_topk",
     "events_click_purchase_nearest",
+    "corpus_epoch_shuffle",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",

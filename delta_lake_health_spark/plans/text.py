@@ -1910,3 +1910,95 @@ def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T29 — deterministic epoch shuffle: the training-order primitive — a
+# content-hash permutation of the corpus per epoch (reshuffled between
+# epochs, identical across reruns/engines, no RNG state to checkpoint).
+# Positions come from a distributed two-phase rank (the pareto-census
+# pattern): rank inside 256 hash-prefix buckets in parallel windows,
+# then add a broadcast |buckets|-row prefix offset — no global
+# single-task window at any size. The deliverable pins the WHOLE
+# permutation (a modular position-weighted fingerprint over every doc)
+# plus the exact head (md5 of the first 10 doc_ids in order), so a
+# single transposition anywhere breaks the compare.
+_EPOCHS = (0, 1)
+_SHUF_P = 1_000_003  # fingerprint modulus: terms < 1e6, no overflow
+
+
+@query(
+    "corpus_epoch_shuffle",
+    f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(e.epoch || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM d, (SELECT UNNEST({list(_EPOCHS)}) AS epoch) e
+    ), ranked AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+               AS pos
+      FROM keyed
+    )
+    SELECT epoch, COUNT(*) AS n_docs,
+           CAST(SUM((pos * 31 + doc_id) % {_SHUF_P}) AS BIGINT)
+             AS perm_fingerprint,
+           md5(string_agg(CASE WHEN pos <= 10
+                               THEN CAST(doc_id AS VARCHAR) END,
+                          ' ' ORDER BY pos)) AS head_hash
+    FROM ranked
+    GROUP BY epoch ORDER BY epoch
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame(
+        [(e,) for e in _EPOCHS], "epoch long"
+    )
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    b = keyed.withColumn("bucket", F.substring("h", 1, 2))
+    in_bucket = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    local = b.withColumn("lr", F.row_number().over(in_bucket))
+    counts = b.groupBy("epoch", "bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    bw = Window.partitionBy("epoch").orderBy("bucket")  # 256 rows/epoch
+    prefix = counts.withColumn(
+        "off", F.coalesce(F.sum("bn").over(bw) - F.col("bn"), F.lit(0))
+    ).select("epoch", "bucket", "off")
+    ranked = local.join(F.broadcast(prefix), ["epoch", "bucket"]).select(
+        "epoch", "doc_id", (F.col("off") + F.col("lr")).alias("pos")
+    )
+    return (
+        ranked.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("pos") * 31 + F.col("doc_id")) % _SHUF_P
+            ).cast("long").alias("perm_fingerprint"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN pos <= 10"
+                        " THEN struct(pos, doc_id) END)), x ->"
+                        " CAST(x.doc_id AS STRING))"
+                    ),
+                )
+            ).alias("head_hash"),
+        )
+        .orderBy("epoch")
+    )
