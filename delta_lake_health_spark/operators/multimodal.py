@@ -144,6 +144,47 @@ def encode_bmp(media_id: int, width: int, height: int, bpp: int = 24) -> bytes:
     return header + info + data
 
 
+def encode_bmp_from_pixels(bgr: bytes, width: int, height: int) -> bytes:
+    """24-bit BI_RGB BMP from raw top-down BGR pixel bytes — the
+    re-encode half of a real decode→transform→encode stage (the inverse
+    of ``bmp_pixels``)."""
+    if len(bgr) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(bgr)} bytes, want {width * height * 3}"
+        )
+    row_size = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - width * 3)
+    rows = [
+        bgr[y * width * 3 : (y + 1) * width * 3] + pad for y in range(height)
+    ]
+    data = b"".join(reversed(rows))  # BMP stores rows bottom-up
+    pixel_bytes = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
+    )
+    return header + info + data
+
+
+def rgb_pixels(media_type: str, payload: bytes) -> bytes:
+    """Top-down RGB bytes for any decodable still-image payload — one
+    front door over the per-format decoders (BMP stores BGR; PNG/GIF
+    decode to RGB natively)."""
+    if media_type == "bmp":
+        bgr = bmp_pixels(payload)
+        return bytes(
+            b
+            for i in range(0, len(bgr), 3)
+            for b in (bgr[i + 2], bgr[i + 1], bgr[i])
+        )
+    if media_type == "png":
+        return png_pixels(payload)
+    if media_type == "gif":
+        return gif_pixels(payload)
+    raise NotImplementedError(f"no pixel decoder for {media_type!r}")
+
+
 def _decode_bmp_header(payload: bytes) -> dict:
     w, h = struct.unpack("<ii", payload[18:26])
     bpp = struct.unpack("<H", payload[28:30])[0]
@@ -747,16 +788,36 @@ def decode_media(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """image payloads → resized payloads (synthetic re-encode; a real
-    build swaps the body for actual resampling). Videos pass through."""
+    """Still images → REAL nearest-neighbor resample: BMP/PNG/GIF
+    payloads decode to pixels, resample via numpy index maps (the
+    standard NN kernel: source row/col = floor(dst * src / dst_size)),
+    and re-encode as 24-bit BMP — the decoded-normalized re-encode a
+    real ingest pipeline performs when standardizing formats. Synthetic
+    SIMG payloads re-encode synthetically (no pixel semantics to
+    preserve); videos/audio pass through. Arrow-batched mapInPandas —
+    per-task memory is one batch of images, independent of table size."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, mtype, payload, meta in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
             ):
-                if mtype == "image":
+                if mtype in ("bmp", "png", "gif"):
+                    sw, sh = int(meta["width"]), int(meta["height"])
+                    rgb = np.frombuffer(
+                        rgb_pixels(mtype, bytes(payload)), dtype=np.uint8
+                    ).reshape(sh, sw, 3)
+                    yi = (np.arange(height) * sh) // height
+                    xi = (np.arange(width) * sw) // width
+                    out = rgb[yi][:, xi]          # H x W x 3, RGB
+                    bgr = out[:, :, ::-1].tobytes()
+                    payload = encode_bmp_from_pixels(bgr, width, height)
+                    mtype = "bmp"
+                    meta = {**meta, "width": width, "height": height}
+                elif mtype == "image":
                     payload = encode_image(int(mid), width, height)
                     meta = {**meta, "width": width, "height": height}
                 rows.append(

@@ -41,14 +41,52 @@ def test_resize(spark, media):
     dec = {r.media_id: r for r in mm.decode_media(resized).collect()}
     orig = {r.media_id: r for r in mm.decode_media(media).collect()}
     for mid, r in dec.items():
+        o = orig[mid]
         if r.media_type == "image":
             assert (r.width, r.height) == (16, 16)
             assert r.n_bytes == 16 * 16
-        else:  # videos and bmp rows pass through untouched
-            o = orig[mid]
+        elif o.media_type in ("bmp", "png", "gif"):
+            # real NN resample: re-encoded as 24-bit BMP at the target
+            assert r.media_type == "bmp"
+            assert (r.width, r.height) == (16, 16)
+        else:  # videos and audio pass through untouched
             assert (r.width, r.height, r.checksum) == (
                 o.width, o.height, o.checksum
             )
+
+
+def test_resize_real_pixels_match_reference(spark, media):
+    """The resampled pixel VALUES equal a pure-Python nearest-neighbor
+    reference computed from the original decoded pixels — for every
+    decodable still format (BMP both depths, PNG, GIF)."""
+    rows = {r.media_id: r for r in media.collect()}
+    resized = {
+        r.media_id: r
+        for r in mm.resize_images(media, 9, 7).collect()
+        if rows[r.media_id].media_type in ("bmp", "png", "gif")
+    }
+    assert len(resized) >= 10
+    for mid, r in resized.items():
+        src = rows[mid]
+        sw, sh = src.meta.width, src.meta.height
+        orig = mm.rgb_pixels(src.media_type, bytes(src.payload))
+        got_bgr = mm.bmp_pixels(bytes(r.payload))
+        for y in range(7):
+            sy = (y * sh) // 7
+            for x in range(9):
+                sx = (x * sw) // 9
+                want = orig[3 * (sy * sw + sx) : 3 * (sy * sw + sx) + 3]
+                got = got_bgr[3 * (y * 9 + x) : 3 * (y * 9 + x) + 3]
+                assert got == want[::-1], (mid, x, y)  # BGR vs RGB
+
+
+def test_bmp_from_pixels_roundtrip():
+    import os as _os
+
+    bgr = _os.urandom(5 * 3 * 3).replace(b"\x00", b"\x01")
+    payload = mm.encode_bmp_from_pixels(bgr, 5, 3)
+    assert mm.bmp_pixels(payload) == bgr
+    assert mm._decode_bmp_header(payload)["width"] == 5
 
 
 def test_sample_frames(spark, media):
