@@ -299,6 +299,30 @@ def wav_samples(payload: bytes):
     return arr.reshape(-1, d["channels"])
 
 
+def encode_wav_from_samples(samples, sample_rate: int) -> bytes:
+    """PCM16 RIFF/WAVE from an int16 array of shape (n, channels) — the
+    re-encode half of a real decode→transform→encode audio stage (the
+    inverse of ``wav_samples``)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def encode_y4m(media_id: int, width: int, height: int, n_frames: int) -> bytes:
     """A REAL YUV4MPEG2 stream (header parameters + FRAME markers + raw
     4:2:0 planar YUV) with deterministic plane bytes — an actual video
@@ -820,6 +844,39 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 elif mtype == "image":
                     payload = encode_image(int(mid), width, height)
                     meta = {**meta, "width": width, "height": height}
+                rows.append(
+                    {"media_id": int(mid), "media_type": mtype,
+                     "payload": payload, "meta": meta}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def decimate_audio(media: DataFrame, factor: int) -> DataFrame:
+    """WAV rows → REAL sample-rate decimation: keep every ``factor``-th
+    PCM16 sample and re-encode at ``rate // factor`` (naive decimation —
+    no anti-alias filter, documented; the deterministic fixture has no
+    spectral content to alias). Non-audio rows pass through. The same
+    Arrow-batched mapInPandas shape as resize — per-task memory is one
+    batch, independent of table size."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload, meta in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                if mtype == "wav":
+                    payload = bytes(payload)
+                    d = _decode_wav_header(payload)
+                    kept = wav_samples(payload)[::factor]
+                    payload = encode_wav_from_samples(
+                        kept, max(1, d["sample_rate"] // factor)
+                    )
+                    meta = {**meta, "n_frames": len(kept)}
                 rows.append(
                     {"media_id": int(mid), "media_type": mtype,
                      "payload": payload, "meta": meta}

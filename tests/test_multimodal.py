@@ -80,6 +80,38 @@ def test_resize_real_pixels_match_reference(spark, media):
                 assert got == want[::-1], (mid, x, y)  # BGR vs RGB
 
 
+def test_decimate_audio_real_samples(spark, media):
+    """Decimated WAVs decode to exactly samples[::k] of the original at
+    rate // k; non-audio rows pass through untouched."""
+    orig = {r.media_id: r for r in media.collect()}
+    out = {r.media_id: r for r in mm.decimate_audio(media, 3).collect()}
+    n_wav = 0
+    for mid, r in out.items():
+        o = orig[mid]
+        if o.media_type == "wav":
+            n_wav += 1
+            want = mm.wav_samples(bytes(o.payload))[::3]
+            got = mm.wav_samples(bytes(r.payload))
+            assert (got == want).all()
+            od = mm._decode_wav_header(bytes(o.payload))
+            nd = mm._decode_wav_header(bytes(r.payload))
+            assert nd["sample_rate"] == od["sample_rate"] // 3
+            assert r.meta.n_frames == len(want)
+        else:
+            assert bytes(r.payload) == bytes(o.payload)
+    assert n_wav >= 5
+
+
+def test_wav_from_samples_roundtrip():
+    import numpy as np
+
+    arr = (np.arange(24, dtype="<i2") * 371 % 32003 - 16000).reshape(-1, 2)
+    payload = mm.encode_wav_from_samples(arr, 4000)
+    assert (mm.wav_samples(payload) == arr).all()
+    d = mm._decode_wav_header(payload)
+    assert (d["sample_rate"], d["channels"]) == (4000, 2)
+
+
 def test_bmp_from_pixels_roundtrip():
     import os as _os
 
