@@ -50,6 +50,7 @@ _VERIFY_FIRST = (
     "ann_filtered_topk",
     "events_click_purchase_nearest",
     "corpus_epoch_shuffle",
+    "media_transform_roundtrip",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",
