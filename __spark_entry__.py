@@ -51,6 +51,12 @@ _VERIFY_FIRST = (
     "events_click_purchase_nearest",
     "corpus_epoch_shuffle",
     "media_transform_roundtrip",
+    # new rows-only entries this round: the percentile_approx twins
+    # (first driver row needed — ahead of the aged-but-locally-green
+    # rotation block so the ~50 cap can't push them out)
+    "events_value_percentiles_approx",
+    "events_funnel_latency_approx",
+    "events_inter_event_gaps_approx",
     # (2) oldest green row is r3 — events family (13)
     "events_tumbling_hourly",
     "events_sessionization",
@@ -84,10 +90,6 @@ _VERIFY_FIRST = (
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "embedding_label_centroids",
-    # (1) new rows-only entries this round: the percentile_approx twins
-    "events_value_percentiles_approx",
-    "events_funnel_latency_approx",
-    "events_inter_event_gaps_approx",
     # (1b) code touched by the round-7 vocab-floor work — re-prove
     "text_unigram_surprise",
     "text_tfidf_keywords",
