@@ -25,11 +25,33 @@ from delta_lake_health_spark.sources.delta_log import DeltaLog
 TARGET_FILE_SIZE = 128 * 1024 * 1024
 
 
+def _table_target_file_size(log: DeltaLog) -> int:
+    """``delta.targetFileSize`` from the table configuration (bytes, or
+    a '128mb'-style size string — both Delta conventions), else the
+    128 MiB default."""
+    raw = (log.metadata().get("configuration") or {}).get(
+        "delta.targetFileSize"
+    )
+    if not raw:
+        return TARGET_FILE_SIZE
+    txt = str(raw).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                      ("b", 1)):
+        if txt.endswith(suffix):
+            txt, mult = txt[: -len(suffix)], m
+            break
+    try:
+        return max(1, int(float(txt) * mult))
+    except ValueError:
+        return TARGET_FILE_SIZE
+
+
 def compact(
     spark: SparkSession,
     table_path: str,
     small_file_size: int = 32 * 1024 * 1024,
-    target_file_size: int = TARGET_FILE_SIZE,
+    target_file_size: int | None = None,
     partition_filter: dict | None = None,
 ) -> dict:
     """Bin-pack files smaller than ``small_file_size`` into
@@ -37,8 +59,14 @@ def compact(
     OPTIMIZE. ``partition_filter`` scopes the rewrite to matching
     partitions (Delta's ``OPTIMIZE ... WHERE``) — evaluated on the LOG's
     partitionValues, so out-of-scope data is never read. Returns
-    operation metrics."""
+    operation metrics.
+
+    ``target_file_size=None`` resolves the table's
+    ``delta.targetFileSize`` property (the Delta tuning knob), falling
+    back to the 128 MiB default."""
     log = DeltaLog(spark, table_path)
+    if target_file_size is None:
+        target_file_size = _table_target_file_size(log)
     active = log.active_files()
     if partition_filter:
         for k, v in partition_filter.items():
@@ -311,7 +339,7 @@ def zorder_cluster(
     spark: SparkSession,
     table_path: str,
     cluster_cols: list[str] | None = None,
-    target_file_size: int = TARGET_FILE_SIZE,
+    target_file_size: int | None = None,
     interleaved: bool = True,
     partition_filter: dict | None = None,
     incremental: bool = False,
@@ -342,6 +370,8 @@ def zorder_cluster(
                 "clustering columns (set_cluster_columns)"
             )
     log = DeltaLog(spark, table_path)
+    if target_file_size is None:
+        target_file_size = _table_target_file_size(log)
     active = log.active_files()
     if partition_filter:
         for k, v in partition_filter.items():

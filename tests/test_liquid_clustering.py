@@ -112,3 +112,30 @@ def test_explicit_cluster_by_overrides_declared(spark, table):
     kept_id = log.pruned_files("id", 100, 200).count()
     total = log.active_files().count()
     assert kept_id <= max(1, total // 3)
+
+
+def test_target_file_size_property_resolved(spark, table):
+    """delta.targetFileSize (bytes or '1mb'-style) drives OPTIMIZE
+    output sizing when no explicit target is passed."""
+    delta_writer.write(spark, _df(spark, 0, 30_000).repartition(6), table)
+    delta_writer.set_table_property(
+        spark, table, "delta.targetFileSize", "64kb"
+    )
+    log = DeltaLog(spark, table)
+    assert maintenance._table_target_file_size(log) == 64 * 1024
+    out = maintenance.compact(spark, table, small_file_size=1 << 30)
+    # 6 small files re-packed into more, smaller outputs (64 KiB target
+    # over ~hundreds of KiB of data -> several files)
+    assert out["numAddedFiles"] > 1
+
+    # raw byte value and default fallback
+    delta_writer.set_table_property(
+        spark, table, "delta.targetFileSize", "1048576"
+    )
+    assert maintenance._table_target_file_size(DeltaLog(spark, table)) == 1048576
+    t2 = table + "_plain"
+    delta_writer.write(spark, _df(spark, 0, 10), t2)
+    assert (
+        maintenance._table_target_file_size(DeltaLog(spark, t2))
+        == maintenance.TARGET_FILE_SIZE
+    )
