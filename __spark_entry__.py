@@ -23,78 +23,27 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #       round first,
 #   (3) everything else (freshest green rows) is left unlisted — the
 #       registry appends it in module order past the cap.
-# Round 7: every red/stale row was cleared in r6, so the front of the
-# list is pure rotation — the 30 queries whose newest green row dates to
-# r3 (13 events + 13 text + 4 ann, per the r6 verdict), then the new
-# rows-only approx twins and the queries whose code the round-7
-# vocab-floor work touches, then the oldest r4 rows up to the ~50 cap.
-# Everything past the cap encodes round-8 priority (remaining r4 rows).
+# Round 8: r7's cap landed exactly at ann_lsh_buckets, so the front is
+# (1) the round's new queries (no driver row yet), (2) the one r7 RED
+# row (events_user_value_pareto — oracle HUGEINT cast, fixed this
+# round), (3) queries whose CODE changed in r7/r8 but whose newest row
+# predates the change (the vocab-bound trio; tf-idf changes again this
+# round via the broadcast short-circuit), (4) embedding_label_centroids
+# (r3 — missed the r7 cap by one slot), then (5) the r4-aged rotation
+# block. Everything past the ~50 cap encodes round-9 priority.
 _VERIFY_FIRST = (
-    # (1) NEW this round (no driver row yet): Markov transitions, decayed
-    # engagement, radius retrieval, Zipf-slope census, hashed linear
-    # quality scorer, weekly cohort retention
-    "events_markov_transitions",
-    "events_user_decay_scores",
-    "ann_range_search",
-    "text_zipf_slope",
-    "text_hashed_linear_quality",
-    "events_weekly_cohort_retention",
-    "ann_ivf_pq_topk",
+    # (1) NEW this round — no driver row yet (names appended here as
+    # each lands; test_registry_integrity rejects unresolved names)
+    # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
-    "text_bigram_cross_entropy",
-    "dedup_minhash_calibration",
-    "events_metronome_census",
-    "events_click_to_purchase",
-    "delta_identity_series",
-    "text_scrub_repeated_spans",
-    "ann_filtered_topk",
-    "events_click_purchase_nearest",
-    "corpus_epoch_shuffle",
-    "media_transform_roundtrip",
-    # new rows-only entries this round: the percentile_approx twins
-    # (first driver row needed — ahead of the aged-but-locally-green
-    # rotation block so the ~50 cap can't push them out)
-    "events_value_percentiles_approx",
-    "events_funnel_latency_approx",
-    "events_inter_event_gaps_approx",
-    # (2) oldest green row is r3 — events family (13)
-    "events_tumbling_hourly",
-    "events_sessionization",
-    "events_user_stats",
-    "events_purchase_funnel",
-    "events_purchase_attribution",
-    "events_purchase_sessions",
-    "events_sliding_hourly",
-    "events_props_json",
-    "events_type_pivot",
-    "events_daily_retention",
-    "events_funnel_strict_order",
-    "events_session_window_native",
-    "events_activity_heatmap",
-    # r3 rows — text family (13)
-    "text_token_counts",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprint",
-    "corpus_stats",
-    "text_scrub_pii",
-    "text_hash_sample",
-    "text_gopher_quality_filter",
-    "text_top_ngrams",
-    "text_train_val_test_split",
-    "text_split_contamination",
-    "text_language_balance_sample",
-    "text_length_histogram",
-    # r3 rows — similarity family (4)
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
-    "embedding_label_centroids",
-    # (1b) code touched by the round-7 vocab-floor work — re-prove
-    "text_unigram_surprise",
+    # (3) code changed since newest green row
     "text_tfidf_keywords",
+    "text_unigram_surprise",
     "text_bpe_tokenize_fertility",
-    # (2b) oldest r4 rows, filling to the ~50 cap
+    "ann_ivf_pq_topk",
+    # (4) r3 straggler
+    "embedding_label_centroids",
+    # (5) r4-aged rotation block (oldest first; 14 never reached in r7)
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -109,7 +58,6 @@ _VERIFY_FIRST = (
     "q18_large_orders",
     "q19_discounted_revenue",
     "customers_without_orders",
-    # --- past the ~50 cap: remaining r4 rows, encodes round-8 priority
     "topn_orders_per_customer",
     "order_status_rollup",
     "part_brand_stats",
@@ -134,6 +82,7 @@ _VERIFY_FIRST = (
     "text_repetition_census",
     "text_chunk_dedup",
     "text_pack_sequences",
+    # --- past the ~50 cap: remaining r4 rows, encodes round-9 priority
     "corpus_mixture_weights",
     "dedup_semantic_prune",
     "embedding_scalar_quantize",

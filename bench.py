@@ -126,38 +126,50 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "calibration": {
-                    "numpy_matmul_sec": calib_numpy,
-                    "spark_range_sum_sec": calib_spark,
-                },
-                "delta_ops": delta_ops,
-                "sf_sweep": sweep,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # r4->r5 attribution: the BENCH_r04 dedup/text drift was
-                # A/B'd in round 5 against the round-3 code (alternating
-                # fresh-process min-of-3 runs, same machine): per-query
-                # timings overlap (contamination r3 1.59-1.84s vs HEAD
-                # 1.71-1.83s; shingle census HEAD faster), and a full
-                # HEAD re-run of the common set landed within 3% of
-                # BENCH_r03. The localCheckpoint-heavy family has ±15%
-                # same-code variance; the r4 driver sample was a slow
-                # environment draw (CPU-only calibration probes don't
-                # bound JVM shuffle/GC variance).
-                "notes": (
-                    "dedup/text r4 drift attributed to same-code run "
-                    "variance via alternating A/B vs round-3 tree; "
-                    "common-set total reproduces r3 within 3% on HEAD"
-                ),
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Round-8 fix (VERDICT r7 task #1): the driver captures only the last
+    # ~2,000 chars of stdout and parses the FINAL line as JSON. Round 7
+    # embedded the full sf_sweep into that line, pushing it past the
+    # capture window -> BENCH_r07.parsed was null. The detailed blocks
+    # (sweep timings, delta_ops, attribution notes) now go to STDERR,
+    # and the final stdout line is a compact headline guaranteed <=1,500
+    # chars (guard below drops per-query timings if it ever overflows).
+    detail = {
+        "delta_ops": delta_ops,
+        "sf_sweep": sweep,
+        # r4->r5 attribution: dedup/text drift A/B'd vs the round-3 tree
+        # (alternating fresh-process min-of-3 runs): same-code variance
+        # ±15% for the localCheckpoint-heavy family; common-set total
+        # reproduces r3 within 3% on HEAD. r7->r8: tf-idf's head/tail
+        # vocab-bound join is short-circuited to the single broadcast
+        # join when count(vocab) <= cap (exact same results), removing
+        # the r7 1.29x drift at toy scale while keeping the 100 TB bound.
+        "notes": (
+            "detail line; driver parses the final compact stdout line. "
+            "dedup/text r4 drift = same-code run variance (A/B vs r3 "
+            "tree); tfidf r7 drift = head/tail vocab-bound join, now "
+            "short-circuited to broadcast when vocab fits the cap"
+        ),
+    }
+    print("# DETAIL " + json.dumps(detail), file=sys.stderr)
+    headline = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "calibration": {
+            "numpy_matmul_sec": calib_numpy,
+            "spark_range_sum_sec": calib_spark,
+        },
+        "superlinear": (sweep or {}).get("superlinear"),
+        "sf": sf_val,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1500:  # never let the driver's tail capture truncate us
+        headline.pop("queries")
+        headline["n_queries"] = len(timings)
+        line = json.dumps(headline)
+    print(line)
 
 
 def _sf_sweep(spark, qs, names, main_timings) -> dict:

@@ -1258,7 +1258,7 @@ _PARETO_BUCKET_US = 1_000_000  # micro-unit width of one rank bucket
     )
     SELECT CAST(1 + FLOOR(10.0 * (r - 1) / n) AS BIGINT) AS decile,
            COUNT(*) AS n_users,
-           SUM(v_int) AS v_int_sum,
+           CAST(SUM(v_int) AS BIGINT) AS v_int_sum,
            ROUND(SUM(v_int)
                  / (SELECT CAST(SUM(v_int) AS DOUBLE) FROM uv), 6)
              AS value_share

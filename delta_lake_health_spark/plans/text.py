@@ -85,10 +85,22 @@ def _join_vocab_bounded(
     key). head ∪ tail = the full vocab, disjoint: the result is exactly
     the single-join form at any cap (pytest-asserted by comparing cap
     settings on the fixture)."""
-    floor = vocab.agg(_vocab_floor_col(cnt).alias("_floor"))
-    v = vocab.crossJoin(F.broadcast(floor))
-    head = v.where(F.col(cnt) >= F.col("_floor")).drop("_floor")
-    tail = v.where(F.col(cnt) < F.col("_floor")).drop("_floor")
+    # Round 8 (VERDICT r7 task #5): when the whole vocab fits the cap —
+    # the common case for any clean corpus, and always true at test SFs —
+    # short-circuit to the single broadcast join. The split's extra
+    # shuffle-join + union cost r7's tf-idf 1.29x at toy scale while
+    # buying nothing (the tail was empty); the decision costs one scalar
+    # aggregate over the vocab table (count + floor in the same pass) and
+    # the results are bit-identical either way (cap-invariance pytest).
+    stats = vocab.agg(
+        _vocab_floor_col(cnt).alias("_floor"),
+        F.count(F.lit(1)).alias("_n_vocab"),
+    ).collect()[0]
+    if stats["_n_vocab"] <= VOCAB_HEAD_CAP:
+        return tokens.join(F.broadcast(vocab), key)
+    floor = int(stats["_floor"])
+    head = vocab.where(F.col(cnt) >= F.lit(floor))
+    tail = vocab.where(F.col(cnt) < F.lit(floor))
     return tokens.join(F.broadcast(head), key).unionByName(
         tokens.join(tail, key)
     )
