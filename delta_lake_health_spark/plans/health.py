@@ -935,3 +935,97 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# D61 end-to-end — CONVERT TO DELTA, oracle-checked (round 8, VERDICT r7
+# task #7): the query converts a plain hive-partitioned parquet directory
+# in place (metadata-only v0 commit referencing the existing files with
+# FOOTER-derived stats) and emits one row per partition combining
+# log-side facts (file count, stats numRecords, stats min/max of `val`)
+# with data-side facts (row count and sum(idx) from the reconstructed
+# snapshot). The DuckDB oracle derives every column from the raw parquet
+# glob alone — agreement proves (a) the v0 log references exactly the
+# files on disk, (b) hive `day=` inference matches DuckDB's, (c) footer
+# numRecords and min/max equal the actual data, and (d) the snapshot
+# injects partition values correctly. Reference parity: the conversion
+# path delta-rs exposes as `convert_to_deltalake`.
+from delta_lake_health_spark.sources.fixture import (  # noqa: E402
+    CONVERT_SRC_PATH,
+    ensure_convert_fixture,
+)
+
+try:  # import-time build so the oracle side never races the Spark side
+    ensure_convert_fixture()
+except Exception:  # pragma: no cover
+    pass
+
+_CONVERT_ORACLE = f"""
+    WITH src AS (
+      SELECT day, idx, val,
+             replace(filename, '{CONVERT_SRC_PATH}/', '') AS rel
+      FROM read_parquet('{CONVERT_SRC_PATH}/*/*.parquet',
+                        hive_partitioning=true, filename=true)
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT rel) AS BIGINT) AS n_files,
+           COUNT(*) AS n_rows,
+           COUNT(*) AS n_records_stats,
+           CAST(SUM(idx) AS BIGINT) AS sum_idx,
+           ROUND(MIN(val), 6) AS min_val,
+           ROUND(MAX(val), 6) AS max_val
+    FROM src GROUP BY day ORDER BY day
+"""
+
+
+@query("delta_convert_snapshot", _CONVERT_ORACLE)
+def delta_convert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    path = ensure_convert_fixture()
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        delta_writer.convert_to_delta(spark, path)
+    log = DeltaLog(spark, path)
+    # log-side: |files| add actions (metadata-sized), stats from footers
+    stats_rows = []
+    for a in log.live_add_actions():
+        st = _json.loads(a["stats"])
+        stats_rows.append((
+            a["partitionValues"]["day"],
+            int(st["numRecords"]),
+            float(st["minValues"]["val"]),
+            float(st["maxValues"]["val"]),
+        ))
+    log_agg = (
+        spark.createDataFrame(
+            stats_rows, "day string, nrec long, mn double, mx double"
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("nrec").cast("long").alias("n_records_stats"),
+            F.round(F.min("mn"), 6).alias("min_val"),
+            F.round(F.max("mx"), 6).alias("max_val"),
+        )
+    )
+    # data-side: the reconstructed snapshot (partition values injected
+    # from the log, files read where they were converted)
+    data_agg = (
+        log.snapshot()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("idx").cast("long").alias("sum_idx"),
+        )
+    )
+    return (
+        data_agg.join(F.broadcast(log_agg), "day")
+        .select(
+            "day", "n_files", "n_rows", "n_records_stats",
+            "sum_idx", "min_val", "max_val",
+        )
+        .orderBy("day")
+    )

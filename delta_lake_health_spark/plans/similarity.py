@@ -980,12 +980,30 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only by design (iterative k-means + two quantizers exceed the
 # oracle's SQL); recall-vs-bruteforce and exactness-of-reranked-cosines
 # are pytest-asserted like S2/S8.
+#
+# Round 8 (VERDICT r7 task #6): quantizer training is a BUILD cost that
+# amortizes across queries in production, so it is factored into
+# `build_ivfpq_artifacts` — trained once per (session, sf_dir), every
+# artifact localCheckpointed — and the registry query is the PROBE
+# (route + compressed ADC scan + exact rerank). bench.py times the build
+# explicitly as its own row; the headline `ann_ivf_pq_topk` measures
+# what a served query actually costs.
 IVFPQ_NPROBE = 4
 IVFPQ_RERANK = 25
 
+_IVFPQ_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
-@query("ann_ivf_pq_topk", None)
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def build_ivfpq_artifacts(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> dict[str, DataFrame]:
+    """Train the coarse quantizer, PQ codebook, corpus codes, and list
+    assignment ONCE per (session, sf_dir); all localCheckpointed so
+    probes replay nothing. ``force=True`` rebuilds (bench uses it to
+    time construction)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not force and key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key]
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.expr(
@@ -994,9 +1012,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     ).localCheckpoint()  # quantizer, codes, route, and rerank share it
 
-    # coarse quantizer + routing (S2's family; unit vectors, so nrm = 1)
+    # coarse quantizer + list assignment (S2's family; unit vectors)
     embn = emb.withColumn("nrm", F.lit(1.0))
-    cent = _with_norm(_kmeans_centroids(embn), "cent", "cnrm")
+    cent = _with_norm(_kmeans_centroids(embn), "cent", "cnrm").localCheckpoint()
     ccos = _dot("emb", "cent") / F.col("cnrm")
     aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
     assign = (
@@ -1005,7 +1023,57 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arn", F.row_number().over(aw))
         .where(F.col("arn") == 1)
         .select("vec_id", "cid")
+        .localCheckpoint()
     )
+
+    # PQ codebook + corpus codes (S8's family)
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> slice(emb, m * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("m", "sv"),
+    )
+    cb = sub.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv")
+    ).localCheckpoint()
+    dists = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", _pq_d2().alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+        .localCheckpoint()
+    )
+    idx = {"emb": emb, "cent": cent, "assign": assign, "cb": cb, "codes": codes}
+    _IVFPQ_CACHE[key] = idx
+    return idx
+
+
+def _pq_d2() -> F.Column:
+    """Squared L2 between a sub-vector `sv` and a codeword `cv`."""
+    return (
+        _dot("sv", "sv")
+        - 2 * F.expr(
+            "aggregate(zip_with(sv, cv, (x, y) -> x * y), 0d, (a, x) -> a + x)"
+        )
+        + _dot("cv", "cv")
+    )
+
+
+@query("ann_ivf_pq_topk", None)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_ivfpq_artifacts(spark, sf_dir)
+    emb, cent, assign, cb, codes = (
+        idx["emb"], idx["cent"], idx["assign"], idx["cb"], idx["codes"]
+    )
+
+    # query-side routing: nprobe nearest centroids per query
+    ccos = _dot("emb", "cent") / F.col("cnrm")
     qprobe = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(cent))
@@ -1020,8 +1088,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cid")
     )
 
-    # PQ codebook + codes (S8's family)
-    sub = emb.select(
+    # query-side ADC table: per-(q, m, code) distances vs the broadcast
+    # codebook — |Q| x PQ_M x PQ_K rows, broadcast-sized by construction
+    qsub = emb.where(F.col("vec_id") < N_QUERIES).select(
         "vec_id",
         F.posexplode(
             F.expr(
@@ -1030,27 +1099,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m", "sv"),
     )
-    cb = sub.where(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv")
-    )
-    d2 = (
-        _dot("sv", "sv")
-        - 2 * F.expr(
-            "aggregate(zip_with(sv, cv, (x, y) -> x * y), 0d, (a, x) -> a + x)"
-        )
-        + _dot("cv", "cv")
-    )
-    dists = sub.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "code", d2.alias("d2")
-    ).localCheckpoint()  # feeds both the code table and the query tables
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-    codes = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
-    qtab = dists.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "m", "code", F.col("d2").alias("qd2")
+    qtab = qsub.join(F.broadcast(cb), "m").select(
+        F.col("vec_id").alias("q_id"), "m", "code", _pq_d2().alias("qd2")
     )
 
     # route-then-ADC: only vectors in probed lists enter the compressed
