@@ -35,6 +35,7 @@ _VERIFY_FIRST = (
     # (1) NEW this round — no driver row yet (names appended here as
     # each lands; test_registry_integrity rejects unresolved names)
     "delta_convert_snapshot",
+    "delta_reorg_purge",
     # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
     # (3) code changed since newest green row

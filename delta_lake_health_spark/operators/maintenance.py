@@ -817,3 +817,85 @@ def fsck_repair(
         table_path, delta_writer.current_version(table_path) + 1, actions
     )
     return {"numMissingFiles": len(missing), "repaired": True}
+
+
+def reorg_purge(spark: SparkSession, table_path: str) -> dict:
+    """``REORG TABLE ... APPLY (PURGE)``: rewrite exactly the files that
+    still carry soft-deleted rows (deletion vectors) or physical data of
+    columns dropped under column mapping, so the table can later be read
+    by engines without those reader features and VACUUM can reclaim the
+    dead bytes. Two halves, both |affected files|-bounded — never a full
+    table rewrite:
+
+    1. DV half: delegate to :func:`apply_deletion_vectors` (rewrites only
+       DV-carrying files, dropping the soft-deleted positions).
+    2. Dropped-column half: probe each live file's parquet FOOTER (one
+       metadata read per file, no data scan — a per-file task at cluster
+       scale) for physical columns absent from the current physical
+       schema; rewrite those files through ``read_data_files`` (which
+       selects only the current physical schema) and commit remove+add
+       with ``dataChange = false``.
+
+    Reference parity: Delta's REORG TABLE (delta-io PR #1732); the
+    reference's delta-rs backend exposes the same cleanup pressure via
+    needs_vacuum (delta_python_analyzer.py:232-243).
+    Returns ``{"numDvFilesRewritten", "numPurgedFiles", "numAddedFiles"}``.
+    """
+    import pyarrow.parquet as pq
+
+    delta_writer._require_writable(spark, table_path)
+    dv_metrics = apply_deletion_vectors(spark, table_path)
+
+    log = DeltaLog(spark, table_path)
+    schema = log.metadata().get("schema") or {}
+    physical = {
+        (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in schema.get("fields", [])
+    }
+    part_cols = set(log.partition_columns())
+    stale = []
+    for a in log.live_add_actions():
+        fpath = os.path.join(table_path, a["path"])
+        carried = set(pq.read_schema(fpath).names)
+        if carried - physical - part_cols:
+            stale.append(a["path"])
+    out = {
+        "numDvFilesRewritten": dv_metrics.get("numRewrittenFiles", 0),
+        "numPurgedFiles": len(stale),
+        "numAddedFiles": dv_metrics.get("numAddedFiles", 0),
+    }
+    if not stale:
+        return out
+
+    survivors = delta_writer._to_physical(
+        spark, log.read_data_files(sorted(stale)), table_path
+    )
+    partition_by = log.partition_columns()
+    before = delta_writer._list_parquet_rel(table_path)
+    writer = survivors.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    actions = [
+        delta_writer._add_action(table_path, rel, data_change=False)
+        for rel in new_files
+    ]
+    actions += [
+        {"remove": {"path": rel, "deletionTimestamp": now,
+                    "dataChange": False}}
+        for rel in sorted(stale)
+    ]
+    metrics = {"numPurgedFiles": len(stale), "numAddedFiles": len(new_files)}
+    actions.append(
+        delta_writer._commit_info("REORG", {"applyPurge": "true"}, metrics)
+    )
+    delta_writer._commit(
+        table_path, delta_writer.current_version(table_path) + 1, actions
+    )
+    out["numAddedFiles"] += len(new_files)
+    return out

@@ -1029,3 +1029,101 @@ def delta_convert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# D66 — REORG TABLE ... APPLY (PURGE), oracle-checked end-to-end (round 8).
+# The fixture walks the full lifecycle the operator exists for: v0 writes
+# range(1200) hive-partitioned by day with a doomed `junk` column, v1
+# DROP COLUMN junk (metadata-only, column mapping), v2 soft-deletes
+# id % 9 = 0 via a deletion vector, then REORG PURGE rewrites exactly the
+# affected files. The emitted row combines the post-reorg snapshot
+# aggregate (values must equal the closed form over DuckDB's range()) with
+# two structural facts asserted as columns: no live file retains a DV
+# position, and no live file's parquet FOOTER still carries the dropped
+# column. Reference parity: needs_vacuum/needs_optimize cleanup pressure
+# (delta_python_analyzer.py:232-243) made actionable, Delta REORG
+# semantics (delta-io/delta PR #1732).
+_REORG_FIXTURE = "/tmp/delta_lake_health_spark_fixture/reorg_table"
+_REORG_MARKER = os.path.join(_REORG_FIXTURE, "_REORG_FIXTURE_COMPLETE")
+
+_REORG_ORACLE = """
+    SELECT 'd' || CAST(id % 4 AS VARCHAR) AS day,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 2) AS BIGINT) AS sum_val,
+           CAST(0 AS BIGINT) AS n_dv_files,
+           CAST(0 AS BIGINT) AS n_stale_files
+    FROM range(1200) t(id)
+    WHERE id % 9 <> 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_reorg_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_REORG_MARKER):
+        return
+    shutil.rmtree(_REORG_FIXTURE, ignore_errors=True)
+    rows = spark.range(0, 1200).selectExpr(
+        "id",
+        "CONCAT('d', CAST(id % 4 AS STRING)) AS day",
+        "CAST(id * 2 AS BIGINT) AS val",
+        "CAST(id * 7 AS BIGINT) AS junk",
+    )
+    delta_writer.write(
+        spark, rows.repartition(4), _REORG_FIXTURE, partition_by=["day"]
+    )                                                              # v0
+    delta_writer.drop_column(spark, _REORG_FIXTURE, "junk")        # v1
+    delta_writer.delete_with_dv(spark, _REORG_FIXTURE, "id % 9 = 0")  # v2
+    maintenance.reorg_purge(spark, _REORG_FIXTURE)                 # v3+
+    with open(_REORG_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_reorg_purge", _REORG_ORACLE)
+def delta_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-REORG snapshot aggregate + structural purge proof (sf_dir
+    unused — the fixture is scale-independent)."""
+    import pyarrow.parquet as pq
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_reorg_fixture(spark)
+    log = DeltaLog(spark, _REORG_FIXTURE)
+
+    # structural facts, both |live files|-bounded metadata probes
+    live = [a["path"] for a in log.live_add_actions()]
+    dv = log.deletion_vectors()
+    n_dv_files = 0
+    if dv is not None:
+        live_df = spark.createDataFrame(
+            [(p,) for p in live], "rel_path string"
+        )
+        n_dv_files = (
+            dv.join(F.broadcast(live_df), "rel_path", "left_semi")
+            .select("rel_path").distinct().count()
+        )
+    n_stale = sum(
+        1
+        for p in live
+        if "junk" in set(
+            pq.read_schema(os.path.join(_REORG_FIXTURE, p)).names
+        )
+    )
+
+    return (
+        log.snapshot()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        .withColumn("n_dv_files", F.lit(n_dv_files).cast("long"))
+        .withColumn("n_stale_files", F.lit(n_stale).cast("long"))
+        .select("day", "n_rows", "sum_val", "n_dv_files", "n_stale_files")
+        .orderBy("day")
+    )
