@@ -36,6 +36,8 @@ _VERIFY_FIRST = (
     # each lands; test_registry_integrity rejects unresolved names)
     "delta_convert_snapshot",
     "delta_reorg_purge",
+    "events_user_streaks",
+    "events_ab_holdout_lift",
     # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
     # (3) code changed since newest green row

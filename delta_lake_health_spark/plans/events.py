@@ -1527,3 +1527,171 @@ def events_click_purchase_nearest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E32 — longest consecutive-day activity streak per user (gaps-and-islands).
+# The classic retention metric (Duolingo-style streaks): distinct active
+# days per user, then day - DENSE-sequence-position is constant within a
+# run of consecutive days, so grouping by that anchor yields the islands.
+# Scale: one shuffle on user_id for the distinct + window (same layout
+# reused by both), then |islands| rows aggregate — no self-join, no
+# cross-day cartesian. Emits the top 25 streak rows with deterministic
+# tiebreaks. Reference parity: the reference's event-history rollups
+# (delta_python_analyzer.py history aggregation) generalized to
+# per-entity runs.
+@query(
+    "events_user_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id,
+             COUNT(*) AS streak_days,
+             STRFTIME(MIN(d), '%Y-%m-%d') AS streak_start,
+             STRFTIME(MAX(d), '%Y-%m-%d') AS streak_end
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_days, streak_start, streak_end
+    FROM streaks
+    ORDER BY streak_days DESC, user_id, streak_start
+    LIMIT 25
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+    )
+    return (
+        streaks.select("user_id", "streak_days", "streak_start", "streak_end")
+        .orderBy(
+            F.desc("streak_days"), "user_id", "streak_start"
+        )
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# E33 — hash-holdout A/B conversion lift with a two-proportion z-test.
+# Experimentation primitive over the event stream: users are assigned to
+# variants by an md5 hash bucket of user_id (the reproducible, engine-
+# agnostic split every large experiment system uses — no RNG, no
+# assignment table to join), conversion = "user's total purchase value
+# above the global median of per-user totals" (a scale-free definition:
+# both arms always contain converters and non-converters, so the pooled
+# variance never degenerates), and the readout is conversion rate per
+# arm plus the pooled two-proportion z statistic (NULL-guarded if the
+# split is ever one-sided). Scale: one shuffle on user_id for the
+# per-user total, one scalar median broadcast, then a 2-row aggregate
+# folded to a single stats row — nothing driver-side scales with users.
+_AB_HEX = "0123456789abcdef"
+
+
+@query(
+    "events_ab_holdout_lift",
+    f"""
+    WITH totals AS (
+      SELECT user_id, SUM(value) AS total_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), med AS (
+      SELECT quantile_cont(total_purchase, 0.5) AS m FROM totals
+    ), assign AS (
+      SELECT CASE WHEN (strpos('{_AB_HEX}',
+                               substr(md5(CAST(user_id AS VARCHAR)), 31, 1))
+                        - 1) * 16 +
+                       (strpos('{_AB_HEX}',
+                               substr(md5(CAST(user_id AS VARCHAR)), 32, 1))
+                        - 1) < 128
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN total_purchase > med.m THEN 1 ELSE 0 END AS converted
+      FROM totals CROSS JOIN med
+    ), arms AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+        MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+        MAX(CASE WHEN variant = 'A' THEN n_converted END) AS conv_a,
+        MAX(CASE WHEN variant = 'B' THEN n_converted END) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+           ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+           ROUND(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS lift,
+           ROUND(CASE WHEN conv_a + conv_b > 0
+                       AND conv_a + conv_b < n_a + n_b
+                 THEN (conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) /
+                      SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+                           (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+                           (1.0 / n_a + 1.0 / n_b))
+                 END, 6) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_holdout_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    totals = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total_purchase"))
+    )
+    med = totals.agg(
+        F.expr("percentile(total_purchase, 0.5)").alias("m")
+    )
+    uid_hex = F.md5(F.col("user_id").cast("string"))
+    bucket = (
+        (F.instr(F.lit(_AB_HEX), F.substring(uid_hex, 31, 1)) - 1) * 16
+        + (F.instr(F.lit(_AB_HEX), F.substring(uid_hex, 32, 1)) - 1)
+    )
+    assign = totals.crossJoin(F.broadcast(med)).select(
+        F.when(bucket < 128, "A").otherwise("B").alias("variant"),
+        F.when(F.col("total_purchase") > F.col("m"), 1)
+        .otherwise(0)
+        .alias("converted"),
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(
+            F.when(F.col("variant") == "A", F.col("n_converted"))
+        ).alias("conv_a"),
+        F.max(
+            F.when(F.col("variant") == "B", F.col("n_converted"))
+        ).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    conv = F.col("conv_a") + F.col("conv_b")
+    n = F.col("n_a") + F.col("n_b")
+    pooled = conv / n
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = F.when((conv > 0) & (conv < n), (p_b - p_a) / se)
+    return wide.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
