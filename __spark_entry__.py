@@ -38,6 +38,7 @@ _VERIFY_FIRST = (
     "delta_reorg_purge",
     "events_user_streaks",
     "events_ab_holdout_lift",
+    "ann_sq_int8_topk",
     # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
     # (3) code changed since newest green row

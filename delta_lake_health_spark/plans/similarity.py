@@ -1197,3 +1197,153 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# S15 — int8 scalar-quantized search (symmetric SQ) + exact rerank: the
+# third classic compression point between raw floats (S1) and PQ codes
+# (S8/S13). Per-dimension min/max over the corpus -> 8-bit affine codes
+# (identical floor(x + 0.5) coding to `embedding_scalar_quantize`, whose
+# census already hash-matches DuckDB); the candidate scan is ASYMMETRIC
+# (the faiss SQ8 convention): the exact float query against the
+# dequantized corpus (lo + c*scale — deterministic doubles, sequential
+# cosine folds identical in both engines), then the SQ_RERANK shortlist
+# is reranked with exact float cosine. Scale shape: the 64-row stats
+# table and the |Q| query vectors broadcast; the corpus is encoded in
+# one pass and only the int8 codes persist (4x smaller than floats — the
+# form that stays in memory at 10^9 vectors; dequantization at scan time
+# is register-level); the exact rerank touches only |Q| x SQ_RERANK full
+# vectors.
+SQ_RERANK = 25
+
+_SQL_SQ = f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(range(len(embedding))) AS dim
+      FROM embeddings
+    ),
+    stats AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim),
+    coded AS (
+      SELECT e.vec_id, e.dim,
+             CASE WHEN stats.hi = stats.lo THEN 0
+                  ELSE FLOOR((e.x - stats.lo) /
+                             ((stats.hi - stats.lo) / 255.0) + 0.5)
+             END AS code
+      FROM e JOIN stats USING (dim)
+    ),
+    recon AS (
+      SELECT coded.vec_id,
+             list(stats.lo + coded.code * ((stats.hi - stats.lo) / 255.0)
+                  ORDER BY coded.dim) AS rc
+      FROM coded JOIN stats USING (dim) GROUP BY coded.vec_id
+    ),
+    fq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+    approx AS (
+      SELECT q_id, vec_id, {_sql_cos("q_emb", "rc")} AS ad
+      FROM fq JOIN recon ON vec_id <> q_id
+    ),
+    short AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY ad DESC, vec_id) AS srn
+      FROM approx
+    ),
+    fe AS ({_SQL_E}),
+    rerank AS (
+      SELECT s.q_id, s.vec_id, {_sql_cos("qe.emb", "ce.emb")} AS cos
+      FROM short s
+      JOIN fe qe ON qe.vec_id = s.q_id
+      JOIN fe ce ON ce.vec_id = s.vec_id
+      WHERE s.srn <= {SQ_RERANK}
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM rerank
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+"""
+
+
+@query("ann_sq_int8_topk", _SQL_SQ)
+def ann_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "vec_id", F.posexplode("emb").alias("dim", "x")
+    )
+    stats = e.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.floor(
+            (F.col("x") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / F.lit(255.0))
+            + F.lit(0.5)
+        ).cast("double")
+    )
+    # encode + dequantize: one corpus pass with the 64-row stats
+    # broadcast, then reassemble the reconstructed array (one shuffle on
+    # vec_id). At scale only the int8 codes persist; the lo + c*scale
+    # reconstruction is register-level work at scan time.
+    recon_v = F.col("lo") + F.col("code") * (
+        (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    )
+    recon = (
+        e.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", code.alias("code"), "lo", "hi")
+        .select("vec_id", "dim", recon_v.alias("rv"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, rv))),"
+                " s -> s.rv)"
+            ).alias("rc")
+        )
+    )
+    # asymmetric scan: exact float query vs dequantized corpus cosine
+    fq = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    approx = recon.join(
+        F.broadcast(fq), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        (_dot("q_emb", "rc") / (_norm("q_emb") * _norm("rc"))).alias("ad"),
+    )
+    sw = Window.partitionBy("q_id").orderBy(F.desc("ad"), F.col("vec_id"))
+    short = (
+        approx.withColumn("srn", F.row_number().over(sw))
+        .where(F.col("srn") <= SQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+    # exact rerank on the original floats
+    fe = _with_norm(emb, "emb", "nrm")
+    qe = fe.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        short.join(F.broadcast(qe), "q_id")
+        .join(fe, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )

@@ -228,3 +228,30 @@ def test_ivfpq_plan_routes_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_sq_int8_recall_vs_bruteforce(spark):
+    """Symmetric int8-SQ shortlist + exact rerank must recover most of
+    the exact top-5 — SQ distorts far less than PQ (8 bits/dim vs
+    8 bits/8 dims), so the floor is higher than the PQ one."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in sim.QUERIES["ann_sq_int8_topk"](spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SQ recall@{sim.TOP_K} too low: {recall}"
+
+
+def test_sq_int8_codes_in_range(spark):
+    """Every emitted rank list is exactly TOP_K deep and self-free."""
+    rows = sim.QUERIES["ann_sq_int8_topk"](spark, SF_ORACLE).collect()
+    per_q = {}
+    for r in rows:
+        assert r.q_id != r.vec_id
+        per_q.setdefault(r.q_id, []).append(r.rn)
+    for q, rns in per_q.items():
+        assert sorted(rns) == list(range(1, sim.TOP_K + 1)), (q, rns)
