@@ -1013,3 +1013,147 @@ def media_stats(decoded: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --- perceptual hashing (image near-duplicate detection) --------------------
+
+PHASH_SIZE = 8          # 8x8 low-frequency block -> 64-bit hash
+PHASH_INPUT = 32        # images are normalized to 32x32 before the DCT
+PHASH_BANDS = 4         # 4 x 16-bit bands for hamming-LSH bucketing
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("phash", LongType()),
+        StructField("bands", ArrayType(LongType())),
+    ]
+)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (the classical pHash transform).
+    Built from closed-form cosines — deterministic across platforms at
+    double precision."""
+    import numpy as np
+
+    k = np.arange(n).reshape(-1, 1).astype(np.float64)
+    i = np.arange(n).reshape(1, -1).astype(np.float64)
+    m = np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    m[0, :] *= np.sqrt(1.0 / n)
+    m[1:, :] *= np.sqrt(2.0 / n)
+    return m
+
+
+def phash64(rgb: bytes, width: int, height: int) -> int:
+    """64-bit perceptual hash of an RGB888 buffer: grayscale ->
+    nearest-neighbor 32x32 -> 2D DCT-II -> top-left 8x8 low-frequency
+    block -> bit i = coefficient > median (DC term excluded from the
+    median, pHash convention). Signed int64 (two's complement) so it
+    stores in a Spark LongType column."""
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    gray = (
+        0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    ).astype(np.float64)
+    yi = (np.arange(PHASH_INPUT) * height) // PHASH_INPUT
+    xi = (np.arange(PHASH_INPUT) * width) // PHASH_INPUT
+    small = gray[yi][:, xi]
+    d = _dct_matrix(PHASH_INPUT)
+    coef = d @ small @ d.T
+    low = coef[:PHASH_SIZE, :PHASH_SIZE].flatten()
+    med = float(np.median(low[1:]))  # skip the DC coefficient
+    bits = 0
+    for j, v in enumerate(low):
+        if v > med:
+            bits |= 1 << j
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def phash_bands(h: int) -> list[int]:
+    """Split a 64-bit hash into PHASH_BANDS 16-bit band keys (banding
+    LSH over hamming space: any pair within hamming distance
+    PHASH_BANDS - 1 shares at least one exact band by pigeonhole)."""
+    u = h + (1 << 64) if h < 0 else h
+    return [(u >> (16 * b)) & 0xFFFF for b in range(PHASH_BANDS)]
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """Still-image rows (bmp/png/gif) → (media_id, phash, bands).
+    Arrow-batched mapInPandas; non-still rows are dropped. The DCT and
+    resize are tiny fixed-size numpy ops per image — per-task memory is
+    one batch, independent of table size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype not in ("bmp", "png", "gif"):
+                    continue
+                payload = bytes(payload)
+                d = _decode_payload(payload)
+                h = phash64(
+                    rgb_pixels(mtype, payload), d["width"], d["height"]
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": mtype,
+                        "phash": h,
+                        "bands": phash_bands(h),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "media_type", "phash", "bands"],
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        fn, PHASH_SCHEMA
+    )
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame, max_distance: int = 10
+) -> DataFrame:
+    """Near-duplicate image pairs from a (media_id, phash, bands) frame:
+    explode the band keys, self-join on (band_idx, band_key) — the
+    banding bound means every pair within hamming distance
+    PHASH_BANDS - 1 is guaranteed a candidate, and closer pairs almost
+    always collide on some band — then filter candidates by exact
+    hamming distance over the XOR popcount. Scale shape: the shuffle is
+    on band buckets (like MinHash-LSH), NEVER all-pairs; the exact
+    distance touches only candidates."""
+    b = hashed.select(
+        "media_id", "phash", F.posexplode("bands").alias("bidx", "bkey")
+    )
+    left = b.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("h_a"),
+        "bidx",
+        "bkey",
+    )
+    right = b.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("h_b"),
+        "bidx",
+        "bkey",
+    )
+    cand = (
+        left.join(right, ["bidx", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    dist = F.bit_count(
+        F.col("h_a").bitwiseXOR(F.col("h_b"))
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+    )

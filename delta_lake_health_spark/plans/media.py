@@ -135,3 +135,77 @@ def media_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M6 — perceptual-hash near-duplicate image detection, oracle-checked
+# with a closed-form expected pair set. The query builds 12 deterministic
+# smooth gradient BMPs plus a 2x NEAREST-NEIGHBOR upscaled twin of each
+# (ids +1000): because pHash first NN-normalizes every image to 32x32, an
+# exact-integer-ratio NN resample commutes with that normalization, so
+# each twin's 64-bit DCT hash is PROVABLY bit-identical to its original
+# (hamming 0) while the 12 distinct patterns sit >= 22 bits apart
+# (asserted in tests/test_phash.py). The expected near-dup pair set at
+# max_distance=4 is therefore exactly {(i, i+1000, 0)} — the closed form
+# the DuckDB oracle emits. The Spark side runs the REAL distributed
+# pipeline: binary payloads -> Arrow-batched mapInPandas decode+DCT
+# hash -> banded hamming-LSH pair join (shuffle on band buckets, never
+# all-pairs).
+_PHASH_N = 12
+
+
+def _phash_gradient_bmp(seed: int, up: int = 1) -> bytes:
+    """Deterministic smooth test pattern (mixed low-freq sinusoids),
+    optionally NN-upscaled by an exact integer factor, as 24-bit BMP."""
+    import numpy as np
+
+    from delta_lake_health_spark.operators.multimodal import (
+        encode_bmp_from_pixels,
+    )
+
+    w = h = 64
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    a, b, c = 1 + (seed % 3), 1 + (seed // 3) % 3, seed % 7
+    g = (
+        127.5
+        + 40 * np.sin(2 * np.pi * (a * x / w + c / 7))
+        + 40 * np.cos(2 * np.pi * (b * y / h + c / 11))
+    )
+    px = np.stack([np.clip(g, 0, 255).astype(np.uint8)] * 3, axis=-1)
+    if up > 1:
+        yi = (np.arange(up * h) * h) // (up * h)
+        xi = (np.arange(up * w) * w) // (up * w)
+        px = px[yi][:, xi]
+    bgr = px[:, :, ::-1].tobytes()
+    return encode_bmp_from_pixels(bgr, px.shape[1], px.shape[0])
+
+
+@query(
+    "media_phash_neardup",
+    f"""
+    SELECT CAST(i AS BIGINT) AS id_a,
+           CAST(i + 1000 AS BIGINT) AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM range({_PHASH_N}) t(i)
+    ORDER BY id_a
+    """,
+)
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.multimodal import (
+        phash_images,
+        phash_neardup_pairs,
+    )
+
+    rows = []
+    for s in range(_PHASH_N):
+        rows.append((s, "bmp", _phash_gradient_bmp(s)))
+        rows.append((s + 1000, "bmp", _phash_gradient_bmp(s, up=2)))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    ).repartition(4)
+    hashed = phash_images(media)
+    return (
+        phash_neardup_pairs(hashed, max_distance=4)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
+    )
