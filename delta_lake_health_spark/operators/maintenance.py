@@ -899,3 +899,13 @@ def reorg_purge(spark: SparkSession, table_path: str) -> dict:
     )
     out["numAddedFiles"] += len(new_files)
     return out
+
+
+def restore_to_timestamp(spark: SparkSession, table_path: str, ts) -> dict:
+    """RESTORE TABLE ... TO TIMESTAMP AS OF: resolve the timestamp to
+    the newest commit at-or-before it with the same adjusted-clock rules
+    as read-side time travel (``DeltaLog.version_at_timestamp``), then
+    delegate to :func:`restore`. Accepts whatever the read path accepts
+    (datetime / ISO string / epoch millis)."""
+    log = DeltaLog(spark, table_path)
+    return restore(spark, table_path, log.version_at_timestamp(ts))

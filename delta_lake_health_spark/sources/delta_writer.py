@@ -1652,6 +1652,20 @@ def write(
     meta_at_validation = _logged_meta()
     logged_schema = (meta_at_validation or {}).get("schema")
     if version >= 0:
+        # writes inherit the table's partition layout: unpartitioned
+        # files appended into a hive-partitioned table would be invisible
+        # to the partition-injecting snapshot reader (silent data loss),
+        # and a CONFLICTING layout on append corrupts partition pruning
+        logged_parts = (meta_at_validation or {}).get(
+            "partition_columns"
+        ) or []
+        if not partition_by:
+            partition_by = list(logged_parts)
+        elif mode == "append" and list(partition_by) != list(logged_parts):
+            raise ValueError(
+                f"append partitioned by {partition_by}, but the table is "
+                f"partitioned by {logged_parts}"
+            )
         df = _fill_generated_columns(spark, df, table_path)
         df, hwm_updates = _fill_identity_columns(
             spark, df, table_path, meta_at_validation
@@ -1666,6 +1680,11 @@ def write(
                 and _norm_fields(logged_schema)
                 != _norm_fields(json.loads(df.schema.json()))
             )
+            if list(partition_by) != list(logged_parts):
+                # overwrite may re-layout the table, but then the
+                # metaData action must be re-emitted with the new
+                # partitionColumns or readers keep injecting the old ones
+                schema_changed = True
 
     _validate_constraints(spark, df, table_path)
     if cluster_by is None and version >= 0:

@@ -113,3 +113,22 @@ def test_reorg_noop_on_clean_table(spark, table):
     assert metrics["numPurgedFiles"] == 0
     assert metrics["numDvFilesRewritten"] == 0
     assert delta_writer.current_version(table) == v
+
+
+def test_restore_to_timestamp(spark, table):
+    """Timestamp restore resolves through the same adjusted commit clock
+    as read-side time travel, then behaves exactly like version restore."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table)
+    n0 = log.snapshot().count()
+    ts_pairs = log.commit_timestamps()
+    v0_ts = [t for v, t in ts_pairs if v == 0][0]
+    extra = spark.range(0, 50).selectExpr(
+        "id + 10000 AS id", "'p0' AS day", "CAST(id AS BIGINT) AS val",
+        "CAST(id AS BIGINT) AS junk",
+    )
+    delta_writer.write(spark, extra, table)
+    assert DeltaLog(spark, table).snapshot().count() == n0 + 50
+    maintenance.restore_to_timestamp(spark, table, v0_ts)
+    assert DeltaLog(spark, table).snapshot().count() == n0
