@@ -40,6 +40,7 @@ _VERIFY_FIRST = (
     "events_ab_holdout_lift",
     "ann_sq_int8_topk",
     "media_phash_neardup",
+    "text_quality_lr_train",
     # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
     # (3) code changed since newest green row
