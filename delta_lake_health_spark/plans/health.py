@@ -1127,3 +1127,89 @@ def delta_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_rows", "sum_val", "n_dv_files", "n_stale_files")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# D67 — COPY INTO, oracle-checked: a fresh Delta table seeded with
+# range(1000, 1100) ingests a 3-file external parquet directory
+# (range(300) split 100/100/100) via copy_into, TWICE — the second run
+# must load nothing (the loaded-set domainMetadata makes replay a
+# no-op). The emitted per-bucket aggregate must equal the closed form
+# over both ranges, and the second run's load count (0) and the final
+# row count are asserted as columns. Reference parity: delta-rs
+# write_deltalake ingest + Databricks COPY INTO's exactly-once contract.
+_COPY_FIXTURE = "/tmp/delta_lake_health_spark_fixture/copy_into_table"
+_COPY_SRC = "/tmp/delta_lake_health_spark_fixture/copy_into_src"
+_COPY_MARKER = os.path.join(_COPY_FIXTURE, "_COPY_FIXTURE_COMPLETE")
+
+_COPY_ORACLE = """
+    WITH rows AS (
+      SELECT id FROM range(300) t(id)
+      UNION ALL
+      SELECT id FROM range(1000, 1100) t(id)
+    )
+    SELECT CAST(id % 5 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 3) AS BIGINT) AS sum_v,
+           CAST(0 AS BIGINT) AS n_second_run_loads
+    FROM rows GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_copy_fixture(spark: SparkSession) -> int:
+    """Build the seed table + external source dir and run copy_into
+    twice; returns the second run's numLoadedFiles (always 0)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_COPY_MARKER):
+        return 0
+    shutil.rmtree(_COPY_FIXTURE, ignore_errors=True)
+    shutil.rmtree(_COPY_SRC, ignore_errors=True)
+    os.makedirs(_COPY_SRC)
+    for k in range(3):
+        ids = list(range(k * 100, (k + 1) * 100))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": pa.array([i * 3 for i in ids], pa.int64()),
+                }
+            ),
+            os.path.join(_COPY_SRC, f"part-{k}.parquet"),
+        )
+    seed = spark.range(1000, 1100).selectExpr(
+        "id", "CAST(id * 3 AS BIGINT) AS v"
+    )
+    delta_writer.write(spark, seed, _COPY_FIXTURE)
+    m1 = delta_writer.copy_into(spark, _COPY_FIXTURE, _COPY_SRC)
+    assert m1["numLoadedFiles"] == 3, m1
+    m2 = delta_writer.copy_into(spark, _COPY_FIXTURE, _COPY_SRC)
+    with open(_COPY_MARKER, "w") as fh:
+        fh.write("ok")
+    return int(m2["numLoadedFiles"])
+
+
+@query("delta_copy_into_snapshot", _COPY_ORACLE)
+def delta_copy_into_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    second_loads = _ensure_copy_fixture(spark)
+    return (
+        DeltaLog(spark, _COPY_FIXTURE)
+        .snapshot()
+        .groupBy((F.col("id") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .withColumn(
+            "n_second_run_loads", F.lit(second_loads).cast("long")
+        )
+        .select("bucket", "n_rows", "sum_v", "n_second_run_loads")
+        .orderBy("bucket")
+    )

@@ -384,9 +384,10 @@ def _protocol_upgrade_action(
                 ),
             }
         }
-    if feature in ("rowTracking", "identityColumns"):
+    if feature in ("rowTracking", "identityColumns", "domainMetadata"):
         # writer-only table features (readers may ignore row ids;
-        # identity values are plain data once written): the writer
+        # identity values are plain data once written; domain metadata
+        # is writer bookkeeping): the writer
         # protocol moves to table features (7) and enumerates, the
         # reader version is untouched. identityColumns is also legacy
         # minWriterVersion 6, but we always upgrade through features —
@@ -2891,3 +2892,116 @@ def commit_mutation(
                 table_path, base_version, read_files, removed_files
             )
     raise RuntimeError(f"commit contention after {max_retries} retries")
+
+
+COPY_INTO_DOMAIN = "delta.copyInto"
+
+
+def copy_into(
+    spark: SparkSession,
+    table_path: str,
+    source_dir: str,
+    pattern: str = "*.parquet",
+) -> dict:
+    """``COPY INTO``: idempotent bulk ingest of external parquet files.
+    Each source file is identified by (name, size, mtime-ms); the set of
+    already-loaded identities lives in a ``domainMetadata`` action
+    (``delta.copyInto``, keyed per source directory) and the data adds,
+    the updated loaded-set, and the commitInfo land in ONE commit — so a
+    replay after any crash either sees the file already in the loaded
+    set (skipped) or re-attempts the whole batch atomically. Exactly
+    Databricks COPY INTO's contract: files are never double-loaded, new
+    files in a growing directory load incrementally.
+
+    Scale: the loaded-set is |ingested files| metadata (the same planning
+    cost every Delta log operation carries); reading the new files is a
+    distributed scan; nothing else scales with table size.
+    Returns ``{"numLoadedFiles", "numSkippedFiles", "version"}``.
+    """
+    import glob as _glob
+
+    _require_writable(spark, table_path)
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    meta = log.metadata()
+    logical_cols = [f["name"] for f in (meta.get("schema") or {})["fields"]]
+    partition_by = meta.get("partition_columns") or []
+
+    src_key = os.path.abspath(source_dir)
+    cfg = log.domain_metadata(COPY_INTO_DOMAIN) or {}
+    loaded: dict = dict(cfg.get(src_key, {}))
+
+    candidates = sorted(_glob.glob(os.path.join(source_dir, pattern)))
+    new_paths = []
+    for p in candidates:
+        st = os.stat(p)
+        ident = f"{st.st_size}:{int(st.st_mtime * 1000)}"
+        name = os.path.basename(p)
+        if loaded.get(name) == ident:
+            continue
+        new_paths.append((p, name, ident))
+    if not new_paths:
+        return {
+            "numLoadedFiles": 0,
+            "numSkippedFiles": len(candidates),
+            "version": current_version(table_path),
+        }
+
+    df = spark.read.parquet(*[p for p, _, _ in new_paths])
+    missing = [c for c in logical_cols if c not in df.columns]
+    extra = [c for c in df.columns if c not in logical_cols]
+    if missing or extra:
+        raise ValueError(
+            f"COPY INTO schema mismatch: missing={missing} extra={extra}"
+        )
+    df = df.select(*logical_cols)
+    _validate_constraints(spark, df, table_path)
+    df = _to_physical(spark, df, table_path)
+
+    before = _list_parquet_rel(table_path)
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(_list_parquet_rel(table_path) - before)
+
+    for _, name, ident in new_paths:
+        loaded[name] = ident
+    actions: list[dict] = []
+    upgrade = _protocol_upgrade_action(spark, table_path, "domainMetadata")
+    if upgrade is not None:
+        actions.append(upgrade)
+    adds = [_add_action(table_path, rel) for rel in new_files]
+    actions += adds
+    n_records = sum(
+        json.loads(a["add"]["stats"])["numRecords"] for a in adds
+    )
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": COPY_INTO_DOMAIN,
+                "configuration": json.dumps({**cfg, src_key: loaded}),
+                "removed": False,
+            }
+        }
+    )
+    actions.append(
+        _commit_info(
+            "COPY INTO",
+            {"source": src_key, "pattern": pattern},
+            {
+                "numFiles": len(new_files),
+                "numOutputRows": n_records,
+                "numSourceFiles": len(new_paths),
+            },
+        )
+    )
+    version = commit_mutation(
+        table_path, current_version(table_path), actions
+    )
+    return {
+        "numLoadedFiles": len(new_paths),
+        "numSkippedFiles": len(candidates) - len(new_paths),
+        "version": version,
+    }
