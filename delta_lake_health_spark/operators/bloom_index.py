@@ -1,0 +1,154 @@
+"""Per-file Bloom-filter file-skipping index (Delta's bloom filter
+index / Parquet bloom pages, re-expressed over our log).
+
+Min/max stats skipping (``DeltaLog.pruned_files``) is useless for point
+lookups on high-cardinality, unclustered columns — every file's
+[min, max] spans the probe value. A per-file Bloom filter answers
+"might this FILE contain value v?" from a sidecar bitmap without
+touching data: the classic needle-in-100-TB primitive (find one
+user_id / order key across a million files by reading |files| x 8 KiB
+of index instead of the table).
+
+Layout: ``<table>/_delta_index/bloom_<column>/`` holds a parquet of
+(rel_path, bitmap) plus ``meta.json`` (column, m_bits, k, the snapshot
+version at build). Correctness contract:
+
+- **Zero false negatives** for indexed files (Bloom property — probing
+  can only over-approximate the candidate set).
+- Files WITHOUT an index entry (appended/rewritten after the build) are
+  conservatively KEPT — a stale index degrades to a full scan, never to
+  a wrong answer. Rebuilds are incremental-friendly: only missing files
+  need new bitmaps.
+
+Scale: the build is one distributed pass (shuffle on file lineage, one
+8 KiB bitmap per file — same shape as OPTIMIZE's stats backfill); the
+probe is a driver-side test over |files| bitmaps (metadata-sized, like
+every other log-planning step) followed by a scan of only the surviving
+files with deletion vectors applied.
+
+Determinism: SplitMix64 over FNV-1a-folded utf-8 (operators/bloom.py) —
+no RNG, no platform dependence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.operators import bloom
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+INDEX_ROOT = "_delta_index"
+DEFAULT_M_BITS = 1 << 16  # 8 KiB per file
+
+
+def _index_dir(table_path: str, column: str) -> str:
+    return os.path.join(table_path, INDEX_ROOT, f"bloom_{column}")
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    m_bits: int = DEFAULT_M_BITS,
+) -> dict:
+    """One distributed pass: group the lineage-tagged snapshot by file,
+    fold each file's (non-null, stringified) column values into an
+    m_bits Bloom bitmap, overwrite the sidecar. Returns
+    ``{"numIndexedFiles", "mBits", "k", "version"}``."""
+    log = DeltaLog(spark, table_path)
+    version = log.version()
+    rows = log.snapshot_with_positions().select(
+        F.col("_rel_path").alias("rel_path"),
+        F.col(column).cast("string").alias("v"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        filt = bloom.new_filter(m_bits)
+        vals = pdf["v"].dropna().tolist()
+        if vals:
+            bloom.add(filt, bloom.hash_strings(vals))
+        return pd.DataFrame(
+            [{"rel_path": pdf["rel_path"].iloc[0],
+              "bitmap": filt.tobytes()}]
+        )
+
+    out = rows.groupBy("rel_path").applyInPandas(
+        fold, "rel_path string, bitmap binary"
+    )
+    idx_dir = _index_dir(table_path, column)
+    out.write.mode("overwrite").parquet(idx_dir)
+    n = spark.read.parquet(idx_dir).count()
+    meta = {
+        "column": column,
+        "m_bits": m_bits,
+        "k": bloom.K,
+        "version": version,
+    }
+    with open(os.path.join(idx_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return {
+        "numIndexedFiles": n,
+        "mBits": m_bits,
+        "k": bloom.K,
+        "version": version,
+    }
+
+
+def _load_index(table_path: str, column: str) -> tuple[dict, dict] | None:
+    idx_dir = _index_dir(table_path, column)
+    meta_path = os.path.join(idx_dir, "meta.json")
+    if not os.path.isfile(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    import pyarrow.parquet as pq
+
+    entries: dict[str, np.ndarray] = {}
+    for fname in os.listdir(idx_dir):
+        if not fname.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(idx_dir, fname))
+        for rel, bm in zip(
+            t.column("rel_path").to_pylist(), t.column("bitmap").to_pylist()
+        ):
+            entries[rel] = np.frombuffer(bm, dtype=np.uint64)
+    return meta, entries
+
+
+def bloom_pruned_files(
+    spark: SparkSession, table_path: str, column: str, value
+) -> tuple[list[str], int]:
+    """Live files that MIGHT contain ``value``: indexed files whose
+    bitmap test fails are pruned; unindexed files are kept (stale-safe).
+    Returns (candidate rel paths, number pruned)."""
+    log = DeltaLog(spark, table_path)
+    live = [r.path for r in log.active_files().select("path").collect()]
+    loaded = _load_index(table_path, column)
+    if loaded is None:
+        return sorted(live), 0
+    _meta, entries = loaded
+    key = bloom.hash_strings([str(value)])
+    keep = [
+        p
+        for p in live
+        if p not in entries or bool(bloom.contains(entries[p], key)[0])
+    ]
+    return sorted(keep), len(live) - len(keep)
+
+
+def bloom_point_lookup(
+    spark: SparkSession, table_path: str, column: str, value
+) -> DataFrame:
+    """Point lookup through the index: scan only the surviving files
+    (deletion vectors applied), then the exact predicate."""
+    log = DeltaLog(spark, table_path)
+    cand, _pruned = bloom_pruned_files(spark, table_path, column, value)
+    if not cand:
+        return log.snapshot().where(F.lit(False))
+    return log.read_data_files(cand).where(F.col(column) == F.lit(value))

@@ -1213,3 +1213,72 @@ def delta_copy_into_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "n_rows", "sum_v", "n_second_run_loads")
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D68 — per-file Bloom file-skipping index, oracle-checked through the
+# point-lookup path: a 12-file fixture (range(2400)) gets a bloom_<col>
+# sidecar, one row is DV-deleted AFTER the build (stale bitmap, scan
+# must still hide it), and the query probes a sweep of present, deleted,
+# and absent keys THROUGH the index — emitting per-probe row counts and
+# the sum of found ids, all closed-form. Pruning/no-false-negative
+# structure is pytest-asserted (tests/test_bloom_index.py); this row
+# proves the index+scan+DV composition against an independent engine.
+_BLOOMIX_FIXTURE = "/tmp/delta_lake_health_spark_fixture/bloom_index_table"
+_BLOOMIX_MARKER = os.path.join(_BLOOMIX_FIXTURE, "_BLOOMIX_FIXTURE_COMPLETE")
+_BLOOMIX_PROBES = (0, 137, 555, 1200, 2399,        # present
+                   777,                             # DV-deleted after build
+                   9_000_000, 9_000_001)            # absent
+
+_BLOOMIX_ORACLE = """
+    WITH probes(probe) AS (
+      VALUES (0), (137), (555), (1200), (2399), (777),
+             (9000000), (9000001)
+    )
+    SELECT CAST(probe AS BIGINT) AS probe,
+           CAST(CASE WHEN probe = 777 THEN 0
+                     WHEN probe < 2400 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_found,
+           CAST(CASE WHEN probe = 777 THEN 0
+                     WHEN probe < 2400 THEN probe * 3 ELSE 0 END AS BIGINT)
+             AS sum_v
+    FROM probes ORDER BY probe
+"""
+
+
+def _ensure_bloomix_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators import bloom_index
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_BLOOMIX_MARKER):
+        return
+    shutil.rmtree(_BLOOMIX_FIXTURE, ignore_errors=True)
+    df = spark.range(0, 2400).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v")
+    delta_writer.write(spark, df.repartition(12), _BLOOMIX_FIXTURE)
+    bloom_index.build_bloom_index(spark, _BLOOMIX_FIXTURE, "id")
+    delta_writer.delete_with_dv(spark, _BLOOMIX_FIXTURE, "id = 777")
+    with open(_BLOOMIX_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_bloom_point_lookup", _BLOOMIX_ORACLE)
+def delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from delta_lake_health_spark.operators import bloom_index
+
+    _ensure_bloomix_fixture(spark)
+    frames = []
+    for p in _BLOOMIX_PROBES:
+        hit = bloom_index.bloom_point_lookup(
+            spark, _BLOOMIX_FIXTURE, "id", p
+        )
+        frames.append(
+            hit.agg(
+                F.count(F.lit(1)).alias("n_found"),
+                F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("sum_v"),
+            ).select(F.lit(p).cast("long").alias("probe"), "n_found", "sum_v")
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("probe")

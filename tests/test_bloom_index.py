@@ -1,0 +1,89 @@
+"""Per-file Bloom file-skipping index — operators/bloom_index.py.
+
+Contract: zero false negatives (every value's containing file survives
+the probe), real pruning on absent values, stale-safety (files written
+after the build are never pruned), DV-correct lookups, and a rebuild
+picks up new files.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_health_spark.operators import bloom_index
+from delta_lake_health_spark.sources import delta_writer
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "bloom_tbl")
+    # 8 files, ids 0..799 — high-cardinality point-lookup column
+    df = spark.range(0, 800).selectExpr(
+        "id", "CAST(id % 7 AS BIGINT) AS grp"
+    )
+    delta_writer.write(spark, df.repartition(8), path)
+    return path
+
+
+def test_zero_false_negatives_and_pruning(spark, table):
+    m = bloom_index.build_bloom_index(spark, table, "id")
+    assert m["numIndexedFiles"] == 8
+    # every present value: its file survives and the lookup is exact
+    for v in (0, 123, 799):
+        got = bloom_index.bloom_point_lookup(spark, table, "id", v).collect()
+        assert [r.id for r in got] == [v]
+    # present value: candidate set is a strict subset (pruning happened)
+    cand, pruned = bloom_index.bloom_pruned_files(spark, table, "id", 123)
+    assert pruned > 0 and len(cand) < 8
+    # absent value: almost everything prunes; lookup returns nothing
+    cand, pruned = bloom_index.bloom_pruned_files(spark, table, "id", 10**9)
+    assert pruned >= 6
+    assert bloom_index.bloom_point_lookup(spark, table, "id", 10**9).count() == 0
+
+
+def test_exhaustive_no_false_negative_sweep(spark, table):
+    """Every one of the 800 values must keep its containing file — the
+    Bloom no-false-negative property end-to-end through the sidecar."""
+    bloom_index.build_bloom_index(spark, table, "id")
+    log = DeltaLog(spark, table)
+    truth = {
+        r.id: r._rel_path
+        for r in log.snapshot_with_positions().select("id", "_rel_path").collect()
+    }
+    for v in range(0, 800, 37):  # sampled sweep
+        cand, _ = bloom_index.bloom_pruned_files(spark, table, "id", v)
+        assert truth[v] in cand, v
+
+
+def test_stale_index_keeps_new_files(spark, table):
+    bloom_index.build_bloom_index(spark, table, "id")
+    delta_writer.write(
+        spark,
+        spark.range(5000, 5010)
+        .selectExpr("id", "CAST(1 AS BIGINT) AS grp")
+        .coalesce(1),
+        table,
+    )
+    # the new file has no index entry -> conservatively kept
+    got = bloom_index.bloom_point_lookup(spark, table, "id", 5007).collect()
+    assert [r.id for r in got] == [5007]
+    # rebuild indexes the new file too and pruning tightens again
+    m = bloom_index.build_bloom_index(spark, table, "id")
+    assert m["numIndexedFiles"] == 9
+    cand, pruned = bloom_index.bloom_pruned_files(spark, table, "id", 5007)
+    assert pruned >= 7
+
+
+def test_lookup_respects_deletion_vectors(spark, table):
+    bloom_index.build_bloom_index(spark, table, "id")
+    delta_writer.delete_with_dv(spark, table, "id = 123")
+    # the bitmap still matches (stale) but the scan applies the DV
+    assert bloom_index.bloom_point_lookup(spark, table, "id", 123).count() == 0
+    assert bloom_index.bloom_point_lookup(spark, table, "id", 124).count() == 1
+
+
+def test_unindexed_table_full_scan(spark, table):
+    cand, pruned = bloom_index.bloom_pruned_files(spark, table, "id", 1)
+    assert pruned == 0 and len(cand) == 8
+    assert bloom_index.bloom_point_lookup(spark, table, "id", 1).count() == 1
