@@ -60,6 +60,11 @@ HEADLINE = [
     "events_user_value_pareto",
     "ann_ivf_pq_topk",
     "text_scrub_repeated_spans",
+    # round-8 additions
+    "ann_sq_int8_topk",
+    "events_user_streaks",
+    "text_quality_lr_train",
+    "media_phash_neardup",
 ]
 
 
@@ -299,6 +304,26 @@ def _bench_delta_ops(spark) -> dict[str, float]:
     ))
     step("zorder", lambda: maintenance.zorder_cluster(spark, path, ["k", "v"]))
     step("checkpoint", lambda: DeltaLog(spark, path).checkpoint())
+
+    # round-8 surface: bloom file-skipping build + probe, REORG PURGE,
+    # COPY INTO — same fixed-size table, so these trend round-over-round
+    from delta_lake_health_spark.operators import bloom_index
+
+    step("bloom_index_build", lambda: bloom_index.build_bloom_index(
+        spark, path, "id"
+    ))
+    step("bloom_point_lookup", lambda: bloom_index.bloom_point_lookup(
+        spark, path, "id", 123_456
+    ).count())
+    step("reorg_purge", lambda: (
+        delta_writer.delete_with_dv(spark, path, "k = 29"),
+        maintenance.reorg_purge(spark, path),
+    ))
+    src_dir = os.path.join(tmp, "copy_src")
+    spark.range(0, 50_000).selectExpr(
+        "id + 1000000 AS id", "id % 97 AS k", "CAST(id % 1009 AS DOUBLE) AS v"
+    ).coalesce(2).write.parquet(src_dir)
+    step("copy_into", lambda: delta_writer.copy_into(spark, path, src_dir))
 
     # Streaming-source backlog drain (round 7): a 15-commit backlog
     # drained through the delta_tail source in PACED micro-batches
