@@ -23,6 +23,7 @@ src/delta_lake_health/health_analyzers/delta_python_analyzer.py:167-188.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -1708,6 +1709,43 @@ def write(
         # files carry physical names; a schema-REPLACING overwrite resets
         # the mapping (its metaData is re-emitted from the new df schema)
         df = _to_physical(spark, df, table_path)
+    if version >= 0 and cluster_by is None:
+        # delta.autoOptimize.optimizeWrite: size the batch's output
+        # partition count to the target file size BEFORE writing, so
+        # many-partition small batches don't shred into small files at
+        # ingest (the pre-write shuffle Delta's Optimized Write runs).
+        # Bytes/row comes from the table's own live add stats
+        # (metadata-scale); cost = one count() pass over the batch, paid
+        # only when the property is set. Only ever coalesces DOWN —
+        # a genuinely large batch keeps its parallelism.
+        ow = str(
+            (meta_at_validation or {}).get("configuration", {}).get(
+                "delta.autoOptimize.optimizeWrite", ""
+            )
+        ).lower() == "true"
+        if ow:
+            from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+            adds_live = DeltaLog(spark, table_path).live_add_actions()
+            tot_b = sum(a.get("size", 0) for a in adds_live)
+            tot_r = sum(
+                json.loads(a.get("stats") or "{}").get("numRecords", 0)
+                for a in adds_live
+            )
+            bytes_per_row = (tot_b / tot_r) if tot_r else 100.0
+            from delta_lake_health_spark.operators.maintenance import (
+                _table_target_file_size,
+            )
+
+            target = _table_target_file_size(DeltaLog(spark, table_path))
+            n_rows = df.count()
+            n_out = max(1, math.ceil(n_rows * bytes_per_row / target))
+            if n_out < df.rdd.getNumPartitions():
+                df = (
+                    df.repartition(n_out, *partition_by)
+                    if partition_by
+                    else df.repartition(n_out)
+                )
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
     if partition_by:
@@ -3005,3 +3043,88 @@ def copy_into(
         "numSkippedFiles": len(candidates) - len(new_paths),
         "version": version,
     }
+
+
+def drop_feature(spark: SparkSession, table_path: str, feature: str) -> int:
+    """``ALTER TABLE ... DROP FEATURE`` (Delta 3.x): remove a table
+    feature from the protocol so engines without that capability can
+    read/write the table again. Refused while any trace of the feature
+    is still live — the checks are the spec's:
+
+    - ``deletionVectors``: no live file may carry pending DV positions
+      (run REORG PURGE first) — readers that skip the DV anti-join would
+      resurrect deleted rows;
+    - ``columnMapping``: no field may carry a physicalName mapping and
+      no dropped-column data may linger (REORG PURGE clears the files;
+      renames cannot be un-mapped, so a renamed table keeps the feature);
+    - writer-only bookkeeping features (``rowTracking``, ``clustering``,
+      ``domainMetadata``, ``identityColumns``) drop freely — their state
+      is ignorable by spec.
+
+    History note: per the spec, commits BEFORE the drop may still
+    contain the feature's actions; readers of old versions re-enter the
+    feature-gated path. This matches Delta's two-phase
+    ``DROP FEATURE TRUNCATE HISTORY`` flow where ``cleanup_log``
+    (operators/maintenance.py) is the truncation half.
+    """
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _require_writable(spark, table_path)
+    log = DeltaLog(spark, table_path)
+    p = log.protocol()
+    reader_feats = set(p.get("readerFeatures") or [])
+    writer_feats = set(p.get("writerFeatures") or [])
+    if feature not in (reader_feats | writer_feats):
+        raise ValueError(f"table does not declare feature {feature!r}")
+
+    if feature == "deletionVectors":
+        dv = log.deletion_vectors()
+        if dv is not None:
+            live = log.active_files().select(
+                F.col("path").alias("rel_path")
+            )
+            n_live = dv.join(
+                F.broadcast(live), "rel_path", "left_semi"
+            ).count()
+            if n_live:
+                raise ValueError(
+                    f"cannot drop deletionVectors: {n_live} live DV "
+                    "positions remain — run reorg_purge first"
+                )
+    elif feature == "columnMapping":
+        schema = log.metadata().get("schema") or {}
+        mapped = [
+            f["name"]
+            for f in schema.get("fields", [])
+            if (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            )
+        ]
+        if mapped:
+            raise ValueError(
+                f"cannot drop columnMapping: renamed columns {mapped} "
+                "still map to physical names"
+            )
+    elif feature not in (
+        "rowTracking", "clustering", "domainMetadata", "identityColumns",
+        "v2Checkpoint", "changeDataFeed",
+    ):
+        raise ValueError(f"drop of feature {feature!r} not supported")
+
+    proto = {
+        "minReaderVersion": p["minReaderVersion"],
+        "minWriterVersion": p["minWriterVersion"],
+    }
+    if p["minReaderVersion"] >= 3:
+        proto["readerFeatures"] = sorted(reader_feats - {feature})
+    if p["minWriterVersion"] >= 7:
+        proto["writerFeatures"] = sorted(writer_feats - {feature})
+    actions = [
+        {"protocol": proto},
+        _commit_info("DROP FEATURE", {"feature": feature}, {}),
+    ]
+    version = current_version(table_path) + 1
+    _commit(table_path, version, actions)
+    return version
