@@ -43,6 +43,7 @@ _VERIFY_FIRST = (
     "text_quality_lr_train",
     "delta_copy_into_snapshot",
     "delta_bloom_point_lookup",
+    "dedup_containment",
     # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
     # (3) code changed since newest green row

@@ -1284,3 +1284,83 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_agree")
     )
+
+
+# --------------------------------------------------------------------------
+# X15 — asymmetric containment dedup (r8): C(A in B) = |A ∩ B| / |A| over
+# the 3-gram shingle sets. Jaccard (X5) misses SUBSET duplicates — a short
+# doc fully quoted inside a long one scores J = |A|/|B| (tiny) but
+# C(A in B) = 1.0; containment is the signal quote/partial-copy scrubbing
+# keys on (and the asymmetric twin of MinHash's symmetric estimate).
+# Same scale shape as X5: posting lists on (source, shingle), in-bucket
+# pair expansion — never a shingle self-join, no corpus^2 term — then
+# one |pairs| aggregate joined to the two size rows. Emits both
+# directions per unordered pair; kept when EITHER direction crosses the
+# threshold, so the short-inside-long case X5 drops is exactly what
+# survives here.
+CONTAINMENT_THRESHOLD = 0.05
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source, shingle
+      FROM (
+        SELECT doc_id, source, unnest({SQL_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, source, string_split(text,' ') AS toks
+              FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source = b.source
+           AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / sa.n_sh, 6) AS contain_a,
+           ROUND(CAST(n_shared AS DOUBLE) / sb.n_sh, 6) AS contain_b
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE GREATEST(CAST(n_shared AS DOUBLE) / sa.n_sh,
+                   CAST(n_shared AS DOUBLE) / sb.n_sh)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .select(
+            "doc_id", "source", F.explode_outer("shingles").alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        _posting_pairs(sh, ["source", "shingle"], "doc_id", "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_a = F.col("n_shared").cast("double") / F.col("sa.n_sh")
+    c_b = F.col("n_shared").cast("double") / F.col("sb.n_sh")
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(F.greatest(c_a, c_b) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_a, 6).alias("contain_a"),
+            F.round(c_b, 6).alias("contain_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
