@@ -199,11 +199,13 @@ def test_bounded_vocab_join_shape(spark):
     old = T.VOCAB_HEAD_CAP
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        # floor = ceil(total/cap): cap=2000 puts part of the 31-word
-        # fixture vocab in each branch (total tokens ~28k -> floor ~15).
+        # The cap must sit BELOW the fixture's distinct-vocab count or
+        # the r8 short-circuit (vocab fits the cap -> single broadcast
+        # join, bit-identical results) legitimately skips the split —
+        # cap=10 forces the head/tail branches this test audits.
         # autoBroadcast off simulates scale: ONLY the explicit head hint
         # may broadcast; the tail must pick a shuffle join on its own.
-        T.VOCAB_HEAD_CAP = 2000
+        T.VOCAB_HEAD_CAP = 10
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         plan = _plan(T.QUERIES["text_unigram_surprise"](spark, SF_DIR))
     finally:
