@@ -44,6 +44,8 @@ _VERIFY_FIRST = (
     "delta_copy_into_snapshot",
     "delta_bloom_point_lookup",
     "dedup_containment",
+    "events_top_paths",
+    "documents_priority_sample_k",
     # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
     # (3) code changed since newest green row

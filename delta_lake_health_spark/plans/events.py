@@ -1695,3 +1695,64 @@ def events_ab_holdout_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b - p_a, 6).alias("lift"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# E34 — top user-journey paths: the first 4 events of each user-day,
+# concatenated to a path string, counted across the corpus (the "common
+# journeys" readout behind every product-analytics path/sankey view).
+# Deterministic ordering by (ts, event_id); one shuffle on
+# (user_id, day) for the per-journey window, one tiny path aggregate.
+# LIMIT ties broken by path text.
+@query(
+    "events_top_paths",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id, d,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 4
+      GROUP BY user_id, d
+    )
+    SELECT path, COUNT(*) AS n_journeys,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_journeys DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    ordered = (
+        ev.select(
+            "user_id", F.to_date("ts").alias("d"), "event_type", "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+    )
+    paths = ordered.groupBy("user_id", "d").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, event_type))),"
+                " s -> s.event_type)"
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_journeys"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_journeys"), "path")
+        .limit(20)
+    )

@@ -2143,3 +2143,51 @@ def text_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(w[3]).alias("weight_stop"),
         "train_acc",
     )
+
+
+# --------------------------------------------------------------------------
+# T31 — exact-k priority sample per stratum (r8): the k=3 docs with the
+# SMALLEST md5 priority per (source, lang) cell, with rank and a stable
+# content fingerprint. Fraction-based samplers (T23, T12) can't promise
+# exact cell sizes; bounded eval/holdout sets need exactly-k — and a
+# hash priority makes the sample reproducible across engines, runs, and
+# partitionings with no RNG state (priority sampling / bottom-k; the
+# per-key reservoir every curation pipeline keeps). One shuffle on the
+# stratum key for the rank window; nothing driver-side.
+_PRIORITY_K = 3
+
+
+@query(
+    "documents_priority_sample_k",
+    f"""
+    WITH ranked AS (
+      SELECT source, lang, doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':' || text) AS priority,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text), doc_id
+             ) AS rank
+      FROM documents
+    )
+    SELECT source, lang, rank, doc_id, priority
+    FROM ranked WHERE rank <= {_PRIORITY_K}
+    ORDER BY source, lang, rank
+    """,
+)
+def documents_priority_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    prio = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    w = Window.partitionBy("source", "lang").orderBy(prio, "doc_id")
+    return (
+        docs.select(
+            "source", "lang", "doc_id", prio.alias("priority"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= _PRIORITY_K)
+        .select("source", "lang", "rank", "doc_id", "priority")
+        .orderBy("source", "lang", "rank")
+    )
