@@ -1157,3 +1157,82 @@ def phash_neardup_pairs(
         cand.select("id_a", "id_b", dist.alias("hamming"))
         .where(F.col("hamming") <= max_distance)
     )
+
+
+# --- video scene-change detection -------------------------------------------
+
+def encode_y4m_from_lumas(
+    lumas: list[int], width: int = 16, height: int = 16
+) -> bytes:
+    """YUV4MPEG2 stream with one constant-luma 4:2:0 frame per entry —
+    the content-controlled encoder twin of ``encode_y4m`` (what tests
+    and closed-form oracles need: known per-frame luma means)."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 requires even dimensions")
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()]
+    for y in lumas:
+        out.append(b"FRAME\n")
+        out.append(bytes([y & 0xFF]) * (width * height))
+        out.append(bytes([128]) * (width * height // 2))  # U+V planes
+    return b"".join(out)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_scenes", IntegerType()),
+        StructField("boundaries", ArrayType(IntegerType())),
+    ]
+)
+
+
+def detect_scene_changes(media: DataFrame, threshold: float = 16.0) -> DataFrame:
+    """Video rows (y4m) → shot/scene boundaries: a frame starts a new
+    scene when its mean absolute LUMA difference to the previous frame
+    exceeds ``threshold`` (the classical pixel-difference shot detector;
+    PySceneDetect's content-detector baseline restricted to luma).
+    Arrow-batched mapInPandas over the real FRAME walk — per-task memory
+    is two luma planes, independent of video length or table size.
+    Non-video rows are dropped; n_scenes = len(boundaries) + 1."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "y4m":
+                    continue
+                payload = bytes(payload)
+                w, h, _fs, _ = _y4m_geometry(payload)
+                prev = None
+                bounds: list[int] = []
+                n = 0
+                for idx, frame in y4m_frames(payload):
+                    luma = np.frombuffer(
+                        frame[: w * h], dtype=np.uint8
+                    ).astype(np.int16)
+                    if prev is not None:
+                        if float(np.abs(luma - prev).mean()) > threshold:
+                            bounds.append(idx)
+                    prev = luma
+                    n = idx + 1
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_frames": n,
+                        "n_scenes": len(bounds) + 1,
+                        "boundaries": bounds,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "n_scenes", "boundaries"],
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        fn, SCENE_SCHEMA
+    )

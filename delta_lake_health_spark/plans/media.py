@@ -209,3 +209,55 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a")
     )
+
+
+# --------------------------------------------------------------------------
+# M7 — scene-change detection, oracle-checked with a closed-form boundary
+# set: 10 constant-luma Y4M videos where video i cuts luma 50 -> 200 at
+# frame (i % 5) + 3 (plus one cut-free video, id 10), so the detector —
+# the real FRAME walk + mean-abs-luma-diff threshold inside Arrow-batched
+# mapInPandas — must report exactly one boundary at the known index (or
+# none). Constant planes make the expected diff exact (150 vs 0 against
+# threshold 16), so the oracle derives every column from the id formula.
+_SCENE_N = 10
+
+
+@query(
+    "media_scene_changes",
+    f"""
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(10 AS INT) AS n_frames,
+           CAST(CASE WHEN i < {_SCENE_N} THEN 2 ELSE 1 END AS INT)
+             AS n_scenes,
+           CAST(CASE WHEN i < {_SCENE_N} THEN (i % 5) + 3 END AS INT)
+             AS first_boundary
+    FROM range({_SCENE_N + 1}) t(i)
+    ORDER BY media_id
+    """,
+)
+def media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.multimodal import (
+        detect_scene_changes,
+        encode_y4m_from_lumas,
+    )
+
+    rows = []
+    for i in range(_SCENE_N):
+        cut = (i % 5) + 3
+        rows.append(
+            (i, "y4m", encode_y4m_from_lumas([50] * cut + [200] * (10 - cut)))
+        )
+    rows.append((_SCENE_N, "y4m", encode_y4m_from_lumas([50] * 10)))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    ).repartition(4)
+    return (
+        detect_scene_changes(media, threshold=16.0)
+        .select(
+            "media_id",
+            "n_frames",
+            "n_scenes",
+            F.expr("try_element_at(boundaries, 1)").alias("first_boundary"),
+        )
+        .orderBy("media_id")
+    )

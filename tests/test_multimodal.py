@@ -506,3 +506,35 @@ def test_png_flows_through_decode_media(spark):
         assert r.media_type == "png"
         assert r.n_bytes == r.width * r.height * 3
         assert r.n_frames == 1 and r.sample_rate == 0
+
+
+def test_scene_change_detection(spark):
+    """Known constant-luma cuts are found exactly; gradual drift below
+    the threshold is not a boundary; the real fixture videos decode
+    through the same path without error."""
+    from delta_lake_health_spark.operators.multimodal import (
+        detect_scene_changes,
+        encode_y4m_from_lumas,
+        synthetic_media,
+    )
+
+    rows = [
+        (0, "y4m", encode_y4m_from_lumas([50] * 4 + [200] * 4)),   # one cut
+        (1, "y4m", encode_y4m_from_lumas([50] * 8)),                # none
+        (2, "y4m", encode_y4m_from_lumas(list(range(60, 140, 10)))),  # drift
+        (3, "y4m", encode_y4m_from_lumas([50, 200, 50, 200])),      # 3 cuts
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {
+        r.media_id: (r.n_frames, r.n_scenes, list(r.boundaries))
+        for r in detect_scene_changes(media, threshold=16.0).collect()
+    }
+    assert got[0] == (8, 2, [4])
+    assert got[1] == (8, 1, [])
+    assert got[2] == (8, 1, [])   # 10-luma steps < threshold 16
+    assert got[3] == (4, 4, [1, 2, 3])
+    # fixture videos run through the same path (non-video rows dropped)
+    fx = detect_scene_changes(synthetic_media(spark, 24)).collect()
+    assert all(r.n_frames >= 1 for r in fx)
