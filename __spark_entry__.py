@@ -47,6 +47,7 @@ _VERIFY_FIRST = (
     "events_top_paths",
     "documents_priority_sample_k",
     "media_scene_changes",
+    "events_watermark_lateness",
     # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
     "events_user_value_pareto",
     # (3) code changed since newest green row

@@ -1756,3 +1756,84 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_journeys"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# E35 — watermark lateness census: how out-of-order is the stream, and
+# what would a watermark of W drop? Arrival order is modeled by
+# event_id (the ingest sequence of the synthetic feed); an event's
+# lateness is the running max of event-time over arrival order minus
+# its own event-time. The running max is computed with the TWO-PHASE
+# PREFIX pattern (same as the epoch-shuffle rank): 256 arrival-range
+# buckets each compute a local running max in parallel, the 256
+# per-bucket maxima collect to a broadcast prefix, and the global
+# running max is greatest(local, prefix[bucket-1]) — no global
+# single-task window at any size. The oracle is the single SQL window
+# the pattern replaces.
+@query(
+    "events_watermark_lateness",
+    """
+    WITH run AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high
+      FROM events
+    ), lat AS (
+      SELECT (epoch_us(high) - epoch_us(ts)) / 60000000.0 AS late_min
+      FROM run
+    )
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_min > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_1m,
+           CAST(SUM(CASE WHEN late_min > 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_5m,
+           CAST(SUM(CASE WHEN late_min > 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_15m,
+           CAST(SUM(CASE WHEN late_min > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_60m,
+           ROUND(MAX(late_min), 6) AS max_late_min
+    FROM lat
+    """,
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    hi = ev.agg(F.max("event_id").alias("m")).collect()[0].m
+    width = max(1, (int(hi) + 256) // 256)
+    bucketed = ev.withColumn(
+        "b", (F.col("event_id") / F.lit(width)).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("local_hi", F.max("ts_us").over(w_local))
+    # 256-row prefix of per-bucket maxima, broadcast back
+    bmax = {
+        r.b: r.mx
+        for r in bucketed.groupBy("b").agg(F.max("ts_us").alias("mx")).collect()
+    }
+    prefix_rows, run = [], None
+    for b in sorted(bmax):
+        prefix_rows.append((b, run))
+        run = bmax[b] if run is None else max(run, bmax[b])
+    prefix = spark.createDataFrame(prefix_rows, "b long, prefix_hi long")
+    late_min = (
+        F.greatest(F.col("local_hi"), F.coalesce("prefix_hi", "local_hi"))
+        - F.col("ts_us")
+    ) / F.lit(60_000_000.0)
+    lat = local.join(F.broadcast(prefix), "b").select(late_min.alias("lm"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("lm") > 1, 1).otherwise(0))
+        .cast("long").alias("n_late_1m"),
+        F.sum(F.when(F.col("lm") > 5, 1).otherwise(0))
+        .cast("long").alias("n_late_5m"),
+        F.sum(F.when(F.col("lm") > 15, 1).otherwise(0))
+        .cast("long").alias("n_late_15m"),
+        F.sum(F.when(F.col("lm") > 60, 1).otherwise(0))
+        .cast("long").alias("n_late_60m"),
+        F.round(F.max("lm"), 6).alias("max_late_min"),
+    )
