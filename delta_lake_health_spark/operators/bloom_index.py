@@ -10,8 +10,9 @@ user_id / order key across a million files by reading |files| x 8 KiB
 of index instead of the table).
 
 Layout: ``<table>/_delta_index/bloom_<column>/`` holds a parquet of
-(rel_path, bitmap) plus ``meta.json`` (column, m_bits, k, the snapshot
-version at build). Correctness contract:
+(rel_path, bitmap) plus ``_meta.json`` (underscore-prefixed so parquet
+readers skip it) with column, m_bits, k, and the snapshot version at
+build. Correctness contract:
 
 - **Zero false negatives** for indexed files (Bloom property — probing
   can only over-approximate the candidate set).
@@ -22,9 +23,10 @@ version at build). Correctness contract:
 
 Scale: the build is one distributed pass (shuffle on file lineage, one
 8 KiB bitmap per file — same shape as OPTIMIZE's stats backfill); the
-probe is a driver-side test over |files| bitmaps (metadata-sized, like
-every other log-planning step) followed by a scan of only the surviving
-files with deletion vectors applied.
+probe runs the bitmap tests DISTRIBUTED over the sidecar parquet (a
+million-file table carries ~8 GiB of bitmaps, never driver memory —
+only path strings and the surviving set reach the driver), then scans
+only the surviving files with deletion vectors applied.
 
 Determinism: SplitMix64 over FNV-1a-folded utf-8 (operators/bloom.py) —
 no RNG, no platform dependence.
@@ -90,7 +92,7 @@ def build_bloom_index(
         "k": bloom.K,
         "version": version,
     }
-    with open(os.path.join(idx_dir, "meta.json"), "w") as fh:
+    with open(os.path.join(idx_dir, "_meta.json"), "w") as fh:
         json.dump(meta, fh)
     return {
         "numIndexedFiles": n,
@@ -100,25 +102,12 @@ def build_bloom_index(
     }
 
 
-def _load_index(table_path: str, column: str) -> tuple[dict, dict] | None:
-    idx_dir = _index_dir(table_path, column)
-    meta_path = os.path.join(idx_dir, "meta.json")
+def _index_meta(table_path: str, column: str) -> dict | None:
+    meta_path = os.path.join(_index_dir(table_path, column), "_meta.json")
     if not os.path.isfile(meta_path):
         return None
     with open(meta_path) as fh:
-        meta = json.load(fh)
-    import pyarrow.parquet as pq
-
-    entries: dict[str, np.ndarray] = {}
-    for fname in os.listdir(idx_dir):
-        if not fname.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(idx_dir, fname))
-        for rel, bm in zip(
-            t.column("rel_path").to_pylist(), t.column("bitmap").to_pylist()
-        ):
-            entries[rel] = np.frombuffer(bm, dtype=np.uint64)
-    return meta, entries
+        return json.load(fh)
 
 
 def bloom_pruned_files(
@@ -126,19 +115,42 @@ def bloom_pruned_files(
 ) -> tuple[list[str], int]:
     """Live files that MIGHT contain ``value``: indexed files whose
     bitmap test fails are pruned; unindexed files are kept (stale-safe).
+    The bitmap tests run DISTRIBUTED over the sidecar parquet (a
+    million-file table carries ~8 GiB of bitmaps — never driver
+    memory); only the surviving paths (bounded by the true candidate
+    set plus false positives) and the |files| path strings reach the
+    driver, the same planning cost as every log operation.
     Returns (candidate rel paths, number pruned)."""
     log = DeltaLog(spark, table_path)
-    live = [r.path for r in log.active_files().select("path").collect()]
-    loaded = _load_index(table_path, column)
-    if loaded is None:
+    live = {r.path for r in log.active_files().select("path").collect()}
+    if _index_meta(table_path, column) is None:
         return sorted(live), 0
-    _meta, entries = loaded
-    key = bloom.hash_strings([str(value)])
-    keep = [
-        p
-        for p in live
-        if p not in entries or bool(bloom.contains(entries[p], key)[0])
-    ]
+    key_u64 = int(bloom.hash_strings([str(value)])[0])
+
+    def probe(batches):
+        keys = np.array([key_u64], dtype=np.uint64)
+        for pdf in batches:
+            hit = [
+                bool(
+                    bloom.contains(
+                        np.frombuffer(bm, dtype=np.uint64), keys
+                    )[0]
+                )
+                for bm in pdf["bitmap"]
+            ]
+            yield pd.DataFrame(
+                {"rel_path": pdf["rel_path"], "hit": hit}
+            )
+
+    side = spark.read.parquet(_index_dir(table_path, column))
+    tested = side.mapInPandas(probe, "rel_path string, hit boolean")
+    indexed_hits = {
+        r.rel_path for r in tested.where("hit").select("rel_path").collect()
+    }
+    indexed_all = {
+        r.rel_path for r in side.select("rel_path").collect()
+    }
+    keep = [p for p in live if p not in indexed_all or p in indexed_hits]
     return sorted(keep), len(live) - len(keep)
 
 

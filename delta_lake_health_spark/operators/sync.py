@@ -174,6 +174,10 @@ def apply_changes(
         changes.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        # the fold is consumed three times (upsert count + merge,
+        # delete count + DV positions): materialize it once instead of
+        # re-reading the feed's files per consumer
+        .localCheckpoint()
     )
     upserts = net.where(F.col("_change_type") == "insert").select(*data_cols)
     deletes = net.where(F.col("_change_type") == "delete").select(*key_cols)
