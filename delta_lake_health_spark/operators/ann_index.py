@@ -174,3 +174,58 @@ def search(
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+def save_ivf_index(spark, index: IvfIndex, path: str) -> dict:
+    """Persist the index as THREE Delta tables under ``path`` —
+    centroids (broadcast-sized), inverted lists (clustered on cid, so
+    per-file min/max prune the probe's cid reads), and the sub-bucket
+    map — with the build parameters recorded as table properties on the
+    centroids table. This is the production shape: build once on the
+    cluster, serve probes from any session against the persisted tables
+    (and maintain them like any other Delta table: OPTIMIZE, time
+    travel, CDF on refresh)."""
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    delta_writer.write(
+        spark, index.centroids, os.path.join(path, "centroids"),
+        mode="overwrite",
+    )
+    delta_writer.write(
+        spark, index.lists, os.path.join(path, "lists"),
+        mode="overwrite", cluster_by=["cid"],
+    )
+    delta_writer.write(
+        spark, index.subs, os.path.join(path, "subs"), mode="overwrite"
+    )
+    for key, val in (
+        ("ivf.k", index.k),
+        ("ivf.nprobeDefault", index.nprobe_default),
+        ("ivf.maxListRows", index.max_list_rows),
+    ):
+        delta_writer.set_table_property(
+            spark, os.path.join(path, "centroids"), key, str(val)
+        )
+    return {"k": index.k, "path": path}
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    """Reopen a persisted index: three snapshot reads + the parameters
+    from the centroids table's properties. Probes against the loaded
+    index are bit-identical to probes against the in-session build."""
+    import os
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    clog = DeltaLog(spark, os.path.join(path, "centroids"))
+    cfg = clog.metadata().get("configuration") or {}
+    return IvfIndex(
+        centroids=clog.snapshot(),
+        lists=DeltaLog(spark, os.path.join(path, "lists")).snapshot(),
+        subs=DeltaLog(spark, os.path.join(path, "subs")).snapshot(),
+        k=int(cfg["ivf.k"]),
+        nprobe_default=int(cfg["ivf.nprobeDefault"]),
+        max_list_rows=int(cfg["ivf.maxListRows"]),
+    )

@@ -7,6 +7,8 @@ import pytest
 from tests.conftest import SF_ORACLE
 from tests.oracle_check import compare
 
+from pyspark.sql import functions as F
+
 from delta_lake_health_spark.plans import similarity as sim
 
 
@@ -200,7 +202,6 @@ def test_ivfpq_recall_and_exact_rerank(spark):
     the synthetic clusters (same floor as its S2/S8 halves), and every
     returned cosine is EXACT (the rerank runs on full-precision
     vectors), matching the brute-force cosine for the same pair."""
-    from delta_lake_health_spark.plans import similarity as sim
     from tests.conftest import SF_ORACLE
 
     exact_rows = sim.QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
@@ -218,7 +219,6 @@ def test_ivfpq_recall_and_exact_rerank(spark):
 def test_ivfpq_plan_routes_no_cartesian(spark):
     """The corpus enters the compressed scan only through the routed
     candidate join — no CartesianProduct anywhere in the plan."""
-    from delta_lake_health_spark.plans import similarity as sim
     from tests.conftest import SF_DIR
 
     plan = (
@@ -255,3 +255,28 @@ def test_sq_int8_codes_in_range(spark):
         per_q.setdefault(r.q_id, []).append(r.rn)
     for q, rns in per_q.items():
         assert sorted(rns) == list(range(1, sim.TOP_K + 1)), (q, rns)
+
+
+def test_ivf_index_persists_as_delta(spark, tmp_path):
+    """save/load roundtrip: probes against the loaded index match the
+    in-session build exactly, and all three sidecar tables are genuine
+    Delta tables (log-reconstructed snapshots, properties intact)."""
+    from delta_lake_health_spark.operators import ann_index
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    emb = sim._emb(spark, SF_ORACLE)
+    idx = ann_index.build_ivf_index(emb)
+    path = str(tmp_path / "ivf")
+    ann_index.save_ivf_index(spark, idx, path)
+    loaded = ann_index.load_ivf_index(spark, path)
+    assert (loaded.k, loaded.nprobe_default) == (idx.k, idx.nprobe_default)
+
+    q = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    want = ann_index.search(idx, q, top_k=5, exclude_same_id=True).collect()
+    got = ann_index.search(loaded, q, top_k=5, exclude_same_id=True).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the lists table is clustered on cid: every live file carries stats
+    log = DeltaLog(spark, path + "/lists")
+    assert log.snapshot().count() == idx.lists.count()
