@@ -855,12 +855,35 @@ def reorg_purge(spark: SparkSession, table_path: str) -> dict:
         for f in schema.get("fields", [])
     }
     part_cols = set(log.partition_columns())
-    stale = []
-    for a in log.live_add_actions():
-        fpath = os.path.join(table_path, a["path"])
-        carried = set(pq.read_schema(fpath).names)
-        if carried - physical - part_cols:
-            stale.append(a["path"])
+    keep = physical | part_cols
+    live_rel = [a["path"] for a in log.live_add_actions()]
+
+    def _probe(batches):
+        # One parquet FOOTER read per file, executed as distributed
+        # tasks over the live-file list (never a serial driver loop —
+        # a million-file table probes with |files|/batch tasks).
+        import pandas as pd
+
+        for pdf in batches:
+            out_paths = []
+            for rel, full in zip(pdf["rel_path"], pdf["full_path"]):
+                if set(pq.read_schema(full).names) - keep:
+                    out_paths.append(rel)
+            yield pd.DataFrame({"rel_path": out_paths})
+
+    if live_rel:
+        probe_df = spark.createDataFrame(
+            [(rel, os.path.join(table_path, rel)) for rel in live_rel],
+            "rel_path string, full_path string",
+        ).repartition(min(32, len(live_rel)))
+        stale = [
+            r.rel_path
+            for r in probe_df.mapInPandas(
+                _probe, "rel_path string"
+            ).collect()
+        ]
+    else:
+        stale = []
     out = {
         "numDvFilesRewritten": dv_metrics.get("numRewrittenFiles", 0),
         "numPurgedFiles": len(stale),

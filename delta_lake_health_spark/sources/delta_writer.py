@@ -1738,6 +1738,10 @@ def write(
             )
 
             target = _table_target_file_size(DeltaLog(spark, table_path))
+            # Pin the batch before counting: without this the incoming
+            # plan is evaluated twice (count + write) and a
+            # nondeterministic upstream could size against stale counts.
+            df = df.localCheckpoint(eager=True)
             n_rows = df.count()
             n_out = max(1, math.ceil(n_rows * bytes_per_row / target))
             if n_out < df.rdd.getNumPartitions():
@@ -2942,7 +2946,7 @@ def copy_into(
     pattern: str = "*.parquet",
 ) -> dict:
     """``COPY INTO``: idempotent bulk ingest of external parquet files.
-    Each source file is identified by (name, size, mtime-ms); the set of
+    Each source file is identified by (name, size, mtime-ns); the set of
     already-loaded identities lives in a ``domainMetadata`` action
     (``delta.copyInto``, keyed per source directory) and the data adds,
     the updated loaded-set, and the commitInfo land in ONE commit — so a
@@ -2974,7 +2978,9 @@ def copy_into(
     new_paths = []
     for p in candidates:
         st = os.stat(p)
-        ident = f"{st.st_size}:{int(st.st_mtime * 1000)}"
+        # Full-nanosecond mtime: a file rewritten with different content
+        # but identical size within the same millisecond must re-ingest.
+        ident = f"{st.st_size}:{st.st_mtime_ns}"
         name = os.path.basename(p)
         if loaded.get(name) == ident:
             continue
@@ -3057,6 +3063,15 @@ def drop_feature(spark: SparkSession, table_path: str, feature: str) -> int:
     - ``columnMapping``: no field may carry a physicalName mapping and
       no dropped-column data may linger (REORG PURGE clears the files;
       renames cannot be un-mapped, so a renamed table keeps the feature);
+    - ``changeDataFeed``: ``delta.enableChangeDataFeed`` is cleared from
+      the table configuration IN THE SAME COMMIT as the protocol
+      downgrade, so post-drop writers stop producing ``_change_data``
+      files the downgraded protocol no longer declares;
+    - ``v2Checkpoint``: if ``_last_checkpoint`` currently points at a V2
+      (UUID + sidecar) checkpoint, the checkpoint is REWRITTEN in the
+      classic V1 layout first — a downgraded external reader resolving
+      ``_last_checkpoint`` must never land on a layout its protocol
+      doesn't know;
     - writer-only bookkeeping features (``rowTracking``, ``clustering``,
       ``domainMetadata``, ``identityColumns``) drop freely — their state
       is ignorable by spec.
@@ -3113,6 +3128,31 @@ def drop_feature(spark: SparkSession, table_path: str, feature: str) -> int:
     ):
         raise ValueError(f"drop of feature {feature!r} not supported")
 
+    extra_actions: list[dict] = []
+    if feature == "changeDataFeed":
+        meta = log.metadata()
+        config = dict(meta.get("configuration", {}))
+        if config.pop("delta.enableChangeDataFeed", None) is not None:
+            extra_actions.append(
+                {
+                    "metaData": {
+                        "id": meta["id"],
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(meta["schema"]),
+                        "partitionColumns": meta.get(
+                            "partition_columns", []
+                        ),
+                        "configuration": config,
+                        "createdTime": int(time.time() * 1000),
+                    }
+                }
+            )
+    elif feature == "v2Checkpoint":
+        lc = log.last_checkpoint_info()
+        if lc is not None and lc.get("format") == "v2":
+            log.checkpoint(format="v1")
+            log = DeltaLog(spark, table_path)
+
     proto = {
         "minReaderVersion": p["minReaderVersion"],
         "minWriterVersion": p["minWriterVersion"],
@@ -3123,6 +3163,7 @@ def drop_feature(spark: SparkSession, table_path: str, feature: str) -> int:
         proto["writerFeatures"] = sorted(writer_feats - {feature})
     actions = [
         {"protocol": proto},
+        *extra_actions,
         _commit_info("DROP FEATURE", {"feature": feature}, {}),
     ]
     version = current_version(table_path) + 1

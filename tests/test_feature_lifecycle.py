@@ -69,6 +69,68 @@ def test_drop_writer_only_feature(spark, tmp_path):
         delta_writer.drop_feature(spark, path, "rowTracking")
 
 
+def test_drop_change_data_feed_clears_property(spark, tmp_path):
+    """Dropping changeDataFeed must clear delta.enableChangeDataFeed in
+    the SAME commit as the protocol downgrade — otherwise post-drop
+    writes would keep producing _change_data files the downgraded
+    protocol no longer declares."""
+    path = str(tmp_path / "cdf")
+    delta_writer.write(spark, spark.range(0, 50).selectExpr("id"), path)
+    delta_writer.set_table_property(
+        spark, path, "delta.enableChangeDataFeed", "true"
+    )
+    # foreign-writer style: a features protocol declaring changeDataFeed
+    delta_writer._commit(
+        path,
+        delta_writer.current_version(path) + 1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": [
+                        "appendOnly", "changeDataFeed", "invariants",
+                    ],
+                }
+            },
+            delta_writer._commit_info(
+                "UPGRADE PROTOCOL", {"feature": "changeDataFeed"}, {}
+            ),
+        ],
+    )
+    assert "changeDataFeed" in _features(spark, path)
+    v = delta_writer.drop_feature(spark, path, "changeDataFeed")
+    assert "changeDataFeed" not in _features(spark, path)
+    log = DeltaLog(spark, path)
+    assert "delta.enableChangeDataFeed" not in log.metadata()["configuration"]
+    # protocol downgrade and property-clear landed in ONE commit
+    acts = delta_writer._version_actions(path, v)
+    assert any("protocol" in a for a in acts)
+    assert any("metaData" in a for a in acts)
+    assert log.snapshot().count() == 50
+
+
+def test_drop_v2_checkpoint_rewrites_classic(spark, tmp_path):
+    """Dropping v2Checkpoint while _last_checkpoint points at a V2
+    (UUID + sidecar) checkpoint must first rewrite the checkpoint in the
+    classic layout — a downgraded reader must never resolve
+    _last_checkpoint to a layout its protocol doesn't know."""
+    path = str(tmp_path / "v2")
+    delta_writer.write(
+        spark, spark.range(0, 100).selectExpr("id", "id % 3 AS k"), path
+    )
+    DeltaLog(spark, path).checkpoint(format="v2")
+    assert "v2Checkpoint" in _features(spark, path)
+    assert DeltaLog(spark, path).last_checkpoint_info()["format"] == "v2"
+    delta_writer.drop_feature(spark, path, "v2Checkpoint")
+    assert "v2Checkpoint" not in _features(spark, path)
+    info = DeltaLog(spark, path).last_checkpoint_info()
+    assert info is not None and info.get("format") != "v2"
+    assert "path" not in info  # classic layout, no UUID top-level file
+    # snapshot reconstructs through the classic checkpoint
+    assert DeltaLog(spark, path).snapshot().count() == 100
+
+
 def _n_files_in_last_commit(path):
     v = delta_writer.current_version(path)
     return sum(

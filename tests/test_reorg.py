@@ -98,13 +98,21 @@ def test_reorg_rewrites_only_affected_files(spark, table):
     # DV-delete rows confined to one partition: only that partition's
     # files are rewritten; the other partition's files survive untouched
     delta_writer.delete_with_dv(spark, table, "day = 'p0' AND id < 20")
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, table)
+    dv_files = {
+        r.rel_path
+        for r in log.deletion_vectors().select("rel_path").distinct().collect()
+    }
     before = set(_live_paths(spark, table))
     untouched = {p for p in before if p.startswith("day=p1/")}
+    assert dv_files and dv_files <= before - untouched
     maintenance.reorg_purge(spark, table)
     after = set(_live_paths(spark, table))
     assert untouched <= after, "p1 files must not be rewritten"
     # every p0 file that carried DV positions was replaced
-    assert not (before - after) & untouched
+    assert not dv_files & after, "DV-carrying files must leave the live set"
 
 
 def test_reorg_noop_on_clean_table(spark, table):
