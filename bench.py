@@ -315,6 +315,20 @@ def _bench_delta_ops(spark) -> dict[str, float]:
     step("bloom_point_lookup", lambda: bloom_index.bloom_point_lookup(
         spark, path, "id", 123_456
     ).count())
+    # incremental refresh after a 1-file append: must cost |new files|,
+    # not a table pass (contrast with bloom_index_build above; the
+    # append itself is untimed)
+    delta_writer.write(
+        spark,
+        spark.range(2_000_000, 2_001_000).selectExpr(
+            "id", "id % 97 AS k", "CAST(id % 1009 AS DOUBLE) AS v"
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    step("bloom_index_refresh", lambda: bloom_index.build_bloom_index(
+        spark, path, "id"
+    ))
     step("reorg_purge", lambda: (
         delta_writer.delete_with_dv(spark, path, "k = 29"),
         maintenance.reorg_purge(spark, path),

@@ -59,16 +59,37 @@ def build_bloom_index(
     column: str,
     m_bits: int = DEFAULT_M_BITS,
 ) -> dict:
-    """One distributed pass: group the lineage-tagged snapshot by file,
-    fold each file's (non-null, stringified) column values into an
-    m_bits Bloom bitmap, overwrite the sidecar. Returns
-    ``{"numIndexedFiles", "mBits", "k", "version"}``."""
+    """Build or INCREMENTALLY refresh the sidecar: bitmaps are computed
+    only for live files MISSING from the existing index (the data scan —
+    the expensive half — touches exactly those files, via the
+    ``rel_paths`` plan-time file list of ``snapshot_with_positions``);
+    entries for dead files are dropped. A refresh after appending k
+    files to a million-file table reads k files, not the table. The
+    first build (or an m_bits/k change) computes everything. Returns
+    ``{"numIndexedFiles", "mBits", "k", "version", "numNewBitmaps",
+    "numDroppedEntries"}``."""
+    import shutil
+
     log = DeltaLog(spark, table_path)
     version = log.version()
-    rows = log.snapshot_with_positions().select(
-        F.col("_rel_path").alias("rel_path"),
-        F.col(column).cast("string").alias("v"),
+    live = {r.path for r in log.live_files_rows()}
+    idx_dir = _index_dir(table_path, column)
+
+    prev_meta = _index_meta(table_path, column)
+    reusable = (
+        prev_meta is not None
+        and prev_meta.get("column") == column
+        and prev_meta.get("m_bits") == m_bits
+        and prev_meta.get("k") == bloom.K
     )
+    if reusable:
+        prev = spark.read.parquet(idx_dir)
+        indexed = {r.rel_path for r in prev.select("rel_path").collect()}
+    else:
+        prev = None
+        indexed = set()
+    missing = sorted(live - indexed)
+    dead = indexed - live
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         filt = bloom.new_filter(m_bits)
@@ -80,18 +101,49 @@ def build_bloom_index(
               "bitmap": filt.tobytes()}]
         )
 
-    out = rows.groupBy("rel_path").applyInPandas(
-        fold, "rel_path string, bitmap binary"
+    fresh = None
+    if missing:
+        rows = log.snapshot_with_positions(rel_paths=missing).select(
+            F.col("_rel_path").alias("rel_path"),
+            F.col(column).cast("string").alias("v"),
+        )
+        fresh = rows.groupBy("rel_path").applyInPandas(
+            fold, "rel_path string, bitmap binary"
+        )
+
+    if prev is None:
+        if fresh is not None:
+            fresh.write.mode("overwrite").parquet(idx_dir)
+    elif dead:
+        # survivors + fresh, staged then swapped (the sidecar cannot be
+        # overwritten while a lazy plan still reads it); rewrite cost is
+        # 8 KiB x |files| of INDEX, never table data
+        keep_df = spark.createDataFrame(
+            [(p,) for p in sorted(indexed & live)], "rel_path string"
+        )
+        surviving = prev.join(F.broadcast(keep_df), "rel_path", "left_semi")
+        out = (
+            surviving.unionByName(fresh) if fresh is not None else surviving
+        )
+        tmp = idx_dir + "__staging"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(idx_dir)
+        os.rename(tmp, idx_dir)
+    elif fresh is not None:
+        fresh.write.mode("append").parquet(idx_dir)
+
+    n = (
+        spark.read.parquet(idx_dir).count()
+        if os.path.isdir(idx_dir)
+        else 0
     )
-    idx_dir = _index_dir(table_path, column)
-    out.write.mode("overwrite").parquet(idx_dir)
-    n = spark.read.parquet(idx_dir).count()
     meta = {
         "column": column,
         "m_bits": m_bits,
         "k": bloom.K,
         "version": version,
     }
+    os.makedirs(idx_dir, exist_ok=True)
     with open(os.path.join(idx_dir, "_meta.json"), "w") as fh:
         json.dump(meta, fh)
     return {
@@ -99,6 +151,8 @@ def build_bloom_index(
         "mBits": m_bits,
         "k": bloom.K,
         "version": version,
+        "numNewBitmaps": len(missing),
+        "numDroppedEntries": len(dead),
     }
 
 

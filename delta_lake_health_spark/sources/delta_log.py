@@ -1488,18 +1488,32 @@ class DeltaLog:
             )
         )
 
-    def snapshot_with_positions(self, as_of: int | None = None) -> DataFrame:
+    def snapshot_with_positions(
+        self,
+        as_of: int | None = None,
+        rel_paths: list[str] | None = None,
+    ) -> DataFrame:
         """Snapshot plus ``_rel_path`` / ``_row_index`` lineage columns —
         what DELETE-style operators need: ``_metadata`` is only resolvable
         directly on the scan, so any caller that joins or projects first
         must capture the position columns up front (the DV anti-join in
-        ``snapshot`` does exactly that, which is why this exists)."""
+        ``snapshot`` does exactly that, which is why this exists).
+
+        ``rel_paths`` restricts the scan to a SUBSET of live files at
+        plan time (the file list itself, not a post-scan filter) — what
+        incremental indexers need: touching only the files missing from
+        their sidecar instead of rereading the table."""
         self.require_readable()
         live = self.live_files_rows(as_of)
+        if rel_paths is not None:
+            want = set(rel_paths)
+            live = [r for r in live if r.path in want]
         paths = [r.path for r in live]
         schema = self.metadata(as_of).get("schema")
         if not paths:
             base = self.snapshot(as_of)
+            if rel_paths is not None:
+                base = base.where(F.lit(False))
             return base.withColumn(
                 "_rel_path", F.lit(None).cast("string")
             ).withColumn("_row_index", F.lit(None).cast("long"))

@@ -75,6 +75,80 @@ def test_stale_index_keeps_new_files(spark, table):
     assert pruned >= 7
 
 
+def test_incremental_refresh_reads_only_new_files(spark, table, monkeypatch):
+    """A refresh after an append computes bitmaps ONLY for the missing
+    files — the data scan is planned over exactly that file list, never
+    the whole table (the incremental contract of build_bloom_index)."""
+    from pyspark.sql import functions as F
+
+    m0 = bloom_index.build_bloom_index(spark, table, "id")
+    assert m0["numNewBitmaps"] == 8 and m0["numDroppedEntries"] == 0
+    delta_writer.write(
+        spark,
+        spark.range(5000, 5010)
+        .selectExpr("id", "CAST(1 AS BIGINT) AS grp")
+        .coalesce(1),
+        table,
+    )
+    appended = {
+        r.path
+        for r in DeltaLog(spark, table)
+        .actions(use_checkpoint=False)
+        .where("version = 1 AND add IS NOT NULL")
+        .select(F.col("add.path").alias("path"))
+        .collect()
+    }
+    assert len(appended) == 1
+    calls = []
+    orig = DeltaLog.snapshot_with_positions
+
+    def spy(self, as_of=None, rel_paths=None):
+        calls.append(rel_paths)
+        return orig(self, as_of=as_of, rel_paths=rel_paths)
+
+    monkeypatch.setattr(DeltaLog, "snapshot_with_positions", spy)
+    m = bloom_index.build_bloom_index(spark, table, "id")
+    assert m["numNewBitmaps"] == 1 and m["numDroppedEntries"] == 0
+    assert m["numIndexedFiles"] == 9
+    # the one data scan was planned over exactly the appended file
+    assert calls == [sorted(appended)]
+    cand, pruned = bloom_index.bloom_pruned_files(spark, table, "id", 5007)
+    assert pruned >= 7
+    got = bloom_index.bloom_point_lookup(spark, table, "id", 5007).collect()
+    assert [r.id for r in got] == [5007]
+
+
+def test_incremental_refresh_drops_dead_entries(spark, table):
+    """Files rewritten away (compaction) lose their sidecar entries; the
+    new files gain bitmaps; no false negatives survive the churn."""
+    from delta_lake_health_spark.operators import maintenance
+
+    bloom_index.build_bloom_index(spark, table, "id")
+    maintenance.compact(
+        spark, table, small_file_size=1 << 30, target_file_size=1 << 30
+    )
+    live = {
+        r.path
+        for r in DeltaLog(spark, table).active_files().select("path").collect()
+    }
+    m = bloom_index.build_bloom_index(spark, table, "id")
+    assert m["numDroppedEntries"] == 8  # all pre-compaction files dead
+    assert m["numNewBitmaps"] == len(live)
+    assert m["numIndexedFiles"] == len(live)
+    import pyspark.sql.functions as F  # noqa: F401
+
+    indexed = {
+        r.rel_path
+        for r in spark.read.parquet(
+            bloom_index._index_dir(table, "id")
+        ).select("rel_path").collect()
+    }
+    assert indexed == live
+    for v in (0, 123, 799):
+        got = bloom_index.bloom_point_lookup(spark, table, "id", v).collect()
+        assert [r.id for r in got] == [v]
+
+
 def test_lookup_respects_deletion_vectors(spark, table):
     bloom_index.build_bloom_index(spark, table, "id")
     delta_writer.delete_with_dv(spark, table, "id = 123")
