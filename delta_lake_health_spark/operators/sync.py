@@ -159,6 +159,53 @@ def apply_changes(
         }
 
     changes = table_changes(spark, src_path, last + 1, src_version)
+    applied = apply_net_changes(spark, dst_path, changes, key_cols)
+    _record_synced(spark, dst_path, src_key, src_version)
+    return {
+        "fromVersion": last + 1,
+        "toVersion": src_version,
+        "numUpserts": applied["numUpserts"],
+        "numDeletes": applied["numDeletes"],
+        "seeded": False,
+    }
+
+
+def _normalize_changes(changes: DataFrame) -> DataFrame:
+    """Fold CDF-file-tagged rows into the insert/delete vocabulary the
+    net fold speaks: a CDF-enabled source's update commits carry
+    ``update_preimage``/``update_postimage`` rows (Delta CDC files)
+    instead of the delete+insert pair the log reconstruction emits —
+    the postimage IS the upsert, the preimage is noise."""
+    return changes.where(
+        F.col("_change_type") != "update_preimage"
+    ).withColumn(
+        "_change_type",
+        F.when(
+            F.col("_change_type") == "update_postimage", F.lit("insert")
+        ).otherwise(F.col("_change_type")),
+    )
+
+
+def apply_net_changes(
+    spark: SparkSession,
+    dst_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict:
+    """Fold one window of change rows (columns = data + ``_change_type``
+    + ``_commit_version``) to ONE net action per key and apply it to the
+    target: MERGE the after-images, DV-delete the net-deleted keys.
+    Shared by the batch sync (:func:`apply_changes`) and the streaming
+    ``foreachBatch`` sink (:func:`streaming.jobs.stream_apply_changes`).
+
+    With ``txn_app_id``/``txn_version`` the merge half carries the
+    idempotent-replay ``txn`` guard (a re-delivered micro-batch is
+    skipped); the delete half runs FIRST and is naturally idempotent
+    (already-absent keys produce no DV positions) — so a crash at any
+    point between the two halves replays to the same converged state.
+    Returns ``{"numUpserts", "numDeletes"}``."""
     data_cols = [
         c
         for c in changes.columns
@@ -171,7 +218,8 @@ def apply_changes(
         F.desc((F.col("_change_type") == "insert").cast("int")),
     )
     net = (
-        changes.withColumn("_rn", F.row_number().over(w))
+        _normalize_changes(changes)
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
         # the fold is consumed three times (upsert count + merge,
@@ -183,15 +231,25 @@ def apply_changes(
     deletes = net.where(F.col("_change_type") == "delete").select(*key_cols)
     n_up = upserts.count()
     n_del = deletes.count()
-    if n_up:
-        delta_writer.merge(spark, dst_path, upserts, key_cols)
-    if n_del:
+    if n_del and delta_writer.current_version(dst_path) >= 0:
         _delete_keys_dv(spark, dst_path, deletes, key_cols)
-    _record_synced(spark, dst_path, src_key, src_version)
-    return {
-        "fromVersion": last + 1,
-        "toVersion": src_version,
-        "numUpserts": n_up,
-        "numDeletes": n_del,
-        "seeded": False,
-    }
+    if n_up:
+        if delta_writer.current_version(dst_path) < 0:
+            delta_writer.write(
+                spark,
+                upserts,
+                dst_path,
+                mode="append",
+                txn_app_id=txn_app_id,
+                txn_version=txn_version,
+            )
+        else:
+            delta_writer.merge(
+                spark,
+                dst_path,
+                upserts,
+                key_cols,
+                txn_app_id=txn_app_id,
+                txn_version=txn_version,
+            )
+    return {"numUpserts": n_up, "numDeletes": n_del}

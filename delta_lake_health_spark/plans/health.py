@@ -1282,3 +1282,102 @@ def delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(p).cast("long").alias("probe"), "n_found", "sum_v")
         )
     return reduce(lambda a, b: a.unionByName(b), frames).orderBy("probe")
+
+
+# --------------------------------------------------------------------------
+# D72 — APPLY CHANGES CDC replication, oracle-checked: a source table
+# (range(200)) is seeded into a target via apply_changes, then mutated
+# with the full operation mix — UPDATE (ids ending in 3 get v + 1000),
+# DV-DELETE (ids 150-159), MERGE upsert (ids 180-219 to v = id * 7,
+# half updates / half inserts) — and synced again; a THIRD sync with no
+# new source commits must apply nothing (idempotence, asserted as
+# columns). The target's per-group aggregate must equal the closed form
+# of the mutation sequence, computed independently by DuckDB. Proves
+# convergence of the net-change fold (last-writer-wins across commits,
+# insert-outranks-delete within one) against an independent engine;
+# per-cycle snapshot equality is pytest-driven (tests/test_cdc_sync.py).
+# Reference parity: Databricks APPLY CHANGES INTO / delta-rs CDF
+# consumers (the reference's delta-rs backend exposes the CDF read).
+_CDCSYNC_SRC = "/tmp/delta_lake_health_spark_fixture/cdc_sync_src"
+_CDCSYNC_DST = "/tmp/delta_lake_health_spark_fixture/cdc_sync_dst"
+_CDCSYNC_MARKER = os.path.join(_CDCSYNC_DST, "_CDCSYNC_FIXTURE_COMPLETE")
+
+_CDCSYNC_ORACLE = """
+    WITH final AS (
+      SELECT id,
+             CASE WHEN id % 10 = 3 THEN id * 2 + 1000
+                  ELSE id * 2 END AS v
+      FROM range(200) t(id)
+      WHERE id < 180 AND id NOT BETWEEN 150 AND 159
+      UNION ALL
+      SELECT id, id * 7 AS v FROM range(180, 220) t(id)
+    )
+    SELECT CAST(id % 4 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(0 AS BIGINT) AS n_resync_upserts,
+           CAST(0 AS BIGINT) AS n_resync_deletes
+    FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_cdcsync_fixture(spark: SparkSession) -> tuple[int, int]:
+    """Seed, mutate, sync, then re-sync; returns the RE-sync's
+    (numUpserts, numDeletes) — both must be 0 (idempotence)."""
+    import shutil
+
+    from delta_lake_health_spark.operators.sync import apply_changes
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_CDCSYNC_MARKER):
+        return (0, 0)
+    shutil.rmtree(_CDCSYNC_SRC, ignore_errors=True)
+    shutil.rmtree(_CDCSYNC_DST, ignore_errors=True)
+    delta_writer.write(
+        spark,
+        spark.range(0, 200).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
+        _CDCSYNC_SRC,
+    )
+    m0 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
+    assert m0["seeded"] and m0["numUpserts"] == 200, m0
+    delta_writer.update(spark, _CDCSYNC_SRC, "id % 10 = 3", {"v": "v + 1000"})
+    delta_writer.delete_with_dv(
+        spark, _CDCSYNC_SRC, "id BETWEEN 150 AND 159"
+    )
+    delta_writer.merge(
+        spark,
+        _CDCSYNC_SRC,
+        spark.range(180, 220).selectExpr("id", "CAST(id * 7 AS BIGINT) AS v"),
+        ["id"],
+    )
+    m1 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
+    assert not m1["seeded"] and m1["numDeletes"] == 10, m1
+    m2 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
+    with open(_CDCSYNC_MARKER, "w") as fh:
+        fh.write("ok")
+    return (int(m2["numUpserts"]), int(m2["numDeletes"]))
+
+
+@query("delta_cdc_sync", _CDCSYNC_ORACLE)
+def delta_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    resync_up, resync_del = _ensure_cdcsync_fixture(spark)
+    return (
+        DeltaLog(spark, _CDCSYNC_DST)
+        .snapshot()
+        .groupBy((F.col("id") % 4).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.sum("id").cast("long").alias("sum_id"),
+        )
+        .withColumn("n_resync_upserts", F.lit(resync_up).cast("long"))
+        .withColumn("n_resync_deletes", F.lit(resync_del).cast("long"))
+        .select(
+            "grp", "n_rows", "sum_v", "sum_id",
+            "n_resync_upserts", "n_resync_deletes",
+        )
+        .orderBy("grp")
+    )

@@ -575,3 +575,80 @@ def stream_mv_appends(
     )
     q.awaitTermination()
     return q
+
+
+def stream_apply_changes(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    processing_time: str | None = None,
+    **source_options,
+) -> Any:
+    """Continuous APPLY CHANGES (the production medallion shape): tail
+    the source Delta table's change feed through the ``delta_tail``
+    source in ``readChangeFeed`` mode and apply each micro-batch's NET
+    changes (``operators/sync.apply_net_changes``: last-writer-wins
+    fold, MERGE the after-images, DV-delete the net-deleted keys) into
+    the silver table — the streaming twin of the batch
+    ``apply_changes`` (which tracks its own high-water mark in
+    domainMetadata; here the streaming checkpoint owns the offsets).
+
+    The SOURCE must have ``delta.enableChangeDataFeed`` set before its
+    first mutation: update/delete/merge commits then carry change-data
+    files the stream feeds verbatim (true pre/postimages); plain appends
+    feed as inserts.
+
+    Exactly-once across restarts: source offsets (commit versions) live
+    in the streaming checkpoint; the merge half of every batch carries a
+    ``txn`` keyed by (checkpoint_dir, batch_id) so a batch re-delivered
+    after a crash between sink-commit and checkpoint-advance is skipped,
+    and the DV-delete half runs first and is naturally idempotent
+    (already-absent keys produce no positions). Per-batch cost is
+    |batch change rows| + |target files containing changed keys| —
+    nothing rescans either table.
+    """
+    from delta_lake_health_spark.operators import sync
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sync.apply_net_changes(
+            batch_df.sparkSession,
+            dst_path,
+            batch_df,
+            key_cols,
+            txn_app_id=checkpoint_dir,
+            txn_version=batch_id,
+        )
+
+    stream = delta_source.read_stream(
+        spark, src_path, readchangefeed="true", **source_options
+    )
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if processing_time is None:
+        # drain-everything-now (the Python source runs availableNow as
+        # one unbounded batch — pacing options need the timed trigger)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    # timed trigger: pacing options (maxVersionsPerTrigger etc.) bind
+    # per micro-batch; run until a trigger admits nothing (backlog
+    # drained), then stop — the paced-drain loop of a bounded catch-up
+    import time as _time
+
+    q = writer.trigger(processingTime=processing_time).start()
+    try:
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p["numInputRows"] == 0:
+                return q
+            _time.sleep(0.2)
+        raise TimeoutError("stream_apply_changes drain did not complete")
+    finally:
+        q.stop()
