@@ -166,8 +166,12 @@ def main() -> None:
         "notes": (
             "detail line; driver parses the final compact stdout line. "
             "dedup/text r4 drift = same-code run variance (A/B vs r3 "
-            "tree); tfidf r7 drift = head/tail vocab-bound join, now "
-            "short-circuited to broadcast when vocab fits the cap"
+            "tree); tfidf r7/r8 drift RESOLVED r9: A/B vs the r6 tree "
+            "attributed it to the vocab-join decision pass (its scalar "
+            "agg serialized an extra corpus tokenize ahead of the main "
+            "job, 1.02->1.27s); _join_vocab_bounded now delegates the "
+            "broadcast/skew decision to AQE (one job, plan-asserted), "
+            "sf0.1 medians r6 0.90s / r8-shape 1.24s / r9 0.83s"
         ),
     }
     print("# DETAIL " + json.dumps(detail), file=sys.stderr)

@@ -51,17 +51,24 @@ def toks(col: str = "text"):
 
 
 # --------------------------------------------------------------------------
-# |vocab| scale bound (round 7): nothing driver-side or broadcast may
-# scale with RAW corpus token diversity. A clean-text vocabulary obeys
-# Heaps' law (~1e6-1e7 entries at web scale), but a raw 100 TB crawl's
-# distinct-token count — typos, numbers, URLs, unicode junk — can reach
-# 1e8+, which would sink any plan that broadcasts or collects the whole
-# distinct-token table. VOCAB_HEAD_CAP bounds those structures: tokens
-# with corpus frequency >= max(2, ceil(total/cap)) form the "head"
-# (their number cannot exceed the cap, because the frequencies sum to
-# total), and the singleton-heavy tail is left distributed. The floor is
-# derived from one scalar aggregate of the vocab table itself, so it
-# adapts to corpus size with no tuning.
+# |vocab| scale bound (round 7, revised round 9): nothing driver-side
+# or broadcast may scale with RAW corpus token diversity. A clean-text
+# vocabulary obeys Heaps' law (~1e6-1e7 entries at web scale), but a
+# raw 100 TB crawl's distinct-token count — typos, numbers, URLs,
+# unicode junk — can reach 1e8+, which would sink any plan that
+# broadcasts or collects the whole distinct-token table. Two bounds:
+# - JOINS against vocab-shaped count tables are delegated to AQE
+#   (_join_vocab_bounded): broadcast only when the MEASURED size fits
+#   autoBroadcastJoinThreshold, skew-split shuffle otherwise — the
+#   runtime decision replaced the round-7 manual head/tail split, whose
+#   driver-side decision pass serialized an extra corpus tokenize ahead
+#   of every consumer (the r7/r8 tf-idf drift).
+# - DRIVER COLLECTS (BPE learning) stay bounded by the VOCAB_HEAD_CAP
+#   frequency floor: tokens with corpus frequency
+#   >= max(2, ceil(total/cap)) form the "head" (their number cannot
+#   exceed the cap, because the frequencies sum to total). The floor is
+#   derived from one scalar aggregate of the vocab table itself, so it
+#   adapts to corpus size with no tuning.
 VOCAB_HEAD_CAP = 1_000_000
 
 
@@ -76,34 +83,31 @@ def _vocab_floor_col(cnt: str) -> F.Column:
 def _join_vocab_bounded(
     tokens: DataFrame, vocab: DataFrame, key: str, cnt: str
 ) -> DataFrame:
-    """Join a corpus-side frame against a |vocab|-shaped count table with
-    a BOUNDED broadcast: the head (frequency >= floor, <= VOCAB_HEAD_CAP
-    rows by construction) broadcasts — covering the zipfian mass of the
-    corpus side map-side, so the hot token keys never shuffle — while the
-    long tail joins by shuffle on its near-unique, uniform keys (each
-    tail key matches < floor corpus rows, so no task ever receives a hot
-    key). head ∪ tail = the full vocab, disjoint: the result is exactly
-    the single-join form at any cap (pytest-asserted by comparing cap
-    settings on the fixture)."""
-    # Round 8 (VERDICT r7 task #5): when the whole vocab fits the cap —
-    # the common case for any clean corpus, and always true at test SFs —
-    # short-circuit to the single broadcast join. The split's extra
-    # shuffle-join + union cost r7's tf-idf 1.29x at toy scale while
-    # buying nothing (the tail was empty); the decision costs one scalar
-    # aggregate over the vocab table (count + floor in the same pass) and
-    # the results are bit-identical either way (cap-invariance pytest).
-    stats = vocab.agg(
-        _vocab_floor_col(cnt).alias("_floor"),
-        F.count(F.lit(1)).alias("_n_vocab"),
-    ).collect()[0]
-    if stats["_n_vocab"] <= VOCAB_HEAD_CAP:
-        return tokens.join(F.broadcast(vocab), key)
-    floor = int(stats["_floor"])
-    head = vocab.where(F.col(cnt) >= F.lit(floor))
-    tail = vocab.where(F.col(cnt) < F.lit(floor))
-    return tokens.join(F.broadcast(head), key).unionByName(
-        tokens.join(tail, key)
-    )
+    """Join a corpus-side frame against a |vocab|-shaped count table,
+    delegating the broadcast-vs-shuffle and skew decisions to AQE.
+
+    History: rounds 7-8 implemented this as a manual head/tail split
+    (frequency >= floor broadcasts, tail shuffles) with a driver-side
+    decision pass. Round-9 A/B at sf0.1 attributed tf-idf's
+    1.02s -> 1.27s drift to exactly that decision pass: its scalar
+    aggregate SERIALIZED a full corpus tokenize ahead of the main job
+    (and pinning the vocab still left the two jobs sequential, ~1.24s),
+    while a plain join lets AQE convert to BroadcastHashJoin at runtime
+    from the MEASURED shuffle size in one job (~0.97s, at r6's ~0.90s
+    baseline; executed-plan-asserted in tests/test_vocab_bound.py).
+
+    The at-scale bound the split bought is what AQE already provides
+    from real sizes instead of a priori counts: a vocab under
+    autoBroadcastJoinThreshold (64 MiB here) broadcasts; a raw-crawl
+    vocab too big to broadcast stays a shuffle join whose hot corpus
+    keys ("the") are split by AQE skew-join handling — no driver or
+    broadcast structure ever scales with raw token diversity, and no
+    extra pass is paid for the decision. ``cnt`` stays in the signature
+    for call-site documentation (the count column the vocab carries).
+    The VOCAB_HEAD_CAP frequency floor still bounds DRIVER collects
+    (BPE learning), which AQE cannot — see ``_vocab_floor_col``."""
+    del cnt
+    return tokens.join(vocab, key)
 
 
 # --------------------------------------------------------------------------
@@ -806,10 +810,8 @@ def text_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probability of its tokens. Low surprise = common boilerplate; high
 # surprise = rare-token noise. Scale shape: the vocab is one (token)
 # groupBy with map-side partials — bounded by |vocab|, not corpus — then
-# joined back through the BOUNDED head/tail split (_join_vocab_bounded):
-# the <=VOCAB_HEAD_CAP frequency head broadcasts, covering the
-# zipfian-hot token keys map-side, and only the near-unique singleton
-# tail shuffles.
+# joined back through _join_vocab_bounded (AQE-delegated: broadcast when
+# the measured vocab fits, skew-split shuffle for hot tokens otherwise).
 @query(
     "text_unigram_surprise",
     """
@@ -1843,10 +1845,10 @@ def text_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounded to 6 dp — the same cross-engine envelope T15 passes under.
 # Scale shape: bigram extraction is one JVM transform/explode pass; the
 # bigram and context count tables are corpus-bounded but their join
-# keys are zipfian-hot, so BOTH joins route through the bounded
-# head/tail split (_join_vocab_bounded: the <=VOCAB_HEAD_CAP frequency
-# head broadcasts and covers the hot mass map-side, the singleton tail
-# shuffles on near-unique keys); |V| is one scalar broadcast. Nothing
+# keys are zipfian-hot, so BOTH joins route through
+# _join_vocab_bounded (AQE-delegated: runtime broadcast when the
+# measured count table fits, skew-split shuffle for the hot keys
+# otherwise); |V| is one scalar broadcast. Nothing
 # driver-side scales with raw token diversity. The space-joined bigram
 # key is collision-free because tokens are whitespace-split.
 @query(

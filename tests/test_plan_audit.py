@@ -187,29 +187,25 @@ def test_round4_queries_prune_unused_columns(spark, mod, qname, banned):
             assert col not in rs, f"{qname} scan reads unused column {col}"
 
 
-def test_bounded_vocab_join_shape(spark):
-    """The r7 head/tail vocab join must show BOTH shapes in one plan: a
-    BroadcastHashJoin for the frequency head (the zipfian-hot keys never
-    shuffle the corpus side) and a non-broadcast join for the singleton
-    tail. With the cap forced below the fixture vocab the tail branch is
-    non-empty, so Spark cannot broadcast-collapse it away — the tail
-    must hash/sort-merge on its near-unique keys."""
+def test_vocab_join_aqe_both_regimes(spark):
+    """The AQE-delegated vocab join (round 9) must pick the right
+    physical join in BOTH regimes: with the broadcast threshold
+    disabled (simulating a vocab too big to ship), the plan falls back
+    to a shuffle join — no hidden driver-side or broadcast structure
+    scaling with token diversity — and results stay bit-identical to
+    the default regime, where AQE converts to BroadcastHashJoin from
+    the measured size (asserted in test_vocab_bound.py)."""
     import delta_lake_health_spark.plans.text as T
 
-    old = T.VOCAB_HEAD_CAP
+    fn = T.QUERIES["text_unigram_surprise"]
+    baseline = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        # The cap must sit BELOW the fixture's distinct-vocab count or
-        # the r8 short-circuit (vocab fits the cap -> single broadcast
-        # join, bit-identical results) legitimately skips the split —
-        # cap=10 forces the head/tail branches this test audits.
-        # autoBroadcast off simulates scale: ONLY the explicit head hint
-        # may broadcast; the tail must pick a shuffle join on its own.
-        T.VOCAB_HEAD_CAP = 10
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = _plan(T.QUERIES["text_unigram_surprise"](spark, SF_DIR))
+        df = fn(spark, SF_DIR)
+        got = sorted(tuple(r) for r in df.collect())
+        plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
-        T.VOCAB_HEAD_CAP = old
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-    assert "BroadcastHashJoin" in plan  # head branch (explicit hint)
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # tail
+    assert got == baseline
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

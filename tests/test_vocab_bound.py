@@ -1,17 +1,19 @@
-"""|vocab| scale bound (round 7, plans/text.py): no driver-side or
-broadcast structure may scale with raw corpus token diversity.
+"""|vocab| scale bound (round 7, revised round 9, plans/text.py): no
+driver-side or broadcast structure may scale with raw corpus token
+diversity.
 
 Three properties are asserted on the fixture:
-1. Cap-invariance of the head/tail bounded vocab join — the two
-   oracle-bearing consumers (`text_unigram_surprise`,
-   `text_tfidf_keywords`) return bit-identical results whether the cap
-   puts the whole vocab in the broadcast head, splits it, or pushes it
-   all into the shuffled tail (head ∪ tail = full vocab, disjoint).
+1. The AQE-delegated vocab join (`_join_vocab_bounded`, round 9) is
+   bit-identical to the explicit-broadcast form it replaced, and AQE
+   converts it to BroadcastHashJoin at fixture scale — the runtime
+   decision replaced the round-7 manual head/tail split whose
+   driver-side decision pass serialized an extra corpus tokenize.
 2. Floored BPE learning agrees with unfloored learning on the fixture —
    the merge list is identical when singleton words are dropped, so
    `text_bpe_tokenize_fertility`'s bounded-head collect changes nothing.
 3. The floor itself: head cardinality never exceeds VOCAB_HEAD_CAP by
-   construction (counted directly against a synthetic skewed vocab).
+   construction (counted directly against a synthetic skewed vocab) —
+   the floor still bounds DRIVER collects, which AQE cannot.
 """
 
 from __future__ import annotations
@@ -31,16 +33,32 @@ def _collect_sorted(df):
 @pytest.mark.parametrize(
     "qname", ["text_unigram_surprise", "text_tfidf_keywords"]
 )
-def test_bounded_vocab_join_is_cap_invariant(spark, qname, monkeypatch):
+def test_vocab_join_matches_explicit_broadcast(spark, qname):
+    """_join_vocab_bounded (round 9: AQE-delegated plain join) must be
+    bit-identical to the explicit-broadcast form it replaced, and AQE
+    must actually convert it to a broadcast hash join at fixture scale
+    (the measured vocab is far under autoBroadcastJoinThreshold)."""
     fn = T.QUERIES[qname]
-    baseline = _collect_sorted(fn(spark, SF))
-    # all-head (default cap is far above the fixture vocab), a mid split,
-    # and all-tail (cap 1 -> floor = total token count)
-    for cap in (200, 1):
-        monkeypatch.setattr(T, "VOCAB_HEAD_CAP", cap)
-        assert _collect_sorted(fn(spark, SF)) == baseline, (
-            f"{qname} changed under VOCAB_HEAD_CAP={cap}"
-        )
+    df = fn(spark, SF)
+    baseline = _collect_sorted(df)
+
+    # reference: force the explicit broadcast through the old seam
+    orig = T._join_vocab_bounded
+
+    def forced(tokens, vocab, key, cnt):
+        return tokens.join(F.broadcast(vocab), key)
+
+    T._join_vocab_bounded = forced
+    try:
+        assert _collect_sorted(fn(spark, SF)) == baseline, qname
+    finally:
+        T._join_vocab_bounded = orig
+
+    # executed-plan shape: AQE turned the plain join into a broadcast
+    df = fn(spark, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, qname
 
 
 def test_bpe_bounded_query_matches_unbounded_collect(spark):
