@@ -65,6 +65,8 @@ HEADLINE = [
     "events_user_streaks",
     "text_quality_lr_train",
     "media_phash_neardup",
+    # round-9 additions
+    "ann_graph_topk",
 ]
 
 
@@ -120,6 +122,16 @@ def main() -> None:
     ivfpq_build = round(time.perf_counter() - t0, 3)
     print(f"# ivfpq_build: {ivfpq_build}s", file=sys.stderr)
 
+    # same split for the NN-descent graph (round 9): the headline
+    # `ann_graph_topk` row measures the beam PROBE against the cached
+    # graph; the build is its own stderr row
+    from delta_lake_health_spark.plans.similarity import build_graph_artifacts
+
+    t0 = time.perf_counter()
+    build_graph_artifacts(spark, SF_DIR, force=True).edges.count()
+    graph_build = round(time.perf_counter() - t0, 3)
+    print(f"# graph_build: {graph_build}s", file=sys.stderr)
+
     # Steady-state timing: each query runs twice and the faster run is
     # reported (standard min-of-N measurement — the first execution still
     # pays codegen/JIT/page-cache residue that isn't a property of the
@@ -155,6 +167,7 @@ def main() -> None:
     detail = {
         "delta_ops": delta_ops,
         "ivfpq_build_sec": ivfpq_build,
+        "graph_build_sec": graph_build,
         "sf_sweep": sweep,
         # r4->r5 attribution: dedup/text drift A/B'd vs the round-3 tree
         # (alternating fresh-process min-of-3 runs): same-code variance

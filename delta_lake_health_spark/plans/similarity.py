@@ -1347,3 +1347,46 @@ def ann_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# S16 — graph-based ANN (rows-only: the NN-descent build and the beam
+# walk are iterative, not SQL-expressible; recall and
+# persisted-index bit-identity are pytest-asserted in
+# tests/test_ann_graph.py). Build: distributed NN-descent k-NN graph —
+# deterministic hash-seeded init, bounded neighbor-of-neighbor rounds,
+# per-node degree cap (operators/ann_graph.py). Probe: lock-step beam
+# search from shared entry points, T bounded rounds of
+# adjacency-join + score-join + per-query window. The recall/latency
+# point IVF/PQ/SQ don't cover: probe cost is |Q| x beam x degree x T
+# regardless of corpus size or centroid balance.
+_GRAPH_CACHE: dict[tuple[str, str], object] = {}
+
+
+def build_graph_artifacts(
+    spark: SparkSession, sf_dir: str, force: bool = False
+):
+    """Build the k-NN graph ONCE per (session, sf_dir); probes replay
+    nothing (the r8 IVF+PQ build/probe split, graph edition).
+    ``force=True`` rebuilds (bench uses it to time construction)."""
+    from delta_lake_health_spark.operators import ann_graph
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not force and key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    idx = ann_graph.build_knn_graph(_emb(spark, sf_dir))
+    _GRAPH_CACHE[key] = idx
+    return idx
+
+
+@query("ann_graph_topk", None)
+def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators import ann_graph
+
+    idx = build_graph_artifacts(spark, sf_dir)
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return ann_graph.search_graph(
+        idx, q, top_k=TOP_K, exclude_same_id=True
+    )
