@@ -19,9 +19,12 @@ Decode support, in order of attempt:
   per-frame FRAME markers, 4:2:0/4:2:2/4:4:4 plane sizes);
   ``y4m_frames`` yields the actual raw YUV frame bytes, which is what
   frame-sampling operates on.
+- **JPEG (real image format)**: baseline-sequential JFIF encode AND
+  decode from scratch (canonical Huffman, 8x8 DCT/IDCT, YCbCr —
+  operators/jpeg.py; hand-derived-vector tests in tests/test_jpeg.py).
 - **SIMG/SVID (synthetic)**: deterministic stand-in payloads (magic +
-  header + bytes) for codec-bearing formats (JPEG/MP4/...) whose codecs
-  aren't in this container.
+  header + bytes) for the remaining codec-bearing formats (MP4/MP3/...)
+  whose codecs aren't re-implementable in scope.
 - **Pillow fallback** for other real images when ``PIL`` is installed.
 
 The Spark plumbing (schemas, batch iteration, partitioning) is identical
@@ -170,7 +173,8 @@ def encode_bmp_from_pixels(bgr: bytes, width: int, height: int) -> bytes:
 def rgb_pixels(media_type: str, payload: bytes) -> bytes:
     """Top-down RGB bytes for any decodable still-image payload — one
     front door over the per-format decoders (BMP stores BGR; PNG/GIF
-    decode to RGB natively)."""
+    decode to RGB natively; JPEG through the baseline-sequential
+    Huffman+IDCT decoder in operators/jpeg.py)."""
     if media_type == "bmp":
         bgr = bmp_pixels(payload)
         return bytes(
@@ -182,6 +186,10 @@ def rgb_pixels(media_type: str, payload: bytes) -> bytes:
         return png_pixels(payload)
     if media_type == "gif":
         return gif_pixels(payload)
+    if media_type == "jpeg":
+        from delta_lake_health_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)[3]
     raise NotImplementedError(f"no pixel decoder for {media_type!r}")
 
 
@@ -527,6 +535,23 @@ def encode_png(media_id: int, width: int, height: int) -> bytes:
     )
 
 
+def encode_jpeg(media_id: int, width: int, height: int) -> bytes:
+    """A REAL baseline-sequential JFIF stream (4:4:4, flat quant step 1
+    — near-lossless up to DCT float rounding; the roundtrip test bounds
+    per-pixel error) from the from-scratch codec in operators/jpeg.py.
+    Pixels are the same deterministic sha256 pattern the PNG/BMP
+    encoders use."""
+    from delta_lake_health_spark.operators.jpeg import encode_jpeg_from_rgb
+
+    rgb = bytearray()
+    for y in range(height):
+        for x in range(width):
+            rgb += hashlib.sha256(
+                f"jpg:{media_id}:{x}:{y}".encode()
+            ).digest()[:3]
+    return encode_jpeg_from_rgb(bytes(rgb), width, height, quant=1)
+
+
 def _png_chunks(payload: bytes):
     pos = 8
     while pos + 8 <= len(payload):
@@ -714,6 +739,10 @@ def _decode_payload(payload: bytes) -> dict:
         return {**_decode_gif_header(payload), "sample_rate": 0}
     if payload[:8] == _PNG_SIG:
         return {**_decode_png_header(payload), "sample_rate": 0}
+    if payload[:2] == b"\xff\xd8":
+        from delta_lake_health_spark.operators.jpeg import decode_jpeg_header
+
+        return {**decode_jpeg_header(payload), "sample_rate": 0}
     if payload[:4] == b"RIFF":
         d = _decode_wav_header(payload)
         return {k: d[k] for k in
@@ -767,6 +796,9 @@ def media_row(i: int) -> tuple[str, bytes, int, int, int, int]:
     if i % 8 == 4:  # real zlib-compressed PNG (all 5 filter types)
         w, h = 12 + (i % 5) * 4, 10 + (i % 3) * 5
         return "png", encode_png(i, w, h), w, h, 1, 0
+    if i % 16 == 8:  # real baseline JFIF (Huffman + DCT, from scratch)
+        w, h = 16 + (i % 3) * 5, 11 + (i % 4) * 4
+        return "jpeg", encode_jpeg(i, w, h), w, h, 1, 0
     w, h = 64 + (i % 7) * 32, 48 + (i % 4) * 32
     return "image", encode_image(i, w, h), w, h, 1, 0
 
@@ -829,7 +861,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             for mid, mtype, payload, meta in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
             ):
-                if mtype in ("bmp", "png", "gif"):
+                if mtype in ("bmp", "png", "gif", "jpeg"):
                     sw, sh = int(meta["width"]), int(meta["height"])
                     rgb = np.frombuffer(
                         rgb_pixels(mtype, bytes(payload)), dtype=np.uint8
@@ -1093,7 +1125,7 @@ def phash_images(media: DataFrame) -> DataFrame:
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
-                if mtype not in ("bmp", "png", "gif"):
+                if mtype not in ("bmp", "png", "gif", "jpeg"):
                     continue
                 payload = bytes(payload)
                 d = _decode_payload(payload)

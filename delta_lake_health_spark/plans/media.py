@@ -49,6 +49,7 @@ def query(name: str, sql: str | None):
                      WHEN 'bmp'   THEN width * height * 3
                      WHEN 'gif'   THEN width * height * 3
                      WHEN 'png'   THEN width * height * 3
+                     WHEN 'jpeg'  THEN width * height * 3
                      WHEN 'image' THEN octet_length(payload) - 12
                      WHEN 'video' THEN octet_length(payload) - 16
                      WHEN 'wav'   THEN n_frames * 2
@@ -77,12 +78,12 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_transform_roundtrip",
     f"""
     SELECT media_id,
-           CASE WHEN media_type IN ('bmp', 'png', 'gif') THEN 'bmp'
+           CASE WHEN media_type IN ('bmp', 'png', 'gif', 'jpeg') THEN 'bmp'
                 ELSE media_type END AS media_type,
-           CASE WHEN media_type IN ('bmp', 'png', 'gif', 'image') THEN 20
-                ELSE width END AS width,
-           CASE WHEN media_type IN ('bmp', 'png', 'gif', 'image') THEN 14
-                ELSE height END AS height,
+           CASE WHEN media_type IN ('bmp', 'png', 'gif', 'jpeg', 'image')
+                THEN 20 ELSE width END AS width,
+           CASE WHEN media_type IN ('bmp', 'png', 'gif', 'jpeg', 'image')
+                THEN 14 ELSE height END AS height,
            CAST(CASE WHEN media_type = 'wav' THEN (n_frames + 2) // 3
                      ELSE n_frames END AS INT) AS n_frames,
            CAST(CASE WHEN media_type = 'wav' THEN sample_rate // 3
@@ -91,6 +92,7 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHEN 'bmp'   THEN 20 * 14 * 3
                      WHEN 'gif'   THEN 20 * 14 * 3
                      WHEN 'png'   THEN 20 * 14 * 3
+                     WHEN 'jpeg'  THEN 20 * 14 * 3
                      WHEN 'image' THEN 20 * 14
                      WHEN 'video' THEN octet_length(payload) - 16
                      WHEN 'wav'   THEN ((n_frames + 2) // 3) * 2

@@ -174,7 +174,7 @@ _FIXTURE_VERSION = "v3"  # bump to force a rebuild of stale fixtures
 MEDIA_FIXTURE_PATH = "/tmp/delta_lake_health_spark_fixture/media.parquet"
 
 
-_MEDIA_FIXTURE_VERSION = "v6"  # v6: adds real zlib-compressed PNG images
+_MEDIA_FIXTURE_VERSION = "v7"  # v7: adds real baseline JFIF (JPEG) images
 
 
 def build_media_fixture(path: str = MEDIA_FIXTURE_PATH) -> str:

@@ -45,7 +45,7 @@ def test_resize(spark, media):
         if r.media_type == "image":
             assert (r.width, r.height) == (16, 16)
             assert r.n_bytes == 16 * 16
-        elif o.media_type in ("bmp", "png", "gif"):
+        elif o.media_type in ("bmp", "png", "gif", "jpeg"):
             # real NN resample: re-encoded as 24-bit BMP at the target
             assert r.media_type == "bmp"
             assert (r.width, r.height) == (16, 16)
@@ -143,7 +143,8 @@ def test_featurize(spark, media):
 
 def test_media_stats(spark, media):
     stats = {r.media_type: r for r in mm.media_stats(mm.decode_media(media)).collect()}
-    assert stats["image"].n_media == 8
+    assert stats["image"].n_media == 4
+    assert stats["jpeg"].n_media == 4  # i % 16 == 8: half the old image slot
     assert stats["png"].n_media == 8
     assert stats["bmp"].n_media == 16
     assert stats["gif"].n_media == 8

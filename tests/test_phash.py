@@ -168,13 +168,13 @@ def test_phash_images_distributed(spark):
     stills = [r for r in out]
     assert stills, "fixture must contain still images"
     for r in stills:
-        assert r.media_type in ("bmp", "png", "gif")
+        assert r.media_type in ("bmp", "png", "gif", "jpeg")
         assert r.bands == mm.phash_bands(r.phash)
     # parity with the local path
     local = {}
     for i in range(24):
         mtype, payload, w, h, _nf, _rate = mm.media_row(i)
-        if mtype in ("bmp", "png", "gif"):
+        if mtype in ("bmp", "png", "gif", "jpeg"):
             local[i] = mm.phash64(mm.rgb_pixels(mtype, payload), w, h)
     assert {r.media_id: r.phash for r in stills} == local
 
