@@ -23,83 +23,95 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #       round first,
 #   (3) everything else (freshest green rows) is left unlisted — the
 #       registry appends it in module order past the cap.
-# Round 8: r7's cap landed exactly at ann_lsh_buckets, so the front is
-# (1) the round's new queries (no driver row yet), (2) the one r7 RED
-# row (events_user_value_pareto — oracle HUGEINT cast, fixed this
-# round), (3) queries whose CODE changed in r7/r8 but whose newest row
-# predates the change (the vocab-bound trio; tf-idf changes again this
-# round via the broadcast short-circuit), (4) embedding_label_centroids
-# (r3 — missed the r7 cap by one slot), then (5) the r4-aged rotation
-# block. Everything past the ~50 cap encodes round-9 priority.
+# Round 9: per the VERDICT r8 rotation order — (1) the round's new
+# queries (no driver row yet), (2) queries whose CODE changed this
+# round (incremental bloom index, copy_into identity, distributed
+# reorg probe, the AQE vocab-join rewrite touching the four text
+# consumers), (3) the three r3-aged rows-only sketch entries, (4) the
+# 11 r4-aged oracle rows, then (5) the r6-aged block (delta ops first,
+# then dedup, analytics, events, text, similarity, sketches, media).
+# Everything past the ~50 cap encodes round-10 priority. Goal state
+# after r9: no oracle row's newest green predates r6, no rows-only
+# entry's newest execution predates r8.
 _VERIFY_FIRST = (
-    # (1) NEW this round — no driver row yet (names appended here as
-    # each lands; test_registry_integrity rejects unresolved names)
-    "delta_convert_snapshot",
-    "delta_reorg_purge",
-    "events_user_streaks",
-    "events_ab_holdout_lift",
-    "ann_sq_int8_topk",
-    "media_phash_neardup",
-    "text_quality_lr_train",
-    "delta_copy_into_snapshot",
+    # (1) NEW this round — no driver row yet
+    "delta_cdc_sync",
+    "ann_graph_topk",
+    # (2) code changed this round since newest green row
     "delta_bloom_point_lookup",
-    "dedup_containment",
-    "events_top_paths",
-    "documents_priority_sample_k",
-    "media_scene_changes",
-    "events_watermark_lateness",
-    # (2) the single r7 red row, oracle cast fixed (VERDICT r7 #2)
-    "events_user_value_pareto",
-    # (3) code changed since newest green row
+    "delta_copy_into_snapshot",
+    "delta_reorg_purge",
     "text_tfidf_keywords",
     "text_unigram_surprise",
+    "text_bigram_cross_entropy",
     "text_bpe_tokenize_fertility",
-    "ann_ivf_pq_topk",
-    # (4) r3 straggler
-    "embedding_label_centroids",
-    # (5) r4-aged rotation block (oldest first; 14 never reached in r7)
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_idle_customers",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "customers_without_orders",
-    "topn_orders_per_customer",
-    "order_status_rollup",
-    "part_brand_stats",
-    "running_revenue_by_month",
-    "nation_coverage_setops",
-    "orders_rollup",
-    "q21_waiting_suppliers",
-    "orders_cube",
-    "revenue_7day_moving",
-    "customer_balance_quartiles",
-    "part_name_textops",
-    "catalog_sql_revenue_by_nation",
-    "skew_orders_by_month",
-    "skew_lineitem_returnflag",
-    "skew_orders_status_priority",
-    "records_per_partition_orders",
-    "events_anomaly_zscore",
-    "events_sequence_pattern",
+    # (3) r3-aged rows-only sketch paths (VERDICT r8 task #1)
+    "sketch_approx_distinct",
+    "sketch_approx_percentiles",
+    "events_windowed_hll_users",
+    # (4) r4-aged oracle rows — the last of the r4 block
+    "corpus_mixture_weights",
     "dedup_exact",
     "dedup_exact_stats",
     "dedup_minhash_pairs",
-    "text_repetition_census",
-    "text_chunk_dedup",
-    "text_pack_sequences",
-    # --- past the ~50 cap: remaining r4 rows, encodes round-9 priority
-    "corpus_mixture_weights",
     "dedup_semantic_prune",
     "embedding_scalar_quantize",
+    "events_anomaly_zscore",
+    "events_sequence_pattern",
+    "text_chunk_dedup",
+    "text_pack_sequences",
+    "text_repetition_census",
+    # (5) r6-aged block: delta ops first ...
+    "delta_time_travel_v0",
+    "delta_dv_snapshot",
+    "delta_mv_refresh",
+    "delta_row_changes",
+    "health_analyzer_report",
+    "delta_change_feed",
+    "delta_skipping_prune",
+    "delta_skipping_conjunction",
+    "delta_row_ids",
+    "profile_table_columns",
+    "referential_integrity_audit",
+    # ... then the r6 dedup block ...
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_shingle_duplication",
+    "dedup_keep_corpus",
+    "pipeline_corpus_build",
+    "dedup_incremental_bloom",
+    "dedup_source_overlap",
+    "dedup_graph_pagerank",
+    # ... r6 analytics ...
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_values",
+    "q16_supplier_part_counts",
+    "q20_excess_shipments",
+    # --- past the ~50 cap: remaining r6 rows, encodes round-10 priority
+    "revenue_mom_growth",
+    "supplier_fulfillment_rate",
+    "orders_grouping_sets",
+    "customer_rfm_scores",
+    "events_value_percentiles",
+    "events_funnel_latency",
+    "events_hourly_gapfill",
+    "events_inter_event_gaps",
+    "text_bpe_merge_candidates",
+    "text_repeated_ngram_spans",
+    "text_filter_funnel_census",
+    "documents_stratified_sample",
+    "ann_pq_adc_topk",
+    "knn_label_vote",
+    "embedding_matryoshka_census",
+    "sketch_heavy_hitters",
+    "sketch_user_overlap",
+    "media_decode_roundtrip",
 )
 
 

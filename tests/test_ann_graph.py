@@ -10,6 +10,7 @@ excluded, row shape matches the other ANN queries.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from delta_lake_health_spark.operators import ann_graph
@@ -35,6 +36,7 @@ def _queries(spark):
     )
 
 
+@pytest.mark.slow
 def test_recall_beats_ivf_at_equal_budget(spark):
     """The VERDICT r8 gate, at sf0.1 where the budgets genuinely match:
     IVF's default probe scans nprobe/k = 3/8 of the 2000-vector corpus

@@ -126,6 +126,7 @@ def test_apply_changes_cdf_enabled_source(spark, pair):
     assert 52 not in got
 
 
+@pytest.mark.slow
 def test_stream_apply_changes_multi_batch_convergence(spark, pair, tmp_path):
     """D46 + D72 composed: delta_tail readChangeFeed -> foreachBatch
     apply_net_changes. One drain per source mutation through the SAME
@@ -180,6 +181,7 @@ def test_stream_apply_changes_multi_batch_convergence(spark, pair, tmp_path):
     assert _rows(spark, dst) == _rows(spark, src)
 
 
+@pytest.mark.slow
 def test_stream_apply_changes_paced_drain(spark, pair, tmp_path):
     """The timed-trigger path: a 3-commit backlog drained with
     maxVersionsPerTrigger=1 through processingTime triggers still

@@ -24,6 +24,11 @@ the same deterministic generator at 25 (executed + recorded in SURVEY
 
 from __future__ import annotations
 
+import pytest
+
+# the 25-sequence hypothesis fuzz battery: slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
+
 import os
 import shutil
 import tempfile

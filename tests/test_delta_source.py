@@ -12,6 +12,9 @@ import os
 
 import pytest
 
+# delta_tail source battery (paced drains): slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
+
 from delta_lake_health_spark.operators import maintenance
 from delta_lake_health_spark.sources import delta_writer
 from delta_lake_health_spark.streaming import delta_source

@@ -25,6 +25,7 @@ def test_registry_integrity():
     # — none expressible in the oracle's SQL; each carries a pytest
     # error-bound/parity test instead)
     assert sorted(set(qs) - set(orc)) == [
+        "ann_graph_topk",
         "ann_ivf_pq_topk",
         "embedding_pca_census",
         "events_funnel_latency_approx",

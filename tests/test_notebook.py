@@ -8,6 +8,11 @@ the engine."""
 
 from __future__ import annotations
 
+import pytest
+
+# executes every notebook cell in order: slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

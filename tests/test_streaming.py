@@ -12,6 +12,9 @@ import shutil
 import tempfile
 
 import pytest
+
+# Structured Streaming batch-parity battery: slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from delta_lake_health_spark.plans import events as batch_events
