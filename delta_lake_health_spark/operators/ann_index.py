@@ -229,3 +229,127 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
         nprobe_default=int(cfg["ivf.nprobeDefault"]),
         max_list_rows=int(cfg["ivf.maxListRows"]),
     )
+
+
+def upsert_ivf_index(spark, path: str, new_vectors) -> dict:
+    """Incrementally add ``new_vectors`` (vec_id, emb) to a PERSISTED
+    IVF index (``save_ivf_index`` layout) WITHOUT retraining — the
+    production freshness path: a corpus that grows by 0.1%/day must not
+    pay quantizer training or an index rebuild per ingest.
+
+    Mechanics: the new vectors are assigned to their nearest EXISTING
+    centroid (one pass against the broadcast k-row quantizer), then:
+
+    - lists whose sub-bucket count is unchanged get their new rows
+      APPENDED (a pure add-only Delta commit — |new rows| write cost);
+    - a list that outgrows ``max_list_rows`` is REBUCKETED: exactly that
+      cid's rows are deleted (file-pruned via the cluster_by layout) and
+      rewritten with the new sub fan-out — |hot list| cost, never the
+      index;
+    - the k-row sub-bucket map is refreshed.
+
+    The quantizer is untouched, so probes see the union immediately and
+    recall degrades only as far as the frozen centroids drift from the
+    true distribution — the standard IVF maintenance contract (periodic
+    retrain = a fresh ``build_ivf_index`` + ``save_ivf_index``).
+    Returns ``{"numAdded", "numRebucketedLists", "k"}``.
+    """
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    idx = load_ivf_index(spark, path)
+    lists_path = os.path.join(path, "lists")
+    subs_path = os.path.join(path, "subs")
+
+    fresh = new_vectors.select(
+        "vec_id", "emb", _norm("emb").alias("nrm")
+    )
+    ccos = _dot("emb", "cent") / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cid"))
+    assigned = (
+        fresh.join(F.broadcast(idx.centroids), how="cross")
+        .select("vec_id", "emb", "nrm", "cid", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cid", "vec_id", "emb", "nrm")
+        .localCheckpoint()
+    )
+    n_added = assigned.count()
+    if n_added == 0:
+        return {"numAdded": 0, "numRebucketedLists": 0, "k": idx.k}
+
+    # per-affected-cid growth vs the current sub fan-out (|affected
+    # lists| rows on the driver — the same metadata scale as the subs map)
+    affected = {
+        r.cid: r.n_new
+        for r in assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .collect()
+    }
+    cur_subs = {r.cid: r.n_subs for r in idx.subs.collect()}
+    cid_list = sorted(affected)
+    existing_counts = {
+        r.cid: r.n
+        for r in idx.lists.where(F.col("cid").isin(cid_list))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    new_subs = dict(cur_subs)
+    rebucket = []
+    for cid in cid_list:
+        total = existing_counts.get(cid, 0) + affected[cid]
+        need = max(1, -(-total // idx.max_list_rows))
+        if need != cur_subs.get(cid, 1):
+            new_subs[cid] = need
+            rebucket.append(cid)
+
+    def _with_sub(df, n_subs_map):
+        m = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in n_subs_map.items()],
+            "cid int, n_subs int",
+        )
+        return df.join(F.broadcast(m), "cid").select(
+            "cid",
+            F.pmod(F.xxhash64("vec_id"), F.col("n_subs"))
+            .cast("int")
+            .alias("sub"),
+            "vec_id",
+            "emb",
+            "nrm",
+        )
+
+    append_part = assigned.where(~F.col("cid").isin(rebucket or [-1]))
+    if append_part.limit(1).count():
+        delta_writer.write(
+            spark,
+            _with_sub(append_part, new_subs),
+            lists_path,
+            mode="append",
+        )
+    if rebucket:
+        moved = (
+            idx.lists.where(F.col("cid").isin(rebucket))
+            .select("cid", "vec_id", "emb", "nrm")
+            .unionByName(assigned.where(F.col("cid").isin(rebucket)))
+            .localCheckpoint()  # pin BEFORE the delete invalidates the scan
+        )
+        delta_writer.delete(
+            spark, lists_path,
+            f"cid IN ({', '.join(str(c) for c in rebucket)})",
+        )
+        delta_writer.write(
+            spark, _with_sub(moved, new_subs), lists_path, mode="append"
+        )
+        subs_df = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in sorted(new_subs.items())],
+            "cid int, n_subs int",
+        )
+        delta_writer.write(spark, subs_df, subs_path, mode="overwrite")
+    return {
+        "numAdded": n_added,
+        "numRebucketedLists": len(rebucket),
+        "k": idx.k,
+    }

@@ -280,3 +280,86 @@ def test_ivf_index_persists_as_delta(spark, tmp_path):
     # the lists table is clustered on cid: every live file carries stats
     log = DeltaLog(spark, path + "/lists")
     assert log.snapshot().count() == idx.lists.count()
+
+
+def test_ivf_index_incremental_upsert(spark, tmp_path):
+    """upsert_ivf_index adds vectors to a persisted index WITHOUT
+    retraining: quantizer untouched, unchanged lists get append-only
+    commits, probes see the union immediately, and a forced sub-bucket
+    overflow rebuckets exactly the hot list."""
+    from delta_lake_health_spark.operators import ann_index
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    emb = sim._emb(spark, SF_ORACLE)
+    base = emb.where("vec_id < 400")
+    extra = emb.where("vec_id >= 400 AND vec_id < 450")
+    idx = ann_index.build_ivf_index(base)
+    path = str(tmp_path / "ivf_up")
+    ann_index.save_ivf_index(spark, idx, path)
+    cents_before = sorted(
+        tuple(r) for r in ann_index.load_ivf_index(spark, path)
+        .centroids.collect()
+    )
+    v_lists = DeltaLog(spark, path + "/lists").version()
+
+    m = ann_index.upsert_ivf_index(spark, path, extra.select("vec_id", "emb"))
+    assert m["numAdded"] == 50 and m["numRebucketedLists"] == 0
+
+    loaded = ann_index.load_ivf_index(spark, path)
+    # quantizer untouched; every vector present exactly once
+    assert sorted(tuple(r) for r in loaded.centroids.collect()) == cents_before
+    assert loaded.lists.count() == 450
+    assert loaded.lists.select("vec_id").distinct().count() == 450
+    # the upsert was a pure append (no rebucketing -> add-only commit)
+    log = DeltaLog(spark, path + "/lists")
+    acts = [
+        a for a in __import__(
+            "delta_lake_health_spark.sources.delta_writer",
+            fromlist=["_version_actions"],
+        )._version_actions(path + "/lists", log.version())
+    ]
+    assert any("add" in a for a in acts)
+    assert not any("remove" in a for a in acts)
+    assert log.version() > v_lists
+
+    # a query whose nearest neighbor is a NEW vector finds it exactly
+    q = extra.where("vec_id = 425").select(
+        F.lit(9999).alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    got = ann_index.search(loaded, q, top_k=1).collect()
+    assert got[0].vec_id == 425 and abs(got[0].cosine - 1.0) < 1e-6
+
+
+def test_ivf_index_upsert_rebuckets_hot_list(spark, tmp_path):
+    """With max_list_rows forced tiny, growth past the budget rebuckets
+    ONLY the affected lists (delete+rewrite of those cids) and probes
+    stay exact over the union."""
+    from delta_lake_health_spark.operators import ann_index
+
+    emb = sim._emb(spark, SF_ORACLE)
+    base = emb.where("vec_id < 300")
+    extra = emb.where("vec_id >= 300 AND vec_id < 380")
+    idx = ann_index.build_ivf_index(base, k=4, max_list_rows=40)
+    path = str(tmp_path / "ivf_hot")
+    ann_index.save_ivf_index(spark, idx, path)
+
+    m = ann_index.upsert_ivf_index(spark, path, extra.select("vec_id", "emb"))
+    assert m["numAdded"] == 80 and m["numRebucketedLists"] >= 1
+
+    loaded = ann_index.load_ivf_index(spark, path)
+    assert loaded.lists.count() == 380
+    assert loaded.lists.select("vec_id").distinct().count() == 380
+    # every (cid, sub) group respects the budget's fan-out map
+    bad = (
+        loaded.lists.groupBy("cid", "sub")
+        .count()
+        .join(loaded.subs, "cid")
+        .where(F.col("sub") >= F.col("n_subs"))
+        .count()
+    )
+    assert bad == 0
+    q = extra.where("vec_id = 333").select(
+        F.lit(1).alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    got = ann_index.search(loaded, q, top_k=1).collect()
+    assert got[0].vec_id == 333
