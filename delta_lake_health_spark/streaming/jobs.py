@@ -652,3 +652,56 @@ def stream_apply_changes(
         raise TimeoutError("stream_apply_changes drain did not complete")
     finally:
         q.stop()
+
+
+def stream_ivf_index_maintenance(
+    spark: SparkSession,
+    vectors_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    **source_options,
+) -> Any:
+    """Continuous ANN-index freshness (D46 + the S5 upsert composed):
+    tail an append-only Delta table of vectors (vec_id, emb) through
+    ``delta_tail`` and fold each micro-batch into the persisted IVF
+    index with ``operators/ann_index.upsert_ivf_index`` — new vectors
+    assign to the frozen quantizer, unchanged inverted lists get pure
+    append commits, an overflowing list rebuckets alone. Probes served
+    from the index tables see every ingested vector after its batch
+    commits; periodic retraining (a fresh build+save) stays an offline
+    concern.
+
+    Exactly-once: source offsets live in the streaming checkpoint, and
+    the upsert itself is idempotent AT THE BATCH LEVEL only if the
+    batch replays before new data lands — the same replay window every
+    foreachBatch sink has — so the fold additionally skips batches
+    whose vec_ids are all already present (an anti-join against the
+    lists table, |batch| cost), making a crash-replay a no-op.
+    """
+    from pyspark.sql import functions as F
+
+    from delta_lake_health_spark.operators import ann_index
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        import os
+
+        lists = DeltaLog(sess, os.path.join(index_path, "lists")).snapshot()
+        fresh = batch_df.select("vec_id", "emb").join(
+            lists.select("vec_id"), "vec_id", "left_anti"
+        )
+        ann_index.upsert_ivf_index(sess, index_path, fresh)
+
+    stream = delta_source.read_stream(spark, vectors_path, **source_options)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -363,3 +363,49 @@ def test_ivf_index_upsert_rebuckets_hot_list(spark, tmp_path):
     )
     got = ann_index.search(loaded, q, top_k=1).collect()
     assert got[0].vec_id == 333
+
+
+@pytest.mark.slow
+def test_stream_ivf_index_maintenance(spark, tmp_path):
+    """D46 + S5 composed: an append-only vectors Delta table tailed by
+    delta_tail keeps the persisted IVF index fresh via foreachBatch
+    upsert — already-indexed vectors are skipped (crash-replay safe),
+    new appends become probe-visible after their drain."""
+    from delta_lake_health_spark.operators import ann_index
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.streaming.jobs import (
+        stream_ivf_index_maintenance,
+    )
+
+    emb = sim._emb(spark, SF_ORACLE).select("vec_id", "emb")
+    vec_tbl = str(tmp_path / "vectors")
+    idx_path = str(tmp_path / "ivf_stream")
+    ckpt = str(tmp_path / "ckpt")
+    delta_writer.write(spark, emb.where("vec_id < 300"), vec_tbl)
+    idx = ann_index.build_ivf_index(emb.where("vec_id < 300"))
+    ann_index.save_ivf_index(spark, idx, idx_path)
+
+    # drain 1: everything already indexed -> no growth
+    stream_ivf_index_maintenance(spark, vec_tbl, idx_path, ckpt)
+    assert ann_index.load_ivf_index(spark, idx_path).lists.count() == 300
+
+    # append new vectors, drain again -> indexed exactly once
+    delta_writer.write(
+        spark, emb.where("vec_id >= 300 AND vec_id < 360"), vec_tbl,
+        mode="append",
+    )
+    stream_ivf_index_maintenance(spark, vec_tbl, idx_path, ckpt)
+    loaded = ann_index.load_ivf_index(spark, idx_path)
+    assert loaded.lists.count() == 360
+    assert loaded.lists.select("vec_id").distinct().count() == 360
+    q = emb.where("vec_id = 333").select(
+        F.lit(1).alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    assert ann_index.search(loaded, q, top_k=1).collect()[0].vec_id == 333
+
+    # drain 3: no new commits -> index untouched
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    v = DeltaLog(spark, idx_path + "/lists").version()
+    stream_ivf_index_maintenance(spark, vec_tbl, idx_path, ckpt)
+    assert DeltaLog(spark, idx_path + "/lists").version() == v
