@@ -320,6 +320,9 @@ def _bench_delta_ops(spark) -> dict[str, float]:
         spark, path, small_file_size=64 * 1024 * 1024, target_file_size=64 * 1024 * 1024
     ))
     step("zorder", lambda: maintenance.zorder_cluster(spark, path, ["k", "v"]))
+    step("hilbert", lambda: maintenance.hilbert_cluster(
+        spark, path, ["k", "v"]
+    ))
     step("checkpoint", lambda: DeltaLog(spark, path).checkpoint())
 
     # round-8 surface: bloom file-skipping build + probe, REORG PURGE,

@@ -441,6 +441,138 @@ def zorder_cluster(
     return metrics
 
 
+def hilbert_cluster(
+    spark: SparkSession,
+    table_path: str,
+    cluster_cols: list[str],
+    target_file_size: int | None = None,
+    bits: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
+    """OPTIMIZE by HILBERT curve — the tighter-locality alternative to
+    :func:`zorder_cluster` (what Databricks liquid clustering moved to):
+    the Hilbert curve advances one grid step at a time instead of
+    jumping at every power-of-two boundary like Z-order, so per-file
+    min/max bounding boxes are tighter and range predicates prune more
+    files (quantified in tests/test_hilbert.py: per-file span sums vs
+    the Z-order rewrite of the same table).
+
+    Same commit protocol as Z-order: rewrite the live set (scoped by
+    ``partition_filter``), remove+add with dataChange=false so CDF and
+    streaming readers skip it. Each cluster column min/max-scales to a
+    ``bits``-wide grid coordinate (one tiny agg — a maintenance op);
+    the key itself computes inside Arrow-batched ``mapInPandas``
+    (vectorized Skilling transform, operators/hilbert.py) because the
+    curve's data-dependent per-bit exchanges have no Column-expression
+    form; the rewrite is IO-bound so the Arrow hop is noise.
+    ``bits`` defaults to the largest budget that fits the 63-bit key
+    (floor(63 / n_cols), capped at Z_BITS)."""
+    import pandas as _pd
+
+    from delta_lake_health_spark.operators.hilbert import hilbert_index
+
+    if not cluster_cols or len(cluster_cols) < 2:
+        raise ValueError("hilbert_cluster needs >= 2 cluster columns")
+    ncols = len(cluster_cols)
+    if bits is None:
+        bits = min(Z_BITS, 63 // ncols)
+    if bits * ncols > 63:
+        raise ValueError(f"bits*cols = {bits * ncols} exceeds the 63-bit key")
+    delta_writer._require_writable(spark, table_path)
+    log = DeltaLog(spark, table_path)
+    if target_file_size is None:
+        target_file_size = _table_target_file_size(log)
+    active = log.active_files()
+    if partition_filter:
+        for k, v in partition_filter.items():
+            active = active.where(F.col("partitionValues")[k] == str(v))
+    live = active.collect()
+    if not live:
+        return {"numRemovedFiles": 0, "numAddedFiles": 0, "skipped": True}
+    partition_by = log.partition_columns()
+    total_size = sum(r.size for r in live)
+    n_out = max(1, math.ceil(total_size / target_file_size))
+
+    df = log.read_data_files([r.path for r in live])
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{i}")
+          for i, c in enumerate(cluster_cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{i}")
+          for i, c in enumerate(cluster_cols)],
+    ).collect()[0]
+    max_code = (1 << bits) - 1
+    coded = df
+    for i, c in enumerate(cluster_cols):
+        lo = float(bounds[f"lo_{i}"] or 0.0)
+        hi = float(bounds[f"hi_{i}"] or 0.0)
+        span = (hi - lo) or 1.0
+        coded = coded.withColumn(
+            f"_hc_{i}",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(max_code),
+                    ((F.col(c).cast("double") - lo) / span * max_code)
+                    .cast("long"),
+                ),
+            ),
+        )
+    code_cols = [f"_hc_{i}" for i in range(ncols)]
+    out_schema = coded.drop(*code_cols).schema.add("_hkey", "long")
+
+    def keyed(batches):
+        import numpy as np
+
+        for pdf in batches:
+            codes = np.stack(
+                [pdf[c].to_numpy(dtype="int64") for c in code_cols], axis=1
+            )
+            out = pdf.drop(columns=code_cols)
+            out["_hkey"] = (
+                hilbert_index(codes, bits).astype("int64")
+                if len(pdf)
+                else _pd.Series([], dtype="int64")
+            )
+            yield out
+
+    clustered = (
+        coded.mapInPandas(keyed, out_schema)
+        .repartitionByRange(n_out, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+    )
+    clustered = delta_writer._to_physical(spark, clustered, table_path)
+    before = delta_writer._list_parquet_rel(table_path)
+    writer = clustered.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_path)
+    new_files = sorted(delta_writer._list_parquet_rel(table_path) - before)
+
+    now = int(time.time() * 1000)
+    actions = [
+        delta_writer._add_action(table_path, rel, data_change=False)
+        for rel in new_files
+    ]
+    actions += [
+        {"remove": {"path": r.path, "deletionTimestamp": now,
+                    "dataChange": False}}
+        for r in live
+    ]
+    metrics = {"numRemovedFiles": len(live), "numAddedFiles": len(new_files)}
+    actions.append(
+        delta_writer._commit_info(
+            "OPTIMIZE",
+            {"hilbertBy": ",".join(cluster_cols), "bits": str(bits)},
+            metrics,
+        )
+    )
+    delta_writer._commit(
+        table_path, delta_writer.current_version(table_path) + 1, actions
+    )
+    return metrics
+
+
 def _zcube_member_paths(log: DeltaLog, cluster_cols: list[str]) -> set[str]:
     """Live paths whose latest add carries a ZCUBE tag for the same
     column set — one |files| log pass, no data read."""
