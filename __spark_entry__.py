@@ -37,6 +37,8 @@ _VERIFY_FIRST = (
     # (1) NEW this round — no driver row yet
     "delta_cdc_sync",
     "ann_graph_topk",
+    "delta_restore_snapshot",
+    "delta_clone_snapshot",
     # (2) code changed this round since newest green row
     "delta_bloom_point_lookup",
     "delta_copy_into_snapshot",

@@ -1381,3 +1381,136 @@ def delta_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# D36 — RESTORE, oracle-checked: write range(100) (v0), append
+# range(100,150) (v1), DELETE every id % 10 = 0 (v2), then RESTORE to
+# v0 — the final snapshot must equal the ORIGINAL closed form exactly
+# (the restore commit re-adds v0's files and removes the later ones),
+# while pre-restore state (135 rows at v2) stays reachable via time
+# travel and is emitted as a column. Proves the restore file-set
+# arithmetic against an independent engine; crash/interleaving coverage
+# stays with the fuzz battery.
+_RESTORE_FIXTURE = "/tmp/delta_lake_health_spark_fixture/restore_table"
+_RESTORE_MARKER = os.path.join(_RESTORE_FIXTURE, "_RESTORE_FIXTURE_COMPLETE")
+
+_RESTORE_ORACLE = """
+    SELECT CAST(id % 3 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 2) AS BIGINT) AS sum_v,
+           CAST(135 AS BIGINT) AS n_pre_restore
+    FROM range(100) t(id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_restore_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_RESTORE_MARKER):
+        return
+    shutil.rmtree(_RESTORE_FIXTURE, ignore_errors=True)
+    delta_writer.write(
+        spark,
+        spark.range(0, 100).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
+        _RESTORE_FIXTURE,
+    )
+    delta_writer.write(
+        spark,
+        spark.range(100, 150).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
+        _RESTORE_FIXTURE,
+        mode="append",
+    )
+    delta_writer.delete(spark, _RESTORE_FIXTURE, "id % 10 = 0")
+    maintenance.restore(spark, _RESTORE_FIXTURE, 0)
+    with open(_RESTORE_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_restore_snapshot", _RESTORE_ORACLE)
+def delta_restore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_restore_fixture(spark)
+    log = DeltaLog(spark, _RESTORE_FIXTURE)
+    n_pre = log.snapshot(as_of=2).count()
+    return (
+        log.snapshot()
+        .groupBy((F.col("id") % 3).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .withColumn("n_pre_restore", F.lit(n_pre).cast("long"))
+        .select("grp", "n_rows", "sum_v", "n_pre_restore")
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# D38/D60 — CLONE isolation, oracle-checked: a source table (range(80))
+# is SHALLOW-cloned (copy-on-write: the clone's v0 references the
+# source's files absolutely), the CLONE then appends range(80,100) —
+# the clone must show the union closed form while the SOURCE stays at
+# its original 80 rows (emitted as a column). Proves the re-rooted
+# reads and write isolation against an independent engine; DEEP clone /
+# source-deletion survival stays pytest-covered.
+_CLONE_SRC = "/tmp/delta_lake_health_spark_fixture/clone_src"
+_CLONE_DST = "/tmp/delta_lake_health_spark_fixture/clone_dst"
+_CLONE_MARKER = os.path.join(_CLONE_DST, "_CLONE_FIXTURE_COMPLETE")
+
+_CLONE_ORACLE = """
+    SELECT CAST(id % 4 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 3) AS BIGINT) AS sum_v,
+           CAST(80 AS BIGINT) AS n_source_rows
+    FROM range(100) t(id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_clone_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_CLONE_MARKER):
+        return
+    shutil.rmtree(_CLONE_SRC, ignore_errors=True)
+    shutil.rmtree(_CLONE_DST, ignore_errors=True)
+    delta_writer.write(
+        spark,
+        spark.range(0, 80).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v"),
+        _CLONE_SRC,
+    )
+    delta_writer.clone_shallow(spark, _CLONE_SRC, _CLONE_DST)
+    delta_writer.write(
+        spark,
+        spark.range(80, 100).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v"),
+        _CLONE_DST,
+        mode="append",
+    )
+    with open(_CLONE_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_clone_snapshot", _CLONE_ORACLE)
+def delta_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_clone_fixture(spark)
+    n_src = DeltaLog(spark, _CLONE_SRC).snapshot().count()
+    return (
+        DeltaLog(spark, _CLONE_DST)
+        .snapshot()
+        .groupBy((F.col("id") % 4).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .withColumn("n_source_rows", F.lit(n_src).cast("long"))
+        .select("grp", "n_rows", "sum_v", "n_source_rows")
+        .orderBy("grp")
+    )
