@@ -16,6 +16,9 @@ import shutil
 import tempfile
 
 import pytest
+
+# change-feed + incremental-MV battery: slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from delta_lake_health_spark.operators import maintenance, mv

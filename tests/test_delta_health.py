@@ -11,6 +11,9 @@ import shutil
 import tempfile
 
 import pytest
+
+# the core Delta-log end-to-end battery (~8.5 min alone): slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from delta_lake_health_spark.operators import maintenance

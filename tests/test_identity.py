@@ -21,6 +21,9 @@ import shutil
 import tempfile
 
 import pytest
+
+# identity-columns battery: slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from delta_lake_health_spark.sources import delta_writer

@@ -9,6 +9,9 @@ import os
 
 import pytest
 
+# log-retention cleanup battery: slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
+
 from delta_lake_health_spark.operators import maintenance
 from delta_lake_health_spark.sources import delta_writer
 from delta_lake_health_spark.sources.cdf import row_changes

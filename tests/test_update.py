@@ -5,6 +5,9 @@ how the commit surfaces in the row-level change feed."""
 from __future__ import annotations
 
 import pytest
+
+# copy-on-write UPDATE battery: slow battery, full-suite close-out only
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from delta_lake_health_spark.sources import delta_writer
