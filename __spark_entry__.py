@@ -39,6 +39,8 @@ _VERIFY_FIRST = (
     "ann_graph_topk",
     "delta_restore_snapshot",
     "delta_clone_snapshot",
+    "delta_schema_evolution",
+    "delta_generated_columns",
     # (2) code changed this round since newest green row
     "delta_bloom_point_lookup",
     "delta_copy_into_snapshot",

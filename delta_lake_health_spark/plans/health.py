@@ -1514,3 +1514,151 @@ def delta_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "n_rows", "sum_v", "n_source_rows")
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# D28/D52 — schema evolution + type widening, oracle-checked: a table
+# born (id, v INT) evolves twice — a merge_schema append ADDS a column
+# (extra = id*5, so pre-evolution rows read back NULL for it) and a
+# later append arrives with v as BIGINT (the int->long widening chain;
+# old files upcast at read). The final snapshot aggregate — including
+# the null count evolution implies — must equal the closed form DuckDB
+# computes from the same arithmetic. Reconstruction-level coverage
+# (metaData re-emission, widening refusals) stays with the pytest/fuzz
+# batteries; this row proves the data a reader actually gets.
+_EVOL_FIXTURE = "/tmp/delta_lake_health_spark_fixture/evolution_table"
+_EVOL_MARKER = os.path.join(_EVOL_FIXTURE, "_EVOL_FIXTURE_COMPLETE")
+
+_EVOL_ORACLE = """
+    WITH rows AS (
+      SELECT id, id * 2 AS v, NULL AS extra FROM range(60) t(id)
+      UNION ALL
+      SELECT id, id * 2 AS v, id * 5 AS extra FROM range(60, 100) t(id)
+      UNION ALL
+      SELECT id, id * 2 AS v, id * 5 AS extra FROM range(100, 130) t(id)
+    )
+    SELECT CAST(id % 3 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(extra) AS BIGINT) AS sum_extra,
+           CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_extra
+    FROM rows GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_evolution_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_EVOL_MARKER):
+        return
+    shutil.rmtree(_EVOL_FIXTURE, ignore_errors=True)
+    delta_writer.write(
+        spark,
+        spark.range(0, 60).selectExpr("id", "CAST(id * 2 AS INT) AS v"),
+        _EVOL_FIXTURE,
+    )
+    delta_writer.write(  # evolution: adds `extra`
+        spark,
+        spark.range(60, 100).selectExpr(
+            "id", "CAST(id * 2 AS INT) AS v", "CAST(id * 5 AS BIGINT) AS extra"
+        ),
+        _EVOL_FIXTURE,
+        mode="append",
+        merge_schema=True,
+    )
+    delta_writer.write(  # widening: v INT -> BIGINT
+        spark,
+        spark.range(100, 130).selectExpr(
+            "id", "CAST(id * 2 AS BIGINT) AS v",
+            "CAST(id * 5 AS BIGINT) AS extra",
+        ),
+        _EVOL_FIXTURE,
+        mode="append",
+        merge_schema=True,
+    )
+    with open(_EVOL_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_schema_evolution", _EVOL_ORACLE)
+def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_evolution_fixture(spark)
+    return (
+        DeltaLog(spark, _EVOL_FIXTURE)
+        .snapshot()
+        .groupBy((F.col("id") % 3).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.sum("extra").cast("long").alias("sum_extra"),
+            F.sum(F.col("extra").isNull().cast("long")).alias("n_null_extra"),
+        )
+        .select("grp", "n_rows", "sum_v", "sum_extra", "n_null_extra")
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# D40 — generated columns, oracle-checked: a table declares
+# g = id * 7 + 1 as a GENERATED column; two later appends OMIT it and
+# the writer must compute it. The snapshot aggregate over g equals the
+# closed form of the generation expression — proving the fill path
+# produced exactly the declared values (the refusal paths — explicit
+# disagreeing values — stay pytest-covered).
+_GEN_FIXTURE = "/tmp/delta_lake_health_spark_fixture/generated_table"
+_GEN_MARKER = os.path.join(_GEN_FIXTURE, "_GEN_FIXTURE_COMPLETE")
+
+_GEN_ORACLE = """
+    SELECT CAST(id % 4 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 7 + 1) AS BIGINT) AS sum_g
+    FROM range(120) t(id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_generated_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_GEN_MARKER):
+        return
+    shutil.rmtree(_GEN_FIXTURE, ignore_errors=True)
+    delta_writer.write(
+        spark,
+        spark.range(0, 40).selectExpr("id", "CAST(id * 7 + 1 AS BIGINT) AS g"),
+        _GEN_FIXTURE,
+    )
+    delta_writer.set_generated_column(spark, _GEN_FIXTURE, "g", "id * 7 + 1")
+    for lo, hi in ((40, 90), (90, 120)):
+        delta_writer.write(  # batches OMIT g: the writer must fill it
+            spark,
+            spark.range(lo, hi).selectExpr("id"),
+            _GEN_FIXTURE,
+            mode="append",
+        )
+    with open(_GEN_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_generated_columns", _GEN_ORACLE)
+def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_generated_fixture(spark)
+    return (
+        DeltaLog(spark, _GEN_FIXTURE)
+        .snapshot()
+        .groupBy((F.col("id") % 4).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("g").cast("long").alias("sum_g"),
+        )
+        .select("grp", "n_rows", "sum_g")
+        .orderBy("grp")
+    )
