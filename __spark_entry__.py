@@ -41,6 +41,8 @@ _VERIFY_FIRST = (
     "delta_clone_snapshot",
     "delta_schema_evolution",
     "delta_generated_columns",
+    "delta_merge_snapshot",
+    "delta_vacuum_snapshot",
     # (2) code changed this round since newest green row
     "delta_bloom_point_lookup",
     "delta_copy_into_snapshot",

@@ -1662,3 +1662,142 @@ def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "n_rows", "sum_g")
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# D22 — three-clause MERGE, oracle-checked: target = range(100)
+# (v = id*2), source = range(60, 130) (v = id*9). MERGE on id with
+# WHEN MATCHED UPDATE (ids 60-99 move to 9x), WHEN NOT MATCHED INSERT
+# (ids 100-129 arrive at 9x), and WHEN NOT MATCHED BY SOURCE DELETE
+# with condition id < 20 (ids 0-19 leave; 20-59 survive at 2x). The
+# final snapshot aggregate equals DuckDB's closed form of the same
+# clause semantics — the single most-used writer op proven end-to-end
+# against an independent engine (conflict/replay paths stay with the
+# pytest + fuzz batteries).
+_MERGE_FIXTURE = "/tmp/delta_lake_health_spark_fixture/merge_table"
+_MERGE_MARKER = os.path.join(_MERGE_FIXTURE, "_MERGE_FIXTURE_COMPLETE")
+
+_MERGE_ORACLE = """
+    WITH rows AS (
+      SELECT id, id * 2 AS v FROM range(20, 60) t(id)
+      UNION ALL
+      SELECT id, id * 9 AS v FROM range(60, 130) t(id)
+    )
+    SELECT CAST(id % 5 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM rows GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_merge_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_MERGE_MARKER):
+        return
+    shutil.rmtree(_MERGE_FIXTURE, ignore_errors=True)
+    delta_writer.write(
+        spark,
+        spark.range(0, 100).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
+        _MERGE_FIXTURE,
+    )
+    delta_writer.merge(
+        spark,
+        _MERGE_FIXTURE,
+        spark.range(60, 130).selectExpr("id", "CAST(id * 9 AS BIGINT) AS v"),
+        ["id"],
+        not_matched_by_source_delete="id < 20",
+    )
+    with open(_MERGE_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_merge_snapshot", _MERGE_ORACLE)
+def delta_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_merge_fixture(spark)
+    return (
+        DeltaLog(spark, _MERGE_FIXTURE)
+        .snapshot()
+        .groupBy((F.col("id") % 5).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .select("grp", "n_rows", "sum_v")
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# D16 — VACUUM, oracle-checked through the reader contract: a delete
+# rewrites files (tombstoning the originals), an orphan parquet is
+# planted out-of-band, then VACUUM at retention 0 collects both. The
+# snapshot aggregate must be UNCHANGED by the physical deletion (vacuum
+# only ever touches unreferenced files) and the post-vacuum orphan
+# count — recomputed by the health analyzer's folder-vs-log diff — must
+# be zero; both facts are columns the closed-form DuckDB oracle pins.
+_VACUUM_FIXTURE = "/tmp/delta_lake_health_spark_fixture/vacuum_table"
+_VACUUM_MARKER = os.path.join(_VACUUM_FIXTURE, "_VACUUM_FIXTURE_COMPLETE")
+
+_VACUUM_ORACLE = """
+    SELECT CAST(id % 3 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 4) AS BIGINT) AS sum_v,
+           CAST(0 AS BIGINT) AS n_orphans_after
+    FROM range(100) t(id) WHERE id >= 30
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_vacuum_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_VACUUM_MARKER):
+        return
+    shutil.rmtree(_VACUUM_FIXTURE, ignore_errors=True)
+    delta_writer.write(
+        spark,
+        spark.range(0, 100).selectExpr("id", "CAST(id * 4 AS BIGINT) AS v"),
+        _VACUUM_FIXTURE,
+        partition_by=None,
+    )
+    delta_writer.delete(spark, _VACUUM_FIXTURE, "id < 30")
+    # plant a true orphan (a crashed writer's debris)
+    spark.range(0, 5).selectExpr("id", "CAST(0 AS BIGINT) AS v").coalesce(
+        1
+    ).write.mode("append").parquet(_VACUUM_FIXTURE)
+    maintenance.vacuum(spark, _VACUUM_FIXTURE, retention_hours=0.0)
+    with open(_VACUUM_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_vacuum_snapshot", _VACUUM_ORACLE)
+def delta_vacuum_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators.health import HealthAnalyzer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_vacuum_fixture(spark)
+    n_orphans = (
+        HealthAnalyzer(spark)
+        .analyze_table(_VACUUM_FIXTURE)
+        .orphan_files_count
+    )
+    return (
+        DeltaLog(spark, _VACUUM_FIXTURE)
+        .snapshot()
+        .groupBy((F.col("id") % 3).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .withColumn("n_orphans_after", F.lit(n_orphans).cast("long"))
+        .select("grp", "n_rows", "sum_v", "n_orphans_after")
+        .orderBy("grp")
+    )
