@@ -104,6 +104,48 @@ def _score_edges(cand: DataFrame, vectors: DataFrame) -> DataFrame:
     )
 
 
+# bucket count for the dense-rank two-phase pattern (init targets):
+# |buckets| counts reach the driver, never the ids themselves
+_RANK_BUCKETS = 256
+
+
+def _dense_ranks(ids: DataFrame) -> DataFrame:
+    """(vec_id, rank) with rank DENSE in [0, N) for ANY id domain —
+    sparse, negative, or non-contiguous vec_ids all work. Two-phase:
+    bucket-local row_number + a broadcast |buckets| prefix-sum offset
+    (the pareto-census pattern) — no global single-task window."""
+    local = (
+        ids.select(
+            "vec_id",
+            F.pmod(F.xxhash64("vec_id"), F.lit(_RANK_BUCKETS))
+            .cast("int")
+            .alias("bkt"),
+        )
+        .withColumn(
+            "lrn",
+            F.row_number().over(
+                Window.partitionBy("bkt").orderBy("vec_id")
+            )
+            - 1,
+        )
+        .localCheckpoint()
+    )
+    counts = {
+        r.bkt: r.n
+        for r in local.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for bkt in sorted(counts):
+        offs.append((int(bkt), acc))
+        acc += counts[bkt]
+    off_df = ids.sparkSession.createDataFrame(offs, "bkt int, off long")
+    return local.join(F.broadcast(off_df), "bkt").select(
+        "vec_id", (F.col("lrn") + F.col("off")).alias("rank")
+    )
+
+
 def build_knn_graph(
     emb: DataFrame,
     degree: int = DEFAULT_DEGREE,
@@ -121,18 +163,31 @@ def build_knn_graph(
     n = vectors.count()
     degree = min(degree, max(1, n - 1))
 
-    # deterministic pseudo-random R-regular init: no RNG, no driver loop
+    # deterministic pseudo-random R-regular init: no RNG, no driver
+    # loop. Targets are drawn as dense RANKS in [0, n) and joined back
+    # to real vec_ids — hashing the id itself into [0, n) would point
+    # at nonexistent vectors whenever ids are sparse or non-contiguous,
+    # and the score join would silently drop them (starving initial
+    # degree and recall).
+    ranks = _dense_ranks(vectors.select("vec_id")).localCheckpoint()
     init = (
-        vectors.select("vec_id")
-        .select(
+        ranks.select(
             F.col("vec_id").alias("src"),
             F.explode(
                 F.expr(
                     f"transform(sequence(0, {degree - 1}),"
                     f" j -> pmod(xxhash64(vec_id, j), {n}))"
                 )
-            ).alias("dst"),
+            ).alias("trank"),
         )
+        .join(
+            ranks.select(
+                F.col("rank").alias("trank"),
+                F.col("vec_id").alias("dst"),
+            ),
+            "trank",
+        )
+        .select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )

@@ -299,10 +299,19 @@ def upsert_ivf_index(spark, path: str, new_vectors) -> dict:
     }
     new_subs = dict(cur_subs)
     rebucket = []
+    subs_dirty = False
     for cid in cid_list:
         total = existing_counts.get(cid, 0) + affected[cid]
         need = max(1, -(-total // idx.max_list_rows))
-        if need != cur_subs.get(cid, 1):
+        if cid not in cur_subs:
+            # The list was EMPTY at build time, so the subs table has no
+            # row for it (build derives subs from assigned rows). Both
+            # the append's _with_sub join and search() inner-join subs,
+            # so without registering the cid here its vectors would be
+            # silently dropped and the centroid never probed.
+            new_subs[cid] = need
+            subs_dirty = True
+        elif need != cur_subs[cid]:
             new_subs[cid] = need
             rebucket.append(cid)
 
@@ -343,6 +352,7 @@ def upsert_ivf_index(spark, path: str, new_vectors) -> dict:
         delta_writer.write(
             spark, _with_sub(moved, new_subs), lists_path, mode="append"
         )
+    if rebucket or subs_dirty:
         subs_df = spark.createDataFrame(
             [(int(c), int(n)) for c, n in sorted(new_subs.items())],
             "cid int, n_subs int",

@@ -53,6 +53,16 @@ def _index_dir(table_path: str, column: str) -> str:
     return os.path.join(table_path, INDEX_ROOT, f"bloom_{column}")
 
 
+def _has_bitmap_data(idx_dir: str) -> bool:
+    """True when the sidecar holds at least one parquet data file. A
+    build over a table with ZERO live files legitimately leaves only
+    _meta.json behind; ``spark.read.parquet`` on such a directory throws,
+    so both the refresh-reuse path and the probe must gate on this."""
+    if not os.path.isdir(idx_dir):
+        return False
+    return any(f.endswith(".parquet") for f in os.listdir(idx_dir))
+
+
 def build_bloom_index(
     spark: SparkSession,
     table_path: str,
@@ -81,6 +91,7 @@ def build_bloom_index(
         and prev_meta.get("column") == column
         and prev_meta.get("m_bits") == m_bits
         and prev_meta.get("k") == bloom.K
+        and _has_bitmap_data(idx_dir)
     )
     if reusable:
         prev = spark.read.parquet(idx_dir)
@@ -134,7 +145,7 @@ def build_bloom_index(
 
     n = (
         spark.read.parquet(idx_dir).count()
-        if os.path.isdir(idx_dir)
+        if _has_bitmap_data(idx_dir)
         else 0
     )
     meta = {
@@ -177,7 +188,11 @@ def bloom_pruned_files(
     Returns (candidate rel paths, number pruned)."""
     log = DeltaLog(spark, table_path)
     live = {r.path for r in log.active_files().select("path").collect()}
-    if _index_meta(table_path, column) is None:
+    if _index_meta(table_path, column) is None or not _has_bitmap_data(
+        _index_dir(table_path, column)
+    ):
+        # No index, or a meta-only sidecar (zero-live-file build):
+        # fall back to the full scan — stale-safe, never wrong.
         return sorted(live), 0
     key_u64 = int(bloom.hash_strings([str(value)])[0])
 

@@ -2193,3 +2193,108 @@ def documents_priority_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "lang", "rank", "doc_id", "priority")
         .orderBy("source", "lang", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# T32 — DSIR importance-resampling weights (Xie et al., NeurIPS 2023,
+# "Data Selection for Language Models via Importance Resampling"): score
+# every raw document by how much more likely its hashed-bigram bag is
+# under a TARGET domain's unigram feature LM than under the raw corpus'.
+# Here target = the src0/src1 sources (the "high-quality domain" stand-in
+# the paper instantiates with Wikipedia+books). Features are bigrams
+# hashed into 256 md5 buckets — the paper's hashed n-gram trick, which is
+# what keeps the model size fixed (256 counts per side) no matter how
+# large the raw corpus' token diversity grows; the per-bucket log-ratio
+# table is broadcast back over the exploded grams, so the whole pass is
+# one narrow map + one 256-key aggregate + one per-doc aggregate. No
+# structure anywhere scales with |vocab| or |corpus|.
+_DSIR_B = 256
+_DSIR_TARGET = ("src0", "src1")
+
+
+def _spark_bucket256_of(col: str):
+    """md5-based 256-bucket of an arbitrary string column (the
+    engine-portable hash the split/sample helpers use, generalized)."""
+    return (
+        F.instr(F.lit(_HEX), F.substring(F.md5(col), 31, 1)) - 1
+    ) * 16 + (F.instr(F.lit(_HEX), F.substring(F.md5(col), 32, 1)) - 1)
+
+
+@query(
+    "text_dsir_weights",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), bg AS (
+      SELECT doc_id, source,
+             (strpos('{_HEX}', substr(md5(tk[CAST(i AS INT)] || ' ' ||
+                 tk[CAST(i + 1 AS INT)]), 31, 1)) - 1) * 16 +
+             (strpos('{_HEX}', substr(md5(tk[CAST(i AS INT)] || ' ' ||
+                 tk[CAST(i + 1 AS INT)]), 32, 1)) - 1) AS b
+      FROM t, UNNEST(range(1, len(tk))) u(i)
+    ), cnt AS (
+      SELECT b, COUNT(*) AS c_r,
+             SUM(CASE WHEN source IN {_DSIR_TARGET!r} THEN 1 ELSE 0 END) AS c_t
+      FROM bg GROUP BY b
+    ), tot AS (
+      SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM cnt
+    ), lr AS (
+      SELECT b,
+             ln((c_t + 1.0) / (n_t + {_DSIR_B}.0))
+               - ln((c_r + 1.0) / (n_r + {_DSIR_B}.0)) AS lr
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT bg.doc_id, bg.source,
+           COUNT(*) AS n_feats,
+           ROUND(SUM(lr.lr), 6) AS dsir_logw
+    FROM bg JOIN lr USING (b)
+    GROUP BY bg.doc_id, bg.source
+    ORDER BY bg.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    grams = (
+        docs.where(F.size(t) >= 2)
+        .select("doc_id", "source", t.alias("tk"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat_ws(' ', tk[i - 1], tk[i]))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id", "source", _spark_bucket256_of("g").alias("b")
+        )
+    )
+    in_target = F.col("source").isin(*_DSIR_TARGET)
+    cnt = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(in_target, 1).otherwise(0)).alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + float(_DSIR_B)))
+            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + float(_DSIR_B)))
+        ).alias("lr"),
+    )
+    return (
+        grams.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("dsir_logw"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2981,8 +2981,16 @@ def copy_into(
         # Full-nanosecond mtime: a file rewritten with different content
         # but identical size within the same millisecond must re-ingest.
         ident = f"{st.st_size}:{st.st_mtime_ns}"
+        # Loaded-sets written before the ns switch hold size:mtime-ms;
+        # accept the legacy form too (and upgrade the stored entry) so
+        # already-loaded files are not re-ingested after the format change.
+        legacy_ident = f"{st.st_size}:{int(st.st_mtime * 1000)}"
         name = os.path.basename(p)
-        if loaded.get(name) == ident:
+        recorded = loaded.get(name)
+        if recorded == ident:
+            continue
+        if recorded == legacy_ident:
+            loaded[name] = ident
             continue
         new_paths.append((p, name, ident))
     if not new_paths:

@@ -110,3 +110,51 @@ def test_row_shape_and_self_exclusion(spark):
     for q_id in range(N_QUERIES):
         rns = [r.rn for r in rows if r.q_id == q_id]
         assert rns == list(range(1, TOP_K + 1))
+
+
+def test_dense_ranks_any_id_domain(spark):
+    """_dense_ranks yields a permutation of [0, N) for sparse, shifted,
+    and negative id domains — the precondition the init join relies on."""
+    ids = (
+        _emb(spark, SF)
+        .where("vec_id % 7 = 0")
+        .select((F.col("vec_id") * 1000 - 123456).alias("vec_id"))
+    )
+    n = ids.count()
+    ranks = ann_graph._dense_ranks(ids)
+    got = sorted(r.rank for r in ranks.collect())
+    assert got == list(range(n))
+    # rank follows vec_id order (bucket-local row_number over vec_id +
+    # offsets) is NOT required; only density and bijectivity are
+    assert ranks.select("vec_id").distinct().count() == n
+
+
+def test_graph_build_handles_sparse_ids(spark):
+    """ADVICE r10: the old init hashed ids into [0, n) directly, so
+    sparse/non-contiguous vec_ids generated dst values that referenced
+    nonexistent vectors — silently dropped by the score join, starving
+    initial degree. Init targets are now dense ranks joined back to
+    real ids: every edge endpoint must exist and the initial degree
+    must not be starved."""
+    sparse = (
+        _emb(spark, SF)
+        .where("vec_id % 7 = 0")
+        .select((F.col("vec_id") * 1000 + 999999999).alias("vec_id"), "emb")
+    )
+    idx = ann_graph.build_knn_graph(sparse, rounds=1)
+    ids = {r.vec_id for r in sparse.select("vec_id").collect()}
+    edges = idx.edges.collect()
+    assert edges, "graph build produced no edges on sparse ids"
+    assert all(r.src in ids and r.dst in ids for r in edges)
+    # healthy average out-degree (the starved failure mode leaves ~0)
+    n_src = idx.edges.select("src").distinct().count()
+    avg_deg = len(edges) / max(1, n_src)
+    assert n_src >= len(ids) * 0.95
+    assert avg_deg >= ann_graph.DEFAULT_DEGREE * 0.5
+
+    # member queries find themselves exactly through the beam walk
+    q = sparse.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    got = ann_graph.search_graph(idx, q, top_k=1)
+    assert all(r.q_id == r.vec_id for r in got.collect())

@@ -161,3 +161,42 @@ def test_unindexed_table_full_scan(spark, table):
     cand, pruned = bloom_index.bloom_pruned_files(spark, table, "id", 1)
     assert pruned == 0 and len(cand) == 8
     assert bloom_index.bloom_point_lookup(spark, table, "id", 1).count() == 1
+
+
+def test_zero_live_files_meta_only_sidecar(spark, tmp_path):
+    """ADVICE r10: a build over a table with ZERO live files leaves a
+    meta-only sidecar (no parquet); the next refresh must not crash on
+    it, the probe must fall back to the full (empty) scan, and data
+    arriving after the empty epoch indexes normally."""
+    import os
+
+    from delta_lake_health_spark.operators.maintenance import fsck_repair
+
+    path = str(tmp_path / "empty_tbl")
+    df = spark.range(0, 20).selectExpr("id", "CAST(id AS STRING) AS k")
+    delta_writer.write(spark, df, path)
+    # drop every data file out-of-band, then FSCK: the log ends with
+    # ZERO live add actions — the advisor's exact scenario
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(path, f))
+    fsck_repair(spark, path)
+    assert len(list(DeltaLog(spark, path).live_files_rows())) == 0
+
+    m1 = bloom_index.build_bloom_index(spark, path, "k")
+    assert m1["numIndexedFiles"] == 0 and m1["numNewBitmaps"] == 0
+    # refresh over the meta-only sidecar: the reusable path must gate on
+    # actual parquet data, not just _meta.json
+    m2 = bloom_index.build_bloom_index(spark, path, "k")
+    assert m2["numIndexedFiles"] == 0
+
+    cand, pruned = bloom_index.bloom_pruned_files(spark, path, "k", "3")
+    assert cand == [] and pruned == 0
+    assert bloom_index.bloom_point_lookup(spark, path, "k", "3").count() == 0
+
+    # the table refills -> the same sidecar builds and probes normally
+    delta_writer.write(spark, df, path, mode="append")
+    m3 = bloom_index.build_bloom_index(spark, path, "k")
+    assert m3["numIndexedFiles"] >= 1
+    got = bloom_index.bloom_point_lookup(spark, path, "k", "3").collect()
+    assert [r.id for r in got] == [3]

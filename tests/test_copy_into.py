@@ -128,3 +128,51 @@ def test_copy_into_modified_file_reloads(spark, tmp_path, table):
     m = delta_writer.copy_into(spark, table, src)
     assert m["numLoadedFiles"] == 1
     assert DeltaLog(spark, table).snapshot().where("id >= 300").count() == 10
+
+
+def test_copy_into_accepts_legacy_ms_identity(spark, tmp_path, table):
+    """ADVICE r10: loaded-sets recorded by pre-ns builds used
+    size:mtime-ms identities; they must still match (no re-ingest of
+    already-loaded files) and upgrade to the ns format on the next
+    real commit."""
+    import json
+
+    src = _src_file(spark, tmp_path, "a.parquet", 100, 150)
+    m1 = delta_writer.copy_into(spark, table, src)
+    assert m1["numLoadedFiles"] == 1
+    src_key = os.path.abspath(src)
+
+    # rewrite the stored loaded-set exactly as the legacy builds did
+    st = os.stat(os.path.join(src, "a.parquet"))
+    legacy = {"a.parquet": f"{st.st_size}:{int(st.st_mtime * 1000)}"}
+    v = delta_writer.current_version(table) + 1
+    delta_writer._commit(
+        table,
+        v,
+        [
+            {
+                "domainMetadata": {
+                    "domain": delta_writer.COPY_INTO_DOMAIN,
+                    "configuration": json.dumps({src_key: legacy}),
+                    "removed": False,
+                }
+            }
+        ],
+    )
+
+    # replay: the legacy identity must match -> nothing re-ingests
+    m2 = delta_writer.copy_into(spark, table, src)
+    assert m2["numLoadedFiles"] == 0 and m2["numSkippedFiles"] == 1
+    assert DeltaLog(spark, table).snapshot().count() == 60
+
+    # a new file arrives: it loads, and the commit UPGRADES the legacy
+    # entry to the ns format
+    _src_file(spark, tmp_path, "b.parquet", 200, 220)
+    m3 = delta_writer.copy_into(spark, table, src)
+    assert m3["numLoadedFiles"] == 1 and m3["numSkippedFiles"] == 1
+    assert DeltaLog(spark, table).snapshot().count() == 80
+    cfg = DeltaLog(spark, table).domain_metadata(
+        delta_writer.COPY_INTO_DOMAIN
+    )
+    st = os.stat(os.path.join(src, "a.parquet"))
+    assert cfg[src_key]["a.parquet"] == f"{st.st_size}:{st.st_mtime_ns}"

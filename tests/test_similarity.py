@@ -409,3 +409,61 @@ def test_stream_ivf_index_maintenance(spark, tmp_path):
     v = DeltaLog(spark, idx_path + "/lists").version()
     stream_ivf_index_maintenance(spark, vec_tbl, idx_path, ckpt)
     assert DeltaLog(spark, idx_path + "/lists").version() == v
+
+
+def test_ivf_index_upsert_into_empty_centroid(spark, tmp_path):
+    """ADVICE r10: build derives the subs table from ASSIGNED rows, so a
+    centroid whose list is empty has no subs row. An upsert that assigns
+    new vectors to such a centroid must register it (append join and
+    probes both inner-join subs — without the row the vectors vanish
+    while numAdded still counts them)."""
+    from delta_lake_health_spark.operators import ann_index
+    from delta_lake_health_spark.sources import delta_writer
+
+    emb = sim._emb(spark, SF_ORACLE)
+    base = emb.where("vec_id < 400")
+    idx = ann_index.build_ivf_index(base)
+    path = str(tmp_path / "ivf_empty_cid")
+    ann_index.save_ivf_index(spark, idx, path)
+
+    # empty out one centroid the way build would leave it: no list rows
+    # AND no subs row (subs comes from groupBy over assigned vectors)
+    loaded0 = ann_index.load_ivf_index(spark, path)
+    cid = (
+        loaded0.lists.groupBy("cid").count().orderBy("count", "cid").first().cid
+    )
+    victims = sorted(
+        r.vec_id
+        for r in loaded0.lists.where(F.col("cid") == cid)
+        .select("vec_id")
+        .collect()
+    )
+    assert victims
+    delta_writer.delete(spark, path + "/lists", f"cid = {cid}")
+    delta_writer.write(
+        spark,
+        loaded0.subs.where(F.col("cid") != cid).localCheckpoint(),
+        path + "/subs",
+        mode="overwrite",
+    )
+
+    # the victims re-enter: nearest existing centroid is their old one
+    back = emb.where(F.col("vec_id").isin([int(v) for v in victims])).select(
+        "vec_id", "emb"
+    )
+    m = ann_index.upsert_ivf_index(spark, path, back)
+    assert m["numAdded"] == len(victims)
+
+    loaded = ann_index.load_ivf_index(spark, path)
+    # every re-added vector is IN the lists (not silently dropped) ...
+    assert (
+        loaded.lists.where(F.col("cid") == cid).count() == len(victims)
+    )
+    # ... the centroid has a subs row again ...
+    assert loaded.subs.where(F.col("cid") == cid).count() == 1
+    # ... and probes reach it: a query equal to a victim finds itself
+    q = emb.where(F.col("vec_id") == int(victims[0])).select(
+        F.lit(31337).alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    got = ann_index.search(loaded, q, top_k=1).collect()
+    assert got[0].vec_id == victims[0] and abs(got[0].cosine - 1.0) < 1e-6
