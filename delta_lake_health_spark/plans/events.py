@@ -1837,3 +1837,49 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_late_60m"),
         F.round(F.max("lm"), 6).alias("max_late_min"),
     )
+
+
+# --------------------------------------------------------------------------
+# E36 — semi-structured props through the VARIANT type (Spark 4 /
+# Delta 4.x variantType): ``parse_json`` turns the raw JSON string into
+# the binary variant encoding once, ``variant_get`` extracts typed paths
+# with no per-row re-parse of the string for each field (the reason
+# variant beats repeated get_json_object at scale: one decode, many typed
+# reads, all inside codegen). Delta tables carrying this type are
+# protocol-gated by sources/delta_writer (tests/test_variant.py).
+@query(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                              % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_odd_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_odd_k"),
+        )
+        .orderBy("event_type")
+    )

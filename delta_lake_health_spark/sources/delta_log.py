@@ -929,7 +929,10 @@ class DeltaLog:
     # maintenance.vacuum() runs both gates.
     SUPPORTED_READER_FEATURES = frozenset(
         {"deletionVectors", "columnMapping", "v2Checkpoint",
-         "timestampNtz", "vacuumProtocolCheck"}
+         "timestampNtz", "vacuumProtocolCheck",
+         # VARIANT data type: Spark 4 reads the shredded parquet
+         # encoding natively through the logged schema
+         "variantType"}
     )
 
     def protocol(self) -> dict:

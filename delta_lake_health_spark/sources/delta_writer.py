@@ -155,9 +155,27 @@ def _add_action(table_path: str, rel: str, data_change: bool = True) -> dict:
     import pyarrow.parquet as pq
 
     fp = os.path.join(table_path, rel)
-    md = pq.ParquetFile(fp).metadata
-    mins, maxs = _column_minmax(md)
-    stats = {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    try:
+        md = pq.ParquetFile(fp).metadata
+        mins, maxs = _column_minmax(md)
+        num_rows = md.num_rows
+    except OSError:
+        # Files carrying the parquet VARIANT logical type (Spark 4
+        # shredded variant columns) predate this pyarrow's thrift
+        # vocabulary. Per the Delta spec variant columns carry no
+        # min/max stats anyway; recover numRecords from the footer via
+        # DuckDB (a metadata read, no data scan).
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            num_rows = con.sql(
+                "SELECT num_rows FROM parquet_file_metadata(?)", params=[fp]
+            ).fetchone()[0]
+        finally:
+            con.close()
+        mins, maxs = {}, {}
+    stats = {"numRecords": num_rows, "minValues": mins, "maxValues": maxs}
     return {
         "add": {
             "path": rel.replace(os.sep, "/"),
@@ -189,6 +207,10 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         # liquid clustering: declared columns in the delta.clustering
         # domain, applied on ingest and by OPTIMIZE (set_cluster_columns)
         "clustering",
+        # variantType: the VARIANT data type (Delta 4.x) — gated as a
+        # reader+writer feature because the shredded parquet encoding is
+        # unreadable to engines without variant support
+        "variantType",
     }
 )
 # Legacy minWriterVersion -> the features it implies (Delta spec table);
@@ -427,7 +449,7 @@ def _protocol_upgrade_action(
         if r >= 3:
             proto["readerFeatures"] = sorted(set(p["readerFeatures"]))
         return {"protocol": proto}
-    if feature in ("deletionVectors", "v2Checkpoint"):
+    if feature in ("deletionVectors", "v2Checkpoint", "variantType"):
         # table-features-only capabilities: upgrade to (3, 7) and
         # enumerate every feature the table already relies on
         if w >= 7 and feature in p["writerFeatures"]:
@@ -1750,6 +1772,10 @@ def write(
                     if partition_by
                     else df.repartition(n_out)
                 )
+    # VARIANT columns gate the variantType table feature (reader+writer:
+    # the shredded parquet encoding is unreadable without it)
+    needs_variant = '"variant"' in df.schema.json()
+
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
     if partition_by:
@@ -1770,10 +1796,34 @@ def write(
         actions: list[dict] = []
         next_version = version + 1
         if next_version == 0:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
+            if needs_variant:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["variantType"],
+                            "writerFeatures": sorted(
+                                {"appendOnly", "invariants", "variantType"}
+                            ),
+                        }
+                    }
+                )
+            else:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}}
+                )
             actions.append(_metadata_action(df, partition_by))
+        else:
+            if needs_variant:
+                upgrade = _protocol_upgrade_action(
+                    spark, table_path, "variantType"
+                )
+                if upgrade is not None:
+                    actions.append(upgrade)
+        if next_version == 0:
+            pass
         elif schema_changed:
             # schema-changing write: re-emit metaData so snapshot() of a
             # later-emptied table reconstructs the NEW schema; table id and
