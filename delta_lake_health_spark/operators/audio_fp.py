@@ -1,0 +1,159 @@
+"""Audio fingerprinting + clip-to-track matching (SURVEY §2.7 M8).
+
+Reference family: spectral-peak constellation hashing (Wang 2003, "An
+Industrial-Strength Audio Search Algorithm" — the Shazam scheme), built
+Spark-first:
+
+- **Fingerprints** (``audio_fingerprints``): each PCM16 WAV payload is
+  framed (``frame`` samples, ``hop`` step), each frame's rfft magnitude
+  spectrum is reduced to one peak bin per log-band, and every anchor
+  peak is paired with the peaks of the next ``fan_out`` frames into a
+  packed ``(f1, f2, dt)`` hash. All of it runs numpy-vectorized inside
+  one Arrow-batched ``mapInPandas`` pass — the per-track work is
+  O(samples · log frame), and the emitted rows are
+  |tracks| × frames × bands × fan_out — linear in audio duration,
+  independent of corpus size.
+
+- **Matching** (``match_fingerprints``): a clip matches a track when
+  many of its hashes co-occur at a CONSISTENT time offset. The join is
+  keyed on the fingerprint hash (uniformly distributed — sha-derived
+  spectra have no hot keys), votes are counted per
+  (clip, track, offset), and the winner per clip is one window. Never
+  clip × corpus: a hash that appears in q clips and c tracks only
+  produces q·c rows for THAT hash, and the offset histogram collapses
+  them immediately.
+
+Scale shape at 100 TB of audio: the fingerprint table is the persisted
+artifact (a Delta table clustered by ``fp`` would let the probe prune
+to the touched hash ranges); matching shuffles |clip fps| + |matching
+corpus fps| rows, never payload bytes; the only driver-side values are
+the frame parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FRAME = 128
+HOP = 64
+FAN_OUT = 3
+# log-ish band edges over the rfft bins of a 128-sample frame (65 bins):
+# one peak per band per frame
+BAND_EDGES = (1, 8, 16, 32, 65)
+
+FP_SCHEMA = "media_id long, t int, fp long"
+
+
+def fingerprint_samples(
+    mono,
+    frame: int = FRAME,
+    hop: int = HOP,
+    fan_out: int = FAN_OUT,
+) -> list[tuple[int, int]]:
+    """Pure-numpy reference fingerprinter for ONE mono float array →
+    [(t, fp)] — the exact algorithm the Spark pass applies per payload
+    (shared so the parity test is definitionally aligned).
+
+    fp packs (f1 << 20) | (f2 << 8) | dt: anchor-frame peak bin, target
+    peak bin, and their frame distance."""
+    import numpy as np
+
+    n = (len(mono) - frame) // hop + 1 if len(mono) >= frame else 0
+    if n <= 0:
+        return []
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    frames = mono[idx]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    peaks = np.empty((n, len(BAND_EDGES) - 1), dtype=np.int64)
+    for b in range(len(BAND_EDGES) - 1):
+        lo, hi = BAND_EDGES[b], BAND_EDGES[b + 1]
+        peaks[:, b] = lo + np.argmax(mag[:, lo:hi], axis=1)
+    out: list[tuple[int, int]] = []
+    for t in range(n):
+        for dt in range(1, fan_out + 1):
+            if t + dt >= n:
+                break
+            for f1 in peaks[t]:
+                for f2 in peaks[t + dt]:
+                    out.append(
+                        (t, (int(f1) << 20) | (int(f2) << 8) | dt)
+                    )
+    return out
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    frame: int = FRAME,
+    hop: int = HOP,
+    fan_out: int = FAN_OUT,
+) -> DataFrame:
+    """(media_id, payload) WAV rows → (media_id, t, fp) constellation
+    hashes. Non-RIFF rows are dropped (mixed-modality tables pass
+    through one filter, not a crash)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from delta_lake_health_spark.operators.multimodal import (
+            wav_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    continue
+                mono = wav_samples(payload).astype(np.float64).mean(axis=1)
+                for t, fp in fingerprint_samples(
+                    mono, frame=frame, hop=hop, fan_out=fan_out
+                ):
+                    rows.append(
+                        {"media_id": int(mid), "t": t, "fp": fp}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "t", "fp"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(fn, FP_SCHEMA)
+
+
+def match_fingerprints(
+    clip_fp: DataFrame, corpus_fp: DataFrame, top: int = 1
+) -> DataFrame:
+    """Best corpus track per clip: join on the hash, vote per
+    (clip, track, frame offset), keep the ``top`` highest-voted rows per
+    clip (votes desc, then track/offset for determinism). Returns
+    (q_media_id, match_media_id, dt, votes, rank)."""
+    q = clip_fp.select(
+        F.col("media_id").alias("q_media_id"),
+        F.col("t").alias("q_t"),
+        "fp",
+    )
+    c = corpus_fp.select(
+        F.col("media_id").alias("match_media_id"),
+        F.col("t").alias("c_t"),
+        "fp",
+    )
+    votes = (
+        q.join(c, "fp")
+        .groupBy(
+            "q_media_id",
+            "match_media_id",
+            (F.col("c_t") - F.col("q_t")).alias("dt"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_media_id").orderBy(
+        F.desc("votes"), "match_media_id", "dt"
+    )
+    return (
+        votes.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select("q_media_id", "match_media_id", "dt", "votes", "rank")
+    )

@@ -263,3 +263,80 @@ def media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M8 — audio fingerprinting (Wang 2003 constellation hashing): clips cut
+# from the fixture's WAV tracks at a known frame offset must match their
+# source track through the hash-join voting path. Rows-only by design
+# (rfft peaks are not SQL-expressible); the algorithm itself is
+# parity-tested against the pure-numpy reference and the expected
+# (source, offset) recovery in tests/test_audio_fp.py.
+_CLIP_ID_BASE = 10_000
+_CLIP_FRAMES = 7  # clip length in analysis frames
+
+
+def _clip_offset_frames(media_id: int) -> int:
+    return 2 + media_id % 3
+
+
+@query("media_audio_fingerprint", None)
+def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut a hop-aligned clip from every WAV track, fingerprint corpus
+    and clips, and recover (source track, frame offset) per clip by
+    constellation voting. Output: one row per clip with its best match."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import audio_fp
+
+    path = ensure_media_fixture()
+    wav = (
+        spark.read.parquet(path)
+        .where(F.col("media_type") == "wav")
+        .select("media_id", "payload")
+    )
+
+    def mk_clips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from delta_lake_health_spark.operators.multimodal import (
+            _decode_wav_header,
+            encode_wav_from_samples,
+            wav_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                d = _decode_wav_header(payload)
+                samples = wav_samples(payload)
+                off = _clip_offset_frames(int(mid)) * audio_fp.HOP
+                end = off + (
+                    audio_fp.FRAME
+                    + (_CLIP_FRAMES - 1) * audio_fp.HOP
+                )
+                clip = samples[off:end]
+                rows.append(
+                    {
+                        "media_id": int(mid) + _CLIP_ID_BASE,
+                        "payload": encode_wav_from_samples(
+                            clip, d["sample_rate"]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    clips = wav.mapInPandas(mk_clips, "media_id long, payload binary")
+    corpus_fp = audio_fp.audio_fingerprints(wav)
+    clip_fp = audio_fp.audio_fingerprints(clips)
+    return (
+        audio_fp.match_fingerprints(clip_fp, corpus_fp, top=1)
+        .select(
+            "q_media_id",
+            "match_media_id",
+            F.col("dt").cast("int").alias("dt"),
+            "votes",
+        )
+        .orderBy("q_media_id")
+    )

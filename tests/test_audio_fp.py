@@ -1,0 +1,128 @@
+"""Audio fingerprinting — operators/audio_fp.py + media_audio_fingerprint
+(M8, constellation hashing per Wang 2003).
+
+Contract: (1) the Spark fingerprint pass is definitionally identical to
+the pure-numpy reference; (2) every hop-aligned clip recovers its source
+track AND its frame offset as the top-1 vote; (3) a clip from a track
+never ties with a foreign track (vote margin is decisive on sha-noise
+audio); (4) hash shape bounds — fp packs (f1, f2, dt) reversibly and the
+per-track row count is frames x bands x fan_out bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.operators import audio_fp
+from delta_lake_health_spark.operators.multimodal import (
+    encode_wav,
+    encode_wav_from_samples,
+    wav_samples,
+)
+from delta_lake_health_spark.plans.media import (
+    _CLIP_ID_BASE,
+    _clip_offset_frames,
+    QUERIES,
+)
+
+
+def _wav_df(spark, ids, n_samples=900, rate=8000):
+    rows = [(i, bytearray(encode_wav(i, n_samples, rate))) for i in ids]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_spark_pass_matches_numpy_reference(spark):
+    payload = encode_wav(42, 1000, 8000)
+    mono = wav_samples(payload).astype(np.float64).mean(axis=1)
+    ref = sorted(audio_fp.fingerprint_samples(mono))
+    df = audio_fp.audio_fingerprints(_wav_df(spark, [42], 1000))
+    got = sorted((r.t, r.fp) for r in df.collect())
+    assert got == ref and len(ref) > 0
+
+
+def test_fp_packing_reversible_and_bounded(spark):
+    df = audio_fp.audio_fingerprints(_wav_df(spark, [1, 2, 3]))
+    rows = df.collect()
+    n_frames = (900 - audio_fp.FRAME) // audio_fp.HOP + 1
+    per_band = len(audio_fp.BAND_EDGES) - 1
+    # per-track bound: frames x bands^2 x fan_out pair budget
+    per_track = {}
+    for r in rows:
+        per_track[r.media_id] = per_track.get(r.media_id, 0) + 1
+        f1, f2, dt = r.fp >> 20, (r.fp >> 8) & 0xFFF, r.fp & 0xFF
+        assert 1 <= dt <= audio_fp.FAN_OUT
+        assert 1 <= f1 < audio_fp.FRAME // 2 + 1
+        assert 1 <= f2 < audio_fp.FRAME // 2 + 1
+        assert 0 <= r.t < n_frames
+    cap = n_frames * per_band * per_band * audio_fp.FAN_OUT
+    assert all(n <= cap for n in per_track.values())
+
+
+def test_clip_recovers_source_and_offset(spark):
+    corpus = _wav_df(spark, [10, 11, 12, 13], 960)
+    off_frames = 3
+    rows = []
+    for r in corpus.collect():
+        s = wav_samples(bytes(r.payload))
+        clip = s[off_frames * audio_fp.HOP :]
+        rows.append(
+            (r.media_id + 100, bytearray(encode_wav_from_samples(clip, 8000)))
+        )
+    clips = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = audio_fp.match_fingerprints(
+        audio_fp.audio_fingerprints(clips),
+        audio_fp.audio_fingerprints(corpus),
+        top=1,
+    ).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r.match_media_id == r.q_media_id - 100
+        assert r.dt == off_frames
+
+
+def test_vote_margin_decisive(spark):
+    """The true source must out-vote every foreign track, not win a
+    coin-flip: top-1 votes >= 3x the runner-up's."""
+    corpus = _wav_df(spark, list(range(20, 28)), 960)
+    src = corpus.where("media_id = 23").collect()[0]
+    clip_samples = wav_samples(bytes(src.payload))[2 * audio_fp.HOP :]
+    clips = spark.createDataFrame(
+        [(999, bytearray(encode_wav_from_samples(clip_samples, 8000)))],
+        "media_id long, payload binary",
+    )
+    top2 = audio_fp.match_fingerprints(
+        audio_fp.audio_fingerprints(clips),
+        audio_fp.audio_fingerprints(corpus),
+        top=2,
+    ).collect()
+    assert top2[0].match_media_id == 23
+    if len(top2) > 1:
+        assert top2[0].votes >= 3 * top2[1].votes
+
+
+def test_registry_query_matches_all_fixture_clips(spark):
+    got = QUERIES["media_audio_fingerprint"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(got) == 8  # the fixture's 8 WAV tracks
+    for r in got:
+        assert r.match_media_id == r.q_media_id - _CLIP_ID_BASE
+        assert r.dt == _clip_offset_frames(r.match_media_id)
+
+
+def test_non_wav_rows_dropped(spark):
+    from delta_lake_health_spark.operators.multimodal import encode_bmp
+
+    mixed = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(1, 900, 8000))),
+            (2, bytearray(encode_bmp(2, 16, 12))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = audio_fp.audio_fingerprints(mixed)
+    assert got.select("media_id").distinct().collect() == [
+        __import__("pyspark").sql.Row(media_id=1)
+    ]
