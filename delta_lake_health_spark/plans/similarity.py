@@ -1390,3 +1390,191 @@ def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_graph.search_graph(
         idx, q, top_k=TOP_K, exclude_same_id=True
     )
+
+
+# --------------------------------------------------------------------------
+# S17 — MMR diversified rerank (Carbonell & Goldstein 1998, "Maximal
+# Marginal Relevance"): from each query's top-M cosine shortlist, pick K
+# results greedily by  lambda*rel - (1-lambda)*max_sim_to_selected  —
+# relevant results that are NOT near-duplicates of each other, the
+# standard rerank between retrieval and context assembly.
+#
+# Spark-first shape: the shortlist (M rows per query) and its pairwise
+# sims (M^2 per query) are computed once and localCheckpointed; each of
+# the K greedy rounds is then one anti-join + one max-aggregate + one
+# per-query window over |Q| x M rows — lock-step across all queries like
+# the beam search, never per-query driver loops. Every selection score
+# is ROUNDed to 6 dp before the argmax (the k-means protocol) so the
+# DuckDB oracle — the same K rounds unrolled as chained CTEs — picks
+# identically.
+_MMR_M = 16
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle_sql() -> str:
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    ctes = [
+        f"e AS ({_SQL_E})",
+        f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e "
+        f"WHERE vec_id < {N_QUERIES})",
+        f"""sl AS (
+          SELECT q_id, vec_id, rel FROM (
+            SELECT q_id, vec_id, {_sql_cos("q_emb", "emb")} AS rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q_id
+                     ORDER BY {_sql_cos("q_emb", "emb")} DESC, vec_id
+                   ) AS srn
+            FROM q JOIN e ON vec_id <> q_id
+          ) WHERE srn <= {_MMR_M}
+        )""",
+        f"""pw AS (
+          SELECT x.q_id, x.vec_id AS a, y.vec_id AS b,
+                 {_sql_cos("ea.emb", "eb.emb")} AS sim
+          FROM sl x
+          JOIN sl y ON x.q_id = y.q_id AND x.vec_id <> y.vec_id
+          JOIN e ea ON ea.vec_id = x.vec_id
+          JOIN e eb ON eb.vec_id = y.vec_id
+        )""",
+        f"""s1 AS (
+          SELECT q_id, vec_id, 1 AS mmr_rank,
+                 ROUND({lam} * rel, 6) AS mmr_score
+          FROM (
+            SELECT q_id, vec_id, rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q_id
+                     ORDER BY ROUND({lam} * rel, 6) DESC, vec_id
+                   ) AS rn
+            FROM sl
+          ) WHERE rn = 1
+        )""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for r in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""s{r} AS (
+          SELECT q_id, vec_id, {r} AS mmr_rank, mmr_score FROM (
+            SELECT c.q_id, c.vec_id,
+                   ROUND({lam} * c.rel - {mu} * m.ms, 6) AS mmr_score,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.q_id
+                     ORDER BY ROUND({lam} * c.rel - {mu} * m.ms, 6) DESC,
+                              c.vec_id
+                   ) AS rn
+            FROM sl c
+            JOIN (
+              SELECT p.q_id, p.a AS vec_id, MAX(p.sim) AS ms
+              FROM pw p JOIN sel{r - 1} s
+                ON p.q_id = s.q_id AND p.b = s.vec_id
+              GROUP BY p.q_id, p.a
+            ) m ON c.q_id = m.q_id AND c.vec_id = m.vec_id
+            WHERE NOT EXISTS (
+              SELECT 1 FROM sel{r - 1} z
+              WHERE z.q_id = c.q_id AND z.vec_id = c.vec_id
+            )
+          ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"sel{r} AS (SELECT * FROM sel{r - 1} "
+            f"UNION ALL SELECT * FROM s{r})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT q_id, vec_id, mmr_rank, mmr_score FROM sel{_MMR_K}"
+        + "\nORDER BY q_id, mmr_rank"
+    )
+
+
+@query("ann_mmr_rerank", _mmr_oracle_sql())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    emb = _with_norm(_emb(spark, sf_dir), "emb", "nrm")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rel = _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))
+    sw = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.col("vec_id"))
+    sl = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", rel.alias("rel"))
+        .withColumn("srn", F.row_number().over(sw))
+        .where(F.col("srn") <= _MMR_M)
+        .select("q_id", "vec_id", "rel")
+        .localCheckpoint()
+    )
+    ev = emb.select("vec_id", "emb", "nrm")
+    x = sl.select("q_id", F.col("vec_id").alias("a")).join(
+        ev.select(
+            F.col("vec_id").alias("a"),
+            F.col("emb").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        ),
+        "a",
+    )
+    y = sl.select("q_id", F.col("vec_id").alias("b")).join(
+        ev.select(
+            F.col("vec_id").alias("b"),
+            F.col("emb").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+        ),
+        "b",
+    )
+    pw = (
+        x.join(y, "q_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "q_id",
+            "a",
+            "b",
+            (
+                _dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+
+    pick_w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.col("vec_id")
+    )
+    first = (
+        sl.withColumn("score", F.round(F.lit(lam) * F.col("rel"), 6))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .where(F.col("rn") == 1)
+        .select(
+            "q_id", "vec_id", F.lit(1).alias("mmr_rank"),
+            F.col("score").alias("mmr_score"),
+        )
+    )
+    sel = first.localCheckpoint()
+    for r in range(2, _MMR_K + 1):
+        ms = (
+            pw.join(
+                sel.select("q_id", F.col("vec_id").alias("b")),
+                ["q_id", "b"],
+            )
+            .groupBy("q_id", F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            sl.join(sel.select("q_id", "vec_id"), ["q_id", "vec_id"],
+                    "left_anti")
+            .join(ms, ["q_id", "vec_id"])
+            .withColumn(
+                "score",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms"), 6
+                ),
+            )
+            .withColumn("rn", F.row_number().over(pick_w))
+            .where(F.col("rn") == 1)
+            .select(
+                "q_id", "vec_id", F.lit(r).alias("mmr_rank"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.orderBy("q_id", "mmr_rank")

@@ -467,3 +467,45 @@ def test_ivf_index_upsert_into_empty_centroid(spark, tmp_path):
     )
     got = ann_index.search(loaded, q, top_k=1).collect()
     assert got[0].vec_id == victims[0] and abs(got[0].cosine - 1.0) < 1e-6
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """S17 contract: (1) rank-1 is the plain relevance argmax; (2) the
+    MMR set's mean intra-set similarity is strictly below the plain
+    top-K set's (averaged over queries) — the whole point of the
+    rerank; (3) every selected id comes from the query's shortlist."""
+    import numpy as np
+
+    mmr = {r.q_id: [] for r in []}
+    got = sim.QUERIES["ann_mmr_rerank"](spark, SF_ORACLE).collect()
+    plain = sim.QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
+    emb = {
+        r.vec_id: np.array(r.emb)
+        for r in sim._emb(spark, SF_ORACLE).collect()
+    }
+
+    def mean_pairwise(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        sims = [
+            float(vs[i] @ vs[j])
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        ]
+        return sum(sims) / len(sims)
+
+    by_q_mmr, by_q_plain = {}, {}
+    for r in got:
+        by_q_mmr.setdefault(r.q_id, []).append((r.mmr_rank, r.vec_id))
+    for r in plain:
+        by_q_plain.setdefault(r.q_id, []).append((r.rn, r.vec_id))
+    assert set(by_q_mmr) == set(by_q_plain)
+    d_mmr, d_plain = [], []
+    for q in by_q_mmr:
+        mmr_ids = [v for _, v in sorted(by_q_mmr[q])]
+        plain_ids = [v for _, v in sorted(by_q_plain[q])]
+        assert len(mmr_ids) == len(set(mmr_ids)) == 5
+        # rank-1 = relevance argmax (lambda*rel with empty penalty)
+        assert mmr_ids[0] == plain_ids[0]
+        d_mmr.append(mean_pairwise(mmr_ids))
+        d_plain.append(mean_pairwise(plain_ids))
+    assert sum(d_mmr) / len(d_mmr) < sum(d_plain) / len(d_plain)
