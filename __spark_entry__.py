@@ -23,83 +23,35 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #       round first,
 #   (3) everything else (freshest green rows) is left unlisted — the
 #       registry appends it in module order past the cap.
-# Round 9: per the VERDICT r8 rotation order — (1) the round's new
-# queries (no driver row yet), (2) queries whose CODE changed this
-# round (incremental bloom index, copy_into identity, distributed
-# reorg probe, the AQE vocab-join rewrite touching the four text
-# consumers), (3) the three r3-aged rows-only sketch entries, (4) the
-# 11 r4-aged oracle rows, then (5) the r6-aged block (delta ops first,
-# then dedup, analytics, events, text, similarity, sketches, media).
-# Everything past the ~50 cap encodes round-10 priority. Goal state
-# after r9: no oracle row's newest green predates r6, no rows-only
-# entry's newest execution predates r8.
+# Round 10: (1) the round's new queries (no driver row yet: DSIR,
+# variant props, MMR rerank, audio fingerprint), (2) queries whose CODE
+# changed this round (graph-init dense ranks -> ann_graph_topk; bloom
+# probe gating -> delta_bloom_point_lookup; copy_into legacy identity ->
+# delta_copy_into_snapshot), (3) the 27 r6-aged oracle rows (the oldest
+# remaining block: delta ops, dedup residue, analytics, events, text,
+# similarity, sketches, media), (4) as much of the r7-aged block as fits
+# the ~50 cap — rows-only approx twins and the ANN family first.
+# Everything past the cap encodes round-11 priority. Goal state after
+# r10: no row's newest green predates r7.
 _VERIFY_FIRST = (
     # (1) NEW this round — no driver row yet
-    "delta_cdc_sync",
-    "ann_graph_topk",
-    "delta_restore_snapshot",
-    "delta_clone_snapshot",
-    "delta_schema_evolution",
-    "delta_generated_columns",
-    "delta_merge_snapshot",
-    "delta_vacuum_snapshot",
+    "text_dsir_weights",
+    "events_props_variant",
+    "ann_mmr_rerank",
+    "media_audio_fingerprint",
     # (2) code changed this round since newest green row
+    "ann_graph_topk",
     "delta_bloom_point_lookup",
     "delta_copy_into_snapshot",
-    "delta_reorg_purge",
-    "text_tfidf_keywords",
-    "text_unigram_surprise",
-    "text_bigram_cross_entropy",
-    "text_bpe_tokenize_fertility",
-    # (3) r3-aged rows-only sketch paths (VERDICT r8 task #1)
-    "sketch_approx_distinct",
-    "sketch_approx_percentiles",
-    "events_windowed_hll_users",
-    # (4) r4-aged oracle rows — the last of the r4 block
-    "corpus_mixture_weights",
-    "dedup_exact",
-    "dedup_exact_stats",
-    "dedup_minhash_pairs",
-    "dedup_semantic_prune",
-    "embedding_scalar_quantize",
-    "events_anomaly_zscore",
-    "events_sequence_pattern",
-    "text_chunk_dedup",
-    "text_pack_sequences",
-    "text_repetition_census",
-    # (5) r6-aged block: delta ops first ...
-    "delta_time_travel_v0",
-    "delta_dv_snapshot",
-    "delta_mv_refresh",
-    "delta_row_changes",
-    "health_analyzer_report",
-    "delta_change_feed",
-    "delta_skipping_prune",
-    "delta_skipping_conjunction",
-    "delta_row_ids",
-    "profile_table_columns",
-    "referential_integrity_audit",
-    # ... then the r6 dedup block ...
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_shingle_duplication",
-    "dedup_keep_corpus",
-    "pipeline_corpus_build",
-    "dedup_incremental_bloom",
-    "dedup_source_overlap",
-    "dedup_graph_pagerank",
-    # ... r6 analytics ...
+    # (3) r6-aged oracle rows — the oldest remaining block
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_values",
     "q16_supplier_part_counts",
     "q20_excess_shipments",
-    # --- past the ~50 cap: remaining r6 rows, encodes round-10 priority
     "revenue_mom_growth",
     "supplier_fulfillment_rate",
     "orders_grouping_sets",
@@ -115,9 +67,60 @@ _VERIFY_FIRST = (
     "ann_pq_adc_topk",
     "knn_label_vote",
     "embedding_matryoshka_census",
+    "embedding_pca_census",
     "sketch_heavy_hitters",
     "sketch_user_overlap",
     "media_decode_roundtrip",
+    # (4) r7-aged block, oldest families first: rows-only approx twins,
+    # media transform, ANN, then assorted
+    "events_value_percentiles_approx",
+    "events_funnel_latency_approx",
+    "events_inter_event_gaps_approx",
+    "media_transform_roundtrip",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "ann_range_search",
+    "ann_filtered_topk",
+    "delta_identity_series",
+    "dedup_minhash_calibration",
+    "corpus_stats",
+    "corpus_epoch_shuffle",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_lang_id",
+    # --- past the ~50 cap: remaining r7 rows, encodes round-11 priority
+    "text_fingerprint",
+    "text_scrub_pii",
+    "text_hash_sample",
+    "text_train_val_test_split",
+    "text_gopher_quality_filter",
+    "text_top_ngrams",
+    "text_split_contamination",
+    "text_language_balance_sample",
+    "text_length_histogram",
+    "text_zipf_slope",
+    "text_hashed_linear_quality",
+    "text_scrub_repeated_spans",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "events_user_stats",
+    "events_purchase_funnel",
+    "events_purchase_attribution",
+    "events_purchase_sessions",
+    "events_sliding_hourly",
+    "events_props_json",
+    "events_type_pivot",
+    "events_daily_retention",
+    "events_funnel_strict_order",
+    "events_session_window_native",
+    "events_activity_heatmap",
+    "events_markov_transitions",
+    "events_user_decay_scores",
+    "events_weekly_cohort_retention",
+    "events_metronome_census",
+    "events_click_to_purchase",
+    "events_click_purchase_nearest",
 )
 
 

@@ -67,6 +67,11 @@ HEADLINE = [
     "media_phash_neardup",
     # round-9 additions
     "ann_graph_topk",
+    # round-10 additions
+    "text_dsir_weights",
+    "ann_mmr_rerank",
+    "media_audio_fingerprint",
+    "events_props_variant",
 ]
 
 
