@@ -39,6 +39,10 @@ _VERIFY_FIRST = (
     "events_props_variant",
     "ann_mmr_rerank",
     "media_audio_fingerprint",
+    "delta_update_snapshot",
+    "delta_optimize_zorder_snapshot",
+    "events_cusum_alerts",
+    "events_user_bursts",
     # (2) code changed this round since newest green row
     "ann_graph_topk",
     "delta_bloom_point_lookup",

@@ -72,6 +72,7 @@ HEADLINE = [
     "ann_mmr_rerank",
     "media_audio_fingerprint",
     "events_props_variant",
+    "events_cusum_alerts",
 ]
 
 
@@ -167,8 +168,9 @@ def main() -> None:
     # embedded the full sf_sweep into that line, pushing it past the
     # capture window -> BENCH_r07.parsed was null. The detailed blocks
     # (sweep timings, delta_ops, attribution notes) now go to STDERR,
-    # and the final stdout line is a compact headline guaranteed <=1,500
-    # chars (guard below drops per-query timings if it ever overflows).
+    # and the final stdout line is a compact headline guaranteed <=1,900
+    # chars — inside the driver's 2,000-char tail capture (guard below
+    # drops per-query timings if it ever overflows).
     detail = {
         "delta_ops": delta_ops,
         "ivfpq_build_sec": ivfpq_build,
@@ -206,7 +208,8 @@ def main() -> None:
         "sf": sf_val,
     }
     line = json.dumps(headline)
-    if len(line) > 1500:  # never let the driver's tail capture truncate us
+    # the driver tail-captures 2,000 chars; 1,900 leaves newline margin
+    if len(line) > 1900:  # never let the driver's tail capture truncate us
         headline.pop("queries")
         headline["n_queries"] = len(timings)
         line = json.dumps(headline)

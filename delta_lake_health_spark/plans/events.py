@@ -1883,3 +1883,144 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# E37 — CUSUM change-point alerts (Page 1954): the classical sequential
+# detector S_t = max(0, S_{t-1} + x_t - k) over each event-type's hourly
+# count series. The recursion LOOKS inherently sequential, but the
+# identity S_t = P_t - min(0, min_{j<=t} P_j) with P the plain cumsum of
+# (x - k) turns it into two running windows — cumulative sum + running
+# min — so the whole detector is one shuffle on the series key and two
+# ordered window passes, no recursion, no UDF, and the DuckDB oracle is
+# the same two windows. Cross-engine float safety: hourly counts are
+# integers, so every aggregate double (mean, cumsum) is order-independent
+# exact and the threshold compare agrees bit-for-bit.
+_CUSUM_SLACK = 0.5  # drift allowance added to the per-series mean
+_CUSUM_H = 4.0      # alert threshold
+
+
+@query(
+    "events_cusum_alerts",
+    f"""
+    WITH hrs AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, AVG(c) AS mu FROM hrs GROUP BY 1
+    ), p AS (
+      SELECT h.event_type, hr, c,
+             SUM(c - mu - {_CUSUM_SLACK}) OVER (
+               PARTITION BY h.event_type ORDER BY hr
+             ) AS pt
+      FROM hrs h JOIN st USING (event_type)
+    ), cu AS (
+      SELECT event_type, hr,
+             pt - LEAST(MIN(pt) OVER (
+               PARTITION BY event_type ORDER BY hr
+             ), 0) AS cusum
+      FROM p
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alert_hours,
+           ROUND(MAX(cusum), 6) AS max_cusum,
+           STRFTIME(MIN(CASE WHEN cusum > {_CUSUM_H} THEN hr END),
+                    '%Y-%m-%d %H:%M:%S') AS first_alert
+    FROM cu GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hrs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    st = hrs.groupBy("event_type").agg(F.avg("c").alias("mu"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = hrs.join(F.broadcast(st), "event_type").withColumn(
+        "pt",
+        F.sum(
+            F.col("c") - F.col("mu") - F.lit(_CUSUM_SLACK)
+        ).over(w),
+    )
+    cu = p.withColumn(
+        "cusum",
+        F.col("pt") - F.least(F.min("pt").over(w), F.lit(0.0)),
+    )
+    alert = F.col("cusum") > _CUSUM_H
+    return (
+        cu.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(alert, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alert_hours"),
+            F.round(F.max("cusum"), 6).alias("max_cusum"),
+            F.min(
+                F.when(
+                    alert,
+                    F.date_format("hr", "yyyy-MM-dd HH:mm:ss"),
+                )
+            ).alias("first_alert"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E38 — Kleinberg burst detection (Kleinberg 2002, 2-state automaton):
+# per-user optimal base/burst labeling of the inter-event gap sequence
+# via a 2-state Viterbi DP. Sequential PER USER, embarrassingly parallel
+# ACROSS users — the applyInPandas contract: each task holds one user's
+# gaps, the shuffle is one user_id exchange, output is three integers per
+# user. Rows-only by design (a Viterbi DP is not SQL-expressible); the
+# shared pure-Python core is parity-tested in tests/test_bursts.py.
+@query("events_user_bursts", None)
+def events_user_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator  # noqa: F401 (signature parity)
+
+    import pandas as pd
+
+    from delta_lake_health_spark.operators.bursts import (
+        kleinberg_two_state,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        times = sorted(pdf["ts_us"].tolist())
+        r = kleinberg_two_state([t / 1e6 for t in times])
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": len(times),
+                    "n_bursts": r["n_bursts"],
+                    "burst_gaps": r["burst_gaps"],
+                    "longest_burst": r["longest_burst"],
+                }
+            ]
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        fn,
+        "user_id long, n_events long, n_bursts long, burst_gaps long,"
+        " longest_burst long",
+    )
+    # top-25 burstiest users via distributed TakeOrdered (orderBy+limit),
+    # then rank the 25 survivors — never a global single-task window
+    # over the |users|-sized frame
+    top = out.orderBy(
+        F.desc("n_bursts"), F.desc("burst_gaps"), F.col("user_id")
+    ).limit(25)
+    w = Window.orderBy(
+        F.desc("n_bursts"), F.desc("burst_gaps"), F.col("user_id")
+    )
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

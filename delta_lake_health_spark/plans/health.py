@@ -1801,3 +1801,145 @@ def delta_vacuum_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "n_rows", "sum_v", "n_orphans_after")
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# D48 — copy-on-write UPDATE, oracle-checked (r10): a grp-partitioned
+# range(1000) table takes two UPDATEs (grp=2: val+=1000; grp=3 AND
+# id>=500: val=-id). The snapshot aggregate must equal the closed form,
+# and the structural column proves the COPY-ON-WRITE contract: every
+# file removed by the two UPDATE commits lives under the touched
+# partition (grp=2 / grp=3) — untouched partitions were never rewritten.
+_UPDATE_FIXTURE = "/tmp/delta_lake_health_spark_fixture/update_table"
+_UPDATE_MARKER = os.path.join(_UPDATE_FIXTURE, "_UPDATE_FIXTURE_COMPLETE")
+
+_UPDATE_ORACLE = """
+    SELECT CAST(id % 4 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN id % 4 = 2 THEN id * 2 + 1000
+                         WHEN id % 4 = 3 AND id >= 500 THEN -id
+                         ELSE id * 2 END) AS BIGINT) AS sum_v,
+           CAST(0 AS BIGINT) AS n_foreign_rewrites,
+           CAST(2 AS BIGINT) AS last_version
+    FROM range(1000) t(id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_update_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_UPDATE_MARKER):
+        return
+    shutil.rmtree(_UPDATE_FIXTURE, ignore_errors=True)
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 4).alias("grp"), (F.col("id") * 2).alias("val")
+    )
+    delta_writer.write(spark, df, _UPDATE_FIXTURE, partition_by=["grp"])
+    delta_writer.update(spark, _UPDATE_FIXTURE, "grp = 2",
+                        {"val": "val + 1000"})
+    delta_writer.update(spark, _UPDATE_FIXTURE, "grp = 3 AND id >= 500",
+                        {"val": "-id"})
+    with open(_UPDATE_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_update_snapshot", _UPDATE_ORACLE)
+def delta_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-UPDATE snapshot aggregate + copy-on-write proof (sf_dir
+    unused — the fixture is scale-independent)."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_update_fixture(spark)
+    log = DeltaLog(spark, _UPDATE_FIXTURE)
+    last = log.version()
+    foreign = 0
+    for v, part in ((1, "grp=2/"), (2, "grp=3/")):
+        for a in delta_writer._version_actions(_UPDATE_FIXTURE, v):
+            if "remove" in a and not a["remove"]["path"].startswith(part):
+                foreign += 1
+    return (
+        log.snapshot()
+        .groupBy(F.col("grp").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_v"),
+        )
+        .withColumn("n_foreign_rewrites", F.lit(foreign).cast("long"))
+        .withColumn("last_version", F.lit(last).cast("long"))
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# D15 + D17 — OPTIMIZE compaction then Z-ORDER, oracle-checked (r10):
+# 32 small files (two 16-partition appends of range(4000)) bin-pack to
+# one file, then the z-order rewrite re-clusters it — and the DATA must
+# be bit-preserved through both dataChange=false rewrites: the per-bucket
+# aggregate equals the closed form, the live-file count and final
+# version land as structural columns.
+_OPT_FIXTURE = "/tmp/delta_lake_health_spark_fixture/optimize_table"
+_OPT_MARKER = os.path.join(_OPT_FIXTURE, "_OPT_FIXTURE_COMPLETE")
+
+_OPT_ORACLE = """
+    SELECT CAST(id % 8 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 3) AS BIGINT) AS sum_v,
+           CAST(1 AS BIGINT) AS n_live_files,
+           CAST(3 AS BIGINT) AS last_version
+    FROM range(4000) t(id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_optimize_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_OPT_MARKER):
+        return
+    shutil.rmtree(_OPT_FIXTURE, ignore_errors=True)
+
+    def mk(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            "id",
+            (F.col("id") % 32).alias("a"),
+            ((F.col("id") / 32).cast("long") % 32).alias("b"),
+            (F.col("id") * 3).alias("val"),
+        )
+
+    delta_writer.write(spark, mk(0, 2000).repartition(16), _OPT_FIXTURE)
+    delta_writer.write(
+        spark, mk(2000, 4000).repartition(16), _OPT_FIXTURE, mode="append"
+    )
+    maintenance.compact(spark, _OPT_FIXTURE)
+    maintenance.zorder_cluster(spark, _OPT_FIXTURE, ["a", "b"])
+    with open(_OPT_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_optimize_zorder_snapshot", _OPT_ORACLE)
+def delta_optimize_zorder_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-OPTIMIZE+ZORDER snapshot aggregate + live-file proof (sf_dir
+    unused — the fixture is scale-independent)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_optimize_fixture(spark)
+    log = DeltaLog(spark, _OPT_FIXTURE)
+    n_live = len(log.live_add_actions())
+    return (
+        log.snapshot()
+        .groupBy((F.col("id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_v"),
+        )
+        .withColumn("n_live_files", F.lit(n_live).cast("long"))
+        .withColumn("last_version", F.lit(log.version()).cast("long"))
+        .orderBy("bucket")
+    )

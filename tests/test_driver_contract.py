@@ -21,8 +21,9 @@ def test_registry_integrity():
     ]
     # only the by-design rows-only queries lack oracles (sketches, the
     # eigendecomposition/iterative-BPE censuses, the r7
-    # percentile_approx twins, and the two-quantizer IVF+PQ composition
-    # — none expressible in the oracle's SQL; each carries a pytest
+    # percentile_approx twins, the two-quantizer IVF+PQ composition,
+    # and the r10 rfft-fingerprint / Viterbi-burst additions — none
+    # expressible in the oracle's SQL; each carries a pytest
     # error-bound/parity test instead)
     assert sorted(set(qs) - set(orc)) == [
         "ann_graph_topk",
@@ -30,8 +31,10 @@ def test_registry_integrity():
         "embedding_pca_census",
         "events_funnel_latency_approx",
         "events_inter_event_gaps_approx",
+        "events_user_bursts",
         "events_value_percentiles_approx",
         "events_windowed_hll_users",
+        "media_audio_fingerprint",
         "sketch_approx_distinct",
         "sketch_approx_percentiles",
         "sketch_heavy_hitters",
