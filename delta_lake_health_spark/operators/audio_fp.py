@@ -69,21 +69,31 @@ def fingerprint_samples(
     idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
     frames = mono[idx]
     mag = np.abs(np.fft.rfft(frames, axis=1))
-    peaks = np.empty((n, len(BAND_EDGES) - 1), dtype=np.int64)
-    for b in range(len(BAND_EDGES) - 1):
+    n_bands = len(BAND_EDGES) - 1
+    peaks = np.empty((n, n_bands), dtype=np.int64)
+    for b in range(n_bands):
         lo, hi = BAND_EDGES[b], BAND_EDGES[b + 1]
         peaks[:, b] = lo + np.argmax(mag[:, lo:hi], axis=1)
-    out: list[tuple[int, int]] = []
-    for t in range(n):
-        for dt in range(1, fan_out + 1):
-            if t + dt >= n:
-                break
-            for f1 in peaks[t]:
-                for f2 in peaks[t + dt]:
-                    out.append(
-                        (t, (int(f1) << 20) | (int(f2) << 8) | dt)
-                    )
-    return out
+    # pair-packing stays vectorized too: for each dt, broadcast the
+    # anchor frames' peaks against the dt-shifted frames' peaks —
+    # (n-dt, bands, bands) hashes per dt, no Python-level inner loops
+    ts_parts, fp_parts = [], []
+    for dt in range(1, fan_out + 1):
+        m = n - dt
+        if m <= 0:
+            break
+        h = (
+            (peaks[:m, :, None] << 20)
+            | (peaks[dt:, None, :] << 8)
+            | dt
+        )
+        ts_parts.append(np.repeat(np.arange(m), n_bands * n_bands))
+        fp_parts.append(h.reshape(-1))
+    if not ts_parts:
+        return []
+    t_all = np.concatenate(ts_parts)
+    fp_all = np.concatenate(fp_parts)
+    return list(zip(t_all.tolist(), fp_all.tolist()))
 
 
 def audio_fingerprints(

@@ -345,10 +345,10 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEX = "0123456789abcdef"
 
 def _spark_bucket256():
-    # built lazily: Column construction needs an active session
-    return (F.instr(F.lit(_HEX), F.substring(F.md5("text"), 31, 1)) - 1) * 16 + (
-        F.instr(F.lit(_HEX), F.substring(F.md5("text"), 32, 1)) - 1
-    )
+    # built lazily: Column construction needs an active session;
+    # delegates to the generalized column-parameterized form (DSIR) so
+    # the bucketing arithmetic has exactly one definition
+    return _spark_bucket256_of("text")
 
 _SQL_BUCKET256 = (
     f"(strpos('{_HEX}', substr(md5(text), 31, 1)) - 1) * 16 + "

@@ -1601,6 +1601,25 @@ def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
             )
 
 
+def _schema_has_variant(dt) -> bool:
+    """True when ``dt`` (a DataType or StructType) contains a
+    VariantType anywhere — top-level, nested in structs, or inside
+    array/map element types."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_variant(dt.keyType) or _schema_has_variant(
+            dt.valueType
+        )
+    return False
+
+
 def write(
     spark: SparkSession,
     df: DataFrame,
@@ -1773,8 +1792,10 @@ def write(
                     else df.repartition(n_out)
                 )
     # VARIANT columns gate the variantType table feature (reader+writer:
-    # the shredded parquet encoding is unreadable without it)
-    needs_variant = '"variant"' in df.schema.json()
+    # the shredded parquet encoding is unreadable without it). A real
+    # type walk, not a schema-JSON substring test — a plain column
+    # NAMED "variant" must not gate anything.
+    needs_variant = _schema_has_variant(df.schema)
 
     before = _list_parquet_rel(table_path)
     writer = df.write.mode("append")
@@ -1816,45 +1837,43 @@ def write(
                 )
             actions.append(_metadata_action(df, partition_by))
         else:
-            if needs_variant:
-                upgrade = _protocol_upgrade_action(
+            if needs_variant and (
+                upgrade := _protocol_upgrade_action(
                     spark, table_path, "variantType"
                 )
-                if upgrade is not None:
-                    actions.append(upgrade)
-        if next_version == 0:
-            pass
-        elif schema_changed:
-            # schema-changing write: re-emit metaData so snapshot() of a
-            # later-emptied table reconstructs the NEW schema; table id and
-            # configuration (constraints) carry over from the current
-            # metadata — re-emitting must not drop them. Identity marks
-            # advanced by this very batch fold into the same action.
-            if hwm_updates and merged_schema is not None:
-                merged_schema = {
-                    **merged_schema,
-                    "fields": _identity_fields(
-                        {**meta_at_validation, "schema": merged_schema},
-                        hwm_updates,
-                    ),
-                }
-            actions.append(
-                _metadata_action(
-                    df, partition_by, merged_schema, existing=meta_at_validation
+            ) is not None:
+                actions.append(upgrade)
+            if schema_changed:
+                # schema-changing write: re-emit metaData so snapshot() of a
+                # later-emptied table reconstructs the NEW schema; table id and
+                # configuration (constraints) carry over from the current
+                # metadata — re-emitting must not drop them. Identity marks
+                # advanced by this very batch fold into the same action.
+                if hwm_updates and merged_schema is not None:
+                    merged_schema = {
+                        **merged_schema,
+                        "fields": _identity_fields(
+                            {**meta_at_validation, "schema": merged_schema},
+                            hwm_updates,
+                        ),
+                    }
+                actions.append(
+                    _metadata_action(
+                        df, partition_by, merged_schema, existing=meta_at_validation
+                    )
                 )
-            )
-        elif hwm_updates:
-            # identity-only metaData re-emit: the schema shape is
-            # unchanged, only the high-water marks moved — committing
-            # them with the data is what makes concurrent identity
-            # writers CONFLICT (metadata change) instead of silently
-            # generating duplicate values
-            actions.append(
-                _identity_metadata_action(
-                    meta_at_validation,
-                    _identity_fields(meta_at_validation, hwm_updates),
+            elif hwm_updates:
+                # identity-only metaData re-emit: the schema shape is
+                # unchanged, only the high-water marks moved — committing
+                # them with the data is what makes concurrent identity
+                # writers CONFLICT (metadata change) instead of silently
+                # generating duplicate values
+                actions.append(
+                    _identity_metadata_action(
+                        meta_at_validation,
+                        _identity_fields(meta_at_validation, hwm_updates),
+                    )
                 )
-            )
         actions.extend(adds)
         now = int(time.time() * 1000)
         for rel in removed:

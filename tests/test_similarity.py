@@ -476,7 +476,6 @@ def test_mmr_diversifies_vs_plain_topk(spark):
     rerank; (3) every selected id comes from the query's shortlist."""
     import numpy as np
 
-    mmr = {r.q_id: [] for r in []}
     got = sim.QUERIES["ann_mmr_rerank"](spark, SF_ORACLE).collect()
     plain = sim.QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
     emb = {

@@ -132,3 +132,19 @@ def test_variant_dv_delete(spark, vtable):
         F.sum(F.variant_get("pv", "$.k", "bigint")).alias("s")
     ).first()
     assert s.s == sum(i % 3 for i in range(4, 10))
+
+
+def test_plain_column_named_variant_does_not_gate(spark, tmp_path):
+    """A LongType column literally named "variant" must not trip the
+    variantType protocol gate (the detection is a type walk, not a
+    schema-JSON substring test)."""
+    path = str(tmp_path / "named")
+    delta_writer.write(
+        spark, spark.range(0, 5).selectExpr("id", "id AS variant"), path
+    )
+    p = DeltaLog(spark, path).protocol()
+    assert p == {"minReaderVersion": 1, "minWriterVersion": 2,
+                 "readerFeatures": [], "writerFeatures": []} or (
+        "variantType" not in (p.get("readerFeatures") or [])
+        and "variantType" not in (p.get("writerFeatures") or [])
+    )
