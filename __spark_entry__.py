@@ -43,6 +43,8 @@ _VERIFY_FIRST = (
     "delta_optimize_zorder_snapshot",
     "events_cusum_alerts",
     "events_user_bursts",
+    "delta_fsck_snapshot",
+    "delta_deep_clone_snapshot",
     # (2) code changed this round since newest green row
     "ann_graph_topk",
     "delta_bloom_point_lookup",

@@ -1943,3 +1943,147 @@ def delta_optimize_zorder_snapshot(
         .withColumn("last_version", F.lit(log.version()).cast("long"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D62 — FSCK REPAIR, oracle-checked (r10): one partition's data file is
+# deleted OUT-OF-BAND (the lost-bucket-prefix incident), FSCK drops its
+# add action, and the snapshot must read cleanly as exactly the
+# surviving partitions — vs the closed form over range() minus the lost
+# residue class. Structural columns carry the repair report.
+_FSCK_FIXTURE = "/tmp/delta_lake_health_spark_fixture/fsck_table"
+_FSCK_MARKER = os.path.join(_FSCK_FIXTURE, "_FSCK_FIXTURE_COMPLETE")
+
+_FSCK_ORACLE = """
+    SELECT CAST(id % 3 AS BIGINT) AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 7) AS BIGINT) AS sum_v,
+           CAST(1 AS BIGINT) AS n_missing_repaired
+    FROM range(600) t(id)
+    WHERE id % 3 <> 1
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_fsck_fixture(spark: SparkSession) -> int:
+    import glob as _glob
+    import shutil
+
+    from delta_lake_health_spark.operators.maintenance import fsck_repair
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_FSCK_MARKER):
+        return 1
+    shutil.rmtree(_FSCK_FIXTURE, ignore_errors=True)
+    base = spark.range(0, 600).select(
+        "id", (F.col("id") % 3).alias("grp"), (F.col("id") * 7).alias("val")
+    )
+    for g in (0, 1, 2):  # one file per partition (coalesced appends)
+        delta_writer.write(
+            spark,
+            base.where(F.col("grp") == g).coalesce(1),
+            _FSCK_FIXTURE,
+            mode="append",
+            partition_by=["grp"],
+        )
+    # the incident: grp=1's only data file vanishes out-of-band
+    (victim,) = _glob.glob(os.path.join(_FSCK_FIXTURE, "grp=1", "*.parquet"))
+    os.remove(victim)
+    m = fsck_repair(spark, _FSCK_FIXTURE)
+    with open(_FSCK_MARKER, "w") as fh:
+        fh.write(str(m["numMissingFiles"]))
+    return int(m["numMissingFiles"])
+
+
+@query("delta_fsck_snapshot", _FSCK_ORACLE)
+def delta_fsck_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-FSCK snapshot aggregate (sf_dir unused — the fixture is
+    scale-independent)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_fsck_fixture(spark)
+    with open(_FSCK_MARKER) as fh:
+        n_missing = int(fh.read().strip())
+    log = DeltaLog(spark, _FSCK_FIXTURE)
+    return (
+        log.snapshot()
+        .groupBy(F.col("grp").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_v"),
+        )
+        .withColumn(
+            "n_missing_repaired", F.lit(n_missing).cast("long")
+        )
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# D60 — DEEP CLONE, oracle-checked (r10): clone a two-commit source,
+# then MUTATE THE SOURCE (delete + append). The clone must read exactly
+# the as-of-clone state — deep copies share nothing with the source —
+# and every live clone file must live under the clone directory
+# (structural column n_foreign_files = 0).
+_DCLONE_SRC = "/tmp/delta_lake_health_spark_fixture/dclone_src"
+_DCLONE_DST = "/tmp/delta_lake_health_spark_fixture/dclone_dst"
+_DCLONE_MARKER = os.path.join(_DCLONE_DST, "_DCLONE_FIXTURE_COMPLETE")
+
+_DCLONE_ORACLE = """
+    SELECT CAST(id % 4 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 11) AS BIGINT) AS sum_v,
+           CAST(0 AS BIGINT) AS n_foreign_files
+    FROM range(700) t(id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_dclone_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_DCLONE_MARKER):
+        return
+    shutil.rmtree(_DCLONE_SRC, ignore_errors=True)
+    shutil.rmtree(_DCLONE_DST, ignore_errors=True)
+
+    def mk(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") * 11).alias("val")
+        )
+
+    delta_writer.write(spark, mk(0, 500), _DCLONE_SRC)
+    delta_writer.write(spark, mk(500, 700), _DCLONE_SRC, mode="append")
+    delta_writer.clone_deep(spark, _DCLONE_SRC, _DCLONE_DST)
+    # source moves on; the deep clone must not notice
+    delta_writer.delete(spark, _DCLONE_SRC, "id < 100")
+    delta_writer.write(spark, mk(900, 950), _DCLONE_SRC, mode="append")
+    with open(_DCLONE_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_deep_clone_snapshot", _DCLONE_ORACLE)
+def delta_deep_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-clone snapshot after source mutation (sf_dir unused — the
+    fixture is scale-independent)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_dclone_fixture(spark)
+    log = DeltaLog(spark, _DCLONE_DST)
+    foreign = sum(
+        1
+        for a in log.live_add_actions()
+        if not os.path.exists(os.path.join(_DCLONE_DST, a["path"]))
+    )
+    return (
+        log.snapshot()
+        .groupBy((F.col("id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_v"),
+        )
+        .withColumn("n_foreign_files", F.lit(foreign).cast("long"))
+        .orderBy("bucket")
+    )
