@@ -45,6 +45,7 @@ _VERIFY_FIRST = (
     "events_user_bursts",
     "delta_fsck_snapshot",
     "delta_deep_clone_snapshot",
+    "sketch_sample_quantiles",
     # (2) code changed this round since newest green row
     "ann_graph_topk",
     "delta_bloom_point_lookup",

@@ -272,3 +272,74 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a string, type_b string, est_users_a long, est_users_b long, "
         "est_shared long, jaccard double",
     )
+
+
+@query("sketch_sample_quantiles", None)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — per-type value quantiles from the deterministic
+    bottom-k-by-hash row sample (operators/psample.py): the
+    ORDER-INVARIANT alternative to GK/t-digest — the k globally
+    smallest row hashes are a deterministic set, so any partitioning,
+    batch or stream, yields the bit-identical sketch (asserted in
+    tests/test_psample.py). Scale shape: one corpus pass builds
+    per-partition bottom-k samples (mapInPandas, numpy); the global
+    bottom-k per type is a window over |partitions| x k tiny rows (each
+    global member is some partition's local member — the KMV covering
+    argument); nearest-rank quantiles come from the <= k sample rows.
+    The corpus never shuffles whole. Rows-only (the sample set isn't
+    SQL-expressible cross-engine); rank-error bounds and the
+    exact-below-k regime are pytest-asserted."""
+    import numpy as np
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import psample
+    from pyspark.sql.window import Window
+
+    SIGN = np.uint64(1 << 63)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+
+    def partial(batches):
+        acc: dict[str, tuple] = {}
+        for pdf in batches:
+            for etype, grp in pdf.groupby("event_type"):
+                sk = psample.sketch(
+                    grp["event_id"].to_numpy(), grp["value"].to_numpy()
+                )
+                prev = acc.get(etype)
+                acc[etype] = sk if prev is None else psample.union(prev, sk)
+        rows = [
+            # sign-bit flip: uint64 hash order == signed long order
+            {"event_type": t, "h": int(h), "v": float(v)}
+            for t, (hs, vs) in acc.items()
+            for h, v in zip((hs ^ SIGN).view(np.int64), vs)
+        ]
+        yield pd.DataFrame(rows, columns=["event_type", "h", "v"])
+
+    parts = ev.mapInPandas(
+        partial, "event_type string, h long, v double"
+    )
+    bw = Window.partitionBy("event_type").orderBy("h")
+    sample = (
+        parts.withColumn("hrn", F.row_number().over(bw))
+        .where(F.col("hrn") <= psample.K)
+        .select("event_type", "v")
+    )
+    vw = Window.partitionBy("event_type").orderBy("v")
+    ranked = sample.withColumn("vrn", F.row_number().over(vw))
+    counts = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample")
+    )
+    ranked = ranked.join(F.broadcast(counts), "event_type")
+    picks = []
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        r = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n_sample")))
+        picks.append(
+            F.max(F.when(F.col("vrn") == r, F.col("v"))).alias(name)
+        )
+    return (
+        ranked.groupBy("event_type")
+        .agg(F.max("n_sample").cast("long").alias("n_sample"), *picks)
+        .orderBy("event_type")
+    )

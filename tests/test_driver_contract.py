@@ -38,6 +38,7 @@ def test_registry_integrity():
         "sketch_approx_distinct",
         "sketch_approx_percentiles",
         "sketch_heavy_hitters",
+        "sketch_sample_quantiles",
         "sketch_user_overlap",
         "text_bpe_tokenize_fertility",
     ]
