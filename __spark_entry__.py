@@ -46,6 +46,7 @@ _VERIFY_FIRST = (
     "delta_fsck_snapshot",
     "delta_deep_clone_snapshot",
     "sketch_sample_quantiles",
+    "delta_hilbert_snapshot",
     # (2) code changed this round since newest green row
     "ann_graph_topk",
     "delta_bloom_point_lookup",

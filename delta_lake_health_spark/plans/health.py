@@ -2087,3 +2087,71 @@ def delta_deep_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_foreign_files", F.lit(foreign).cast("long"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D73 — HILBERT clustering, oracle-checked (r10): the same
+# data-preservation contract as the Z-order row, through the Hilbert
+# rewrite (Skilling transform inside Arrow-batched mapInPandas). The
+# per-bucket aggregate must equal the closed form after the
+# dataChange=false rewrite; structural columns carry the live-file
+# count and version. Locality superiority over Z-order is quantified
+# separately in tests/test_hilbert.py.
+_HILBERT_FIXTURE = "/tmp/delta_lake_health_spark_fixture/hilbert_table"
+_HILBERT_MARKER = os.path.join(_HILBERT_FIXTURE, "_HILBERT_FIXTURE_COMPLETE")
+
+_HILBERT_ORACLE = """
+    SELECT CAST(id % 8 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 5) AS BIGINT) AS sum_v,
+           CAST(3 AS BIGINT) AS last_version
+    FROM range(3000) t(id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_hilbert_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators import maintenance
+    from delta_lake_health_spark.sources import delta_writer
+
+    if os.path.exists(_HILBERT_MARKER):
+        return
+    shutil.rmtree(_HILBERT_FIXTURE, ignore_errors=True)
+
+    def mk(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            "id",
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") / 64).cast("long") % 64).alias("y"),
+            (F.col("id") * 5).alias("val"),
+        )
+
+    delta_writer.write(spark, mk(0, 1500).repartition(8), _HILBERT_FIXTURE)
+    delta_writer.write(
+        spark, mk(1500, 3000).repartition(8), _HILBERT_FIXTURE, mode="append"
+    )
+    maintenance.compact(spark, _HILBERT_FIXTURE)
+    maintenance.hilbert_cluster(spark, _HILBERT_FIXTURE, ["x", "y"])
+    with open(_HILBERT_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_hilbert_snapshot", _HILBERT_ORACLE)
+def delta_hilbert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-HILBERT snapshot aggregate (sf_dir unused — the fixture is
+    scale-independent)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_hilbert_fixture(spark)
+    log = DeltaLog(spark, _HILBERT_FIXTURE)
+    return (
+        log.snapshot()
+        .groupBy((F.col("id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_v"),
+        )
+        .withColumn("last_version", F.lit(log.version()).cast("long"))
+        .orderBy("bucket")
+    )
