@@ -139,7 +139,10 @@ def match_fingerprints(
     """Best corpus track per clip: join on the hash, vote per
     (clip, track, frame offset), keep the ``top`` highest-voted rows per
     clip (votes desc, then track/offset for determinism). Returns
-    (q_media_id, match_media_id, dt, votes, rank)."""
+    (q_media_id, match_media_id, dt, votes, rank). A clip too short to
+    produce any fingerprint (< one analysis frame) has no join rows and
+    is absent from the output — callers wanting explicit misses
+    left-join this result back against their clip list."""
     q = clip_fp.select(
         F.col("media_id").alias("q_media_id"),
         F.col("t").alias("q_t"),

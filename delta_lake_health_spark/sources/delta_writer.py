@@ -2467,8 +2467,23 @@ def convert_to_delta(
             f"directory layout {inferred}"
         )
     schema = spark.read.parquet(table_path).schema
+    # converted variant data needs the same reader+writer gate a fresh
+    # write would stamp — a (1,2) protocol over shredded variant files
+    # would let non-variant engines read bytes they can't decode
+    proto: dict = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["variantType"],
+            "writerFeatures": sorted(
+                {"appendOnly", "invariants", "variantType"}
+            ),
+        }
+        if _schema_has_variant(schema)
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     actions: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": proto},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),

@@ -148,3 +148,21 @@ def test_plain_column_named_variant_does_not_gate(spark, tmp_path):
         "variantType" not in (p.get("readerFeatures") or [])
         and "variantType" not in (p.get("writerFeatures") or [])
     )
+
+
+def test_convert_to_delta_gates_variant(spark, tmp_path):
+    """CONVERT TO DELTA over a directory of shredded-variant parquet must
+    stamp the variantType (3,7) protocol — a (1,2) convert would hand
+    non-variant engines bytes they can't decode."""
+    d = str(tmp_path / "raw")
+    _vdf(spark, 0, 12).write.parquet(d)
+    delta_writer.convert_to_delta(spark, d)
+    p = DeltaLog(spark, d).protocol()
+    assert "variantType" in p["readerFeatures"]
+    assert "variantType" in p["writerFeatures"]
+    snap = DeltaLog(spark, d).snapshot()
+    assert snap.count() == 12
+    s = snap.select(
+        F.sum(F.variant_get("pv", "$.k", "bigint")).alias("s")
+    ).first()
+    assert s.s == sum(i % 3 for i in range(12))
