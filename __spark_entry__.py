@@ -24,7 +24,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #   (3) everything else (freshest green rows) is left unlisted — the
 #       registry appends it in module order past the cap.
 # Round 10: (1) the round's new queries (no driver row yet: DSIR,
-# variant props, MMR rerank, audio fingerprint), (2) queries whose CODE
+# variant props, MMR rerank, audio fingerprint, the UPDATE /
+# OPTIMIZE+ZORDER / FSCK / DEEP-CLONE / HILBERT lifecycle rows, CUSUM
+# alerts, Kleinberg bursts, sample quantiles), (2) queries whose CODE
 # changed this round (graph-init dense ranks -> ann_graph_topk; bloom
 # probe gating -> delta_bloom_point_lookup; copy_into legacy identity ->
 # delta_copy_into_snapshot), (3) the 27 r6-aged oracle rows (the oldest

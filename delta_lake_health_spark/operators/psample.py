@@ -37,14 +37,23 @@ def hash_keys(keys) -> np.ndarray:
     return _splitmix64(np.asarray(keys, dtype=np.int64).view(np.uint64))
 
 
-def sketch(keys, values, k: int = K) -> tuple[np.ndarray, np.ndarray]:
-    """Bottom-k rows by hashed key → (hashes sorted asc, aligned
-    values). Duplicate keys keep one row (idempotent under replay)."""
-    h = hash_keys(keys)
-    v = np.asarray(values, dtype=np.float64)
-    hu, idx = np.unique(h, return_index=True)  # sorts, dedupes keys
+def _bottom_k(h: np.ndarray, v: np.ndarray, k: int):
+    """Dedupe equal hashes (smallest value wins — a DETERMINISTIC
+    tie-break, so merge order can never matter) and keep the k smallest."""
+    order = np.lexsort((v, h))
+    h, v = h[order], v[order]
+    hu, idx = np.unique(h, return_index=True)
     take = min(k, len(hu))
     return hu[:take], v[idx[:take]]
+
+
+def sketch(keys, values, k: int = K) -> tuple[np.ndarray, np.ndarray]:
+    """Bottom-k rows by hashed key → (hashes sorted asc, aligned
+    values). Duplicate keys keep one row (idempotent under replay);
+    ties on hash keep the smallest value."""
+    return _bottom_k(
+        hash_keys(keys), np.asarray(values, dtype=np.float64), k
+    )
 
 
 def union(
@@ -53,12 +62,13 @@ def union(
     k: int = K,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sketch of the union stream: merge by hash, keep the k smallest.
-    Associative, commutative, idempotent — order-invariant merges."""
-    h = np.concatenate([a[0], b[0]])
-    v = np.concatenate([a[1], b[1]])
-    hu, idx = np.unique(h, return_index=True)
-    take = min(k, len(hu))
-    return hu[:take], v[idx[:take]]
+    Associative, commutative, idempotent — order-invariant merges (the
+    min-value tie-break makes equal-hash conflicts operand-order-free)."""
+    return _bottom_k(
+        np.concatenate([a[0], b[0]]),
+        np.concatenate([a[1], b[1]]),
+        k,
+    )
 
 
 def quantiles(sk: tuple[np.ndarray, np.ndarray], qs) -> list[float]:

@@ -1965,7 +1965,9 @@ _FSCK_ORACLE = """
 """
 
 
-def _ensure_fsck_fixture(spark: SparkSession) -> int:
+def _ensure_fsck_fixture(spark: SparkSession) -> None:
+    """Builds the fixture and records the repair count in the marker
+    (the query reads the marker — single source of truth)."""
     import glob as _glob
     import shutil
 
@@ -1973,7 +1975,7 @@ def _ensure_fsck_fixture(spark: SparkSession) -> int:
     from delta_lake_health_spark.sources import delta_writer
 
     if os.path.exists(_FSCK_MARKER):
-        return 1
+        return
     shutil.rmtree(_FSCK_FIXTURE, ignore_errors=True)
     base = spark.range(0, 600).select(
         "id", (F.col("id") % 3).alias("grp"), (F.col("id") * 7).alias("val")
@@ -1992,7 +1994,6 @@ def _ensure_fsck_fixture(spark: SparkSession) -> int:
     m = fsck_repair(spark, _FSCK_FIXTURE)
     with open(_FSCK_MARKER, "w") as fh:
         fh.write(str(m["numMissingFiles"]))
-    return int(m["numMissingFiles"])
 
 
 @query("delta_fsck_snapshot", _FSCK_ORACLE)
@@ -2072,10 +2073,14 @@ def delta_deep_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_dclone_fixture(spark)
     log = DeltaLog(spark, _DCLONE_DST)
+    # an ABSOLUTE add path is foreign by definition (it can only point
+    # outside the clone dir — and os.path.join would otherwise resolve
+    # it to the still-existing source bytes, hiding the regression)
     foreign = sum(
         1
         for a in log.live_add_actions()
-        if not os.path.exists(os.path.join(_DCLONE_DST, a["path"]))
+        if os.path.isabs(a["path"])
+        or not os.path.exists(os.path.join(_DCLONE_DST, a["path"]))
     )
     return (
         log.snapshot()

@@ -320,6 +320,11 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = ev.mapInPandas(
         partial, "event_type string, h long, v double"
     )
+    # cross-partition dedupe mirrors the operator: a replayed row whose
+    # copies land in DIFFERENT partitions emits the same hash twice —
+    # min(v) per (type, hash) is the operator's deterministic tie-break,
+    # so the merged sample is bit-identical under any partitioning
+    parts = parts.groupBy("event_type", "h").agg(F.min("v").alias("v"))
     bw = Window.partitionBy("event_type").orderBy("h")
     sample = (
         parts.withColumn("hrn", F.row_number().over(bw))
@@ -327,11 +332,11 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "v")
     )
     vw = Window.partitionBy("event_type").orderBy("v")
-    ranked = sample.withColumn("vrn", F.row_number().over(vw))
-    counts = sample.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_sample")
+    # rank + count share one window pass — no join, no second scan
+    ranked = sample.withColumn("vrn", F.row_number().over(vw)).withColumn(
+        "n_sample",
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")),
     )
-    ranked = ranked.join(F.broadcast(counts), "event_type")
     picks = []
     for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
         r = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n_sample")))

@@ -99,3 +99,16 @@ def test_registry_query_matches_operator(spark):
         exact = np.sort(np.array(vals))
         true_rank = np.searchsorted(exact, r.p50) / len(exact)
         assert abs(true_rank - 0.5) <= 0.06, et
+
+
+def test_union_commutative_on_hash_ties():
+    """Equal hashes carrying different values (replay with a corrected
+    value, or a 64-bit collision) must merge operand-order-free: the
+    smallest value wins deterministically."""
+    h = np.array([5, 9], dtype=np.uint64)
+    a = (h, np.array([1.0, 7.0]))
+    b = (h, np.array([2.0, 3.0]))
+    ab, ba = psample.union(a, b), psample.union(b, a)
+    assert np.array_equal(ab[0], ba[0])
+    assert np.array_equal(ab[1], ba[1])
+    assert list(ab[1]) == [1.0, 3.0]  # min value per hash
