@@ -49,6 +49,7 @@ _VERIFY_FIRST = (
     "delta_deep_clone_snapshot",
     "sketch_sample_quantiles",
     "delta_hilbert_snapshot",
+    "text_bm25_topk",
     # (2) code changed this round since newest green row
     "ann_graph_topk",
     "delta_bloom_point_lookup",

@@ -73,6 +73,7 @@ HEADLINE = [
     "media_audio_fingerprint",
     "events_props_variant",
     "events_cusum_alerts",
+    "text_bm25_topk",
 ]
 
 

@@ -2298,3 +2298,111 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T33 — BM25 lexical retrieval (Robertson & Zaragoza 2009, the Okapi
+# weighting; idf in the Lucene form ln(1 + (N-df+0.5)/(df+0.5))): the
+# classical sparse-retrieval scorer the dense ANN family (S1..S17)
+# complements — production retrieval almost always fuses both. One
+# narrow token pass restricted to the query terms, a |Q|-row df/idf
+# broadcast, per-doc score fold, top-20 by 6-dp-rounded score (the
+# k-means protocol: rounding before ranking is what makes the DuckDB
+# oracle's ordering bit-identical). Nothing scales with |vocab| — only
+# query-term postings are ever materialized.
+_BM25_QUERY = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dlen FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(dlen) * 1.0 / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w IN {_BM25_QUERY!r}
+      GROUP BY doc_id, w
+    ), idf AS (
+      SELECT w, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w)
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * ({_BM25_K1} + 1) /
+                 (tf.tf + {_BM25_K1} * (1 - {_BM25_B} +
+                  {_BM25_B} * dl.dlen / stats.avgdl))) AS score
+      FROM tf
+      JOIN idf USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25,
+           ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+             AS rank
+    FROM scored
+    ORDER BY rank LIMIT {_BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    dl = docs.select("doc_id", F.size(t).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(t).alias("w"))
+        .where(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    part = (
+        F.col("idf")
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(part), 6).alias("bm25"))
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOP)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "bm25", "rank")
+        .orderBy("rank")
+    )
