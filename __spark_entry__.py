@@ -50,6 +50,7 @@ _VERIFY_FIRST = (
     "sketch_sample_quantiles",
     "delta_hilbert_snapshot",
     "text_bm25_topk",
+    "ann_rrf_fusion",
     # (2) code changed this round since newest green row
     "ann_graph_topk",
     "delta_bloom_point_lookup",

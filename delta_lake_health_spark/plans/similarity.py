@@ -1578,3 +1578,67 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick).localCheckpoint()
     return sel.orderBy("q_id", "mmr_rank")
+
+
+# --------------------------------------------------------------------------
+# S18 — reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+# the exact ranking (S1) with the IVF probe's (S2) by
+# sum(1/(60 + rank)) — the standard hybrid-retrieval combiner, robust
+# to incomparable score scales because only RANKS enter. Both input
+# rankings are themselves oracle-checked, and the oracle here nests
+# their SQL as CTEs and fuses identically — the whole composition is
+# hash-matched end-to-end. Scale shape: the fusion works on the two
+# |Q| x top_k ranking outputs (tiny), never the corpus; whatever the
+# input retrievers cost dominates.
+_RRF_K = 60
+
+
+def _rrf_oracle_sql() -> str:
+    return f"""
+    WITH r1 AS ({ORACLE["ann_bruteforce_topk"]}),
+    r2 AS ({ORACLE["ann_ivf_topk"]}),
+    u AS (
+      SELECT q_id, vec_id, rn FROM r1
+      UNION ALL
+      SELECT q_id, vec_id, rn FROM r2
+    ), f AS (
+      SELECT q_id, vec_id,
+             ROUND(SUM(1.0 / ({_RRF_K} + rn)), 6) AS rrf
+      FROM u GROUP BY q_id, vec_id
+    ), ranked AS (
+      SELECT q_id, vec_id, rrf,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY rrf DESC, vec_id
+             ) AS rank
+      FROM f
+    )
+    SELECT q_id, vec_id, rrf, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+    """
+
+
+@query("ann_rrf_fusion", _rrf_oracle_sql())
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
+        "q_id", "vec_id", "rn"
+    )
+    r2 = QUERIES["ann_ivf_topk"](spark, sf_dir).select(
+        "q_id", "vec_id", "rn"
+    )
+    fused = (
+        r1.unionByName(r2)
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(1.0 / (F.lit(_RRF_K) + F.col("rn"))), 6
+            ).alias("rrf")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.col("vec_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rrf", "rank")
+        .orderBy("q_id", "rank")
+    )
