@@ -112,36 +112,38 @@ _RANK_BUCKETS = 256
 def _dense_ranks(ids: DataFrame) -> DataFrame:
     """(vec_id, rank) with rank DENSE in [0, N) for ANY id domain —
     sparse, negative, or non-contiguous vec_ids all work. Two-phase:
-    bucket-local row_number + a broadcast |buckets| prefix-sum offset
-    (the pareto-census pattern) — no global single-task window."""
-    local = (
-        ids.select(
-            "vec_id",
-            F.pmod(F.xxhash64("vec_id"), F.lit(_RANK_BUCKETS))
-            .cast("int")
-            .alias("bkt"),
-        )
-        .withColumn(
-            "lrn",
-            F.row_number().over(
-                Window.partitionBy("bkt").orderBy("vec_id")
-            )
-            - 1,
-        )
-        .localCheckpoint()
+    bucket-local row_number + a |buckets|-row prefix-sum window whose
+    result broadcasts back (the pareto-census / pack-sequences pattern)
+    — no global single-task window over the ids, and no driver
+    round-trip: the only window ordered globally runs over the
+    _RANK_BUCKETS-row counts frame."""
+    local = ids.select(
+        "vec_id",
+        F.pmod(F.xxhash64("vec_id"), F.lit(_RANK_BUCKETS))
+        .cast("int")
+        .alias("bkt"),
+    ).withColumn(
+        "lrn",
+        F.row_number().over(Window.partitionBy("bkt").orderBy("vec_id"))
+        - 1,
     )
-    counts = {
-        r.bkt: r.n
-        for r in local.groupBy("bkt")
+    offs = (
+        local.groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    offs, acc = [], 0
-    for bkt in sorted(counts):
-        offs.append((int(bkt), acc))
-        acc += counts[bkt]
-    off_df = ids.sparkSession.createDataFrame(offs, "bkt int, off long")
-    return local.join(F.broadcast(off_df), "bkt").select(
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    return local.join(F.broadcast(offs), "bkt").select(
         "vec_id", (F.col("lrn") + F.col("off")).alias("rank")
     )
 

@@ -42,9 +42,21 @@ from pyspark.sql.window import Window
 FRAME = 128
 HOP = 64
 FAN_OUT = 3
-# log-ish band edges over the rfft bins of a 128-sample frame (65 bins):
-# one peak per band per frame
-BAND_EDGES = (1, 8, 16, 32, 65)
+
+
+def _band_edges(frame: int) -> tuple[int, ...]:
+    """Octave-ish band edges over the rfft bins of a ``frame``-sample
+    window (frame//2 + 1 bins, DC excluded): one peak per band per
+    frame. Derived from the frame so every exposed frame size bands the
+    FULL spectrum — a hardcoded edge list would silently ignore the top
+    octaves of a larger frame or crash on a smaller one."""
+    if frame < 32:
+        raise ValueError(f"frame must be >= 32 samples, got {frame}")
+    return (1, frame // 16, frame // 8, frame // 4, frame // 2 + 1)
+
+
+# the default-frame edges, importable for tests/consumers
+BAND_EDGES = _band_edges(FRAME)
 
 FP_SCHEMA = "media_id long, t int, fp long"
 
@@ -69,10 +81,11 @@ def fingerprint_samples(
     idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
     frames = mono[idx]
     mag = np.abs(np.fft.rfft(frames, axis=1))
-    n_bands = len(BAND_EDGES) - 1
+    edges = _band_edges(frame)
+    n_bands = len(edges) - 1
     peaks = np.empty((n, n_bands), dtype=np.int64)
     for b in range(n_bands):
-        lo, hi = BAND_EDGES[b], BAND_EDGES[b + 1]
+        lo, hi = edges[b], edges[b + 1]
         peaks[:, b] = lo + np.argmax(mag[:, lo:hi], axis=1)
     # pair-packing stays vectorized too: for each dt, broadcast the
     # anchor frames' peaks against the dt-shifted frames' peaks —

@@ -1916,9 +1916,9 @@ _CUSUM_H = 4.0      # alert threshold
       FROM hrs h JOIN st USING (event_type)
     ), cu AS (
       SELECT event_type, hr,
-             pt - LEAST(MIN(pt) OVER (
+             ROUND(pt - LEAST(MIN(pt) OVER (
                PARTITION BY event_type ORDER BY hr
-             ), 0) AS cusum
+             ), 0), 6) AS cusum
       FROM p
     )
     SELECT event_type,
@@ -1948,9 +1948,15 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") - F.col("mu") - F.lit(_CUSUM_SLACK)
         ).over(w),
     )
+    # ROUND before the threshold compare (the repo's round-before-rank
+    # protocol): the running sums are sequential in hr order on both
+    # engines today, but the 6-dp snap means an engine changing its
+    # window-sum association order can never flip an alert by one ulp
     cu = p.withColumn(
         "cusum",
-        F.col("pt") - F.least(F.min("pt").over(w), F.lit(0.0)),
+        F.round(
+            F.col("pt") - F.least(F.min("pt").over(w), F.lit(0.0)), 6
+        ),
     )
     alert = F.col("cusum") > _CUSUM_H
     return (
@@ -1982,8 +1988,6 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared pure-Python core is parity-tested in tests/test_bursts.py.
 @query("events_user_bursts", None)
 def events_user_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from typing import Iterator  # noqa: F401 (signature parity)
-
     import pandas as pd
 
     from delta_lake_health_spark.operators.bursts import (

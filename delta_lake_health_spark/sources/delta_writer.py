@@ -148,6 +148,73 @@ def _column_minmax(md) -> tuple[dict, dict]:
     return mins, maxs
 
 
+_DUCK_FOOTER_LOCAL = None
+
+
+def _duckdb_footer_con():
+    """Per-thread cached DuckDB connection for footer reads (connections
+    are not safe for concurrent use; concurrent-writer tests run
+    _add_action from multiple threads)."""
+    global _DUCK_FOOTER_LOCAL
+    import threading
+
+    if _DUCK_FOOTER_LOCAL is None:
+        _DUCK_FOOTER_LOCAL = threading.local()
+    if getattr(_DUCK_FOOTER_LOCAL, "con", None) is None:
+        import duckdb
+
+        _DUCK_FOOTER_LOCAL.con = duckdb.connect()
+    return _DUCK_FOOTER_LOCAL.con
+
+
+def _duckdb_footer_stats(fp: str) -> tuple[int, dict, dict]:
+    """(num_rows, mins, maxs) from a parquet footer DuckDB can read but
+    pyarrow cannot (VARIANT logical type). Typed min/max recovered for
+    TOP-LEVEL INT/FLOAT/DOUBLE/BYTE_ARRAY columns; nested paths (which
+    include every variant leaf) and exotic types are skipped —
+    conservative, same contract as the pyarrow path."""
+    con = _duckdb_footer_con()
+    num_rows = con.sql(
+        "SELECT num_rows FROM parquet_file_metadata(?)", params=[fp]
+    ).fetchone()[0]
+    mins: dict = {}
+    maxs: dict = {}
+    rows = con.sql(
+        "SELECT path_in_schema, type, stats_min_value, stats_max_value"
+        " FROM parquet_metadata(?)",
+        params=[fp],
+    ).fetchall()
+    for path, typ, lo, hi in rows:
+        if ", " in path or lo is None or hi is None:
+            continue
+        try:
+            if typ in ("INT32", "INT64"):
+                lo, hi = int(lo), int(hi)
+            elif typ in ("FLOAT", "DOUBLE"):
+                lo, hi = float(lo), float(hi)
+            elif typ == "BYTE_ARRAY":
+                json.dumps([lo, hi])  # UTF-8/JSON-encodable guard
+            else:
+                continue
+        except (ValueError, TypeError, UnicodeDecodeError):
+            continue
+        if path not in mins or lo < mins[path]:
+            mins[path] = lo
+        if path not in maxs or hi > maxs[path]:
+            maxs[path] = hi
+    for name, lo in list(mins.items()):
+        if isinstance(lo, str):
+            mins[name] = _truncate_min(lo)
+    for name, hi in list(maxs.items()):
+        if isinstance(hi, str):
+            adjusted = _truncate_max(hi)
+            if adjusted is None:
+                del maxs[name]
+            else:
+                maxs[name] = adjusted
+    return int(num_rows), mins, maxs
+
+
 def _add_action(table_path: str, rel: str, data_change: bool = True) -> dict:
     """``data_change=False`` is for data-preserving rewrites (OPTIMIZE /
     z-order / DV purge): the Delta spec requires those adds to carry
@@ -162,19 +229,13 @@ def _add_action(table_path: str, rel: str, data_change: bool = True) -> dict:
     except OSError:
         # Files carrying the parquet VARIANT logical type (Spark 4
         # shredded variant columns) predate this pyarrow's thrift
-        # vocabulary. Per the Delta spec variant columns carry no
-        # min/max stats anyway; recover numRecords from the footer via
-        # DuckDB (a metadata read, no data scan).
-        import duckdb
-
-        con = duckdb.connect()
-        try:
-            num_rows = con.sql(
-                "SELECT num_rows FROM parquet_file_metadata(?)", params=[fp]
-            ).fetchone()[0]
-        finally:
-            con.close()
-        mins, maxs = {}, {}
+        # vocabulary. Recover the footer through DuckDB instead — a
+        # metadata read, no data scan — including typed min/max for the
+        # PLAIN top-level columns, so data skipping on a variant
+        # table's ordinary columns keeps pruning. Variant leaves are
+        # nested paths ("pv, value", ...) and are excluded, matching
+        # the spec's no-stats-for-variant rule.
+        num_rows, mins, maxs = _duckdb_footer_stats(fp)
     stats = {"numRecords": num_rows, "minValues": mins, "maxValues": maxs}
     return {
         "add": {

@@ -74,6 +74,14 @@ def test_variant_add_stats_numrecords(spark, vtable):
     log = DeltaLog(spark, vtable)
     adds = log.live_add_actions()
     assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 10
+    nonempty = [
+        json.loads(a["stats"])
+        for a in adds
+        if json.loads(a["stats"])["numRecords"] > 0
+    ]
+    lo = min(st["minValues"]["id"] for st in nonempty)
+    hi = max(st["maxValues"]["id"] for st in nonempty)
+    assert (lo, hi) == (0, 9)  # plain columns keep skipping stats
     for a in adds:
         st = json.loads(a["stats"])
         assert not any("pv" in k for k in st["minValues"])
