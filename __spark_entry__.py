@@ -51,6 +51,7 @@ _VERIFY_FIRST = (
     "delta_hilbert_snapshot",
     "text_bm25_topk",
     "ann_rrf_fusion",
+    "delta_restore_timestamp_snapshot",
     # (2) code changed this round since newest green row
     "ann_graph_topk",
     "delta_bloom_point_lookup",

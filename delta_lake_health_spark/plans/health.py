@@ -2160,3 +2160,86 @@ def delta_hilbert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_version", F.lit(log.version()).cast("long"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D69 — RESTORE TO TIMESTAMP, oracle-checked (r10): three commits
+# (seed, append, delete), then a RESTORE addressed by the APPEND
+# commit's own logged timestamp — resolution must land at-or-before
+# that commit (the adjusted-clock rules of read-side time travel), so
+# the restored state is exactly seed+append with the later delete
+# undone, vs the closed-form oracle.
+_RTS_FIXTURE = "/tmp/delta_lake_health_spark_fixture/rts_table"
+_RTS_MARKER = os.path.join(_RTS_FIXTURE, "_RTS_FIXTURE_COMPLETE")
+
+_RTS_ORACLE = """
+    SELECT CAST(id % 4 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(id * 13) AS BIGINT) AS sum_v,
+           CAST(3 AS BIGINT) AS last_version
+    FROM range(600) t(id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ensure_rts_fixture(spark: SparkSession) -> None:
+    import shutil
+
+    from delta_lake_health_spark.operators.maintenance import (
+        restore_to_timestamp,
+    )
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    if os.path.exists(_RTS_MARKER):
+        return
+    shutil.rmtree(_RTS_FIXTURE, ignore_errors=True)
+
+    def mk(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") * 13).alias("val")
+        )
+
+    import time as _time
+
+    # distinct milliseconds between ALL commits: same-ms neighbours make
+    # "AS OF <history timestamp>" ambiguous — the adjusted monotonic
+    # series places a same-ms commit one ms past its raw history
+    # timestamp (exactly Delta's DeltaHistoryManager behavior), so a
+    # fast box would resolve v1's raw timestamp to v0
+    delta_writer.write(spark, mk(0, 400), _RTS_FIXTURE)
+    _time.sleep(0.05)
+    delta_writer.write(spark, mk(400, 600), _RTS_FIXTURE, mode="append")
+    _time.sleep(0.05)
+    delta_writer.delete(spark, _RTS_FIXTURE, "id < 50")
+    ts_v1 = {
+        r.version: r.timestamp
+        for r in DeltaLog(spark, _RTS_FIXTURE).history().collect()
+    }[1]
+    restore_to_timestamp(spark, _RTS_FIXTURE, ts_v1)
+    n = DeltaLog(spark, _RTS_FIXTURE).snapshot().count()
+    if n != 600:  # fail loud at build time, not as an oracle mismatch
+        raise RuntimeError(f"RESTORE TO TIMESTAMP landed {n} rows, not 600")
+    with open(_RTS_MARKER, "w") as fh:
+        fh.write("ok")
+
+
+@query("delta_restore_timestamp_snapshot", _RTS_ORACLE)
+def delta_restore_timestamp_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-RESTORE-TO-TIMESTAMP snapshot aggregate (sf_dir unused — the
+    fixture is scale-independent)."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_rts_fixture(spark)
+    log = DeltaLog(spark, _RTS_FIXTURE)
+    return (
+        log.snapshot()
+        .groupBy((F.col("id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_v"),
+        )
+        .withColumn("last_version", F.lit(log.version()).cast("long"))
+        .orderBy("bucket")
+    )

@@ -841,12 +841,30 @@ class DeltaLog:
                 src = src.unionByName(self.actions(use_checkpoint=False))
             except FileNotFoundError:
                 pass  # checkpoint-only log: no commit JSONs retained
+        ci_fields = {
+            f.name
+            for f in src.schema["commitInfo"].dataType.fields  # type: ignore[union-attr]
+        }
+        # report the inCommitTimestamp when present (Delta's DESCRIBE
+        # HISTORY does the same once ICT is enabled): the ICT is the
+        # timestamp `timestampAsOf` resolution uses, so a history row's
+        # timestamp must address ITS OWN version — the wall-clock
+        # commitInfo.timestamp can trail the ICT by a millisecond and
+        # then resolves to the predecessor
+        ts_col = (
+            F.coalesce(
+                F.col("commitInfo.inCommitTimestamp"),
+                F.col("commitInfo.timestamp"),
+            )
+            if "inCommitTimestamp" in ci_fields
+            else F.col("commitInfo.timestamp")
+        )
         out = (
             src.where(F.col("commitInfo").isNotNull())
             .dropDuplicates(["version"])
             .select(
                 "version",
-                F.col("commitInfo.timestamp").alias("timestamp"),
+                ts_col.alias("timestamp"),
                 F.col("commitInfo.operation").alias("operation"),
                 F.col("commitInfo.operationParameters").alias("operationParameters"),
                 F.col("commitInfo.operationMetrics").alias("operationMetrics"),
