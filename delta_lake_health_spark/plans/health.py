@@ -116,7 +116,11 @@ def skew_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure pyarrow at import time (sources/fixture.py), so it exists before
 # either side of the driver's compare runs; both engines read the same
 # files, so metrics agree bit-for-bit.
-from delta_lake_health_spark.sources.fixture import FIXTURE_PATH, ensure_fixture
+from delta_lake_health_spark.sources.fixture import (
+    FIXTURE_PATH,
+    build_once,
+    ensure_fixture,
+)
 
 try:  # never let a /tmp hiccup break module import
     ensure_fixture()
@@ -494,25 +498,22 @@ def _ensure_mv_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators import mv as mv_ops
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_MV_MARKER):
-        return
-    shutil.rmtree(_MV_FIXTURE, ignore_errors=True)
-    shutil.rmtree(_MV_VIEW, ignore_errors=True)
+    def build() -> None:
 
-    def rows(lo: int, hi: int):
-        return spark.range(lo, hi).selectExpr(
-            "id", "CAST(id % 7 AS BIGINT) AS k",
-            "CAST((id * 31) % 101 AS BIGINT) AS v"
-        )
+        def rows(lo: int, hi: int):
+            return spark.range(lo, hi).selectExpr(
+                "id", "CAST(id % 7 AS BIGINT) AS k",
+                "CAST((id * 31) % 101 AS BIGINT) AS v"
+            )
 
-    delta_writer.write(spark, rows(0, 600).repartition(4), _MV_FIXTURE)   # v0
-    mv_ops.create_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
-    delta_writer.write(spark, rows(600, 1000).repartition(4), _MV_FIXTURE)  # v1
-    mv_ops.refresh_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
-    delta_writer.delete_with_dv(spark, _MV_FIXTURE, "id % 10 = 0")        # v2
-    mv_ops.refresh_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
-    with open(_MV_MARKER, "w") as fh:
-        fh.write("ok")
+        delta_writer.write(spark, rows(0, 600).repartition(4), _MV_FIXTURE)   # v0
+        mv_ops.create_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
+        delta_writer.write(spark, rows(600, 1000).repartition(4), _MV_FIXTURE)  # v1
+        mv_ops.refresh_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
+        delta_writer.delete_with_dv(spark, _MV_FIXTURE, "id % 10 = 0")        # v2
+        mv_ops.refresh_mv(spark, _MV_FIXTURE, _MV_VIEW, ["k"], ["v"])
+
+    build_once(_MV_MARKER, build, clean=[_MV_FIXTURE, _MV_VIEW])
 
 
 @query("delta_mv_refresh", _MV_ORACLE)
@@ -740,24 +741,22 @@ def _ensure_rt_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_RT_MARKER):
-        return
-    shutil.rmtree(_RT_FIXTURE, ignore_errors=True)
+    def build() -> None:
 
-    def rows(lo: int, hi: int):
-        return (
-            spark.range(lo, hi)
-            .selectExpr("id", "CAST(id % 7 AS BIGINT) AS k")
-            .orderBy("id")
-            .coalesce(1)
-        )
+        def rows(lo: int, hi: int):
+            return (
+                spark.range(lo, hi)
+                .selectExpr("id", "CAST(id % 7 AS BIGINT) AS k")
+                .orderBy("id")
+                .coalesce(1)
+            )
 
-    delta_writer.write(spark, rows(0, 600), _RT_FIXTURE)       # v0
-    delta_writer.enable_row_tracking(spark, _RT_FIXTURE)       # backfill
-    delta_writer.write(spark, rows(600, 1000), _RT_FIXTURE)    # append
-    delta_writer.delete_with_dv(spark, _RT_FIXTURE, "id % 10 = 0")
-    with open(_RT_MARKER, "w") as fh:
-        fh.write("ok")
+        delta_writer.write(spark, rows(0, 600), _RT_FIXTURE)       # v0
+        delta_writer.enable_row_tracking(spark, _RT_FIXTURE)       # backfill
+        delta_writer.write(spark, rows(600, 1000), _RT_FIXTURE)    # append
+        delta_writer.delete_with_dv(spark, _RT_FIXTURE, "id % 10 = 0")
+
+    build_once(_RT_MARKER, build, clean=[_RT_FIXTURE])
 
 
 @query("delta_row_ids", _RT_ORACLE)
@@ -808,22 +807,20 @@ def _ensure_identity_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_ID_MARKER):
-        return
-    shutil.rmtree(_ID_FIXTURE, ignore_errors=True)
-    seed = spark.range(0, 100).selectExpr(
-        "CAST(id AS STRING) AS name", "CAST(id * 2 AS LONG) AS uid"
-    )
-    delta_writer.write(spark, seed, _ID_FIXTURE)                      # v0
-    delta_writer.set_identity_column(spark, _ID_FIXTURE, "uid")      # hwm=198
+    def build() -> None:
+        seed = spark.range(0, 100).selectExpr(
+            "CAST(id AS STRING) AS name", "CAST(id * 2 AS LONG) AS uid"
+        )
+        delta_writer.write(spark, seed, _ID_FIXTURE)                      # v0
+        delta_writer.set_identity_column(spark, _ID_FIXTURE, "uid")      # hwm=198
 
-    def names(lo: int, hi: int):
-        return spark.range(lo, hi).selectExpr("CAST(id AS STRING) AS name")
+        def names(lo: int, hi: int):
+            return spark.range(lo, hi).selectExpr("CAST(id AS STRING) AS name")
 
-    delta_writer.write(spark, names(100, 350).repartition(4), _ID_FIXTURE)
-    delta_writer.write(spark, names(350, 400).repartition(2), _ID_FIXTURE)
-    with open(_ID_MARKER, "w") as fh:
-        fh.write("ok")
+        delta_writer.write(spark, names(100, 350).repartition(4), _ID_FIXTURE)
+        delta_writer.write(spark, names(350, 400).repartition(2), _ID_FIXTURE)
+
+    build_once(_ID_MARKER, build, clean=[_ID_FIXTURE])
 
 
 @query("delta_identity_series", _ID_ORACLE)
@@ -1065,23 +1062,21 @@ def _ensure_reorg_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_REORG_MARKER):
-        return
-    shutil.rmtree(_REORG_FIXTURE, ignore_errors=True)
-    rows = spark.range(0, 1200).selectExpr(
-        "id",
-        "CONCAT('d', CAST(id % 4 AS STRING)) AS day",
-        "CAST(id * 2 AS BIGINT) AS val",
-        "CAST(id * 7 AS BIGINT) AS junk",
-    )
-    delta_writer.write(
-        spark, rows.repartition(4), _REORG_FIXTURE, partition_by=["day"]
-    )                                                              # v0
-    delta_writer.drop_column(spark, _REORG_FIXTURE, "junk")        # v1
-    delta_writer.delete_with_dv(spark, _REORG_FIXTURE, "id % 9 = 0")  # v2
-    maintenance.reorg_purge(spark, _REORG_FIXTURE)                 # v3+
-    with open(_REORG_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        rows = spark.range(0, 1200).selectExpr(
+            "id",
+            "CONCAT('d', CAST(id % 4 AS STRING)) AS day",
+            "CAST(id * 2 AS BIGINT) AS val",
+            "CAST(id * 7 AS BIGINT) AS junk",
+        )
+        delta_writer.write(
+            spark, rows.repartition(4), _REORG_FIXTURE, partition_by=["day"]
+        )                                                              # v0
+        delta_writer.drop_column(spark, _REORG_FIXTURE, "junk")        # v1
+        delta_writer.delete_with_dv(spark, _REORG_FIXTURE, "id % 9 = 0")  # v2
+        maintenance.reorg_purge(spark, _REORG_FIXTURE)                 # v3+
+
+    build_once(_REORG_MARKER, build, clean=[_REORG_FIXTURE])
 
 
 @query("delta_reorg_purge", _REORG_ORACLE)
@@ -1166,32 +1161,32 @@ def _ensure_copy_fixture(spark: SparkSession) -> int:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_COPY_MARKER):
-        return 0
-    shutil.rmtree(_COPY_FIXTURE, ignore_errors=True)
-    shutil.rmtree(_COPY_SRC, ignore_errors=True)
-    os.makedirs(_COPY_SRC)
-    for k in range(3):
-        ids = list(range(k * 100, (k + 1) * 100))
-        pq.write_table(
-            pa.table(
-                {
-                    "id": pa.array(ids, pa.int64()),
-                    "v": pa.array([i * 3 for i in ids], pa.int64()),
-                }
-            ),
-            os.path.join(_COPY_SRC, f"part-{k}.parquet"),
+    def build() -> None:
+        os.makedirs(_COPY_SRC)
+        for k in range(3):
+            ids = list(range(k * 100, (k + 1) * 100))
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(ids, pa.int64()),
+                        "v": pa.array([i * 3 for i in ids], pa.int64()),
+                    }
+                ),
+                os.path.join(_COPY_SRC, f"part-{k}.parquet"),
+            )
+        seed = spark.range(1000, 1100).selectExpr(
+            "id", "CAST(id * 3 AS BIGINT) AS v"
         )
-    seed = spark.range(1000, 1100).selectExpr(
-        "id", "CAST(id * 3 AS BIGINT) AS v"
-    )
-    delta_writer.write(spark, seed, _COPY_FIXTURE)
-    m1 = delta_writer.copy_into(spark, _COPY_FIXTURE, _COPY_SRC)
-    assert m1["numLoadedFiles"] == 3, m1
-    m2 = delta_writer.copy_into(spark, _COPY_FIXTURE, _COPY_SRC)
-    with open(_COPY_MARKER, "w") as fh:
-        fh.write("ok")
-    return int(m2["numLoadedFiles"])
+        delta_writer.write(spark, seed, _COPY_FIXTURE)
+        m1 = delta_writer.copy_into(spark, _COPY_FIXTURE, _COPY_SRC)
+        assert m1["numLoadedFiles"] == 3, m1
+        m2 = delta_writer.copy_into(spark, _COPY_FIXTURE, _COPY_SRC)
+        # idempotence IS the fixture contract — fail loudly at build
+        # time, not as a downstream oracle mismatch
+        assert m2["numLoadedFiles"] == 0, m2
+
+    build_once(_COPY_MARKER, build, clean=[_COPY_FIXTURE, _COPY_SRC])
+    return 0
 
 
 @query("delta_copy_into_snapshot", _COPY_ORACLE)
@@ -1252,15 +1247,13 @@ def _ensure_bloomix_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators import bloom_index
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_BLOOMIX_MARKER):
-        return
-    shutil.rmtree(_BLOOMIX_FIXTURE, ignore_errors=True)
-    df = spark.range(0, 2400).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v")
-    delta_writer.write(spark, df.repartition(12), _BLOOMIX_FIXTURE)
-    bloom_index.build_bloom_index(spark, _BLOOMIX_FIXTURE, "id")
-    delta_writer.delete_with_dv(spark, _BLOOMIX_FIXTURE, "id = 777")
-    with open(_BLOOMIX_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        df = spark.range(0, 2400).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v")
+        delta_writer.write(spark, df.repartition(12), _BLOOMIX_FIXTURE)
+        bloom_index.build_bloom_index(spark, _BLOOMIX_FIXTURE, "id")
+        delta_writer.delete_with_dv(spark, _BLOOMIX_FIXTURE, "id = 777")
+
+    build_once(_BLOOMIX_MARKER, build, clean=[_BLOOMIX_FIXTURE])
 
 
 @query("delta_bloom_point_lookup", _BLOOMIX_ORACLE)
@@ -1330,33 +1323,39 @@ def _ensure_cdcsync_fixture(spark: SparkSession) -> tuple[int, int]:
     from delta_lake_health_spark.operators.sync import apply_changes
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_CDCSYNC_MARKER):
-        return (0, 0)
-    shutil.rmtree(_CDCSYNC_SRC, ignore_errors=True)
-    shutil.rmtree(_CDCSYNC_DST, ignore_errors=True)
-    delta_writer.write(
-        spark,
-        spark.range(0, 200).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
-        _CDCSYNC_SRC,
-    )
-    m0 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
-    assert m0["seeded"] and m0["numUpserts"] == 200, m0
-    delta_writer.update(spark, _CDCSYNC_SRC, "id % 10 = 3", {"v": "v + 1000"})
-    delta_writer.delete_with_dv(
-        spark, _CDCSYNC_SRC, "id BETWEEN 150 AND 159"
-    )
-    delta_writer.merge(
-        spark,
-        _CDCSYNC_SRC,
-        spark.range(180, 220).selectExpr("id", "CAST(id * 7 AS BIGINT) AS v"),
-        ["id"],
-    )
-    m1 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
-    assert not m1["seeded"] and m1["numDeletes"] == 10, m1
-    m2 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
-    with open(_CDCSYNC_MARKER, "w") as fh:
-        fh.write("ok")
-    return (int(m2["numUpserts"]), int(m2["numDeletes"]))
+    def build() -> None:
+        delta_writer.write(
+            spark,
+            spark.range(0, 200).selectExpr(
+                "id", "CAST(id * 2 AS BIGINT) AS v"
+            ),
+            _CDCSYNC_SRC,
+        )
+        m0 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
+        assert m0["seeded"] and m0["numUpserts"] == 200, m0
+        delta_writer.update(
+            spark, _CDCSYNC_SRC, "id % 10 = 3", {"v": "v + 1000"}
+        )
+        delta_writer.delete_with_dv(
+            spark, _CDCSYNC_SRC, "id BETWEEN 150 AND 159"
+        )
+        delta_writer.merge(
+            spark,
+            _CDCSYNC_SRC,
+            spark.range(180, 220).selectExpr(
+                "id", "CAST(id * 7 AS BIGINT) AS v"
+            ),
+            ["id"],
+        )
+        m1 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
+        assert not m1["seeded"] and m1["numDeletes"] == 10, m1
+        m2 = apply_changes(spark, _CDCSYNC_SRC, _CDCSYNC_DST, ["id"])
+        # re-sync idempotence IS the fixture contract — fail loudly at
+        # build time, not as a downstream oracle mismatch
+        assert m2["numUpserts"] == 0 and m2["numDeletes"] == 0, m2
+
+    build_once(_CDCSYNC_MARKER, build, clean=[_CDCSYNC_SRC, _CDCSYNC_DST])
+    return (0, 0)
 
 
 @query("delta_cdc_sync", _CDCSYNC_ORACLE)
@@ -1410,24 +1409,22 @@ def _ensure_restore_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_RESTORE_MARKER):
-        return
-    shutil.rmtree(_RESTORE_FIXTURE, ignore_errors=True)
-    delta_writer.write(
-        spark,
-        spark.range(0, 100).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
-        _RESTORE_FIXTURE,
-    )
-    delta_writer.write(
-        spark,
-        spark.range(100, 150).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
-        _RESTORE_FIXTURE,
-        mode="append",
-    )
-    delta_writer.delete(spark, _RESTORE_FIXTURE, "id % 10 = 0")
-    maintenance.restore(spark, _RESTORE_FIXTURE, 0)
-    with open(_RESTORE_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        delta_writer.write(
+            spark,
+            spark.range(0, 100).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
+            _RESTORE_FIXTURE,
+        )
+        delta_writer.write(
+            spark,
+            spark.range(100, 150).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
+            _RESTORE_FIXTURE,
+            mode="append",
+        )
+        delta_writer.delete(spark, _RESTORE_FIXTURE, "id % 10 = 0")
+        maintenance.restore(spark, _RESTORE_FIXTURE, 0)
+
+    build_once(_RESTORE_MARKER, build, clean=[_RESTORE_FIXTURE])
 
 
 @query("delta_restore_snapshot", _RESTORE_ORACLE)
@@ -1476,24 +1473,21 @@ def _ensure_clone_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_CLONE_MARKER):
-        return
-    shutil.rmtree(_CLONE_SRC, ignore_errors=True)
-    shutil.rmtree(_CLONE_DST, ignore_errors=True)
-    delta_writer.write(
-        spark,
-        spark.range(0, 80).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v"),
-        _CLONE_SRC,
-    )
-    delta_writer.clone_shallow(spark, _CLONE_SRC, _CLONE_DST)
-    delta_writer.write(
-        spark,
-        spark.range(80, 100).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v"),
-        _CLONE_DST,
-        mode="append",
-    )
-    with open(_CLONE_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        delta_writer.write(
+            spark,
+            spark.range(0, 80).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v"),
+            _CLONE_SRC,
+        )
+        delta_writer.clone_shallow(spark, _CLONE_SRC, _CLONE_DST)
+        delta_writer.write(
+            spark,
+            spark.range(80, 100).selectExpr("id", "CAST(id * 3 AS BIGINT) AS v"),
+            _CLONE_DST,
+            mode="append",
+        )
+
+    build_once(_CLONE_MARKER, build, clean=[_CLONE_SRC, _CLONE_DST])
 
 
 @query("delta_clone_snapshot", _CLONE_ORACLE)
@@ -1552,35 +1546,33 @@ def _ensure_evolution_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_EVOL_MARKER):
-        return
-    shutil.rmtree(_EVOL_FIXTURE, ignore_errors=True)
-    delta_writer.write(
-        spark,
-        spark.range(0, 60).selectExpr("id", "CAST(id * 2 AS INT) AS v"),
-        _EVOL_FIXTURE,
-    )
-    delta_writer.write(  # evolution: adds `extra`
-        spark,
-        spark.range(60, 100).selectExpr(
-            "id", "CAST(id * 2 AS INT) AS v", "CAST(id * 5 AS BIGINT) AS extra"
-        ),
-        _EVOL_FIXTURE,
-        mode="append",
-        merge_schema=True,
-    )
-    delta_writer.write(  # widening: v INT -> BIGINT
-        spark,
-        spark.range(100, 130).selectExpr(
-            "id", "CAST(id * 2 AS BIGINT) AS v",
-            "CAST(id * 5 AS BIGINT) AS extra",
-        ),
-        _EVOL_FIXTURE,
-        mode="append",
-        merge_schema=True,
-    )
-    with open(_EVOL_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        delta_writer.write(
+            spark,
+            spark.range(0, 60).selectExpr("id", "CAST(id * 2 AS INT) AS v"),
+            _EVOL_FIXTURE,
+        )
+        delta_writer.write(  # evolution: adds `extra`
+            spark,
+            spark.range(60, 100).selectExpr(
+                "id", "CAST(id * 2 AS INT) AS v", "CAST(id * 5 AS BIGINT) AS extra"
+            ),
+            _EVOL_FIXTURE,
+            mode="append",
+            merge_schema=True,
+        )
+        delta_writer.write(  # widening: v INT -> BIGINT
+            spark,
+            spark.range(100, 130).selectExpr(
+                "id", "CAST(id * 2 AS BIGINT) AS v",
+                "CAST(id * 5 AS BIGINT) AS extra",
+            ),
+            _EVOL_FIXTURE,
+            mode="append",
+            merge_schema=True,
+        )
+
+    build_once(_EVOL_MARKER, build, clean=[_EVOL_FIXTURE])
 
 
 @query("delta_schema_evolution", _EVOL_ORACLE)
@@ -1626,24 +1618,22 @@ def _ensure_generated_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_GEN_MARKER):
-        return
-    shutil.rmtree(_GEN_FIXTURE, ignore_errors=True)
-    delta_writer.write(
-        spark,
-        spark.range(0, 40).selectExpr("id", "CAST(id * 7 + 1 AS BIGINT) AS g"),
-        _GEN_FIXTURE,
-    )
-    delta_writer.set_generated_column(spark, _GEN_FIXTURE, "g", "id * 7 + 1")
-    for lo, hi in ((40, 90), (90, 120)):
-        delta_writer.write(  # batches OMIT g: the writer must fill it
+    def build() -> None:
+        delta_writer.write(
             spark,
-            spark.range(lo, hi).selectExpr("id"),
+            spark.range(0, 40).selectExpr("id", "CAST(id * 7 + 1 AS BIGINT) AS g"),
             _GEN_FIXTURE,
-            mode="append",
         )
-    with open(_GEN_MARKER, "w") as fh:
-        fh.write("ok")
+        delta_writer.set_generated_column(spark, _GEN_FIXTURE, "g", "id * 7 + 1")
+        for lo, hi in ((40, 90), (90, 120)):
+            delta_writer.write(  # batches OMIT g: the writer must fill it
+                spark,
+                spark.range(lo, hi).selectExpr("id"),
+                _GEN_FIXTURE,
+                mode="append",
+            )
+
+    build_once(_GEN_MARKER, build, clean=[_GEN_FIXTURE])
 
 
 @query("delta_generated_columns", _GEN_ORACLE)
@@ -1695,23 +1685,21 @@ def _ensure_merge_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_MERGE_MARKER):
-        return
-    shutil.rmtree(_MERGE_FIXTURE, ignore_errors=True)
-    delta_writer.write(
-        spark,
-        spark.range(0, 100).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
-        _MERGE_FIXTURE,
-    )
-    delta_writer.merge(
-        spark,
-        _MERGE_FIXTURE,
-        spark.range(60, 130).selectExpr("id", "CAST(id * 9 AS BIGINT) AS v"),
-        ["id"],
-        not_matched_by_source_delete="id < 20",
-    )
-    with open(_MERGE_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        delta_writer.write(
+            spark,
+            spark.range(0, 100).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v"),
+            _MERGE_FIXTURE,
+        )
+        delta_writer.merge(
+            spark,
+            _MERGE_FIXTURE,
+            spark.range(60, 130).selectExpr("id", "CAST(id * 9 AS BIGINT) AS v"),
+            ["id"],
+            not_matched_by_source_delete="id < 20",
+        )
+
+    build_once(_MERGE_MARKER, build, clean=[_MERGE_FIXTURE])
 
 
 @query("delta_merge_snapshot", _MERGE_ORACLE)
@@ -1759,23 +1747,21 @@ def _ensure_vacuum_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_VACUUM_MARKER):
-        return
-    shutil.rmtree(_VACUUM_FIXTURE, ignore_errors=True)
-    delta_writer.write(
-        spark,
-        spark.range(0, 100).selectExpr("id", "CAST(id * 4 AS BIGINT) AS v"),
-        _VACUUM_FIXTURE,
-        partition_by=None,
-    )
-    delta_writer.delete(spark, _VACUUM_FIXTURE, "id < 30")
-    # plant a true orphan (a crashed writer's debris)
-    spark.range(0, 5).selectExpr("id", "CAST(0 AS BIGINT) AS v").coalesce(
-        1
-    ).write.mode("append").parquet(_VACUUM_FIXTURE)
-    maintenance.vacuum(spark, _VACUUM_FIXTURE, retention_hours=0.0)
-    with open(_VACUUM_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        delta_writer.write(
+            spark,
+            spark.range(0, 100).selectExpr("id", "CAST(id * 4 AS BIGINT) AS v"),
+            _VACUUM_FIXTURE,
+            partition_by=None,
+        )
+        delta_writer.delete(spark, _VACUUM_FIXTURE, "id < 30")
+        # plant a true orphan (a crashed writer's debris)
+        spark.range(0, 5).selectExpr("id", "CAST(0 AS BIGINT) AS v").coalesce(
+            1
+        ).write.mode("append").parquet(_VACUUM_FIXTURE)
+        maintenance.vacuum(spark, _VACUUM_FIXTURE, retention_hours=0.0)
+
+    build_once(_VACUUM_MARKER, build, clean=[_VACUUM_FIXTURE])
 
 
 @query("delta_vacuum_snapshot", _VACUUM_ORACLE)
@@ -1830,19 +1816,17 @@ def _ensure_update_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_UPDATE_MARKER):
-        return
-    shutil.rmtree(_UPDATE_FIXTURE, ignore_errors=True)
-    df = spark.range(0, 1000).select(
-        "id", (F.col("id") % 4).alias("grp"), (F.col("id") * 2).alias("val")
-    )
-    delta_writer.write(spark, df, _UPDATE_FIXTURE, partition_by=["grp"])
-    delta_writer.update(spark, _UPDATE_FIXTURE, "grp = 2",
-                        {"val": "val + 1000"})
-    delta_writer.update(spark, _UPDATE_FIXTURE, "grp = 3 AND id >= 500",
-                        {"val": "-id"})
-    with open(_UPDATE_MARKER, "w") as fh:
-        fh.write("ok")
+    def build() -> None:
+        df = spark.range(0, 1000).select(
+            "id", (F.col("id") % 4).alias("grp"), (F.col("id") * 2).alias("val")
+        )
+        delta_writer.write(spark, df, _UPDATE_FIXTURE, partition_by=["grp"])
+        delta_writer.update(spark, _UPDATE_FIXTURE, "grp = 2",
+                            {"val": "val + 1000"})
+        delta_writer.update(spark, _UPDATE_FIXTURE, "grp = 3 AND id >= 500",
+                            {"val": "-id"})
+
+    build_once(_UPDATE_MARKER, build, clean=[_UPDATE_FIXTURE])
 
 
 @query("delta_update_snapshot", _UPDATE_ORACLE)
@@ -1899,26 +1883,24 @@ def _ensure_optimize_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_OPT_MARKER):
-        return
-    shutil.rmtree(_OPT_FIXTURE, ignore_errors=True)
+    def build() -> None:
 
-    def mk(lo: int, hi: int) -> DataFrame:
-        return spark.range(lo, hi).select(
-            "id",
-            (F.col("id") % 32).alias("a"),
-            ((F.col("id") / 32).cast("long") % 32).alias("b"),
-            (F.col("id") * 3).alias("val"),
+        def mk(lo: int, hi: int) -> DataFrame:
+            return spark.range(lo, hi).select(
+                "id",
+                (F.col("id") % 32).alias("a"),
+                ((F.col("id") / 32).cast("long") % 32).alias("b"),
+                (F.col("id") * 3).alias("val"),
+            )
+
+        delta_writer.write(spark, mk(0, 2000).repartition(16), _OPT_FIXTURE)
+        delta_writer.write(
+            spark, mk(2000, 4000).repartition(16), _OPT_FIXTURE, mode="append"
         )
+        maintenance.compact(spark, _OPT_FIXTURE)
+        maintenance.zorder_cluster(spark, _OPT_FIXTURE, ["a", "b"])
 
-    delta_writer.write(spark, mk(0, 2000).repartition(16), _OPT_FIXTURE)
-    delta_writer.write(
-        spark, mk(2000, 4000).repartition(16), _OPT_FIXTURE, mode="append"
-    )
-    maintenance.compact(spark, _OPT_FIXTURE)
-    maintenance.zorder_cluster(spark, _OPT_FIXTURE, ["a", "b"])
-    with open(_OPT_MARKER, "w") as fh:
-        fh.write("ok")
+    build_once(_OPT_MARKER, build, clean=[_OPT_FIXTURE])
 
 
 @query("delta_optimize_zorder_snapshot", _OPT_ORACLE)
@@ -1974,26 +1956,26 @@ def _ensure_fsck_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators.maintenance import fsck_repair
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_FSCK_MARKER):
-        return
-    shutil.rmtree(_FSCK_FIXTURE, ignore_errors=True)
-    base = spark.range(0, 600).select(
-        "id", (F.col("id") % 3).alias("grp"), (F.col("id") * 7).alias("val")
-    )
-    for g in (0, 1, 2):  # one file per partition (coalesced appends)
-        delta_writer.write(
-            spark,
-            base.where(F.col("grp") == g).coalesce(1),
-            _FSCK_FIXTURE,
-            mode="append",
-            partition_by=["grp"],
+    def build() -> None:
+        base = spark.range(0, 600).select(
+            "id", (F.col("id") % 3).alias("grp"), (F.col("id") * 7).alias("val")
         )
-    # the incident: grp=1's only data file vanishes out-of-band
-    (victim,) = _glob.glob(os.path.join(_FSCK_FIXTURE, "grp=1", "*.parquet"))
-    os.remove(victim)
-    m = fsck_repair(spark, _FSCK_FIXTURE)
-    with open(_FSCK_MARKER, "w") as fh:
-        fh.write(str(m["numMissingFiles"]))
+        for g in (0, 1, 2):  # one file per partition (coalesced appends)
+            delta_writer.write(
+                spark,
+                base.where(F.col("grp") == g).coalesce(1),
+                _FSCK_FIXTURE,
+                mode="append",
+                partition_by=["grp"],
+            )
+        # the incident: grp=1's only data file vanishes out-of-band
+        (victim,) = _glob.glob(os.path.join(_FSCK_FIXTURE, "grp=1", "*.parquet"))
+        os.remove(victim)
+        m = fsck_repair(spark, _FSCK_FIXTURE)
+        with open(_FSCK_MARKER + ".value", "w") as fh:
+                fh.write(str(m["numMissingFiles"]))
+
+    build_once(_FSCK_MARKER, build, clean=[_FSCK_FIXTURE])
 
 
 @query("delta_fsck_snapshot", _FSCK_ORACLE)
@@ -2003,7 +1985,7 @@ def delta_fsck_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     _ensure_fsck_fixture(spark)
-    with open(_FSCK_MARKER) as fh:
+    with open(_FSCK_MARKER + ".value") as fh:
         n_missing = int(fh.read().strip())
     log = DeltaLog(spark, _FSCK_FIXTURE)
     return (
@@ -2045,24 +2027,21 @@ def _ensure_dclone_fixture(spark: SparkSession) -> None:
 
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_DCLONE_MARKER):
-        return
-    shutil.rmtree(_DCLONE_SRC, ignore_errors=True)
-    shutil.rmtree(_DCLONE_DST, ignore_errors=True)
+    def build() -> None:
 
-    def mk(lo: int, hi: int) -> DataFrame:
-        return spark.range(lo, hi).select(
-            "id", (F.col("id") * 11).alias("val")
-        )
+        def mk(lo: int, hi: int) -> DataFrame:
+            return spark.range(lo, hi).select(
+                "id", (F.col("id") * 11).alias("val")
+            )
 
-    delta_writer.write(spark, mk(0, 500), _DCLONE_SRC)
-    delta_writer.write(spark, mk(500, 700), _DCLONE_SRC, mode="append")
-    delta_writer.clone_deep(spark, _DCLONE_SRC, _DCLONE_DST)
-    # source moves on; the deep clone must not notice
-    delta_writer.delete(spark, _DCLONE_SRC, "id < 100")
-    delta_writer.write(spark, mk(900, 950), _DCLONE_SRC, mode="append")
-    with open(_DCLONE_MARKER, "w") as fh:
-        fh.write("ok")
+        delta_writer.write(spark, mk(0, 500), _DCLONE_SRC)
+        delta_writer.write(spark, mk(500, 700), _DCLONE_SRC, mode="append")
+        delta_writer.clone_deep(spark, _DCLONE_SRC, _DCLONE_DST)
+        # source moves on; the deep clone must not notice
+        delta_writer.delete(spark, _DCLONE_SRC, "id < 100")
+        delta_writer.write(spark, mk(900, 950), _DCLONE_SRC, mode="append")
+
+    build_once(_DCLONE_MARKER, build, clean=[_DCLONE_SRC, _DCLONE_DST])
 
 
 @query("delta_deep_clone_snapshot", _DCLONE_ORACLE)
@@ -2120,26 +2099,24 @@ def _ensure_hilbert_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
 
-    if os.path.exists(_HILBERT_MARKER):
-        return
-    shutil.rmtree(_HILBERT_FIXTURE, ignore_errors=True)
+    def build() -> None:
 
-    def mk(lo: int, hi: int) -> DataFrame:
-        return spark.range(lo, hi).select(
-            "id",
-            (F.col("id") % 64).alias("x"),
-            ((F.col("id") / 64).cast("long") % 64).alias("y"),
-            (F.col("id") * 5).alias("val"),
+        def mk(lo: int, hi: int) -> DataFrame:
+            return spark.range(lo, hi).select(
+                "id",
+                (F.col("id") % 64).alias("x"),
+                ((F.col("id") / 64).cast("long") % 64).alias("y"),
+                (F.col("id") * 5).alias("val"),
+            )
+
+        delta_writer.write(spark, mk(0, 1500).repartition(8), _HILBERT_FIXTURE)
+        delta_writer.write(
+            spark, mk(1500, 3000).repartition(8), _HILBERT_FIXTURE, mode="append"
         )
+        maintenance.compact(spark, _HILBERT_FIXTURE)
+        maintenance.hilbert_cluster(spark, _HILBERT_FIXTURE, ["x", "y"])
 
-    delta_writer.write(spark, mk(0, 1500).repartition(8), _HILBERT_FIXTURE)
-    delta_writer.write(
-        spark, mk(1500, 3000).repartition(8), _HILBERT_FIXTURE, mode="append"
-    )
-    maintenance.compact(spark, _HILBERT_FIXTURE)
-    maintenance.hilbert_cluster(spark, _HILBERT_FIXTURE, ["x", "y"])
-    with open(_HILBERT_MARKER, "w") as fh:
-        fh.write("ok")
+    build_once(_HILBERT_MARKER, build, clean=[_HILBERT_FIXTURE])
 
 
 @query("delta_hilbert_snapshot", _HILBERT_ORACLE)
@@ -2190,37 +2167,35 @@ def _ensure_rts_fixture(spark: SparkSession) -> None:
     from delta_lake_health_spark.sources import delta_writer
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-    if os.path.exists(_RTS_MARKER):
-        return
-    shutil.rmtree(_RTS_FIXTURE, ignore_errors=True)
+    def build() -> None:
 
-    def mk(lo: int, hi: int) -> DataFrame:
-        return spark.range(lo, hi).select(
-            "id", (F.col("id") * 13).alias("val")
-        )
+        def mk(lo: int, hi: int) -> DataFrame:
+            return spark.range(lo, hi).select(
+                "id", (F.col("id") * 13).alias("val")
+            )
 
-    import time as _time
+        import time as _time
 
-    # distinct milliseconds between ALL commits: same-ms neighbours make
-    # "AS OF <history timestamp>" ambiguous — the adjusted monotonic
-    # series places a same-ms commit one ms past its raw history
-    # timestamp (exactly Delta's DeltaHistoryManager behavior), so a
-    # fast box would resolve v1's raw timestamp to v0
-    delta_writer.write(spark, mk(0, 400), _RTS_FIXTURE)
-    _time.sleep(0.05)
-    delta_writer.write(spark, mk(400, 600), _RTS_FIXTURE, mode="append")
-    _time.sleep(0.05)
-    delta_writer.delete(spark, _RTS_FIXTURE, "id < 50")
-    ts_v1 = {
-        r.version: r.timestamp
-        for r in DeltaLog(spark, _RTS_FIXTURE).history().collect()
-    }[1]
-    restore_to_timestamp(spark, _RTS_FIXTURE, ts_v1)
-    n = DeltaLog(spark, _RTS_FIXTURE).snapshot().count()
-    if n != 600:  # fail loud at build time, not as an oracle mismatch
-        raise RuntimeError(f"RESTORE TO TIMESTAMP landed {n} rows, not 600")
-    with open(_RTS_MARKER, "w") as fh:
-        fh.write("ok")
+        # distinct milliseconds between ALL commits: same-ms neighbours make
+        # "AS OF <history timestamp>" ambiguous — the adjusted monotonic
+        # series places a same-ms commit one ms past its raw history
+        # timestamp (exactly Delta's DeltaHistoryManager behavior), so a
+        # fast box would resolve v1's raw timestamp to v0
+        delta_writer.write(spark, mk(0, 400), _RTS_FIXTURE)
+        _time.sleep(0.05)
+        delta_writer.write(spark, mk(400, 600), _RTS_FIXTURE, mode="append")
+        _time.sleep(0.05)
+        delta_writer.delete(spark, _RTS_FIXTURE, "id < 50")
+        ts_v1 = {
+            r.version: r.timestamp
+            for r in DeltaLog(spark, _RTS_FIXTURE).history().collect()
+        }[1]
+        restore_to_timestamp(spark, _RTS_FIXTURE, ts_v1)
+        n = DeltaLog(spark, _RTS_FIXTURE).snapshot().count()
+        if n != 600:  # fail loud at build time, not as an oracle mismatch
+            raise RuntimeError(f"RESTORE TO TIMESTAMP landed {n} rows, not 600")
+
+    build_once(_RTS_MARKER, build, clean=[_RTS_FIXTURE])
 
 
 @query("delta_restore_timestamp_snapshot", _RTS_ORACLE)

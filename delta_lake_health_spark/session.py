@@ -31,6 +31,11 @@ def get_spark(app_name: str = "delta-lake-health-spark") -> SparkSession:
         # Arrow for every pandas_udf / mapInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros, not legacy INT96: the parquet spec defines no
+        # sort order for INT96, so writers omit its min/max stats and
+        # timestamp columns lose data skipping entirely. Micros is what
+        # Delta writers emit.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -167,16 +167,68 @@ def _duckdb_footer_con():
     return _DUCK_FOOTER_LOCAL.con
 
 
+def _duckdb_schema_types(con, fp: str) -> tuple[dict, set]:
+    """(leaf_types, variant_groups) from ``parquet_schema``: full-path
+    tuple → (physical, converted, logical) for every leaf, plus the path
+    tuples of variant-encoded groups. DuckDB reports no logical type for
+    VARIANT, so detection is structural — a group whose direct leaf
+    children include ``metadata`` and ``value`` BYTE_ARRAYs (the spec's
+    variant encoding; a false positive on a coincidental user struct
+    only skips stats, never mis-prunes)."""
+    rows = con.sql(
+        "SELECT name, type, num_children, converted_type, logical_type"
+        " FROM parquet_schema(?)",
+        params=[fp],
+    ).fetchall()
+    leaf_types: dict = {}
+    group_leaf_kids: dict = {}
+    # preorder walk: each row is the next child of the deepest open group
+    stack: list = []  # [path_tuple, remaining_children]
+    it = iter(rows)
+    root = next(it, None)
+    if root is None:
+        return {}, set()
+    stack.append([(), int(root[2] or 0)])
+    for name, phys, nchild, conv, logical in it:
+        while stack and stack[-1][1] == 0:
+            stack.pop()
+        if not stack:
+            break
+        path = stack[-1][0] + (name,)
+        stack[-1][1] -= 1
+        if nchild and int(nchild) > 0:
+            group_leaf_kids[path] = []
+            stack.append([path, int(nchild)])
+        else:
+            leaf_types[path] = (phys, conv, logical)
+            parent = path[:-1]
+            if parent in group_leaf_kids:
+                group_leaf_kids[parent].append((name, phys))
+    variant_groups = {
+        p
+        for p, kids in group_leaf_kids.items()
+        if {"metadata", "value"}
+        <= {n for n, t in kids if t == "BYTE_ARRAY"}
+    }
+    return leaf_types, variant_groups
+
+
 def _duckdb_footer_stats(fp: str) -> tuple[int, dict, dict]:
     """(num_rows, mins, maxs) from a parquet footer DuckDB can read but
-    pyarrow cannot (VARIANT logical type). Typed min/max recovered for
-    TOP-LEVEL INT/FLOAT/DOUBLE/BYTE_ARRAY columns; nested paths (which
-    include every variant leaf) and exotic types are skipped —
-    conservative, same contract as the pyarrow path."""
+    pyarrow cannot (VARIANT logical type). Same contract as the pyarrow
+    path: typed bounds for INT/FLOAT/DOUBLE/BYTE_ARRAY, ISO-format
+    strings for TIMESTAMP/DATE/INT96 (DuckDB renders those stats as
+    formatted time strings, mapped back to the pyarrow ``isoformat``
+    shape), dotted paths for plain nested struct leaves. Every leaf
+    under a variant-encoded group is skipped (the spec's
+    no-stats-for-variant rule)."""
+    import datetime as _dt
+
     con = _duckdb_footer_con()
     num_rows = con.sql(
         "SELECT num_rows FROM parquet_file_metadata(?)", params=[fp]
     ).fetchone()[0]
+    leaf_types, variant_groups = _duckdb_schema_types(con, fp)
     mins: dict = {}
     maxs: dict = {}
     rows = con.sql(
@@ -185,23 +237,42 @@ def _duckdb_footer_stats(fp: str) -> tuple[int, dict, dict]:
         params=[fp],
     ).fetchall()
     for path, typ, lo, hi in rows:
-        if ", " in path or lo is None or hi is None:
+        if lo is None or hi is None:
             continue
+        ptuple = tuple(path.split(", "))
+        if any(ptuple[:i] in variant_groups for i in range(1, len(ptuple))):
+            continue
+        _, conv, logical = leaf_types.get(ptuple, (typ, None, None))
+        conv = conv or ""
+        logical = logical or ""
+        dotted = ".".join(ptuple)
         try:
-            if typ in ("INT32", "INT64"):
+            if (
+                typ == "INT96"
+                or conv.startswith("TIMESTAMP")
+                or logical.startswith("TimestampType")
+            ):
+                lo = _dt.datetime.fromisoformat(lo).isoformat()
+                hi = _dt.datetime.fromisoformat(hi).isoformat()
+            elif conv == "DATE" or logical.startswith("DateType"):
+                lo = _dt.date.fromisoformat(lo).isoformat()
+                hi = _dt.date.fromisoformat(hi).isoformat()
+            elif typ in ("INT32", "INT64"):
                 lo, hi = int(lo), int(hi)
             elif typ in ("FLOAT", "DOUBLE"):
                 lo, hi = float(lo), float(hi)
-            elif typ == "BYTE_ARRAY":
+            elif typ == "BYTE_ARRAY" and not conv.startswith(
+                ("DECIMAL", "INTERVAL")
+            ):
                 json.dumps([lo, hi])  # UTF-8/JSON-encodable guard
             else:
                 continue
         except (ValueError, TypeError, UnicodeDecodeError):
             continue
-        if path not in mins or lo < mins[path]:
-            mins[path] = lo
-        if path not in maxs or hi > maxs[path]:
-            maxs[path] = hi
+        if dotted not in mins or lo < mins[dotted]:
+            mins[dotted] = lo
+        if dotted not in maxs or hi > maxs[dotted]:
+            maxs[dotted] = hi
     for name, lo in list(mins.items()):
         if isinstance(lo, str):
             mins[name] = _truncate_min(lo)
@@ -511,9 +582,19 @@ def _protocol_upgrade_action(
             proto["readerFeatures"] = sorted(set(p["readerFeatures"]))
         return {"protocol": proto}
     if feature in ("deletionVectors", "v2Checkpoint", "variantType"):
-        # table-features-only capabilities: upgrade to (3, 7) and
-        # enumerate every feature the table already relies on
-        if w >= 7 and feature in p["writerFeatures"]:
+        # table-features-only capabilities — reader AND writer gated:
+        # upgrade to (3, 7) and enumerate every feature the table
+        # already relies on. "Already enabled" requires the feature on
+        # BOTH sides: a foreign (3,7) table listing it only as a writer
+        # feature would otherwise never get the reader-side gate, and
+        # engines without the capability would read bytes they cannot
+        # decode (ADVICE r10).
+        if (
+            w >= 7
+            and r >= 3
+            and feature in p["writerFeatures"]
+            and feature in p["readerFeatures"]
+        ):
             return None
         reader_feats = (
             set(p["readerFeatures"]) if r >= 3
@@ -3121,28 +3202,79 @@ def copy_into(
 
     candidates = sorted(_glob.glob(os.path.join(source_dir, pattern)))
     new_paths = []
+    upgraded = 0
+    # Legacy (pre-ns) loaded-sets hold size:mtime-ms. The old ms value
+    # may have been derived either as int(st_mtime * 1000) (float
+    # rounding) or st_mtime_ns // 1e6, which can disagree by 1 ms for
+    # some mtimes — accept size + ms within ±1 ms so neither derivation
+    # silently re-ingests an already-loaded file. A ms value is always
+    # < 1e15 (epoch ms ≈ 1.7e12 vs epoch ns ≈ 1.7e18), so legacy and ns
+    # identities cannot be confused.
+    def _is_legacy_match(recorded: str, st) -> bool:
+        size_s, _, val_s = (recorded or "").partition(":")
+        if not val_s.lstrip("-").isdigit():
+            return False
+        val = int(val_s)
+        return (
+            size_s == str(st.st_size)
+            and val < 10**15
+            and abs(val - st.st_mtime_ns // 1_000_000) <= 1
+        )
+
     for p in candidates:
         st = os.stat(p)
         # Full-nanosecond mtime: a file rewritten with different content
         # but identical size within the same millisecond must re-ingest.
         ident = f"{st.st_size}:{st.st_mtime_ns}"
-        # Loaded-sets written before the ns switch hold size:mtime-ms;
-        # accept the legacy form too (and upgrade the stored entry) so
-        # already-loaded files are not re-ingested after the format change.
-        legacy_ident = f"{st.st_size}:{int(st.st_mtime * 1000)}"
         name = os.path.basename(p)
         recorded = loaded.get(name)
         if recorded == ident:
             continue
-        if recorded == legacy_ident:
+        if recorded is not None and _is_legacy_match(recorded, st):
             loaded[name] = ident
+            upgraded += 1
             continue
         new_paths.append((p, name, ident))
     if not new_paths:
+        if upgraded:
+            # Persist the ns-upgraded entries NOW (a metadata-only
+            # commit) instead of re-deriving them on every run until a
+            # new file happens to arrive.
+            actions = [
+                {
+                    "domainMetadata": {
+                        "domain": COPY_INTO_DOMAIN,
+                        "configuration": json.dumps(
+                            {**cfg, src_key: loaded}
+                        ),
+                        "removed": False,
+                    }
+                },
+                _commit_info(
+                    "COPY INTO",
+                    {"source": src_key, "pattern": pattern},
+                    {
+                        "numFiles": 0,
+                        "numOutputRows": 0,
+                        "numSourceFiles": 0,
+                        "numUpgradedIdentities": upgraded,
+                    },
+                ),
+            ]
+            upgrade = _protocol_upgrade_action(
+                spark, table_path, "domainMetadata"
+            )
+            if upgrade is not None:
+                actions.insert(0, upgrade)
+            version = commit_mutation(
+                table_path, current_version(table_path), actions
+            )
+        else:
+            version = current_version(table_path)
         return {
             "numLoadedFiles": 0,
             "numSkippedFiles": len(candidates),
-            "version": current_version(table_path),
+            "version": version,
         }
 
     df = spark.read.parquet(*[p for p, _, _ in new_paths])

@@ -284,3 +284,68 @@ def ensure_convert_fixture(path: str = CONVERT_SRC_PATH) -> str:
     if current != _CONVERT_VERSION:
         build_convert_fixture(path)
     return path
+
+
+# --------------------------------------------------------------------------
+# Shared guard for the query-layer /tmp fixtures (ADVICE r10): the old
+# markers recorded only that a build FINISHED, not which definition
+# built it — editing a fixture silently reused the stale on-disk table
+# and surfaced as a confusing oracle mismatch; concurrent queries
+# building the same fixture also raced rmtree/write. The marker now
+# stores a hash of the builder's source (plus optional salt), and the
+# build runs under an exclusive flock.
+_LOCK_DIR = "/tmp/delta_lake_health_spark_fixture/.locks"
+
+
+def definition_hash(build, salt: str = "") -> str:
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(build)
+    except (OSError, TypeError):  # no source (REPL / C callable)
+        src = repr(build)
+    return hashlib.sha256((src + "\x00" + salt).encode()).hexdigest()[:16]
+
+
+def build_once(
+    marker: str,
+    build,
+    clean: list[str] | None = None,
+    salt: str = "",
+) -> None:
+    """Run ``build()`` exactly once per (machine, definition): skipped
+    when ``marker`` already records this definition's hash, serialized
+    against concurrent builders via flock, and preceded by an rmtree of
+    every path in ``clean`` (stale trees from ANY prior definition)."""
+    import fcntl
+    import hashlib
+
+    version = definition_hash(build, salt)
+
+    def _ok() -> bool:
+        try:
+            with open(marker) as fh:
+                return fh.read().strip() == version
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(_LOCK_DIR, exist_ok=True)
+    lock_path = os.path.join(
+        _LOCK_DIR,
+        hashlib.sha256(marker.encode()).hexdigest()[:16] + ".lock",
+    )
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if _ok():  # another builder won the race
+                return
+            for p in clean or []:
+                shutil.rmtree(p, ignore_errors=True)
+            build()
+            with open(marker, "w") as fh:
+                fh.write(version)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)

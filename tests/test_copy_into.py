@@ -176,3 +176,86 @@ def test_copy_into_accepts_legacy_ms_identity(spark, tmp_path, table):
     )
     st = os.stat(os.path.join(src, "a.parquet"))
     assert cfg[src_key]["a.parquet"] == f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def test_copy_into_legacy_identity_alternate_derivation(
+    spark, tmp_path, table
+):
+    """ADVICE r10: the old ms identity may have been derived as
+    st_mtime_ns // 1e6 instead of int(st_mtime * 1000) — the two can
+    disagree by 1 ms under float rounding. Either form (±1 ms) must
+    match, and a pure-upgrade run must PERSIST the ns entries in its
+    own metadata-only commit so later runs stop re-deriving them."""
+    import json
+
+    src = _src_file(spark, tmp_path, "a.parquet", 100, 150)
+    delta_writer.copy_into(spark, table, src)
+    src_key = os.path.abspath(src)
+
+    st = os.stat(os.path.join(src, "a.parquet"))
+    # the worst case: 1 ms off from the ns-floor derivation
+    legacy = {
+        "a.parquet": f"{st.st_size}:{st.st_mtime_ns // 1_000_000 - 1}"
+    }
+    v = delta_writer.current_version(table) + 1
+    delta_writer._commit(
+        table,
+        v,
+        [
+            {
+                "domainMetadata": {
+                    "domain": delta_writer.COPY_INTO_DOMAIN,
+                    "configuration": json.dumps({src_key: legacy}),
+                    "removed": False,
+                }
+            }
+        ],
+    )
+
+    # replay with NO new files: nothing re-ingests, and the upgraded
+    # ns loaded-set lands in a metadata-only commit right away
+    before = delta_writer.current_version(table)
+    m = delta_writer.copy_into(spark, table, src)
+    assert m["numLoadedFiles"] == 0 and m["numSkippedFiles"] == 1
+    assert DeltaLog(spark, table).snapshot().count() == 60
+    assert m["version"] == before + 1
+    cfg = DeltaLog(spark, table).domain_metadata(
+        delta_writer.COPY_INTO_DOMAIN
+    )
+    assert cfg[src_key]["a.parquet"] == f"{st.st_size}:{st.st_mtime_ns}"
+
+    # a second replay matches on the ns identity: no further commit
+    m2 = delta_writer.copy_into(spark, table, src)
+    assert m2["numLoadedFiles"] == 0
+    assert m2["version"] == m["version"]
+
+
+def test_copy_into_legacy_identity_wrong_ms_reloads(spark, tmp_path, table):
+    """The ±1 ms tolerance must not swallow real changes: a legacy
+    entry whose ms is off by more than 1 (a genuinely different file
+    state) re-ingests."""
+    import json
+
+    src = _src_file(spark, tmp_path, "a.parquet", 100, 150)
+    delta_writer.copy_into(spark, table, src)
+    src_key = os.path.abspath(src)
+    st = os.stat(os.path.join(src, "a.parquet"))
+    legacy = {
+        "a.parquet": f"{st.st_size}:{st.st_mtime_ns // 1_000_000 - 2}"
+    }
+    v = delta_writer.current_version(table) + 1
+    delta_writer._commit(
+        table,
+        v,
+        [
+            {
+                "domainMetadata": {
+                    "domain": delta_writer.COPY_INTO_DOMAIN,
+                    "configuration": json.dumps({src_key: legacy}),
+                    "removed": False,
+                }
+            }
+        ],
+    )
+    m = delta_writer.copy_into(spark, table, src)
+    assert m["numLoadedFiles"] == 1

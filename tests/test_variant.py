@@ -174,3 +174,121 @@ def test_convert_to_delta_gates_variant(spark, tmp_path):
         F.sum(F.variant_get("pv", "$.k", "bigint")).alias("s")
     ).first()
     assert s.s == sum(i % 3 for i in range(12))
+
+
+def test_duckdb_footer_stats_time_and_nested(spark, tmp_path):
+    """ADVICE r10: the DuckDB footer fallback must keep data-skipping
+    bounds for TIMESTAMP/DATE columns (emitted as pyarrow-shape ISO
+    strings — DuckDB renders them as formatted time strings) and for
+    plain nested struct leaves (dotted paths), while every leaf under
+    the variant group stays excluded per spec."""
+    import datetime
+
+    d = str(tmp_path / "tnv")
+    df = spark.range(0, 10).selectExpr(
+        "id",
+        "parse_json(concat('{\"k\": ', id % 3, '}')) AS pv",
+        "timestamp'2024-01-02 03:04:05.123456' + make_interval(0,0,0,id)"
+        " AS ts",
+        "date'2024-01-02' + CAST(id AS INT) AS d",
+        "named_struct('a', id * 2, 'b', concat('v', id)) AS s",
+    )
+    df.coalesce(1).write.parquet(d)
+    import glob
+
+    fp = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+    n, mins, maxs = delta_writer._duckdb_footer_stats(fp)
+    assert n == 10
+    # variant leaves excluded entirely
+    assert not any(k.startswith("pv") for k in list(mins) + list(maxs))
+    # time-typed columns: ISO strings, pyarrow-isoformat shape
+    utc = datetime.timezone.utc
+    assert datetime.datetime.fromisoformat(mins["ts"]) == (
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 123456, tzinfo=utc)
+    )
+    assert "T" in mins["ts"] and "T" in maxs["ts"]
+    assert datetime.datetime.fromisoformat(maxs["ts"]) == (
+        datetime.datetime(2024, 1, 11, 3, 4, 5, 123456, tzinfo=utc)
+    )
+    assert (mins["d"], maxs["d"]) == ("2024-01-02", "2024-01-11")
+    # plain struct leaves: dotted paths, typed bounds
+    assert (mins["s.a"], maxs["s.a"]) == (0, 18)
+    assert (mins["s.b"], maxs["s.b"]) == ("v0", "v9")
+    assert (mins["id"], maxs["id"]) == (0, 9)
+
+
+def test_duckdb_footer_stats_matches_pyarrow_contract(tmp_path):
+    """On a pyarrow-readable file both stat extractors must agree
+    key-for-key and value-for-value (the fallback's documented
+    contract), including tz-aware timestamp rendering."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = str(tmp_path / "both.parquet")
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [
+                    datetime.datetime(
+                        2024, 1, 2, 3, 4, 5, 123456,
+                        tzinfo=datetime.timezone.utc,
+                    ),
+                    datetime.datetime(
+                        2025, 6, 7, tzinfo=datetime.timezone.utc
+                    ),
+                ],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+            "d": pa.array(
+                [datetime.date(2024, 1, 2), datetime.date(2025, 3, 4)]
+            ),
+            "i": pa.array([1, 7], type=pa.int64()),
+            "x": pa.array([0.5, -1.5], type=pa.float64()),
+            "s": pa.array(
+                [{"a": 1, "b": "x"}, {"a": 5, "b": "y"}],
+                type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+        }
+    )
+    pq.write_table(t, fp)
+    md = pq.ParquetFile(fp).metadata
+    pa_mins, pa_maxs = delta_writer._column_minmax(md)
+    _, db_mins, db_maxs = delta_writer._duckdb_footer_stats(fp)
+    assert db_mins == pa_mins
+    assert db_maxs == pa_maxs
+
+
+def test_variant_writer_only_feature_gets_reader_gate(spark, tmp_path):
+    """ADVICE r10: a foreign (3,7) protocol listing variantType ONLY as
+    a writer feature is not "already enabled" — the upgrade must still
+    fire and add the reader-side gate, otherwise non-variant readers
+    see shredded bytes they cannot decode."""
+    path = str(tmp_path / "wonly")
+    delta_writer.write(spark, spark.range(0, 3).select("id"), path)
+    v = delta_writer.current_version(path) + 1
+    delta_writer._commit(
+        path,
+        v,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": [],
+                    "writerFeatures": ["variantType"],
+                }
+            }
+        ],
+    )
+    act = delta_writer._protocol_upgrade_action(spark, path, "variantType")
+    assert act is not None
+    assert "variantType" in act["protocol"]["readerFeatures"]
+    assert "variantType" in act["protocol"]["writerFeatures"]
+    # and once both sides carry it, the upgrade is a no-op
+    delta_writer._commit(path, v + 1, [act])
+    assert (
+        delta_writer._protocol_upgrade_action(spark, path, "variantType")
+        is None
+    )
