@@ -1,0 +1,232 @@
+"""Persisted BM25 lexical index — build once, serve many (VERDICT r10
+task #4; pairs with the registry's in-session ``text_bm25_topk``, T33).
+
+The registry query recomputes tf/df/doc-lengths from the corpus on
+every call so the DuckDB oracle can replay it; production lexical
+retrieval at 100 TB builds the postings ONCE and serves queries from
+the artifact:
+
+- ``postings``  (w, doc_id, tf)  — Delta, ``cluster_by("w")``: a query
+  touches only the files whose term-range stats cover its terms, so
+  probe I/O is |query-term postings|, never the corpus;
+- ``doclen``    (doc_id, dlen)   — Delta, clustered by doc_id (the
+  score join's key);
+- ``stats``     (n_docs, sum_dlen) — one row; SUMS, not the average,
+  so incremental upserts stay exact integer arithmetic.
+
+``bm25_search`` reproduces the registry scorer bit-for-bit (same
+Okapi formula, same 6-dp round-before-rank, same tie-break), and
+``upsert_bm25_index`` is the ``delta_tail``-compatible freshness path:
+new documents APPEND their postings/doclen rows (pure add-only
+commits — |new docs| write cost) and the one-row stats table is
+re-stamped; df/idf need no stored state because they derive from the
+probed postings at query time, so appends never rewrite the index.
+
+Reference parity note: the reference repo has no lexical-retrieval
+surface; this is LLM-pipeline scope (brief §"training-data pipeline"),
+modeled on the persisted-IVF layout of ``operators/ann_index.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, tf) over the FULL vocabulary — whitespace tokens,
+    the same split the registry scorer and its oracle use."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_bm25_index(spark, docs: DataFrame, path: str) -> dict:
+    """Materialize the three-table BM25 artifact from ``docs``
+    (doc_id, text). Postings cover the FULL vocabulary (the index must
+    answer any query, not just a pinned term list); the zipfian term
+    key is safe because postings are only ever FILTERED by term and
+    aggregated per (w) at probe time — no |vocab| broadcast, matching
+    the text-plan vocab bound."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dlen")
+    )
+    delta_writer.write(
+        spark,
+        _doc_terms(docs),
+        os.path.join(path, "postings"),
+        mode="overwrite",
+        cluster_by=["w"],
+    )
+    delta_writer.write(
+        spark,
+        dl,
+        os.path.join(path, "doclen"),
+        mode="overwrite",
+        cluster_by=["doc_id"],
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").cast("long").alias("sum_dlen"),
+    )
+    delta_writer.write(
+        spark, stats, os.path.join(path, "stats"), mode="overwrite"
+    )
+    row = stats.first()
+    return {"path": path, "n_docs": int(row.n_docs)}
+
+
+def bm25_pruned_paths(spark, log, terms) -> list:
+    """Live postings files whose [min(w), max(w)] stats interval covers
+    at least one query term — the disjunctive (per-term union) form of
+    the log's stats skipping, exact because the probe's row filter is
+    term equality. |terms| metadata lookups, no data read."""
+    paths: set = set()
+    for t in terms:
+        paths.update(
+            r.path for r in log.pruned_files("w", t, t).collect()
+        )
+    return sorted(paths)
+
+
+def _pruned_postings(spark, log, terms) -> DataFrame:
+    """Term-pruned scan of the postings table (index tables are
+    append-only — no deletion vectors to reconcile, so the raw pruned
+    file set IS the live data for these terms)."""
+    from pyspark.sql.types import StructType
+
+    paths = bm25_pruned_paths(spark, log, terms)
+    if not paths:
+        schema = log.metadata().get("schema")
+        return spark.createDataFrame([], StructType.fromJson(schema))
+    return spark.read.option("basePath", log.table_path).parquet(
+        *[os.path.join(log.table_path, p) for p in paths]
+    )
+
+
+def bm25_search(
+    spark,
+    path: str,
+    terms: tuple | list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """Serve a BM25 top-k from the persisted artifact. Bit-identical to
+    the in-session registry scorer: Okapi BM25 with the
+    ``ln(1 + (N - df + .5)/(df + .5))`` idf, 6-dp round BEFORE ranking,
+    (score DESC, doc_id) tie-break. Scale shape: the postings scan is
+    term-pruned by the cluster_by layout, df comes from the probed
+    postings themselves (|matched postings| work), stats is a broadcast
+    single row, and the final top-k is TakeOrdered + a rank window over
+    the ``top`` survivors only."""
+    from pyspark.sql.window import Window
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    postings = _pruned_postings(
+        spark, DeltaLog(spark, os.path.join(path, "postings")), terms
+    ).where(F.col("w").isin(*terms))
+    dl = DeltaLog(spark, os.path.join(path, "doclen")).snapshot()
+    stats = (
+        DeltaLog(spark, os.path.join(path, "stats"))
+        .snapshot()
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dlen").cast("long").alias("sum_dlen"),
+        )
+        .select(
+            "n_docs",
+            (F.col("sum_dlen") * 1.0 / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    idf = (
+        postings.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    part = (
+        F.col("idf")
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(part), 6).alias("bm25"))
+    )
+    topdf = scored.orderBy(F.desc("bm25"), "doc_id").limit(top)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        topdf.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "bm25", "rank")
+        .orderBy("rank")
+    )
+
+
+def upsert_bm25_index(spark, path: str, new_docs: DataFrame) -> dict:
+    """Add ``new_docs`` (doc_id, text) to a persisted BM25 index
+    without rebuilding: postings and doclen get PURE APPEND commits
+    (|new docs| write cost — the ``delta_tail`` streaming-maintenance
+    shape), and the one-row stats table is re-stamped with the summed
+    totals. df/idf are derived from postings at probe time, so no
+    other state exists to maintain. Returns ``{"numDocsAdded"}``."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    fresh = new_docs.select("doc_id", "text").localCheckpoint()
+    n_new = fresh.count()
+    if n_new == 0:
+        return {"numDocsAdded": 0}
+    dl = fresh.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dlen")
+    ).localCheckpoint()
+    delta_writer.write(
+        spark,
+        _doc_terms(fresh),
+        os.path.join(path, "postings"),
+        mode="append",
+    )
+    delta_writer.write(
+        spark, dl, os.path.join(path, "doclen"), mode="append"
+    )
+    add = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dlen").cast("long").alias("s")
+    ).first()
+    prev = (
+        DeltaLog(spark, os.path.join(path, "stats"))
+        .snapshot()
+        .agg(
+            F.sum("n_docs").cast("long").alias("n"),
+            F.sum("sum_dlen").cast("long").alias("s"),
+        )
+        .first()
+    )
+    stats = spark.createDataFrame(
+        [(int(prev.n) + int(add.n), int(prev.s) + int(add.s))],
+        "n_docs long, sum_dlen long",
+    )
+    delta_writer.write(
+        spark, stats, os.path.join(path, "stats"), mode="overwrite"
+    )
+    return {"numDocsAdded": int(n_new)}

@@ -2316,9 +2316,7 @@ _BM25_B = 0.75
 _BM25_TOP = 20
 
 
-@query(
-    "text_bm25_topk",
-    f"""
+_BM25_ORACLE = f"""
     WITH dl AS (
       SELECT doc_id, len(string_split(text, ' ')) AS dlen FROM documents
     ), stats AS (
@@ -2351,8 +2349,10 @@ _BM25_TOP = 20
              AS rank
     FROM scored
     ORDER BY rank LIMIT {_BM25_TOP}
-    """,
-)
+    """
+
+
+@query("text_bm25_topk", _BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -2405,4 +2405,39 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "bm25", "rank")
         .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# T34 — BM25 served from the PERSISTED index (VERDICT r10 #4): the same
+# oracle as text_bm25_topk, but the Spark side answers from the
+# three-table Delta artifact (operators/text_index.py) built once per
+# (machine, sf_dir) — the production lexical-retrieval path: postings
+# clustered by term so the probe file-prunes, stats a broadcast row,
+# df derived from the probed postings. Proves artifact build + pruned
+# serve end-to-end against the independent engine.
+@query("text_bm25_served", _BM25_ORACLE)
+def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from delta_lake_health_spark.operators.text_index import (
+        bm25_search,
+        build_bm25_index,
+    )
+    from delta_lake_health_spark.sources.fixture import build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = f"/tmp/delta_lake_health_spark_fixture/bm25_index_{tag}"
+    marker = os.path.join(path, "_BM25IX_COMPLETE")
+
+    def build() -> None:
+        build_bm25_index(
+            spark,
+            load(spark, sf_dir, "documents").select("doc_id", "text"),
+            path,
+        )
+
+    build_once(marker, build, clean=[path], salt=sf_dir)
+    return bm25_search(
+        spark, path, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B, top=_BM25_TOP
     )

@@ -167,6 +167,7 @@ _ALLOWED_GLOBAL_WINDOWS = {
     # rank-after-limit — the window input is a TakeOrdered top-k
     "events_user_bursts": (1, "rank over .limit(25) survivors"),
     "text_bm25_topk": (1, "rank over .limit(20) survivors"),
+    "text_bm25_served": (1, "rank over .limit(20) survivors"),
 }
 
 
