@@ -183,3 +183,133 @@ def match_fingerprints(
         .where(F.col("rank") <= top)
         .select("q_media_id", "match_media_id", "dt", "votes", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted fingerprint index (VERDICT r10 #5) — the artifact the module
+# docstring names: fingerprints as a Delta table clustered by ``fp`` so
+# a probe touches only the hash ranges its clip actually hits, with
+# append-only track upserts and a ``delta_tail``-driven streaming
+# maintenance composition (streaming/jobs.stream_fp_index_maintenance).
+
+_FP_PROPS = ("fp.frame", "fp.hop", "fp.fanOut")
+
+
+def build_fp_index(
+    spark,
+    media: DataFrame,
+    path: str,
+    frame: int = FRAME,
+    hop: int = HOP,
+    fan_out: int = FAN_OUT,
+) -> dict:
+    """Fingerprint ``media`` (media_id, payload WAV rows) and persist
+    the constellation table clustered by ``fp``. The frame parameters
+    are stamped as table properties so every probe and upsert
+    fingerprints its input with the SAME analysis the index was built
+    with — mixed-parameter hashes never vote together."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    fps = audio_fingerprints(media, frame=frame, hop=hop, fan_out=fan_out)
+    delta_writer.write(spark, fps, path, mode="overwrite", cluster_by=["fp"])
+    for key, val in zip(_FP_PROPS, (frame, hop, fan_out)):
+        delta_writer.set_table_property(spark, path, key, str(val))
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    n_tracks = (
+        DeltaLog(spark, path)
+        .snapshot()
+        .select(F.countDistinct("media_id").alias("n"))
+        .first()
+        .n
+    )
+    return {"path": path, "numTracks": int(n_tracks)}
+
+
+def _fp_params(log) -> tuple[int, int, int]:
+    cfg = log.metadata().get("configuration") or {}
+    return (
+        int(cfg.get("fp.frame", FRAME)),
+        int(cfg.get("fp.hop", HOP)),
+        int(cfg.get("fp.fanOut", FAN_OUT)),
+    )
+
+
+def upsert_fp_index(spark, path: str, new_media: DataFrame) -> dict:
+    """Add new tracks to a persisted fingerprint index: one
+    fingerprint pass over the new payloads, one PURE APPEND commit
+    (|new tracks' hashes| write cost — the index is never rewritten;
+    per-file fp ranges of the appended files are wider than the
+    clustered build's until an OPTIMIZE recluster, which only narrows
+    pruning, never correctness). Tracks already indexed are skipped by
+    media_id (an anti-join against the index — |new| x metadata
+    cost)."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, path)
+    frame, hop, fan_out = _fp_params(log)
+    known = log.snapshot().select("media_id").distinct()
+    fresh = new_media.join(known, "media_id", "left_anti")
+    fps = audio_fingerprints(
+        fresh, frame=frame, hop=hop, fan_out=fan_out
+    ).localCheckpoint()
+    n = fps.count()
+    if n == 0:
+        return {"numHashesAdded": 0, "numTracksAdded": 0}
+    n_tracks = fps.select(F.countDistinct("media_id").alias("n")).first().n
+    delta_writer.write(spark, fps, path, mode="append", cluster_by=["fp"])
+    return {"numHashesAdded": int(n), "numTracksAdded": int(n_tracks)}
+
+
+def probe_pruned_paths(spark, log, clip_fp: DataFrame) -> list:
+    """Live index files whose [min(fp), max(fp)] interval contains at
+    least one clip hash — evaluated as a broadcast range join of the
+    |files| interval table against the clip's distinct hashes (the
+    distributed data-skipping form: no hash set ever collects to the
+    driver; only the touched PATHS do, bounded by |files|)."""
+    intervals = log.live_file_intervals("fp")
+    hit = (
+        F.col("lo").isNull()
+        | F.col("hi").isNull()
+        | ((F.col("fp") >= F.col("lo")) & (F.col("fp") <= F.col("hi")))
+    )
+    rows = (
+        clip_fp.select("fp")
+        .distinct()
+        .join(F.broadcast(intervals), hit)
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    return sorted(r.path for r in rows)
+
+
+def match_against_index(
+    spark, path: str, clips: DataFrame, top: int = 1
+) -> DataFrame:
+    """Serve clip→track matching from the persisted index: fingerprint
+    the clips with the index's own parameters, prune the index scan to
+    the files whose fp range the clip hashes touch, then run the same
+    offset-vote match as the in-session operator — bit-identical
+    results, |touched files| read instead of the whole index."""
+    import os
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, path)
+    frame, hop, fan_out = _fp_params(log)
+    clip_fp = audio_fingerprints(
+        clips, frame=frame, hop=hop, fan_out=fan_out
+    ).localCheckpoint()
+    paths = probe_pruned_paths(spark, log, clip_fp)
+    if not paths:
+        return spark.createDataFrame(
+            [],
+            "q_media_id long, match_media_id long, dt int, votes long,"
+            " rank int",
+        )
+    corpus_fp = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, p) for p in paths]
+    )
+    return match_fingerprints(clip_fp, corpus_fp, top=top)

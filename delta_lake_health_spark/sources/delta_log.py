@@ -1685,6 +1685,48 @@ class DeltaLog:
         )
         return live.where(keep).select("path")
 
+    def live_file_intervals(self, column: str) -> DataFrame:
+        """(path, lo, hi) for every live file — the per-file stats
+        interval of numeric ``column`` (nulls when the file carries no
+        stats, which callers must treat as matching everything). The
+        DISTRIBUTED form of data skipping: when the probe keys are too
+        many to enumerate driver-side (a clip's thousands of
+        fingerprint hashes, not three query terms), callers broadcast
+        these |files| rows and range-join them against the key set —
+        file pruning stays a metadata operation either way."""
+        mapping = self.column_mapping(self.metadata().get("schema"))
+        phys = mapping.get(column, column)
+        acts = self.actions()
+        adds = acts.where(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("path"),
+            F.col("add.stats").alias("stats"),
+            "version",
+            F.lit(1).alias("is_add"),
+        )
+        removes = acts.where(F.col("remove").isNotNull()).select(
+            F.col("remove.path").alias("path"),
+            F.lit(None).cast("string").alias("stats"),
+            "version",
+            F.lit(0).alias("is_add"),
+        )
+        w = Window.partitionBy("path").orderBy(
+            F.desc("version"), F.desc("is_add")
+        )
+        live = (
+            adds.unionByName(removes)
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("is_add") == 1))
+        )
+        return live.select(
+            "path",
+            F.get_json_object(F.col("stats"), f"$.minValues.{phys}")
+            .cast("double")
+            .alias("lo"),
+            F.get_json_object(F.col("stats"), f"$.maxValues.{phys}")
+            .cast("double")
+            .alias("hi"),
+        )
+
     def scan(self, column: str, lower, upper) -> DataFrame:
         """Snapshot restricted by data skipping on ``column`` — reads only
         files whose stats interval intersects [lower, upper]. The caller

@@ -705,3 +705,43 @@ def stream_ivf_index_maintenance(
     )
     q.awaitTermination()
     return q
+
+
+def stream_fp_index_maintenance(
+    spark: SparkSession,
+    media_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    **source_options,
+) -> Any:
+    """Continuous audio-fingerprint-index freshness (D46 + the M8
+    upsert composed, mirroring ``stream_ivf_index_maintenance``): tail
+    an append-only Delta table of tracks (media_id, payload) through
+    ``delta_tail`` and fold each micro-batch into the persisted
+    constellation index with ``operators/audio_fp.upsert_fp_index`` —
+    one fingerprint pass per batch, pure append commits, probes see a
+    track right after its batch commits.
+
+    Crash-replay safety: the upsert itself anti-joins the batch's
+    media_ids against the index, so a replayed batch is a no-op."""
+    from delta_lake_health_spark.operators import audio_fp
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audio_fp.upsert_fp_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select("media_id", "payload"),
+        )
+
+    stream = delta_source.read_stream(spark, media_path, **source_options)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

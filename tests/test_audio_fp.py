@@ -126,3 +126,140 @@ def test_non_wav_rows_dropped(spark):
     assert got.select("media_id").distinct().collect() == [
         __import__("pyspark").sql.Row(media_id=1)
     ]
+
+
+# --------------------------------------------------------------------------
+# Persisted fingerprint index (VERDICT r10 #5): probes served from the
+# cluster_by("fp") Delta artifact must equal the in-session match,
+# probes must file-prune through the log's fp-range stats, track
+# upserts must be pure append commits that converge to a fresh build,
+# and the delta_tail maintenance stream must keep the index current.
+
+
+def _match_rows(df):
+    return sorted(
+        (r.q_media_id, r.match_media_id, r.dt, r.votes, r.rank)
+        for r in df.collect()
+    )
+
+
+def _clips_from(spark, corpus, ids, skip_frames=2):
+    rows = []
+    for r in corpus.where(F.col("media_id").isin(ids)).collect():
+        samples = wav_samples(bytes(r.payload))[
+            skip_frames * audio_fp.HOP :
+        ]
+        rows.append(
+            (
+                r.media_id + 100,
+                bytearray(encode_wav_from_samples(samples, 8000)),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_persisted_probe_matches_in_session(spark, tmp_path):
+    corpus = _wav_df(spark, list(range(1, 9))).localCheckpoint()
+    path = str(tmp_path / "fpidx")
+    m = audio_fp.build_fp_index(spark, corpus, path)
+    assert m["numTracks"] == 8
+    clips = _clips_from(spark, corpus, [2, 5, 7]).localCheckpoint()
+    served = audio_fp.match_against_index(spark, path, clips)
+    in_session = audio_fp.match_fingerprints(
+        audio_fp.audio_fingerprints(clips),
+        audio_fp.audio_fingerprints(corpus),
+    )
+    got = _match_rows(served)
+    assert got == _match_rows(in_session)
+    assert len(got) == 3
+    for q, match, dt, _, _ in got:
+        assert match == q - 100 and dt == 2
+
+
+def test_persisted_probe_prunes_files(spark, tmp_path):
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    corpus = _wav_df(spark, list(range(1, 9))).localCheckpoint()
+    path = str(tmp_path / "fpidx")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        audio_fp.build_fp_index(spark, corpus, path)
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    log = DeltaLog(spark, path)
+    total = log.active_files().count()
+    assert total > 4
+    # a SHORT clip touches few hash ranges — the pruning case
+    src = corpus.where("media_id = 3").collect()[0]
+    samples = wav_samples(bytes(src.payload))[: 4 * audio_fp.HOP]
+    clip = spark.createDataFrame(
+        [(103, bytearray(encode_wav_from_samples(samples, 8000)))],
+        "media_id long, payload binary",
+    )
+    clip_fp = audio_fp.audio_fingerprints(clip).localCheckpoint()
+    probed = audio_fp.probe_pruned_paths(spark, log, clip_fp)
+    assert 1 <= len(probed) < total, (len(probed), total)
+    got = audio_fp.match_against_index(spark, path, clip)
+    assert _match_rows(got)[0][:2] == (103, 3)
+
+
+def test_upsert_append_only_and_converges(spark, tmp_path):
+    from delta_lake_health_spark.sources import delta_writer
+
+    corpus = _wav_df(spark, list(range(1, 9))).localCheckpoint()
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    audio_fp.build_fp_index(
+        spark, corpus.where("media_id <= 5"), inc
+    )
+    v0 = delta_writer.current_version(inc)
+    m = audio_fp.upsert_fp_index(
+        spark, inc, corpus.where("media_id > 5")
+    )
+    assert m["numTracksAdded"] == 3 and m["numHashesAdded"] > 0
+    v1 = delta_writer.current_version(inc)
+    assert v1 == v0 + 1
+    acts = delta_writer._version_actions(inc, v1)
+    kinds = {k for a in acts for k in a}
+    assert "add" in kinds and "remove" not in kinds
+    audio_fp.build_fp_index(spark, corpus, full)
+    clips = _clips_from(spark, corpus, [1, 6, 8]).localCheckpoint()
+    assert _match_rows(
+        audio_fp.match_against_index(spark, inc, clips)
+    ) == _match_rows(audio_fp.match_against_index(spark, full, clips))
+    # replaying the same tracks is a no-op (crash-replay safety)
+    m2 = audio_fp.upsert_fp_index(
+        spark, inc, corpus.where("media_id > 5")
+    )
+    assert m2 == {"numHashesAdded": 0, "numTracksAdded": 0}
+    assert delta_writer.current_version(inc) == v1
+
+
+@pytest.mark.slow
+def test_stream_fp_index_maintenance_parity(spark, tmp_path):
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.streaming.jobs import (
+        stream_fp_index_maintenance,
+    )
+
+    corpus = _wav_df(spark, list(range(1, 9))).localCheckpoint()
+    media_tbl = str(tmp_path / "media")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    delta_writer.write(spark, corpus.where("media_id <= 5"), media_tbl)
+    audio_fp.build_fp_index(
+        spark, corpus.where("media_id <= 5"), idx
+    )
+    # two more commits of new tracks arrive
+    delta_writer.write(
+        spark, corpus.where("media_id IN (6, 7)"), media_tbl,
+        mode="append",
+    )
+    delta_writer.write(
+        spark, corpus.where("media_id = 8"), media_tbl, mode="append"
+    )
+    stream_fp_index_maintenance(spark, media_tbl, idx, ckpt)
+    clips = _clips_from(spark, corpus, [6, 8]).localCheckpoint()
+    got = _match_rows(audio_fp.match_against_index(spark, idx, clips))
+    assert [(q, m) for q, m, *_ in got] == [(106, 6), (108, 8)]
