@@ -1900,6 +1900,35 @@ _CUSUM_SLACK = 0.5  # drift allowance added to the per-series mean
 _CUSUM_H = 4.0      # alert threshold
 
 
+def cusum_hourly_series(
+    hrs: DataFrame, mu: DataFrame, slack: float = _CUSUM_SLACK
+) -> DataFrame:
+    """Per-hour CUSUM statistic (event_type, hr, c, cusum) from hourly
+    counts (event_type, hr, c) and per-series reference means
+    (event_type, mu) — the prefix-min rewrite of Page's recursion
+    shared by the batch query and the streaming twin's parity test.
+    ROUND before any threshold compare (the repo's round-before-rank
+    protocol): the running sums are sequential in hr order on both
+    engines today, but the 6-dp snap means an engine changing its
+    window-sum association order can never flip an alert by one ulp."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = hrs.join(F.broadcast(mu), "event_type").withColumn(
+        "pt",
+        F.sum(F.col("c") - F.col("mu") - F.lit(slack)).over(w),
+    )
+    return p.withColumn(
+        "cusum",
+        F.round(
+            F.col("pt") - F.least(F.min("pt").over(w), F.lit(0.0)), 6
+        ),
+    ).select("event_type", "hr", "c", "cusum")
+
+
+
 @query(
     "events_cusum_alerts",
     f"""
@@ -1937,27 +1966,7 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("c"))
     st = hrs.groupBy("event_type").agg(F.avg("c").alias("mu"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    p = hrs.join(F.broadcast(st), "event_type").withColumn(
-        "pt",
-        F.sum(
-            F.col("c") - F.col("mu") - F.lit(_CUSUM_SLACK)
-        ).over(w),
-    )
-    # ROUND before the threshold compare (the repo's round-before-rank
-    # protocol): the running sums are sequential in hr order on both
-    # engines today, but the 6-dp snap means an engine changing its
-    # window-sum association order can never flip an alert by one ulp
-    cu = p.withColumn(
-        "cusum",
-        F.round(
-            F.col("pt") - F.least(F.min("pt").over(w), F.lit(0.0)), 6
-        ),
-    )
+    cu = cusum_hourly_series(hrs, st)
     alert = F.col("cusum") > _CUSUM_H
     return (
         cu.groupBy("event_type")

@@ -451,3 +451,55 @@ def test_stream_left_outer_join_emits_unconverted_views(spark, stream_dir):
     assert len(got_null) == len(all_views - converted_views)
     assert all(r.purchase_id is None and r.lag_us is None for r in got_null)
     assert len(got_null) > 0
+
+
+def test_stream_cusum_matches_batch_exactly(spark, stream_dir):
+    """Streaming CUSUM (VERDICT r10 #7): the flushed per-hour series
+    must equal the batch detector's prefix BIT-EXACTLY — same
+    sequential double accumulation, same 6-dp round-before-threshold —
+    with the same reference means supplied to both sides. Hours whose
+    end the watermark never passed are legitimately absent."""
+    from delta_lake_health_spark.plans.events import (
+        _CUSUM_H,
+        _CUSUM_SLACK,
+        cusum_hourly_series,
+    )
+
+    tmp, src = stream_dir
+    ev = load(spark, SF, "events")
+    hrs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mu_df = hrs.groupBy("event_type").agg(F.avg("c").alias("mu"))
+    mu = {r.event_type: r.mu for r in mu_df.collect()}
+    want = {
+        (r.event_type, int(r.hr.timestamp() * 1_000_000)): (
+            r.c,
+            r.cusum,
+            r.cusum > _CUSUM_H,
+        )
+        for r in cusum_hourly_series(hrs, mu_df).collect()
+    }
+
+    stream = jobs.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = jobs.stream_cusum_alerts(
+        stream, mu=mu, slack=_CUSUM_SLACK, h=_CUSUM_H,
+        watermark="30 minutes",
+    )
+    jobs.run_to_memory(out, "cusum_t", "append", os.path.join(tmp, "cp_cu"))
+    got = {
+        (r.event_type, r.hr_us): (r.c, r.cusum, r.alert)
+        for r in spark.table("cusum_t").collect()
+    }
+    assert got, "stream flushed no hours — watermark never advanced"
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
+    # flushed hours must be a PREFIX per type (recursion state in order)
+    per_type: dict = {}
+    for (etype, hr_us) in got:
+        per_type.setdefault(etype, []).append(hr_us)
+    for etype, flushed in per_type.items():
+        all_hrs = sorted(
+            h for (t, h) in want if t == etype
+        )
+        assert sorted(flushed) == all_hrs[: len(flushed)]
