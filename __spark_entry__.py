@@ -23,86 +23,36 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #       round first,
 #   (3) everything else (freshest green rows) is left unlisted — the
 #       registry appends it in module order past the cap.
-# Round 10: (1) the round's new queries (no driver row yet: DSIR,
-# variant props, MMR rerank, audio fingerprint, the UPDATE /
-# OPTIMIZE+ZORDER / FSCK / DEEP-CLONE / HILBERT lifecycle rows, CUSUM
-# alerts, Kleinberg bursts, sample quantiles), (2) queries whose CODE
-# changed this round (graph-init dense ranks -> ann_graph_topk; bloom
-# probe gating -> delta_bloom_point_lookup; copy_into legacy identity ->
-# delta_copy_into_snapshot), (3) the 27 r6-aged oracle rows (the oldest
-# remaining block: delta ops, dedup residue, analytics, events, text,
-# similarity, sketches, media), (4) as much of the r7-aged block as fits
-# the ~50 cap — rows-only approx twins and the ANN family first.
-# Everything past the cap encodes round-11 priority. Goal state after
-# r10: no row's newest green predates r7.
+# Round 11: (1) the round's new query (text_bm25_served — the
+# persisted-BM25 serving path), (2) queries whose CODE changed this
+# round: the two-phase bucketed-rank rewrites (customer_balance_
+# quartiles, customer_rfm_scores), the rerank-operator refactor + the
+# served-IVF candidate stage (ann_mmr_rerank, ann_rrf_fusion), the
+# cusum_hourly_series extraction (events_cusum_alerts), the BM25
+# oracle-constant extraction (text_bm25_topk), and four lifecycle rows
+# exercising the new build_once fixture guard's distinct shapes —
+# value-marker (fsck), two-table clean (deep clone), value-returning
+# builds (copy_into, which also carries the legacy-identity fix, and
+# cdc_sync), (3) the ENTIRE r7-aged block (VERDICT r10 task #2 — the
+# 30 rows whose newest green dated to r7), (4) the head of the r8-aged
+# block up to the ~50 cap. Past-cap entries encode round-12 priority:
+# the rest of the r8 rows, then the r9 lifecycle rows. Goal state
+# after r11: no row's newest green predates r8.
 _VERIFY_FIRST = (
     # (1) NEW this round — no driver row yet
-    "text_dsir_weights",
-    "events_props_variant",
+    "text_bm25_served",
+    # (2) code changed this round since newest green row
+    "customer_balance_quartiles",
+    "customer_rfm_scores",
     "ann_mmr_rerank",
-    "media_audio_fingerprint",
-    "delta_update_snapshot",
-    "delta_optimize_zorder_snapshot",
+    "ann_rrf_fusion",
     "events_cusum_alerts",
-    "events_user_bursts",
+    "text_bm25_topk",
     "delta_fsck_snapshot",
     "delta_deep_clone_snapshot",
-    "sketch_sample_quantiles",
-    "delta_hilbert_snapshot",
-    "text_bm25_topk",
-    "ann_rrf_fusion",
-    "delta_restore_timestamp_snapshot",
-    # (2) code changed this round since newest green row
-    "ann_graph_topk",
-    "delta_bloom_point_lookup",
     "delta_copy_into_snapshot",
-    # (3) r6-aged oracle rows — the oldest remaining block
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_values",
-    "q16_supplier_part_counts",
-    "q20_excess_shipments",
-    "revenue_mom_growth",
-    "supplier_fulfillment_rate",
-    "orders_grouping_sets",
-    "customer_rfm_scores",
-    "events_value_percentiles",
-    "events_funnel_latency",
-    "events_hourly_gapfill",
-    "events_inter_event_gaps",
-    "text_bpe_merge_candidates",
-    "text_repeated_ngram_spans",
-    "text_filter_funnel_census",
-    "documents_stratified_sample",
-    "ann_pq_adc_topk",
-    "knn_label_vote",
-    "embedding_matryoshka_census",
-    "embedding_pca_census",
-    "sketch_heavy_hitters",
-    "sketch_user_overlap",
-    "media_decode_roundtrip",
-    # (4) r7-aged block, oldest families first: rows-only approx twins,
-    # media transform, ANN, then assorted
-    "events_value_percentiles_approx",
-    "events_funnel_latency_approx",
-    "events_inter_event_gaps_approx",
-    "media_transform_roundtrip",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
-    "ann_range_search",
-    "ann_filtered_topk",
-    "delta_identity_series",
-    "dedup_minhash_calibration",
-    "corpus_stats",
-    "corpus_epoch_shuffle",
-    "text_token_counts",
-    "text_quality_scores",
-    "text_lang_id",
-    # --- past the ~50 cap: remaining r7 rows, encodes round-11 priority
+    "delta_cdc_sync",
+    # (3) the full r7-aged block — front-loaded per VERDICT r10 #2
     "text_fingerprint",
     "text_scrub_pii",
     "text_hash_sample",
@@ -134,6 +84,33 @@ _VERIFY_FIRST = (
     "events_metronome_census",
     "events_click_to_purchase",
     "events_click_purchase_nearest",
+    # (4) head of the r8-aged block, to the ~50 cap
+    "delta_convert_snapshot",
+    "delta_reorg_purge",
+    "dedup_containment",
+    "events_user_streaks",
+    "events_ab_holdout_lift",
+    "events_top_paths",
+    "events_watermark_lateness",
+    "ann_sq_int8_topk",
+    "documents_priority_sample_k",
+    # --- past the ~50 cap: encodes round-12 priority — the rest of the
+    # r8 rows, then the r9 lifecycle rows
+    "text_quality_lr_train",
+    "media_phash_neardup",
+    "media_scene_changes",
+    "ann_ivf_pq_topk",
+    "delta_restore_snapshot",
+    "delta_clone_snapshot",
+    "delta_merge_snapshot",
+    "delta_vacuum_snapshot",
+    "delta_schema_evolution",
+    "delta_generated_columns",
+    "ann_graph_topk",
+    "delta_bloom_point_lookup",
+    "text_tfidf_keywords",
+    "dedup_incremental_bloom",
+    "dedup_graph_pagerank",
 )
 
 

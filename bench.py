@@ -74,6 +74,9 @@ HEADLINE = [
     "events_props_variant",
     "events_cusum_alerts",
     "text_bm25_topk",
+    # round-11 addition: BM25 served from the persisted postings index
+    # (the build is its own stderr row; this row times the pruned probe)
+    "text_bm25_served",
 ]
 
 
@@ -139,6 +142,20 @@ def main() -> None:
     graph_build = round(time.perf_counter() - t0, 3)
     print(f"# graph_build: {graph_build}s", file=sys.stderr)
 
+    # same split for the persisted BM25 postings index (round 11): force
+    # a fresh build here so the headline `text_bm25_served` row times
+    # the term-pruned PROBE against the artifact, not postings
+    # construction
+    import shutil as _sh
+
+    _bm25_tag = os.path.basename(os.path.normpath(SF_DIR)) or "default"
+    _bm25_path = f"/tmp/delta_lake_health_spark_fixture/bm25_index_{_bm25_tag}"
+    _sh.rmtree(_bm25_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    qs["text_bm25_served"](spark, SF_DIR).count()  # builds, then serves
+    bm25_build = round(time.perf_counter() - t0, 3)
+    print(f"# bm25_build (build+first serve): {bm25_build}s", file=sys.stderr)
+
     # Steady-state timing: each query runs twice and the faster run is
     # reported (standard min-of-N measurement — the first execution still
     # pays codegen/JIT/page-cache residue that isn't a property of the
@@ -176,6 +193,7 @@ def main() -> None:
         "delta_ops": delta_ops,
         "ivfpq_build_sec": ivfpq_build,
         "graph_build_sec": graph_build,
+        "bm25_build_sec": bm25_build,
         "sf_sweep": sweep,
         # r4->r5 attribution: dedup/text drift A/B'd vs the round-3 tree
         # (alternating fresh-process min-of-3 runs): same-code variance

@@ -264,25 +264,10 @@ def upsert_fp_index(spark, path: str, new_media: DataFrame) -> dict:
 
 def probe_pruned_paths(spark, log, clip_fp: DataFrame) -> list:
     """Live index files whose [min(fp), max(fp)] interval contains at
-    least one clip hash — evaluated as a broadcast range join of the
-    |files| interval table against the clip's distinct hashes (the
-    distributed data-skipping form: no hash set ever collects to the
-    driver; only the touched PATHS do, bounded by |files|)."""
-    intervals = log.live_file_intervals("fp")
-    hit = (
-        F.col("lo").isNull()
-        | F.col("hi").isNull()
-        | ((F.col("fp") >= F.col("lo")) & (F.col("fp") <= F.col("hi")))
-    )
-    rows = (
-        clip_fp.select("fp")
-        .distinct()
-        .join(F.broadcast(intervals), hit)
-        .select("path")
-        .distinct()
-        .collect()
-    )
-    return sorted(r.path for r in rows)
+    least one clip hash — ``DeltaLog.pruned_files_for_keys``, the
+    broadcast range-join data-skipping form: no hash set ever collects
+    to the driver; only the touched PATHS do, bounded by |files|."""
+    return log.pruned_files_for_keys(clip_fp.select("fp"), "fp")
 
 
 def match_against_index(

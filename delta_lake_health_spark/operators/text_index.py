@@ -84,24 +84,19 @@ def build_bm25_index(spark, docs: DataFrame, path: str) -> dict:
 
 def bm25_pruned_paths(spark, log, terms) -> list:
     """Live postings files whose [min(w), max(w)] stats interval covers
-    at least one query term — the disjunctive (per-term union) form of
-    the log's stats skipping, exact because the probe's row filter is
-    term equality. |terms| metadata lookups, no data read."""
-    paths: set = set()
-    for t in terms:
-        paths.update(
-            r.path for r in log.pruned_files("w", t, t).collect()
-        )
-    return sorted(paths)
+    at least one query term — ``DeltaLog.pruned_files_for_keys``,
+    exact because the probe's row filter is term equality. Metadata
+    only, no data read."""
+    keys = spark.createDataFrame([(str(t),) for t in terms], "w string")
+    return log.pruned_files_for_keys(keys, "w")
 
 
-def _pruned_postings(spark, log, terms) -> DataFrame:
-    """Term-pruned scan of the postings table (index tables are
-    append-only — no deletion vectors to reconcile, so the raw pruned
-    file set IS the live data for these terms)."""
+def _pruned_scan(spark, log, paths: list) -> DataFrame:
+    """Read exactly ``paths`` from an index table (index tables are
+    append-only — no deletion vectors to reconcile, so the pruned file
+    set IS the live data for those keys)."""
     from pyspark.sql.types import StructType
 
-    paths = bm25_pruned_paths(spark, log, terms)
     if not paths:
         schema = log.metadata().get("schema")
         return spark.createDataFrame([], StructType.fromJson(schema))
@@ -130,10 +125,22 @@ def bm25_search(
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-    postings = _pruned_postings(
-        spark, DeltaLog(spark, os.path.join(path, "postings")), terms
-    ).where(F.col("w").isin(*terms))
-    dl = DeltaLog(spark, os.path.join(path, "doclen")).snapshot()
+    plog = DeltaLog(spark, os.path.join(path, "postings"))
+    postings = (
+        _pruned_scan(spark, plog, bm25_pruned_paths(spark, plog, terms))
+        .where(F.col("w").isin(*terms))
+        .localCheckpoint()
+    )
+    # doclen is read ONLY for the matched docs: the matched doc_ids
+    # drive the same key-set file pruning through the cluster_by
+    # (doc_id) layout — probe I/O stays |query-term postings|, never
+    # the corpus
+    dlog = DeltaLog(spark, os.path.join(path, "doclen"))
+    dl = _pruned_scan(
+        spark,
+        dlog,
+        dlog.pruned_files_for_keys(postings.select("doc_id"), "doc_id"),
+    )
     stats = (
         DeltaLog(spark, os.path.join(path, "stats"))
         .snapshot()
@@ -190,11 +197,23 @@ def upsert_bm25_index(spark, path: str, new_docs: DataFrame) -> dict:
     (|new docs| write cost — the ``delta_tail`` streaming-maintenance
     shape), and the one-row stats table is re-stamped with the summed
     totals. df/idf are derived from postings at probe time, so no
-    other state exists to maintain. Returns ``{"numDocsAdded"}``."""
+    other state exists to maintain. Docs already indexed are skipped by
+    doc_id (anti-join against doclen — a crash-replayed batch is a
+    no-op instead of double-counting tf and inflating n_docs).
+    Returns ``{"numDocsAdded"}``."""
     from delta_lake_health_spark.sources import delta_writer
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-    fresh = new_docs.select("doc_id", "text").localCheckpoint()
+    known = (
+        DeltaLog(spark, os.path.join(path, "doclen"))
+        .snapshot()
+        .select("doc_id")
+    )
+    fresh = (
+        new_docs.select("doc_id", "text")
+        .join(known, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
     n_new = fresh.count()
     if n_new == 0:
         return {"numDocsAdded": 0}

@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from delta_lake_health_spark.plans.prefix_rank import (
+    bucketed_row_number as _bucketed_row_number,
+    ntile_from_rank as _ntile_from_rank,
+)
 from delta_lake_health_spark.sources.catalog import load
 
 QUERIES: dict = {}
@@ -48,51 +52,6 @@ def query(name: str, sql: str | None):
 
 def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
-def _bucketed_row_number(
-    df: DataFrame, bucket: "F.Column", order_cols: list, out: str
-) -> DataFrame:
-    """Distributed ``ROW_NUMBER() OVER (ORDER BY order_cols)`` — the
-    two-phase prefix-rank pattern (events_user_value_pareto): rank
-    inside value-range buckets in parallel windows, then stitch with a
-    broadcast |buckets|-sized prefix offset. ``bucket`` must be
-    coarse-monotone ASCENDING in the order (bucket(a) < bucket(b) ⇒ a
-    sorts before b) and domain-bounded (|buckets| bounded by the VALUE
-    DOMAIN, not the row count), so no single task ever sorts the full
-    frame. Adds column ``out``; drops nothing else."""
-    from pyspark.sql.window import Window
-
-    b = df.withColumn("__b", bucket)
-    in_bucket = Window.partitionBy("__b").orderBy(*order_cols)
-    local = b.withColumn("__lr", F.row_number().over(in_bucket))
-    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
-    bw = Window.orderBy("__b")  # |buckets| rows by construction
-    prefix = counts.withColumn(
-        "__off",
-        F.coalesce(F.sum("__bn").over(bw) - F.col("__bn"), F.lit(0)),
-    ).select("__b", "__off")
-    return (
-        local.join(F.broadcast(prefix), "__b")
-        .withColumn(out, (F.col("__off") + F.col("__lr")).cast("long"))
-        .drop("__b", "__lr", "__off")
-    )
-
-
-def _ntile_from_rank(r: "F.Column", n: "F.Column", k: int) -> "F.Column":
-    """Standard SQL ``NTILE(k)`` from a precomputed global row number
-    ``r`` (1-based) and total count ``n`` — the closed form of the
-    big-buckets-first rule: the first n % k tiles hold n/k + 1 rows,
-    the rest n/k. Bit-identical to NTILE in Spark and DuckDB, with no
-    single-task global window."""
-    q = F.floor(n / k)
-    rem = n % k
-    big = rem * (q + 1)  # rows living in the size-(q+1) tiles
-    return (
-        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
-        .otherwise(rem + F.floor((r - big - 1) / q) + 1)
-        .cast("long")
-    )
 
 
 # --------------------------------------------------------------------------

@@ -1267,31 +1267,24 @@ _PARETO_BUCKET_US = 1_000_000  # micro-unit width of one rank bucket
 )
 def events_user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "value")
+    from delta_lake_health_spark.plans.prefix_rank import (
+        bucketed_row_number,
+    )
+
     uv = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("v_int")
     )
-    # phase 1: rank inside value-range buckets (parallel windows)
-    b = uv.withColumn(
-        "bucket", F.floor(F.col("v_int") / _PARETO_BUCKET_US).cast("long")
-    )
-    in_bucket = Window.partitionBy("bucket").orderBy(
-        F.desc("v_int"), "user_id"
-    )
-    local = b.withColumn("lr", F.row_number().over(in_bucket))
-    # phase 2: |buckets|-sized prefix over DESC bucket order, broadcast
-    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    bw = Window.orderBy(F.desc("bucket"))  # |buckets| rows only
-    prefix = counts.withColumn(
-        "off", F.coalesce(F.sum("bn").over(bw) - F.col("bn"), F.lit(0))
-    ).select("bucket", "off")
+    # two-phase bucketed rank (shared prefix_rank impl): DESC value
+    # order, so the value-domain bucket is negated to stay ASC-aligned
     tot = uv.agg(
         F.count(F.lit(1)).alias("n"), F.sum("v_int").alias("v_tot")
     )
-    ranked = (
-        local.join(F.broadcast(prefix), "bucket")
-        .withColumn("r", F.col("off") + F.col("lr"))
-        .crossJoin(F.broadcast(tot))
-    )
+    ranked = bucketed_row_number(
+        uv,
+        -F.floor(F.col("v_int") / _PARETO_BUCKET_US).cast("long"),
+        [F.desc("v_int"), F.col("user_id")],
+        "r",
+    ).crossJoin(F.broadcast(tot))
     return (
         ranked.withColumn(
             "decile",

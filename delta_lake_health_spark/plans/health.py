@@ -493,7 +493,6 @@ _MV_ORACLE = """
 
 
 def _ensure_mv_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators import mv as mv_ops
     from delta_lake_health_spark.sources import delta_writer
@@ -737,7 +736,6 @@ _RT_ORACLE = """
 
 
 def _ensure_rt_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -803,7 +801,6 @@ _ID_ORACLE = """
 
 
 def _ensure_identity_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -1057,7 +1054,6 @@ _REORG_ORACLE = """
 
 
 def _ensure_reorg_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
@@ -1154,7 +1150,6 @@ _COPY_ORACLE = """
 def _ensure_copy_fixture(spark: SparkSession) -> int:
     """Build the seed table + external source dir and run copy_into
     twice; returns the second run's numLoadedFiles (always 0)."""
-    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1242,7 +1237,6 @@ _BLOOMIX_ORACLE = """
 
 
 def _ensure_bloomix_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators import bloom_index
     from delta_lake_health_spark.sources import delta_writer
@@ -1318,7 +1312,6 @@ _CDCSYNC_ORACLE = """
 def _ensure_cdcsync_fixture(spark: SparkSession) -> tuple[int, int]:
     """Seed, mutate, sync, then re-sync; returns the RE-sync's
     (numUpserts, numDeletes) — both must be 0 (idempotence)."""
-    import shutil
 
     from delta_lake_health_spark.operators.sync import apply_changes
     from delta_lake_health_spark.sources import delta_writer
@@ -1404,7 +1397,6 @@ _RESTORE_ORACLE = """
 
 
 def _ensure_restore_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
@@ -1469,7 +1461,6 @@ _CLONE_ORACLE = """
 
 
 def _ensure_clone_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -1542,7 +1533,6 @@ _EVOL_ORACLE = """
 
 
 def _ensure_evolution_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -1614,7 +1604,6 @@ _GEN_ORACLE = """
 
 
 def _ensure_generated_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -1681,7 +1670,6 @@ _MERGE_ORACLE = """
 
 
 def _ensure_merge_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -1742,7 +1730,6 @@ _VACUUM_ORACLE = """
 
 
 def _ensure_vacuum_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
@@ -1812,7 +1799,6 @@ _UPDATE_ORACLE = """
 
 
 def _ensure_update_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -1878,7 +1864,6 @@ _OPT_ORACLE = """
 
 
 def _ensure_optimize_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
@@ -1951,7 +1936,6 @@ def _ensure_fsck_fixture(spark: SparkSession) -> None:
     """Builds the fixture and records the repair count in the marker
     (the query reads the marker — single source of truth)."""
     import glob as _glob
-    import shutil
 
     from delta_lake_health_spark.operators.maintenance import fsck_repair
     from delta_lake_health_spark.sources import delta_writer
@@ -2023,7 +2007,6 @@ _DCLONE_ORACLE = """
 
 
 def _ensure_dclone_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.sources import delta_writer
 
@@ -2094,7 +2077,6 @@ _HILBERT_ORACLE = """
 
 
 def _ensure_hilbert_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators import maintenance
     from delta_lake_health_spark.sources import delta_writer
@@ -2159,7 +2141,6 @@ _RTS_ORACLE = """
 
 
 def _ensure_rts_fixture(spark: SparkSession) -> None:
-    import shutil
 
     from delta_lake_health_spark.operators.maintenance import (
         restore_to_timestamp,

@@ -1,0 +1,80 @@
+"""Two-phase bucketed prefix ranking — THE pattern this engine uses
+wherever SQL says ``ROW_NUMBER()/SUM() OVER (ORDER BY ...)`` with no
+partition: a global ordered window sorts its whole frame on ONE task,
+which is the classic 100 TB bottleneck. Instead:
+
+- phase 1: rows are bucketed by a DOMAIN-BOUNDED, order-aligned key
+  (value ranges, dates, id ranges — |buckets| bounded by the value
+  domain, never the row count) and ranked/summed inside each bucket in
+  parallel windows;
+- phase 2: per-bucket totals (|buckets| rows) get an exclusive prefix
+  in one tiny global window, broadcast back, and added to the local
+  rank/sum.
+
+One shared implementation (VERDICT r10 review): the pattern used to be
+inlined separately in events_user_value_pareto, text_pack_sequences,
+and the round-11 customer quartile/RFM rewrites; all four now route
+through here so a fix to the prefix/offset logic lands once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    bucket: "F.Column",
+    order_cols: list,
+    weight: "F.Column",
+    out: str,
+) -> DataFrame:
+    """Distributed EXCLUSIVE running sum of ``weight`` in
+    ``order_cols`` order (the sum over all strictly-preceding rows).
+    ``bucket`` must be coarse-monotone ASCENDING in the order
+    (bucket(a) < bucket(b) ⇒ a sorts before b) and domain-bounded.
+    Adds column ``out``; drops nothing else."""
+    b = df.withColumn("__b", bucket)
+    in_bucket = Window.partitionBy("__b").orderBy(*order_cols)
+    local = b.withColumn(
+        "__lo",
+        F.coalesce(F.sum(weight).over(in_bucket) - weight, F.lit(0)),
+    )
+    totals = b.groupBy("__b").agg(F.sum(weight).alias("__bn"))
+    bw = Window.orderBy("__b")  # |buckets| rows by construction
+    prefix = totals.withColumn(
+        "__off",
+        F.coalesce(F.sum("__bn").over(bw) - F.col("__bn"), F.lit(0)),
+    ).select("__b", "__off")
+    return (
+        local.join(F.broadcast(prefix), "__b")
+        .withColumn(out, F.col("__lo") + F.col("__off"))
+        .drop("__b", "__lo", "__off")
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame, bucket: "F.Column", order_cols: list, out: str
+) -> DataFrame:
+    """Distributed ``ROW_NUMBER() OVER (ORDER BY order_cols)`` (1-based)
+    — the unit-weight case of ``bucketed_prefix_sum``."""
+    ranked = bucketed_prefix_sum(df, bucket, order_cols, F.lit(1), out)
+    return ranked.withColumn(out, (F.col(out) + 1).cast("long"))
+
+
+def ntile_from_rank(r: "F.Column", n: "F.Column", k: int) -> "F.Column":
+    """Standard SQL ``NTILE(k)`` from a precomputed global row number
+    ``r`` (1-based) and total count ``n`` — the closed form of the
+    big-buckets-first rule: the first n % k tiles hold n/k + 1 rows,
+    the rest n/k. Bit-identical to NTILE in Spark and DuckDB, with no
+    single-task global window."""
+    q = F.floor(n / k)
+    rem = n % k
+    big = rem * (q + 1)  # rows living in the size-(q+1) tiles
+    return (
+        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - big - 1) / q) + 1)
+        .cast("long")
+    )

@@ -1578,7 +1578,16 @@ def _served_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ann_index.save_ivf_index(spark, idx, path)
 
-    build_once(marker, build, clean=[path], salt=sf_dir)
+    # salt carries the PARAMETER VALUES: the builder's source only
+    # names K_CENTROIDS/KMEANS_ITERS/NPROBE, so a constant edit must
+    # still invalidate the marker (the stale-fixture bug build_once
+    # exists to prevent)
+    build_once(
+        marker,
+        build,
+        clean=[path],
+        salt=f"{sf_dir}:{K_CENTROIDS}:{KMEANS_ITERS}:{NPROBE}",
+    )
     loaded = ann_index.load_ivf_index(spark, path)
     q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")

@@ -979,24 +979,23 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
+    from delta_lake_health_spark.plans.prefix_rank import (
+        bucketed_prefix_sum,
+    )
+
     sized = docs.select(
-        "doc_id",
-        F.size(toks()).cast("long").alias("n"),
-        (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
+        "doc_id", F.size(toks()).cast("long").alias("n")
     )
-    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
-    local = sized.withColumn(
-        "local_off", F.coalesce(F.sum("n").over(in_bucket) - F.col("n"), F.lit(0))
-    )
-    # bucket prefix offsets: |buckets| rows, broadcast back
-    bucket_tot = sized.groupBy("bucket").agg(F.sum("n").alias("bn"))
-    bw = Window.orderBy("bucket")  # |buckets| rows only — driver-scale window
-    prefix = bucket_tot.withColumn(
-        "bucket_off", F.coalesce(F.sum("bn").over(bw) - F.col("bn"), F.lit(0))
-    ).select("bucket", "bucket_off")
+    # two-phase exclusive token-prefix (shared prefix_rank impl):
+    # id-range buckets, |buckets| broadcast offsets
     spans = (
-        local.join(F.broadcast(prefix), "bucket")
-        .withColumn("off", F.col("local_off") + F.col("bucket_off"))
+        bucketed_prefix_sum(
+            sized,
+            (F.col("doc_id") / _PACK_BUCKET).cast("long"),
+            ["doc_id"],
+            F.col("n"),
+            "off",
+        )
         .withColumn("first_seq", (F.col("off") / _SEQ_LEN).cast("long"))
         .withColumn(
             "last_seq", ((F.col("off") + F.col("n") - 1) / _SEQ_LEN).cast("long")

@@ -1660,6 +1660,14 @@ class DeltaLog:
         for col, want in (partition_filter or {}).items():
             vals = [str(v) for v in (want if isinstance(want, (list, tuple, set)) else [want])]
             keep = keep & F.col("partitionValues")[col].isin(vals)
+        return self._live_adds().where(keep).select("path")
+
+    def _live_adds(self) -> DataFrame:
+        """(path, stats, partitionValues) for every live file — the
+        add-wins liveness rule (add outranks remove at the same
+        version: a commit that removes and re-adds a path keeps the
+        file live), shared by every log-level skipping path so the
+        liveness semantics cannot silently diverge between them."""
         acts = self.actions()
         adds = acts.where(F.col("add").isNotNull()).select(
             F.col("add.path").alias("path"),
@@ -1675,57 +1683,70 @@ class DeltaLog:
             "version",
             F.lit(0).alias("is_add"),
         )
-        # add outranks remove at the same version (add-wins, as documented:
-        # a commit that removes and re-adds a path keeps the file live)
-        w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
-        live = (
-            adds.unionByName(removes)
-            .withColumn("rn", F.row_number().over(w))
-            .where((F.col("rn") == 1) & (F.col("is_add") == 1))
-        )
-        return live.where(keep).select("path")
-
-    def live_file_intervals(self, column: str) -> DataFrame:
-        """(path, lo, hi) for every live file — the per-file stats
-        interval of numeric ``column`` (nulls when the file carries no
-        stats, which callers must treat as matching everything). The
-        DISTRIBUTED form of data skipping: when the probe keys are too
-        many to enumerate driver-side (a clip's thousands of
-        fingerprint hashes, not three query terms), callers broadcast
-        these |files| rows and range-join them against the key set —
-        file pruning stays a metadata operation either way."""
-        mapping = self.column_mapping(self.metadata().get("schema"))
-        phys = mapping.get(column, column)
-        acts = self.actions()
-        adds = acts.where(F.col("add").isNotNull()).select(
-            F.col("add.path").alias("path"),
-            F.col("add.stats").alias("stats"),
-            "version",
-            F.lit(1).alias("is_add"),
-        )
-        removes = acts.where(F.col("remove").isNotNull()).select(
-            F.col("remove.path").alias("path"),
-            F.lit(None).cast("string").alias("stats"),
-            "version",
-            F.lit(0).alias("is_add"),
-        )
         w = Window.partitionBy("path").orderBy(
             F.desc("version"), F.desc("is_add")
         )
-        live = (
+        return (
             adds.unionByName(removes)
             .withColumn("rn", F.row_number().over(w))
             .where((F.col("rn") == 1) & (F.col("is_add") == 1))
+            .select("path", "stats", "partitionValues")
         )
-        return live.select(
-            "path",
-            F.get_json_object(F.col("stats"), f"$.minValues.{phys}")
-            .cast("double")
-            .alias("lo"),
-            F.get_json_object(F.col("stats"), f"$.maxValues.{phys}")
-            .cast("double")
-            .alias("hi"),
+
+    def live_file_intervals(self, column: str) -> DataFrame:
+        """(path, lo, hi) for every live file — the per-file stats
+        interval of ``column`` (nulls when the file carries no stats,
+        which callers must treat as matching everything); numeric
+        columns compare as doubles, string columns lexicographically
+        (truncated max bounds are adjusted UP at write time, so the
+        interval stays covering). The DISTRIBUTED form of data
+        skipping: when the probe keys are too many to enumerate
+        driver-side (a clip's thousands of fingerprint hashes, not
+        three query terms), callers broadcast these |files| rows and
+        range-join them against the key set — file pruning stays a
+        metadata operation either way."""
+        schema = self.metadata().get("schema")
+        mapping = self.column_mapping(schema)
+        phys = mapping.get(column, column)
+        numeric_types = {
+            "byte", "short", "integer", "long", "float", "double",
+        }
+        is_numeric = any(
+            f.get("name") == column
+            and isinstance(f.get("type"), str)
+            and f["type"] in numeric_types
+            for f in (schema or {}).get("fields", [])
         )
+        lo = F.get_json_object(F.col("stats"), f"$.minValues.{phys}")
+        hi = F.get_json_object(F.col("stats"), f"$.maxValues.{phys}")
+        if is_numeric:
+            lo, hi = lo.cast("double"), hi.cast("double")
+        return self._live_adds().select(
+            "path", lo.alias("lo"), hi.alias("hi")
+        )
+
+    def pruned_files_for_keys(self, keys: DataFrame, column: str) -> list:
+        """Live files whose ``column`` stats interval contains at least
+        one value of ``keys`` (a single-column DataFrame) — the
+        disjunctive, key-SET form of data skipping, evaluated as a
+        broadcast range join (|files| broadcast side, keys stay
+        distributed). Only the touched PATHS reach the driver, bounded
+        by |files|."""
+        intervals = self.live_file_intervals(column)
+        key_col = F.col(keys.columns[0])
+        hit = (
+            F.col("lo").isNull()
+            | F.col("hi").isNull()
+            | ((key_col >= F.col("lo")) & (key_col <= F.col("hi")))
+        )
+        rows = (
+            keys.distinct()
+            .join(F.broadcast(intervals), hit)
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        return sorted(r.path for r in rows)
 
     def scan(self, column: str, lower, upper) -> DataFrame:
         """Snapshot restricted by data skipping on ``column`` — reads only

@@ -807,20 +807,20 @@ def stream_cusum_alerts(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (etype,) = key
-        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
-            return
         if state.exists:
             pt, run_min, last_flushed, hrs, counts = state.get
             pending = dict(zip(hrs, counts))
         else:
             pt, run_min, last_flushed, pending = 0.0, 0.0, -1, {}
-        for pdf in pdfs:
-            for ts_us in pdf["ts_us"]:
-                hr = int(ts_us) - int(ts_us) % _HOUR_US
-                if hr <= last_flushed:
-                    continue  # beyond-watermark late: the agg would drop it
-                pending[hr] = pending.get(hr, 0) + 1
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:  # a timeout invocation has no rows
+            for pdf in pdfs:
+                for ts_us in pdf["ts_us"]:
+                    hr = int(ts_us) - int(ts_us) % _HOUR_US
+                    if hr <= last_flushed:
+                        continue  # beyond-watermark late: agg would drop it
+                    pending[hr] = pending.get(hr, 0) + 1
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
         m = mu_map.get(etype, 0.0)
         out = []
         for hr in sorted(pending):
@@ -849,6 +849,13 @@ def stream_cusum_alerts(
                 [pending[k] for k in sorted(pending)],
             )
         )
+        if pending:
+            # a type that goes QUIET must still flush once the global
+            # watermark passes its earliest open hour — arm an
+            # event-time timeout for that instant (clamped above the
+            # current watermark, as the API requires)
+            due_ms = (min(pending) + _HOUR_US) // 1000
+            state.setTimeoutTimestamp(max(due_ms, wm_ms + 1))
         if out:
             yield pd.DataFrame(
                 out,
@@ -863,5 +870,5 @@ def stream_cusum_alerts(
         outputStructType=_CUSUM_OUT_SCHEMA,
         stateStructType=_CUSUM_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -126,3 +126,32 @@ def test_upsert_empty_batch_is_noop(spark, built):
     assert delta_writer.current_version(
         os.path.join(built, "postings")
     ) == v
+
+
+def test_upsert_replay_is_noop(spark, tmp_path):
+    """Review fix (r11): a crash-replayed or overlapping upsert batch
+    must not double-count — already-indexed doc_ids are skipped, so
+    stats and scores are unchanged and no commit lands for an
+    all-duplicate batch."""
+    docs = _docs(spark).localCheckpoint()
+    path = str(tmp_path / "idx")
+    text_index.build_bm25_index(
+        spark, docs.where(F.col("doc_id") < 400), path
+    )
+    late = docs.where(F.col("doc_id") >= 400)
+    m1 = text_index.upsert_bm25_index(spark, path, late)
+    assert m1["numDocsAdded"] == late.count()
+    before = _rows(text_index.bm25_search(spark, path, _BM25_QUERY))
+    v = delta_writer.current_version(os.path.join(path, "postings"))
+    # full replay of the same batch: no rows added, no commit
+    m2 = text_index.upsert_bm25_index(spark, path, late)
+    assert m2["numDocsAdded"] == 0
+    assert delta_writer.current_version(
+        os.path.join(path, "postings")
+    ) == v
+    # overlapping batch: only the genuinely-new docs count
+    m3 = text_index.upsert_bm25_index(spark, path, docs)
+    assert m3["numDocsAdded"] == 0
+    assert _rows(text_index.bm25_search(spark, path, _BM25_QUERY)) == (
+        before
+    )

@@ -503,3 +503,66 @@ def test_stream_cusum_matches_batch_exactly(spark, stream_dir):
             h for (t, h) in want if t == etype
         )
         assert sorted(flushed) == all_hrs[: len(flushed)]
+
+
+def test_stream_cusum_flushes_quiet_types(spark):
+    """Review fix (r11): a type that goes QUIET must still flush its
+    closed hours when the global watermark advances on other types'
+    data — the event-time timeout path. Type "b" only ever appears in
+    micro-batch 1; its closed hour must still be emitted."""
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000  # us, hour-aligned enough
+    base -= base % 3_600_000_000
+    chunks = [
+        # batch 1: both types active in hour 0
+        [("a", base + 10), ("b", base + 20), ("b", base + 30)],
+        # batch 2+3: ONLY type a, hours 1..2 — the watermark advances
+        # past hour 0 and later hour 1 on a's data alone
+        [("a", base + 3_600_000_000 + 10)],
+        [("a", base + 2 * 3_600_000_000 + 3_600_000_000)],
+    ]
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": j,
+                    "ts": ts * 1000,
+                    "user_id": 1,
+                    "event_type": et,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for j, (et, ts) in enumerate(rows)
+            ]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            os.path.join(src, f"c{i}")
+        )
+    flat = os.path.join(tmp, "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        d = os.path.join(src, f"c{i}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(d, f), os.path.join(flat, f"f{n}.parquet")
+                )
+                n += 1
+    stream = jobs.read_events_stream(spark, flat, max_files_per_trigger=1)
+    out = jobs.stream_cusum_alerts(
+        stream, mu={"a": 1.0, "b": 1.0}, slack=0.5, h=4.0,
+        watermark="10 minutes",
+    )
+    jobs.run_to_memory(out, "cusum_q", "append", os.path.join(tmp, "cp"))
+    got = {
+        (r.event_type, r.hr_us): r.c
+        for r in spark.table("cusum_q").collect()
+    }
+    # b's only hour closed while b itself was silent — timeout flushed it
+    assert got.get(("b", base)) == 2, got
+    assert got.get(("a", base)) == 1, got
