@@ -41,6 +41,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _VERIFY_FIRST = (
     # (1) NEW this round — no driver row yet
     "text_bm25_served",
+    "media_audio_fp_served",
     # (2) code changed this round since newest green row
     "customer_balance_quartiles",
     "customer_rfm_scores",

@@ -280,23 +280,15 @@ def _clip_offset_frames(media_id: int) -> int:
     return 2 + media_id % 3
 
 
-@query("media_audio_fingerprint", None)
-def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cut a hop-aligned clip from every WAV track, fingerprint corpus
-    and clips, and recover (source track, frame offset) per clip by
-    constellation voting. Output: one row per clip with its best match."""
+def _fixture_clips(spark, wav: DataFrame) -> DataFrame:
+    """Hop-aligned clips cut from every fixture WAV at the per-track
+    known offset — shared by the in-session (M8) and served-index (M9)
+    matching queries."""
     from typing import Iterator
 
     import pandas as pd
 
     from delta_lake_health_spark.operators import audio_fp
-
-    path = ensure_media_fixture()
-    wav = (
-        spark.read.parquet(path)
-        .where(F.col("media_type") == "wav")
-        .select("media_id", "payload")
-    )
 
     def mk_clips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from delta_lake_health_spark.operators.multimodal import (
@@ -327,11 +319,80 @@ def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    clips = wav.mapInPandas(mk_clips, "media_id long, payload binary")
+    return wav.mapInPandas(mk_clips, "media_id long, payload binary")
+
+
+@query("media_audio_fingerprint", None)
+def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut a hop-aligned clip from every WAV track, fingerprint corpus
+    and clips, and recover (source track, frame offset) per clip by
+    constellation voting. Output: one row per clip with its best match."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import audio_fp
+
+    path = ensure_media_fixture()
+    wav = (
+        spark.read.parquet(path)
+        .where(F.col("media_type") == "wav")
+        .select("media_id", "payload")
+    )
+
+    clips = _fixture_clips(spark, wav)
     corpus_fp = audio_fp.audio_fingerprints(wav)
     clip_fp = audio_fp.audio_fingerprints(clips)
     return (
         audio_fp.match_fingerprints(clip_fp, corpus_fp, top=1)
+        .select(
+            "q_media_id",
+            "match_media_id",
+            F.col("dt").cast("int").alias("dt"),
+            "votes",
+        )
+        .orderBy("q_media_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# M9 — the same clip→track recovery SERVED from the persisted
+# fingerprint index (VERDICT r10 #5): the index is built once per
+# machine as a cluster_by(fp) Delta artifact, the probe fingerprints
+# the clips with the index's stamped parameters and reads only the
+# files whose fp range the clip hashes touch
+# (DeltaLog.pruned_files_for_keys). Rows-only like M8 (rfft); the
+# served==in-session bit-identity is pinned in tests/test_audio_fp.py.
+@query("media_audio_fp_served", None)
+def media_audio_fp_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    from typing import Iterator
+
+    import pandas as pd
+
+    from delta_lake_health_spark.operators import audio_fp
+    from delta_lake_health_spark.sources.fixture import build_once
+
+    path = ensure_media_fixture()
+    wav = (
+        spark.read.parquet(path)
+        .where(F.col("media_type") == "wav")
+        .select("media_id", "payload")
+    )
+    idx_path = "/tmp/delta_lake_health_spark_fixture/audio_fp_index"
+    marker = _os.path.join(idx_path, "_AFPIX_COMPLETE")
+
+    def build() -> None:
+        audio_fp.build_fp_index(spark, wav, idx_path)
+
+    # the fixture payloads are version-stamped; salt ties the index to
+    # that content version so a media-fixture bump rebuilds the index
+    with open(path + ".version") as fh:
+        build_once(marker, build, clean=[idx_path], salt=fh.read())
+
+    clips = _fixture_clips(spark, wav)
+    return (
+        audio_fp.match_against_index(spark, idx_path, clips, top=1)
         .select(
             "q_media_id",
             "match_media_id",

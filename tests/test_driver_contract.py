@@ -35,6 +35,7 @@ def test_registry_integrity():
         "events_value_percentiles_approx",
         "events_windowed_hll_users",
         "media_audio_fingerprint",
+        "media_audio_fp_served",
         "sketch_approx_distinct",
         "sketch_approx_percentiles",
         "sketch_heavy_hitters",
