@@ -212,6 +212,10 @@ def build_fp_index(
 
     fps = audio_fingerprints(media, frame=frame, hop=hop, fan_out=fan_out)
     delta_writer.write(spark, fps, path, mode="overwrite", cluster_by=["fp"])
+    # declare liquid clustering on fp: upsert appends auto-sort their
+    # batch and a bare OPTIMIZE re-narrows the file ranges (probe
+    # pruning stays sharp as tracks accumulate)
+    delta_writer.set_cluster_columns(spark, path, ["fp"])
     for key, val in zip(_FP_PROPS, (frame, hop, fan_out)):
         delta_writer.set_table_property(spark, path, key, str(val))
     from delta_lake_health_spark.sources.delta_log import DeltaLog

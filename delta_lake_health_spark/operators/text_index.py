@@ -71,6 +71,17 @@ def build_bm25_index(spark, docs: DataFrame, path: str) -> dict:
         mode="overwrite",
         cluster_by=["doc_id"],
     )
+    # DECLARE the clustering (liquid clustering): append batches from
+    # upserts range-sort themselves by the declared column, and a bare
+    # OPTIMIZE (zorder_cluster with cluster_cols=None) re-narrows the
+    # per-file ranges after many appends — the maintenance contract
+    # that keeps probe pruning sharp as the index grows
+    delta_writer.set_cluster_columns(
+        spark, os.path.join(path, "postings"), ["w"]
+    )
+    delta_writer.set_cluster_columns(
+        spark, os.path.join(path, "doclen"), ["doc_id"]
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dlen").cast("long").alias("sum_dlen"),

@@ -155,3 +155,56 @@ def test_upsert_replay_is_noop(spark, tmp_path):
     assert _rows(text_index.bm25_search(spark, path, _BM25_QUERY)) == (
         before
     )
+
+
+def test_optimize_restores_pruning_after_upserts(spark, tmp_path):
+    """The maintenance contract (r11): index tables DECLARE liquid
+    clustering, so upsert appends range-sort their own batch, and a
+    bare OPTIMIZE recluster (zorder_cluster over the declared column)
+    re-narrows per-file term ranges — probe pruning stays sharp as the
+    index grows, and served scores are bit-identical before and
+    after."""
+    from delta_lake_health_spark.operators.maintenance import (
+        zorder_cluster,
+    )
+    from delta_lake_health_spark.sources.delta_writer import (
+        clustering_columns,
+    )
+
+    docs = _docs(spark).localCheckpoint()
+    path = str(tmp_path / "idx")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        text_index.build_bm25_index(
+            spark, docs.where(F.col("doc_id") < 250), path
+        )
+        # five upsert batches: each appends its own term-sorted files,
+        # multiplying the per-term file count
+        for lo in range(250, 500, 50):
+            text_index.upsert_bm25_index(
+                spark,
+                path,
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)
+                ),
+            )
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    post = os.path.join(path, "postings")
+    assert clustering_columns(post) == ["w"]
+    log = DeltaLog(spark, post)
+    before_paths = len(
+        text_index.bm25_pruned_paths(spark, log, _BM25_QUERY)
+    )
+    before_rows = _rows(text_index.bm25_search(spark, path, _BM25_QUERY))
+    m = zorder_cluster(spark, post)  # declared column drives the rewrite
+    assert m["numRemovedFiles"] > 0 and m["numAddedFiles"] > 0
+    log = DeltaLog(spark, post)
+    after_paths = len(
+        text_index.bm25_pruned_paths(spark, log, _BM25_QUERY)
+    )
+    assert after_paths < before_paths, (before_paths, after_paths)
+    assert _rows(
+        text_index.bm25_search(spark, path, _BM25_QUERY)
+    ) == before_rows
