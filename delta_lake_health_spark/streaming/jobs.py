@@ -872,3 +872,67 @@ def stream_cusum_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_dedup_ingest(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> Any:
+    """Exact FULL-HISTORY dedup at the corpus door (X1's continuous
+    twin — the ingest shape a training-data pipeline runs 24/7): each
+    micro-batch first dedupes within itself (one row per key), then
+    anti-joins the TARGET TABLE on
+    ``key_cols`` so a key ever ingested never lands twice — unlike
+    ``dedup_stream`` (dropDuplicatesWithinWatermark), whose state only
+    spans the lateness window, this dedupes against all history with
+    ZERO streaming state: the Delta table itself is the seen-set.
+
+    Scale shape: the anti-join shuffles |batch| + |table keys-column|
+    rows; with the target clustered by the key (``cluster_by`` at
+    create, liquid clustering after), the key column scan prunes and
+    stays far below a table scan, and the X11 Bloom sidecar
+    (``operators/bloom``) can prefilter the probe to
+    |probably-seen batch rows| at 100 TB. Exactly-once like the other
+    sinks: the append carries a txn action keyed by
+    (appId=checkpoint_dir, version=batch_id), so a replayed micro-batch
+    commits nothing.
+
+    Returns the finished query; metrics per batch land in the commit's
+    operationMetrics (numOutputRows of the surviving append)."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(key_cols)
+        if delta_writer.current_version(table_path) >= 0:
+            seen = (
+                DeltaLog(sess, table_path).snapshot().select(*key_cols)
+            )
+            fresh = fresh.join(seen, key_cols, "left_anti")
+        if fresh.isEmpty():
+            return  # all-duplicate batch: nothing to commit (replay-safe:
+            # a re-delivered batch recomputes the same empty anti-join)
+        delta_writer.write(
+            sess,
+            fresh,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+            txn_app_id=checkpoint_dir,
+            txn_version=batch_id,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -566,3 +566,70 @@ def test_stream_cusum_flushes_quiet_types(spark):
     # b's only hour closed while b itself was silent — timeout flushed it
     assert got.get(("b", base)) == 2, got
     assert got.get(("a", base)) == 1, got
+
+
+def test_stream_dedup_ingest_full_history(spark):
+    """stream_dedup_ingest (r11): exact full-history dedup at the
+    corpus door — duplicate keys within a batch, across batches, and
+    across RESTARTS (new checkpoint, overlapping data) never land
+    twice; the target table is the seen-set, no streaming state."""
+    import pandas as pd
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    # three files -> three micro-batches; keys overlap heavily
+    chunks = [
+        [(1, "a"), (2, "b"), (2, "b2")],   # in-batch dup on 2
+        [(2, "b3"), (3, "c")],             # cross-batch dup on 2
+        [(1, "a2"), (4, "d"), (3, "c2")],  # cross-batch dups on 1, 3
+    ]
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(
+            [{"doc_id": k, "text": t} for k, t in rows]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            os.path.join(src, f"c{i}")
+        )
+    flat = os.path.join(tmp, "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        d = os.path.join(src, f"c{i}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(d, f), os.path.join(flat, f"f{n}.parquet")
+                )
+                n += 1
+    tbl = os.path.join(tmp, "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    jobs.stream_dedup_ingest(
+        stream, tbl, os.path.join(tmp, "cp1"), ["doc_id"]
+    )
+    got = {
+        r.doc_id for r in DeltaLog(spark, tbl).snapshot().collect()
+    }
+    assert got == {1, 2, 3, 4}
+    assert DeltaLog(spark, tbl).snapshot().count() == 4
+
+    # restart with a FRESH checkpoint over the same source: every batch
+    # re-delivers, every key is already in the table -> nothing commits
+    v = delta_writer.current_version(tbl)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    jobs.stream_dedup_ingest(
+        stream2, tbl, os.path.join(tmp, "cp2"), ["doc_id"]
+    )
+    assert delta_writer.current_version(tbl) == v
+    assert DeltaLog(spark, tbl).snapshot().count() == 4
