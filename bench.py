@@ -148,9 +148,9 @@ def main() -> None:
     # construction
     import shutil as _sh
 
-    _bm25_tag = os.path.basename(os.path.normpath(SF_DIR)) or "default"
-    _bm25_path = f"/tmp/delta_lake_health_spark_fixture/bm25_index_{_bm25_tag}"
-    _sh.rmtree(_bm25_path, ignore_errors=True)
+    from delta_lake_health_spark.plans.text import bm25_index_path
+
+    _sh.rmtree(bm25_index_path(SF_DIR), ignore_errors=True)
     t0 = time.perf_counter()
     qs["text_bm25_served"](spark, SF_DIR).count()  # builds, then serves
     bm25_build = round(time.perf_counter() - t0, 3)

@@ -3,24 +3,35 @@ task #4; pairs with the registry's in-session ``text_bm25_topk``, T33).
 
 The registry query recomputes tf/df/doc-lengths from the corpus on
 every call so the DuckDB oracle can replay it; production lexical
-retrieval at 100 TB builds the postings ONCE and serves queries from
-the artifact:
+retrieval at 100 TB builds the index ONCE and serves queries from the
+artifact. Layout (r11 review revision — ONE data table so an upsert is
+ONE atomic commit; the earlier postings/doclen split left a crash
+window between their two appends that double-counted tf on replay):
 
-- ``postings``  (w, doc_id, tf)  — Delta, ``cluster_by("w")``: a query
-  touches only the files whose term-range stats cover its terms, so
-  probe I/O is |query-term postings|, never the corpus;
-- ``doclen``    (doc_id, dlen)   — Delta, clustered by doc_id (the
-  score join's key);
-- ``stats``     (n_docs, sum_dlen) — one row; SUMS, not the average,
-  so incremental upserts stay exact integer arithmetic.
+- ``postings`` — a single Delta table hive-partitioned by ``kind``:
+  * ``kind=post`` rows (doc_id, w, tf): the term postings, written
+    ``cluster_by("w", "doc_id")`` so a query touches only the files
+    whose term range covers its terms;
+  * ``kind=dl`` rows (doc_id, w=NULL, tf=doc length): the doc-length
+    sidecar rows, physically separated by the partition (and sorted by
+    doc_id — the null term sorts first in the range partitioning), so
+    both the seen-set anti-join and the per-query doc-length lookup
+    read ONLY this small partition, file-pruned by doc_id.
+- ``stats`` — (n_docs, sum_dlen, as_of_version): a pure CACHE of the
+  corpus totals, stamped with the data-table version it reflects.
+  Probes validate ``as_of_version`` against the current data version
+  and recompute from the ``kind=dl`` partition on mismatch, so a crash
+  between the data commit and the cache re-stamp can never serve wrong
+  idf/avgdl — only a slightly slower probe until the next upsert
+  repairs the cache.
 
-``bm25_search`` reproduces the registry scorer bit-for-bit (same
-Okapi formula, same 6-dp round-before-rank, same tie-break), and
+``bm25_search`` reproduces the registry scorer bit-for-bit (same Okapi
+formula, same 6-dp round-before-rank, same tie-break), and
 ``upsert_bm25_index`` is the ``delta_tail``-compatible freshness path:
-new documents APPEND their postings/doclen rows (pure add-only
-commits — |new docs| write cost) and the one-row stats table is
-re-stamped; df/idf need no stored state because they derive from the
-probed postings at query time, so appends never rewrite the index.
+one append-only commit carrying the new docs' postings AND length rows
+(|new docs| write cost), with an anti-join against the ``kind=dl``
+partition making replayed batches exact no-ops. df/idf need no stored
+state because they derive from the probed postings at query time.
 
 Reference parity note: the reference repo has no lexical-retrieval
 surface; this is LLM-pipeline scope (brief §"training-data pipeline"),
@@ -34,6 +45,9 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_POST = "post"
+_DL = "dl"
+
 
 def _doc_terms(docs: DataFrame) -> DataFrame:
     """(doc_id, w, tf) over the FULL vocabulary — whitespace tokens,
@@ -45,67 +59,104 @@ def _doc_terms(docs: DataFrame) -> DataFrame:
     )
 
 
+def _index_rows(docs: DataFrame) -> DataFrame:
+    """The unified index rows for ``docs``: term postings under
+    kind=post plus one doc-length row (w NULL, tf = dlen) under
+    kind=dl — both halves of a document's state in ONE DataFrame so
+    they land in ONE commit."""
+    posts = _doc_terms(docs).select(
+        F.lit(_POST).alias("kind"), "doc_id", "w", "tf"
+    )
+    dl = docs.select(
+        F.lit(_DL).alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("w"),
+        F.size(F.split("text", " ")).cast("long").alias("tf"),
+    )
+    return posts.unionByName(dl)
+
+
+def _data_path(path: str) -> str:
+    return os.path.join(path, "postings")
+
+
 def build_bm25_index(spark, docs: DataFrame, path: str) -> dict:
-    """Materialize the three-table BM25 artifact from ``docs``
-    (doc_id, text). Postings cover the FULL vocabulary (the index must
-    answer any query, not just a pinned term list); the zipfian term
-    key is safe because postings are only ever FILTERED by term and
-    aggregated per (w) at probe time — no |vocab| broadcast, matching
-    the text-plan vocab bound."""
+    """Materialize the BM25 artifact from ``docs`` (doc_id, text).
+    Postings cover the FULL vocabulary (the index must answer any
+    query, not just a pinned term list); the zipfian term key is safe
+    because postings are only ever FILTERED by term and aggregated per
+    (w) at probe time — no |vocab| broadcast, matching the text-plan
+    vocab bound. Clustering is DECLARED (liquid clustering) so upsert
+    appends range-sort their own batches and a bare OPTIMIZE re-narrows
+    the file ranges as the index grows."""
     from delta_lake_health_spark.sources import delta_writer
 
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("dlen")
-    )
+    data = _data_path(path)
     delta_writer.write(
         spark,
-        _doc_terms(docs),
-        os.path.join(path, "postings"),
+        _index_rows(docs),
+        data,
         mode="overwrite",
-        cluster_by=["w"],
+        partition_by=["kind"],
+        cluster_by=["w", "doc_id"],
     )
-    delta_writer.write(
-        spark,
-        dl,
-        os.path.join(path, "doclen"),
-        mode="overwrite",
-        cluster_by=["doc_id"],
+    delta_writer.set_cluster_columns(spark, data, ["w", "doc_id"])
+    n_docs = _stamp_stats(spark, path)
+    return {"path": path, "n_docs": int(n_docs)}
+
+
+def _dl_rows(spark, log) -> DataFrame:
+    """The kind=dl partition (doc_id, dlen) — partition-pruned scan."""
+    return (
+        log.snapshot()
+        .where(F.col("kind") == _DL)
+        .select("doc_id", F.col("tf").alias("dlen"))
     )
-    # DECLARE the clustering (liquid clustering): append batches from
-    # upserts range-sort themselves by the declared column, and a bare
-    # OPTIMIZE (zorder_cluster with cluster_cols=None) re-narrows the
-    # per-file ranges after many appends — the maintenance contract
-    # that keeps probe pruning sharp as the index grows
-    delta_writer.set_cluster_columns(
-        spark, os.path.join(path, "postings"), ["w"]
-    )
-    delta_writer.set_cluster_columns(
-        spark, os.path.join(path, "doclen"), ["doc_id"]
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dlen").cast("long").alias("sum_dlen"),
+
+
+def _corpus_totals(spark, log):
+    """(n_docs, sum_dlen) recomputed from the kind=dl partition."""
+    row = _dl_rows(spark, log).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dlen").cast("long").alias("s"),
+    ).first()
+    return int(row.n or 0), int(row.s or 0)
+
+
+def _stamp_stats(spark, path: str) -> int:
+    """Overwrite the stats CACHE with totals recomputed from the data
+    table, stamped with the data version they reflect. Returns
+    n_docs."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, _data_path(path))
+    n, s = _corpus_totals(spark, log)
+    stats = spark.createDataFrame(
+        [(n, s, int(log.version()))],
+        "n_docs long, sum_dlen long, as_of_version long",
     )
     delta_writer.write(
         spark, stats, os.path.join(path, "stats"), mode="overwrite"
     )
-    row = stats.first()
-    return {"path": path, "n_docs": int(row.n_docs)}
+    return n
 
 
 def bm25_pruned_paths(spark, log, terms) -> list:
-    """Live postings files whose [min(w), max(w)] stats interval covers
-    at least one query term — ``DeltaLog.pruned_files_for_keys``,
-    exact because the probe's row filter is term equality. Metadata
-    only, no data read."""
+    """Live kind=post files whose [min(w), max(w)] stats interval
+    covers at least one query term — ``DeltaLog.pruned_files_for_keys``
+    with the partition filter, exact because the probe's row filter is
+    term equality. Metadata only, no data read."""
     keys = spark.createDataFrame([(str(t),) for t in terms], "w string")
-    return log.pruned_files_for_keys(keys, "w")
+    return log.pruned_files_for_keys(
+        keys, "w", partition_filter={"kind": _POST}
+    )
 
 
 def _pruned_scan(spark, log, paths: list) -> DataFrame:
-    """Read exactly ``paths`` from an index table (index tables are
-    append-only — no deletion vectors to reconcile, so the pruned file
-    set IS the live data for those keys)."""
+    """Read exactly ``paths`` from the index table (append-only — no
+    deletion vectors to reconcile, so the pruned file set IS the live
+    data for those keys)."""
     from pyspark.sql.types import StructType
 
     if not paths:
@@ -128,41 +179,38 @@ def bm25_search(
     the in-session registry scorer: Okapi BM25 with the
     ``ln(1 + (N - df + .5)/(df + .5))`` idf, 6-dp round BEFORE ranking,
     (score DESC, doc_id) tie-break. Scale shape: the postings scan is
-    term-pruned by the cluster_by layout, df comes from the probed
-    postings themselves (|matched postings| work), stats is a broadcast
-    single row, and the final top-k is TakeOrdered + a rank window over
-    the ``top`` survivors only."""
+    term-pruned through the cluster_by layout, doc lengths are read
+    only for the matched docs (kind=dl partition, doc_id-pruned), the
+    corpus totals come from the version-validated stats cache (or a
+    dl-partition recompute when the cache is stale), and the final
+    top-k is TakeOrdered + a rank window over the ``top`` survivors
+    only."""
     from pyspark.sql.window import Window
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-    plog = DeltaLog(spark, os.path.join(path, "postings"))
+    log = DeltaLog(spark, _data_path(path))
     postings = (
-        _pruned_scan(spark, plog, bm25_pruned_paths(spark, plog, terms))
+        _pruned_scan(spark, log, bm25_pruned_paths(spark, log, terms))
         .where(F.col("w").isin(*terms))
+        .select("doc_id", "w", "tf")
         .localCheckpoint()
     )
-    # doclen is read ONLY for the matched docs: the matched doc_ids
-    # drive the same key-set file pruning through the cluster_by
-    # (doc_id) layout — probe I/O stays |query-term postings|, never
-    # the corpus
-    dlog = DeltaLog(spark, os.path.join(path, "doclen"))
     dl = _pruned_scan(
         spark,
-        dlog,
-        dlog.pruned_files_for_keys(postings.select("doc_id"), "doc_id"),
-    )
-    stats = (
-        DeltaLog(spark, os.path.join(path, "stats"))
-        .snapshot()
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("sum_dlen").cast("long").alias("sum_dlen"),
-        )
-        .select(
-            "n_docs",
-            (F.col("sum_dlen") * 1.0 / F.col("n_docs")).alias("avgdl"),
-        )
+        log,
+        log.pruned_files_for_keys(
+            postings.select("doc_id"),
+            "doc_id",
+            partition_filter={"kind": _DL},
+        ),
+    ).select("doc_id", F.col("tf").alias("dlen"))
+    n_docs, sum_dlen = _validated_totals(spark, path, log)
+    stats = spark.createDataFrame(
+        [(n_docs, sum_dlen)], "n_docs long, sum_dlen long"
+    ).select(
+        "n_docs",
+        (F.col("sum_dlen") * 1.0 / F.col("n_docs")).alias("avgdl"),
     )
     idf = (
         postings.groupBy("w")
@@ -202,24 +250,42 @@ def bm25_search(
     )
 
 
+def _validated_totals(spark, path: str, log) -> tuple:
+    """Corpus totals from the stats cache when it reflects the current
+    data version, recomputed from the kind=dl partition when it does
+    not (crash between data commit and cache re-stamp, or a concurrent
+    upsert) — correctness never depends on the cache."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    current = int(log.version())
+    try:
+        row = (
+            DeltaLog(spark, os.path.join(path, "stats"))
+            .snapshot()
+            .first()
+        )
+    except Exception:
+        row = None
+    if row is not None and int(row.as_of_version) == current:
+        return int(row.n_docs), int(row.sum_dlen)
+    return _corpus_totals(spark, log)
+
+
 def upsert_bm25_index(spark, path: str, new_docs: DataFrame) -> dict:
     """Add ``new_docs`` (doc_id, text) to a persisted BM25 index
-    without rebuilding: postings and doclen get PURE APPEND commits
-    (|new docs| write cost — the ``delta_tail`` streaming-maintenance
-    shape), and the one-row stats table is re-stamped with the summed
-    totals. df/idf are derived from postings at probe time, so no
-    other state exists to maintain. Docs already indexed are skipped by
-    doc_id (anti-join against doclen — a crash-replayed batch is a
-    no-op instead of double-counting tf and inflating n_docs).
+    without rebuilding: ONE pure-append commit carries both the new
+    postings and the new doc-length rows (|new docs| write cost — the
+    ``delta_tail`` streaming-maintenance shape; the declared clustering
+    range-sorts the batch). Docs already indexed are skipped by doc_id
+    (anti-join against the kind=dl partition — a crash-replayed batch
+    is an exact no-op, and a crash before the stats re-stamp only
+    leaves the cache stale, which probes detect and recompute around).
     Returns ``{"numDocsAdded"}``."""
     from delta_lake_health_spark.sources import delta_writer
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
-    known = (
-        DeltaLog(spark, os.path.join(path, "doclen"))
-        .snapshot()
-        .select("doc_id")
-    )
+    data = _data_path(path)
+    known = _dl_rows(spark, DeltaLog(spark, data)).select("doc_id")
     fresh = (
         new_docs.select("doc_id", "text")
         .join(known, "doc_id", "left_anti")
@@ -228,35 +294,8 @@ def upsert_bm25_index(spark, path: str, new_docs: DataFrame) -> dict:
     n_new = fresh.count()
     if n_new == 0:
         return {"numDocsAdded": 0}
-    dl = fresh.select(
-        "doc_id", F.size(F.split("text", " ")).alias("dlen")
-    ).localCheckpoint()
     delta_writer.write(
-        spark,
-        _doc_terms(fresh),
-        os.path.join(path, "postings"),
-        mode="append",
+        spark, _index_rows(fresh), data, mode="append"
     )
-    delta_writer.write(
-        spark, dl, os.path.join(path, "doclen"), mode="append"
-    )
-    add = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dlen").cast("long").alias("s")
-    ).first()
-    prev = (
-        DeltaLog(spark, os.path.join(path, "stats"))
-        .snapshot()
-        .agg(
-            F.sum("n_docs").cast("long").alias("n"),
-            F.sum("sum_dlen").cast("long").alias("s"),
-        )
-        .first()
-    )
-    stats = spark.createDataFrame(
-        [(int(prev.n) + int(add.n), int(prev.s) + int(add.s))],
-        "n_docs long, sum_dlen long",
-    )
-    delta_writer.write(
-        spark, stats, os.path.join(path, "stats"), mode="overwrite"
-    )
+    _stamp_stats(spark, path)
     return {"numDocsAdded": int(n_new)}

@@ -327,10 +327,6 @@ def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cut a hop-aligned clip from every WAV track, fingerprint corpus
     and clips, and recover (source track, frame offset) per clip by
     constellation voting. Output: one row per clip with its best match."""
-    from typing import Iterator
-
-    import pandas as pd
-
     from delta_lake_health_spark.operators import audio_fp
 
     path = ensure_media_fixture()
@@ -366,10 +362,6 @@ def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("media_audio_fp_served", None)
 def media_audio_fp_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
-    from typing import Iterator
-
-    import pandas as pd
-
     from delta_lake_health_spark.operators import audio_fp
     from delta_lake_health_spark.sources.fixture import build_once
 
@@ -388,7 +380,17 @@ def media_audio_fp_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture payloads are version-stamped; salt ties the index to
     # that content version so a media-fixture bump rebuilds the index
     with open(path + ".version") as fh:
-        build_once(marker, build, clean=[idx_path], salt=fh.read())
+        build_once(
+            marker,
+            build,
+            clean=[idx_path],
+            salt=fh.read(),
+            deps=(
+                audio_fp.build_fp_index,
+                audio_fp.audio_fingerprints,
+                audio_fp.fingerprint_samples,
+            ),
+        )
 
     clips = _fixture_clips(spark, wav)
     return (

@@ -1587,6 +1587,11 @@ def _served_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         clean=[path],
         salt=f"{sf_dir}:{K_CENTROIDS}:{KMEANS_ITERS}:{NPROBE}",
+        deps=(
+            ann_index.build_ivf_index,
+            ann_index.save_ivf_index,
+            _kmeans_centroids,
+        ),
     )
     loaded = ann_index.load_ivf_index(spark, path)
     q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES).select(

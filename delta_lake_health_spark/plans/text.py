@@ -2415,6 +2415,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clustered by term so the probe file-prunes, stats a broadcast row,
 # df derived from the probed postings. Proves artifact build + pruned
 # serve end-to-end against the independent engine.
+def bm25_index_path(sf_dir: str) -> str:
+    """The per-sf_dir /tmp location of the served-BM25 artifact — ONE
+    definition, shared with bench.py's force-rebuild so the two can
+    never drift."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"/tmp/delta_lake_health_spark_fixture/bm25_index_{tag}"
+
+
 @query("text_bm25_served", _BM25_ORACLE)
 def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -2425,8 +2435,7 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from delta_lake_health_spark.sources.fixture import build_once
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    path = f"/tmp/delta_lake_health_spark_fixture/bm25_index_{tag}"
+    path = bm25_index_path(sf_dir)
     marker = os.path.join(path, "_BM25IX_COMPLETE")
 
     def build() -> None:
@@ -2436,7 +2445,17 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
         )
 
-    build_once(marker, build, clean=[path], salt=sf_dir)
+    from delta_lake_health_spark.operators import text_index as _ti
+
+    # deps: the functions whose behavior defines the artifact — editing
+    # the index builder or the tokenizer must rebuild, not serve stale
+    build_once(
+        marker,
+        build,
+        clean=[path],
+        salt=sf_dir,
+        deps=(_ti.build_bm25_index, _ti._doc_terms),
+    )
     return bm25_search(
         spark, path, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B, top=_BM25_TOP
     )

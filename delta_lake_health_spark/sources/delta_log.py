@@ -1693,7 +1693,9 @@ class DeltaLog:
             .select("path", "stats", "partitionValues")
         )
 
-    def live_file_intervals(self, column: str) -> DataFrame:
+    def live_file_intervals(
+        self, column: str, partition_filter: dict | None = None
+    ) -> DataFrame:
         """(path, lo, hi) for every live file — the per-file stats
         interval of ``column`` (nulls when the file carries no stats,
         which callers must treat as matching everything); numeric
@@ -1708,31 +1710,60 @@ class DeltaLog:
         schema = self.metadata().get("schema")
         mapping = self.column_mapping(schema)
         phys = mapping.get(column, column)
-        numeric_types = {
-            "byte", "short", "integer", "long", "float", "double",
-        }
-        is_numeric = any(
-            f.get("name") == column
-            and isinstance(f.get("type"), str)
-            and f["type"] in numeric_types
-            for f in (schema or {}).get("fields", [])
+        col_type = next(
+            (
+                f.get("type")
+                for f in (schema or {}).get("fields", [])
+                if f.get("name") == column
+            ),
+            None,
         )
+        # typed interval compare, or a LOUD refusal: a decimal compared
+        # lexicographically or a >2^53 long squeezed into a double would
+        # silently SKIP files that contain the key — wrong results, not
+        # an error — so only types with a faithful comparison are served
+        if col_type in ("byte", "short", "integer", "long"):
+            cast_to = "long"
+        elif col_type in ("float", "double"):
+            cast_to = "double"
+        elif col_type == "string":
+            cast_to = None  # string stats compare lexicographically
+        else:
+            raise ValueError(
+                f"live_file_intervals: column {column!r} has type "
+                f"{col_type!r}; interval pruning supports integer, "
+                "float, and string keys only"
+            )
         lo = F.get_json_object(F.col("stats"), f"$.minValues.{phys}")
         hi = F.get_json_object(F.col("stats"), f"$.maxValues.{phys}")
-        if is_numeric:
-            lo, hi = lo.cast("double"), hi.cast("double")
-        return self._live_adds().select(
-            "path", lo.alias("lo"), hi.alias("hi")
-        )
+        if cast_to is not None:
+            lo, hi = lo.cast(cast_to), hi.cast(cast_to)
+        live = self._live_adds()
+        for col, want in (partition_filter or {}).items():
+            vals = [
+                str(v)
+                for v in (
+                    want
+                    if isinstance(want, (list, tuple, set))
+                    else [want]
+                )
+            ]
+            live = live.where(F.col("partitionValues")[col].isin(vals))
+        return live.select("path", lo.alias("lo"), hi.alias("hi"))
 
-    def pruned_files_for_keys(self, keys: DataFrame, column: str) -> list:
+    def pruned_files_for_keys(
+        self,
+        keys: DataFrame,
+        column: str,
+        partition_filter: dict | None = None,
+    ) -> list:
         """Live files whose ``column`` stats interval contains at least
         one value of ``keys`` (a single-column DataFrame) — the
         disjunctive, key-SET form of data skipping, evaluated as a
         broadcast range join (|files| broadcast side, keys stay
         distributed). Only the touched PATHS reach the driver, bounded
         by |files|."""
-        intervals = self.live_file_intervals(column)
+        intervals = self.live_file_intervals(column, partition_filter)
         key_col = F.col(keys.columns[0])
         hit = (
             F.col("lo").isNull()

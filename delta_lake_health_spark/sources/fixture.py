@@ -297,15 +297,23 @@ def ensure_convert_fixture(path: str = CONVERT_SRC_PATH) -> str:
 _LOCK_DIR = "/tmp/delta_lake_health_spark_fixture/.locks"
 
 
-def definition_hash(build, salt: str = "") -> str:
+def definition_hash(build, salt: str = "", deps: tuple = ()) -> str:
+    """Hash of the builder's source + each dependency's source + salt.
+    ``deps`` should name the functions whose BEHAVIOR defines the
+    artifact (the thin build closure usually just calls them — editing
+    a callee must invalidate the marker, not silently reuse the stale
+    artifact)."""
     import hashlib
     import inspect
 
-    try:
-        src = inspect.getsource(build)
-    except (OSError, TypeError):  # no source (REPL / C callable)
-        src = repr(build)
-    return hashlib.sha256((src + "\x00" + salt).encode()).hexdigest()[:16]
+    parts = []
+    for fn in (build, *deps):
+        try:
+            parts.append(inspect.getsource(fn))
+        except (OSError, TypeError):  # no source (REPL / C callable)
+            parts.append(repr(fn))
+    parts.append(salt)
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
 
 
 def build_once(
@@ -313,15 +321,18 @@ def build_once(
     build,
     clean: list[str] | None = None,
     salt: str = "",
+    deps: tuple = (),
 ) -> None:
     """Run ``build()`` exactly once per (machine, definition): skipped
-    when ``marker`` already records this definition's hash, serialized
-    against concurrent builders via flock, and preceded by an rmtree of
-    every path in ``clean`` (stale trees from ANY prior definition)."""
+    when ``marker`` already records this definition's hash (the hash
+    covers ``build``'s source, every function in ``deps``, and
+    ``salt``), serialized against concurrent builders via flock, and
+    preceded by an rmtree of every path in ``clean`` (stale trees from
+    ANY prior definition)."""
     import fcntl
     import hashlib
 
-    version = definition_hash(build, salt)
+    version = definition_hash(build, salt, deps)
 
     def _ok() -> bool:
         try:

@@ -915,6 +915,9 @@ def stream_dedup_ingest(
                 DeltaLog(sess, table_path).snapshot().select(*key_cols)
             )
             fresh = fresh.join(seen, key_cols, "left_anti")
+        # materialize once: the seen-set anti-join is the dominant cost
+        # and must not run again inside the write
+        fresh = fresh.localCheckpoint()
         if fresh.isEmpty():
             return  # all-duplicate batch: nothing to commit (replay-safe:
             # a re-delivered batch recomputes the same empty anti-join)

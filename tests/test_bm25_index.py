@@ -70,25 +70,65 @@ def test_upsert_converges_to_full_build(spark, tmp_path):
     assert got == _rows(QUERIES["text_bm25_topk"](spark, SF_DIR))
 
 
-def test_upsert_commits_are_append_only(spark, tmp_path):
+def test_upsert_is_one_append_only_commit(spark, tmp_path):
+    """r11 review revision: an upsert's postings AND doc-length rows
+    land in ONE append-only commit on the unified data table — no
+    crash window between two tables can double-count on replay."""
     docs = _docs(spark).localCheckpoint()
     path = str(tmp_path / "idx")
     text_index.build_bm25_index(
         spark, docs.where(F.col("doc_id") < 400), path
     )
     post = os.path.join(path, "postings")
-    dlp = os.path.join(path, "doclen")
-    v_post = delta_writer.current_version(post)
-    v_dl = delta_writer.current_version(dlp)
+    v0 = delta_writer.current_version(post)
     text_index.upsert_bm25_index(
         spark, path, docs.where(F.col("doc_id") >= 400)
     )
-    for tbl, v0 in ((post, v_post), (dlp, v_dl)):
-        v1 = delta_writer.current_version(tbl)
-        assert v1 == v0 + 1
-        acts = delta_writer._version_actions(tbl, v1)
-        kinds = {k for a in acts for k in a}
-        assert "add" in kinds and "remove" not in kinds, (tbl, kinds)
+    v1 = delta_writer.current_version(post)
+    assert v1 == v0 + 1
+    acts = delta_writer._version_actions(post, v1)
+    kinds = {k for a in acts for k in a}
+    assert "add" in kinds and "remove" not in kinds, kinds
+    # the one commit carries BOTH partitions' files
+    parts = {
+        a["add"]["partitionValues"]["kind"]
+        for a in acts
+        if "add" in a
+    }
+    assert parts == {"post", "dl"}
+
+
+def test_stale_stats_cache_recomputes(spark, tmp_path):
+    """A crash between the data commit and the stats re-stamp leaves
+    the cache stale; probes must detect the version mismatch and
+    recompute the totals from the kind=dl partition — served scores
+    stay correct with no cache at all."""
+    import shutil
+
+    docs = _docs(spark).localCheckpoint()
+    path = str(tmp_path / "idx")
+    text_index.build_bm25_index(spark, docs, path)
+    want = _rows(text_index.bm25_search(spark, path, _BM25_QUERY))
+    # simulate the crash aftermath: the cache carries GARBAGE totals
+    # stamped with a version the data table is not at — the probe must
+    # ignore it and recompute from the kind=dl partition
+    delta_writer.write(
+        spark,
+        spark.createDataFrame(
+            [(1, 1, 9999)],
+            "n_docs long, sum_dlen long, as_of_version long",
+        ),
+        os.path.join(path, "stats"),
+        mode="overwrite",
+    )
+    assert _rows(
+        text_index.bm25_search(spark, path, _BM25_QUERY)
+    ) == want
+    # and with NO stats table at all
+    shutil.rmtree(os.path.join(path, "stats"))
+    assert _rows(
+        text_index.bm25_search(spark, path, _BM25_QUERY)
+    ) == want
 
 
 def test_probe_prunes_postings_files(spark, tmp_path):
@@ -192,13 +232,16 @@ def test_optimize_restores_pruning_after_upserts(spark, tmp_path):
     finally:
         spark.conf.set(coalesce_key, "true")
     post = os.path.join(path, "postings")
-    assert clustering_columns(post) == ["w"]
+    assert clustering_columns(post) == ["w", "doc_id"]
     log = DeltaLog(spark, post)
     before_paths = len(
         text_index.bm25_pruned_paths(spark, log, _BM25_QUERY)
     )
     before_rows = _rows(text_index.bm25_search(spark, path, _BM25_QUERY))
-    m = zorder_cluster(spark, post)  # declared column drives the rewrite
+    # declared columns drive the rewrite; lexicographic keeps the
+    # LEADING column (w) maximally narrow, which is what term
+    # probes prune on
+    m = zorder_cluster(spark, post, interleaved=False)
     assert m["numRemovedFiles"] > 0 and m["numAddedFiles"] > 0
     log = DeltaLog(spark, post)
     after_paths = len(

@@ -89,3 +89,30 @@ def test_build_once_concurrent_single_build(tmp_path):
     for t in threads:
         t.join()
     assert calls == [1]
+
+
+def test_build_once_deps_change_rebuilds(tmp_path):
+    """Review fix (r11): the marker hash must cover the DEPENDENCY
+    functions' source, not just the thin build closure — editing a
+    callee rebuilds instead of serving the stale artifact."""
+    marker = str(tmp_path / "m")
+    calls = []
+
+    def helper() -> str:
+        return "v1"
+
+    def build() -> None:
+        calls.append(helper())
+
+    build_once(marker, build, deps=(helper,))
+    build_once(marker, build, deps=(helper,))
+    assert calls == ["v1"]
+
+    def helper() -> str:  # noqa: F811 — the "edited" dependency
+        return "v2"
+
+    def build() -> None:  # textually IDENTICAL closure
+        calls.append(helper())
+
+    build_once(marker, build, deps=(helper,))
+    assert calls == ["v1", "v2"]
