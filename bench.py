@@ -210,7 +210,13 @@ def main() -> None:
             "agg serialized an extra corpus tokenize ahead of the main "
             "job, 1.02->1.27s); _join_vocab_bounded now delegates the "
             "broadcast/skew decision to AQE (one job, plan-asserted), "
-            "sf0.1 medians r6 0.90s / r8-shape 1.24s / r9 0.83s"
+            "sf0.1 medians r6 0.90s / r8-shape 1.24s / r9 0.83s. "
+            "r11 A/B (VERDICT r10 #3): same-box cold pairs — the r9 "
+            "tree ITSELF measured 57.2s/47.7s across two runs (vs its "
+            "recorded 46.6s) with calibration numpy swinging "
+            "0.43-1.39s between runs; HEAD-vs-r9 like-for-like "
+            "min-of-2 over the 37 shared queries = 1.009x. The r10 "
+            "1.09x like-for-like delta was environment, not code."
         ),
     }
     print("# DETAIL " + json.dumps(detail), file=sys.stderr)
