@@ -42,6 +42,7 @@ _VERIFY_FIRST = (
     # (1) NEW this round — no driver row yet
     "text_bm25_served",
     "media_audio_fp_served",
+    "text_chunk_census",
     # (2) code changed this round since newest green row
     "customer_balance_quartiles",
     "customer_rfm_scores",

@@ -2459,3 +2459,80 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         spark, path, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B, top=_BM25_TOP
     )
+
+
+# --------------------------------------------------------------------------
+# T35 — fixed-stride token chunking census (r11): the RAG /
+# training-prep chunker — every doc splits into CHUNK_LEN-token windows
+# advancing by CHUNK_STRIDE (CHUNK_LEN - CHUNK_STRIDE tokens of
+# overlap), short docs yield one chunk, and the census aggregates the
+# materialized chunk table per chunk index. Spark-first: the chunk
+# table is an explode of a per-doc closed-form ``sequence`` of starts —
+# one narrow pass, no UDF, |chunks| rows; the census output is bounded
+# by max-doc-length / stride, a domain bound. Complements
+# text_pack_sequences (dense packing) with the overlapping-window
+# serving shape.
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunk_census",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ), docs AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= {_CHUNK_LEN} THEN 1
+                  ELSE 1 + CAST(CEIL((n - {_CHUNK_LEN}) * 1.0
+                                      / {_CHUNK_STRIDE}) AS BIGINT)
+             END AS n_chunks
+      FROM sized
+    ), chunks AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT)))
+               AS chunk_idx,
+             n
+      FROM docs
+    )
+    SELECT CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST({_CHUNK_LEN},
+                          n - chunk_idx * {_CHUNK_STRIDE}))
+                AS BIGINT) AS sum_len,
+           ROUND(AVG(LEAST({_CHUNK_LEN},
+                           n - chunk_idx * {_CHUNK_STRIDE})), 6)
+             AS avg_len
+    FROM chunks
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(toks()).cast("long").alias("n"))
+    n_chunks = F.when(F.col("n") <= _CHUNK_LEN, F.lit(1)).otherwise(
+        1
+        + F.ceil(
+            (F.col("n") - _CHUNK_LEN) * 1.0 / _CHUNK_STRIDE
+        ).cast("long")
+    )
+    chunks = sized.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+    )
+    clen = F.least(
+        F.lit(_CHUNK_LEN).cast("long"),
+        F.col("n") - F.col("chunk_idx") * _CHUNK_STRIDE,
+    )
+    return (
+        chunks.groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(clen).cast("long").alias("sum_len"),
+            F.round(F.avg(clen), 6).alias("avg_len"),
+        )
+        .orderBy("chunk_idx")
+    )
