@@ -37,7 +37,16 @@ def bucketed_prefix_sum(
     (bucket(a) < bucket(b) ⇒ a sorts before b) and domain-bounded.
     Adds column ``out``; drops nothing else."""
     b = df.withColumn("__b", bucket)
-    in_bucket = Window.partitionBy("__b").orderBy(*order_cols)
+    # explicit ROWS frame: the default RANGE frame includes ORDER-BY
+    # peers, which on tied order_cols would hand every tied row the
+    # same prefix — ROWS keeps the documented strictly-preceding-rows
+    # contract (among ties the order is nondeterministic, exactly like
+    # ROW_NUMBER; pass a unique tiebreaker for determinism)
+    in_bucket = (
+        Window.partitionBy("__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = b.withColumn(
         "__lo",
         F.coalesce(F.sum(weight).over(in_bucket) - weight, F.lit(0)),

@@ -96,3 +96,19 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
             ).collect()
         }
         assert got == want, (n, k)
+
+
+def test_bucketed_row_number_tied_order_is_still_a_permutation(spark):
+    """Review fix (r11): without a unique tiebreaker the helper must
+    still behave like ROW_NUMBER — every row gets a DISTINCT rank
+    (arbitrary among ties), not the RANGE-frame behavior that hands all
+    tied rows the same value."""
+    rows = [(i, float(i % 3), 1) for i in range(60)]  # heavy ties, no tiebreak col in order
+    df = _df(spark, rows)
+    got = [
+        r.r
+        for r in bucketed_row_number(
+            df, F.floor(F.col("v")).cast("long"), [F.col("v")], "r"
+        ).collect()
+    ]
+    assert sorted(got) == list(range(1, 61))
