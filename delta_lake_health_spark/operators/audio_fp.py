@@ -216,8 +216,14 @@ def build_fp_index(
     # batch and a bare OPTIMIZE re-narrows the file ranges (probe
     # pruning stays sharp as tracks accumulate)
     delta_writer.set_cluster_columns(spark, path, ["fp"])
-    for key, val in zip(_FP_PROPS, (frame, hop, fan_out)):
-        delta_writer.set_table_property(spark, path, key, str(val))
+    # all three analysis parameters land in ONE commit: a crash can
+    # leave the index un-stamped (probes refuse loudly, below) but
+    # never HALF-stamped / silently mismatched
+    delta_writer.set_table_properties(
+        spark,
+        path,
+        dict(zip(_FP_PROPS, (str(frame), str(hop), str(fan_out)))),
+    )
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     n_tracks = (
@@ -231,12 +237,21 @@ def build_fp_index(
 
 
 def _fp_params(log) -> tuple[int, int, int]:
+    """The analysis parameters the index was BUILT with. Missing
+    properties are a refusal, not a default: falling back to module
+    defaults against a non-default index would make probes vote
+    mixed-parameter hashes and return wrong/empty matches silently
+    (a crash between the data write and the property stamp leaves
+    exactly this state — rebuild the index)."""
     cfg = log.metadata().get("configuration") or {}
-    return (
-        int(cfg.get("fp.frame", FRAME)),
-        int(cfg.get("fp.hop", HOP)),
-        int(cfg.get("fp.fanOut", FAN_OUT)),
-    )
+    missing = [k for k in _FP_PROPS if k not in cfg]
+    if missing:
+        raise ValueError(
+            f"fingerprint index at {log.table_path} is missing analysis "
+            f"properties {missing} — it was not built (or not fully "
+            "stamped) by build_fp_index; rebuild it"
+        )
+    return (int(cfg["fp.frame"]), int(cfg["fp.hop"]), int(cfg["fp.fanOut"]))
 
 
 def upsert_fp_index(spark, path: str, new_media: DataFrame) -> dict:

@@ -189,6 +189,13 @@ def bm25_search(
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
+    terms = [str(t) for t in terms]
+    if not terms:
+        # no terms ⇒ no postings can match; short-circuit instead of
+        # letting isin(*[]) / a zero-row key frame fail obscurely
+        return spark.createDataFrame(
+            [], "doc_id long, bm25 double, rank int"
+        )
     log = DeltaLog(spark, _data_path(path))
     postings = (
         _pruned_scan(spark, log, bm25_pruned_paths(spark, log, terms))

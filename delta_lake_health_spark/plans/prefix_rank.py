@@ -67,10 +67,30 @@ def bucketed_prefix_sum(
 def bucketed_row_number(
     df: DataFrame, bucket: "F.Column", order_cols: list, out: str
 ) -> DataFrame:
-    """Distributed ``ROW_NUMBER() OVER (ORDER BY order_cols)`` (1-based)
-    — the unit-weight case of ``bucketed_prefix_sum``."""
-    ranked = bucketed_prefix_sum(df, bucket, order_cols, F.lit(1), out)
-    return ranked.withColumn(out, (F.col(out) + 1).cast("long"))
+    """Distributed ``ROW_NUMBER() OVER (ORDER BY order_cols)`` (1-based).
+
+    Same two-phase shape as ``bucketed_prefix_sum`` but the in-bucket
+    rank is ``row_number()`` directly (VERDICT r11 #1): for the
+    unit-weight case a plain rank window is cheaper than the running
+    ``SUM(1) OVER (ROWS …)`` aggregate frame — no per-row aggregate
+    buffer, no ``- weight`` correction — and the bucket offsets reduce
+    to per-bucket COUNTs."""
+    b = df.withColumn("__b", bucket)
+    local = b.withColumn(
+        "__lo",
+        F.row_number().over(Window.partitionBy("__b").orderBy(*order_cols)),
+    )
+    totals = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    bw = Window.orderBy("__b")  # |buckets| rows by construction
+    prefix = totals.withColumn(
+        "__off",
+        F.coalesce(F.sum("__bn").over(bw) - F.col("__bn"), F.lit(0)),
+    ).select("__b", "__off")
+    return (
+        local.join(F.broadcast(prefix), "__b")
+        .withColumn(out, (F.col("__lo") + F.col("__off")).cast("long"))
+        .drop("__b", "__lo", "__off")
+    )
 
 
 def ntile_from_rank(r: "F.Column", n: "F.Column", k: int) -> "F.Column":

@@ -1084,12 +1084,23 @@ def set_table_property(
     ``smallFileSize``) trigger post-commit compaction in ``write``;
     ``delta.constraints.*`` should go through ``set_constraint`` (which
     validates existing data first)."""
+    return set_table_properties(spark, table_path, {key: value})
+
+
+def set_table_properties(
+    spark: SparkSession, table_path: str, props: dict
+) -> int:
+    """SET TBLPROPERTIES for several keys in ONE commit — the form
+    callers that stamp a coherent parameter SET (e.g. the audio
+    fingerprint index's frame/hop/fanOut) must use, so no reader can
+    ever observe a half-stamped configuration between commits."""
     _require_writable(spark, table_path)
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     meta = DeltaLog(spark, table_path).metadata()
     config = dict(meta.get("configuration", {}))
-    config[str(key)] = str(value)
+    stamped = {str(k): str(v) for k, v in props.items()}
+    config.update(stamped)
     version = current_version(table_path)
     _commit(
         table_path,
@@ -1105,7 +1116,7 @@ def set_table_property(
                     "createdTime": int(time.time() * 1000),
                 }
             },
-            _commit_info("SET TBLPROPERTIES", {key: value}, {}),
+            _commit_info("SET TBLPROPERTIES", stamped, {}),
         ],
     )
     return version + 1

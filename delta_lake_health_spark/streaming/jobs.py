@@ -821,7 +821,16 @@ def stream_cusum_alerts(
                     pending[hr] = pending.get(hr, 0) + 1
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
-        m = mu_map.get(etype, 0.0)
+        if etype not in mu_map:
+            # a type with no reference mean is a MISCONFIGURATION:
+            # defaulting mu to 0 would make its CUSUM grow with every
+            # event and alert forever, silently — fail the query loudly
+            raise KeyError(
+                f"stream_cusum_alerts: event_type {etype!r} has no entry "
+                "in the supplied reference means `mu` — add it (or filter "
+                "the stream to the monitored types) before starting"
+            )
+        m = mu_map[etype]
         out = []
         for hr in sorted(pending):
             if hr + _HOUR_US > wm_us:

@@ -263,3 +263,41 @@ def test_stream_fp_index_maintenance_parity(spark, tmp_path):
     clips = _clips_from(spark, corpus, [6, 8]).localCheckpoint()
     got = _match_rows(audio_fp.match_against_index(spark, idx, clips))
     assert [(q, m) for q, m, *_ in got] == [(106, 6), (108, 8)]
+
+
+def test_params_stamped_in_one_commit(spark, tmp_path):
+    """ADVICE r11: the three analysis parameters must land in ONE
+    property commit — a reader can never observe a half-stamped
+    configuration. Build = data write (v0) + clustering (v1) + ONE
+    properties commit (v2)."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    corpus = _wav_df(spark, [1, 2]).localCheckpoint()
+    path = str(tmp_path / "fpidx")
+    audio_fp.build_fp_index(spark, corpus, path, frame=128, hop=64, fan_out=2)
+    v = delta_writer.current_version(path)
+    assert v == 2
+    acts = delta_writer._version_actions(path, v)
+    cfg = next(a["metaData"]["configuration"] for a in acts if "metaData" in a)
+    assert {k: cfg[k] for k in audio_fp._FP_PROPS} == {
+        "fp.frame": "128", "fp.hop": "64", "fp.fanOut": "2",
+    }
+
+
+def test_unstamped_index_refuses_loudly(spark, tmp_path):
+    """ADVICE r11: probes/upserts against an index whose parameter
+    properties are missing (crash between data write and stamp, or a
+    hand-built table) must raise, never fall back to module defaults —
+    mixed-parameter hashes would vote together and return wrong/empty
+    matches silently."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    corpus = _wav_df(spark, [1, 2]).localCheckpoint()
+    path = str(tmp_path / "raw")
+    fps = audio_fp.audio_fingerprints(corpus)
+    delta_writer.write(spark, fps, path, mode="overwrite", cluster_by=["fp"])
+    clips = _clips_from(spark, corpus, [1]).localCheckpoint()
+    with pytest.raises(ValueError, match="missing analysis"):
+        audio_fp.match_against_index(spark, path, clips)
+    with pytest.raises(ValueError, match="missing analysis"):
+        audio_fp.upsert_fp_index(spark, path, corpus)

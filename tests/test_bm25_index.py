@@ -251,3 +251,13 @@ def test_optimize_restores_pruning_after_upserts(spark, tmp_path):
     assert _rows(
         text_index.bm25_search(spark, path, _BM25_QUERY)
     ) == before_rows
+
+
+def test_search_empty_terms_returns_typed_empty(spark, built):
+    """ADVICE r11: an empty terms list short-circuits to an empty
+    result with the SAME schema as a real search — not an obscure
+    isin()/createDataFrame failure."""
+    got = text_index.bm25_search(spark, built, ())
+    assert got.count() == 0
+    real = text_index.bm25_search(spark, built, ("the",), top=1)
+    assert got.dtypes == real.dtypes

@@ -633,3 +633,39 @@ def test_stream_dedup_ingest_full_history(spark):
     )
     assert delta_writer.current_version(tbl) == v
     assert DeltaLog(spark, tbl).snapshot().count() == 4
+
+
+def test_stream_cusum_missing_mu_fails_loudly(spark):
+    """ADVICE r11: an event_type with no reference mean must FAIL the
+    query (misconfiguration), not default mu=0 and alert forever."""
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000
+    base -= base % 3_600_000_000
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": j,
+                "ts": (base + j * 3_600_000_000) * 1000,
+                "user_id": 1,
+                "event_type": et,
+                "value": 1.0,
+                "props": "{}",
+            }
+            for j, et in enumerate(["a", "unconfigured_type", "a"])
+        ]
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    stream = jobs.read_events_stream(spark, os.path.join(src, "c0"))
+    out = jobs.stream_cusum_alerts(
+        stream, mu={"a": 1.0}, slack=0.5, h=4.0, watermark="10 minutes"
+    )
+    with pytest.raises(Exception, match="has no entry"):
+        jobs.run_to_memory(
+            out, "cusum_missing_mu", "append", os.path.join(tmp, "cp")
+        )
