@@ -77,6 +77,9 @@ HEADLINE = [
     # round-11 addition: BM25 served from the persisted postings index
     # (the build is its own stderr row; this row times the pruned probe)
     "text_bm25_served",
+    # round-12 addition: LSH candidate pairs served from the persisted
+    # band index (build split out as its own stderr row)
+    "dedup_minhash_served",
 ]
 
 
@@ -156,6 +159,20 @@ def main() -> None:
     bm25_build = round(time.perf_counter() - t0, 3)
     print(f"# bm25_build (build+first serve): {bm25_build}s", file=sys.stderr)
 
+    # same split for the persisted MinHash-LSH band index (round 12):
+    # the headline `dedup_minhash_served` row times the serve against
+    # the artifact, not the signature pass
+    from delta_lake_health_spark.plans.dedup import minhash_index_path
+
+    _sh.rmtree(minhash_index_path(SF_DIR), ignore_errors=True)
+    t0 = time.perf_counter()
+    qs["dedup_minhash_served"](spark, SF_DIR).count()
+    minhash_build = round(time.perf_counter() - t0, 3)
+    print(
+        f"# minhash_build (build+first serve): {minhash_build}s",
+        file=sys.stderr,
+    )
+
     # Steady-state timing: each query runs twice and the faster run is
     # reported (standard min-of-N measurement — the first execution still
     # pays codegen/JIT/page-cache residue that isn't a property of the
@@ -177,6 +194,7 @@ def main() -> None:
         else None
     )
     delta_ops = _bench_delta_ops(spark)
+    drift = _drift_vs_prev_round(timings, calib_spark)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -194,6 +212,8 @@ def main() -> None:
         "ivfpq_build_sec": ivfpq_build,
         "graph_build_sec": graph_build,
         "bm25_build_sec": bm25_build,
+        "minhash_build_sec": minhash_build,
+        "drift_vs_prev": drift,
         "sf_sweep": sweep,
         # r4->r5 attribution: dedup/text drift A/B'd vs the round-3 tree
         # (alternating fresh-process min-of-3 runs): same-code variance
@@ -216,7 +236,14 @@ def main() -> None:
             "recorded 46.6s) with calibration numpy swinging "
             "0.43-1.39s between runs; HEAD-vs-r9 like-for-like "
             "min-of-2 over the 37 shared queries = 1.009x. The r10 "
-            "1.09x like-for-like delta was environment, not code."
+            "1.09x like-for-like delta was environment, not code. "
+            "r12 A/B (VERDICT r11 #1, tools/ab_bench.py, 3 interleaved "
+            "cold pairs vs the r10 tree at min-of-3): all three r11 "
+            ">2.4x recorded regressions were ENVIRONMENT — pareto r10 "
+            "0.641s vs HEAD 0.700s (1.09x, and HEAD's rank now uses "
+            "row_number over the in-bucket window), bruteforce 0.536 "
+            "vs 0.499 (0.93x), ivf_pq 0.850 vs 0.873 (1.03x); the r11 "
+            "recorded 1.4-2.2s values reproduce on NEITHER tree."
         ),
     }
     print("# DETAIL " + json.dumps(detail), file=sys.stderr)
@@ -230,6 +257,8 @@ def main() -> None:
             "spark_range_sum_sec": calib_spark,
         },
         "superlinear": (sweep or {}).get("superlinear"),
+        "regressed": (drift or {}).get("regressed"),
+        "prev_round": (drift or {}).get("prev_round"),
         "sf": sf_val,
     }
     line = json.dumps(headline)
@@ -239,6 +268,54 @@ def main() -> None:
         headline["n_queries"] = len(timings)
         line = json.dumps(headline)
     print(line)
+
+
+def _drift_vs_prev_round(timings: dict, calib_spark: float) -> dict | None:
+    """Machine-visible round-over-round drift (VERDICT r11 #6): compare
+    this run's per-query timings against the NEWEST recorded
+    BENCH_r*.json at the same SF, normalized by the fixed-work Spark
+    calibration probe (drift the probe also shows is environment, not
+    code). Per-query ratios go to the stderr detail; queries whose
+    normalized ratio exceeds 1.5x are named in `regressed` on the
+    headline line — attribution starts from data, not archaeology."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_round, prev = 0, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= prev_round:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("queries"):
+            prev_round, prev = int(m.group(1)), parsed
+    if prev is None:
+        return None
+    sf_here = SF_DIR.rstrip("/").split("sf")[-1]
+    if str(prev.get("sf")) != sf_here:
+        return {"prev_round": prev_round, "note": "different sf; no ratios"}
+    prev_calib = (prev.get("calibration") or {}).get("spark_range_sum_sec")
+    env = (
+        calib_spark / prev_calib
+        if prev_calib and prev_calib > 0 and calib_spark > 0
+        else 1.0
+    )
+    ratios = {
+        n: round(t / prev["queries"][n] / env, 3)
+        for n, t in timings.items()
+        if prev["queries"].get(n, 0) > 0
+    }
+    return {
+        "prev_round": prev_round,
+        "calib_env_ratio": round(env, 3),
+        "ratio_vs_prev": ratios,
+        "regressed": sorted(n for n, r in ratios.items() if r > 1.5),
+    }
 
 
 def _sf_sweep(spark, qs, names, main_timings) -> dict:

@@ -1,0 +1,185 @@
+"""Persisted MinHash-LSH near-dup index (X17, VERDICT r11 #3) — build
+once, serve candidate pairs and novelty probes many times.
+
+The registry query (``dedup_minhash_pairs``, X3) recomputes shingles,
+md5 digests, and 16-hash signatures over the whole corpus per run so
+the DuckDB oracle can replay it; at 100 TB the signature pass is the
+dominant cost and a production pipeline pays it ONCE per document.
+Layout (same one-table convention as ``operators/text_index.py`` — one
+data table so an upsert is ONE atomic commit, no crash window between
+halves):
+
+- ``bands`` — a single Delta table hive-partitioned by ``kind``:
+  * ``kind=band`` rows (doc_id, band_idx, band_key): the LSH band
+    buckets, written ``cluster_by("band_key")`` so a novelty probe
+    touches only the files whose key range its bands actually hit;
+  * ``kind=doc`` rows (doc_id, band_idx/band_key NULL): the seen-set
+    sidecar, physically separated by the partition, so the upsert
+    anti-join and any membership check read ONLY this small partition.
+
+Serving:
+- ``serve_candidate_pairs`` replays X3's bucket-join stage over the
+  stored band rows — bit-identical to ``dedup_minhash_pairs`` with the
+  signature pass already paid (shared ``candidate_pairs_from_bands``,
+  plans/dedup.py, so the two can never diverge);
+- ``probe_minhash_index`` is the corpus-door novelty check: band the
+  incoming docs (|new| signature cost), file-prune the index scan by
+  band_key through the log's per-file stats, and bucket-join only the
+  touched files — never a corpus pass. Composes with X16's streaming
+  dedup ingest as the NEAR-dup door.
+
+``upsert_minhash_index`` is the ``delta_tail``-compatible freshness
+path: one append-only commit carrying the new docs' band AND seen-set
+rows (|new docs| write cost), with an anti-join against the ``kind=doc``
+partition making replayed batches exact no-ops.
+
+Reference parity note: the reference repo has no dedup surface; this is
+LLM-pipeline scope (brief §"training-data pipeline"), modeled on the
+persisted BM25 layout of ``operators/text_index.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BAND = "band"
+_DOC = "doc"
+
+
+def _data_path(path: str) -> str:
+    return os.path.join(path, "bands")
+
+
+def _index_rows(docs: DataFrame) -> DataFrame:
+    """Band rows under kind=band plus one seen-set row per doc under
+    kind=doc — both halves of a document's state in ONE DataFrame so
+    they land in ONE commit."""
+    from delta_lake_health_spark.plans.dedup import band_rows
+
+    bands = band_rows(docs).select(
+        F.lit(_BAND).alias("kind"), "doc_id", "band_idx", "band_key"
+    )
+    seen = docs.select(
+        F.lit(_DOC).alias("kind"),
+        "doc_id",
+        F.lit(None).cast("int").alias("band_idx"),
+        F.lit(None).cast("string").alias("band_key"),
+    )
+    return bands.unionByName(seen)
+
+
+def build_minhash_index(spark, docs: DataFrame, path: str) -> dict:
+    """Materialize the LSH artifact from ``docs`` (doc_id, text).
+    Clustering by band_key is DECLARED (liquid clustering) so upsert
+    appends range-sort their own batches and a bare OPTIMIZE re-narrows
+    the file ranges as the corpus grows."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    data = _data_path(path)
+    delta_writer.write(
+        spark,
+        _index_rows(docs),
+        data,
+        mode="overwrite",
+        partition_by=["kind"],
+        cluster_by=["band_key", "doc_id"],
+    )
+    delta_writer.set_cluster_columns(spark, data, ["band_key", "doc_id"])
+    n_docs = _seen_docs(spark, _log(spark, data)).count()
+    return {"path": path, "n_docs": int(n_docs)}
+
+
+def _log(spark, data: str):
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    return DeltaLog(spark, data)
+
+
+def _seen_docs(spark, log) -> DataFrame:
+    """The kind=doc partition (doc_id) — partition-pruned scan."""
+    return (
+        log.snapshot().where(F.col("kind") == _DOC).select("doc_id")
+    )
+
+
+def _band_scan(spark, log) -> DataFrame:
+    return (
+        log.snapshot()
+        .where(F.col("kind") == _BAND)
+        .select("doc_id", "band_idx", "band_key")
+    )
+
+
+def upsert_minhash_index(spark, path: str, new_docs: DataFrame) -> dict:
+    """Add ``new_docs`` (doc_id, text) without rebuilding: ONE
+    pure-append commit carries both the new band rows and the new
+    seen-set rows (|new docs| signature + write cost). Docs already
+    indexed are skipped by doc_id (anti-join against the kind=doc
+    partition — a crash-replayed batch is an exact no-op)."""
+    from delta_lake_health_spark.sources import delta_writer
+
+    data = _data_path(path)
+    known = _seen_docs(spark, _log(spark, data))
+    fresh = (
+        new_docs.select("doc_id", "text")
+        .join(known, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    n_new = fresh.count()
+    if n_new == 0:
+        return {"numDocsAdded": 0}
+    delta_writer.write(spark, _index_rows(fresh), data, mode="append")
+    return {"numDocsAdded": int(n_new)}
+
+
+def serve_candidate_pairs(spark, path: str) -> DataFrame:
+    """X3's candidate pairs served from the artifact — bit-identical to
+    ``dedup_minhash_pairs`` (same bucket join, same BUCKET_CAP, same
+    ordering), with the per-doc signature pass already paid at
+    build/upsert time. Reads only the kind=band partition."""
+    from delta_lake_health_spark.plans.dedup import (
+        candidate_pairs_from_bands,
+    )
+
+    return candidate_pairs_from_bands(
+        _band_scan(spark, _log(spark, _data_path(path)))
+    )
+
+
+def probe_minhash_index(spark, path: str, docs: DataFrame) -> DataFrame:
+    """Corpus-door novelty probe: which INDEXED docs share an LSH band
+    bucket with each incoming doc? Returns (probe_doc_id,
+    index_doc_id) distinct pairs. Scale shape: the incoming docs pay
+    |new| signature cost; the index scan is file-pruned to the band_key
+    ranges the probe bands actually hit (broadcast range join over the
+    log's per-file stats — metadata only); the bucket join then runs on
+    |touched files| rows, never the corpus."""
+    from delta_lake_health_spark.plans.dedup import band_rows
+
+    data = _data_path(path)
+    log = _log(spark, data)
+    probe = band_rows(docs).localCheckpoint()
+    paths = log.pruned_files_for_keys(
+        probe.select("band_key"), "band_key", partition_filter={"kind": _BAND}
+    )
+    if not paths:
+        return spark.createDataFrame(
+            [], "probe_doc_id long, index_doc_id long"
+        )
+    idx = (
+        spark.read.option("basePath", data)
+        .parquet(*[os.path.join(data, p) for p in paths])
+        .select("doc_id", "band_idx", "band_key")
+    )
+    return (
+        probe.join(idx, ["band_idx", "band_key"])
+        .select(
+            probe.doc_id.alias("probe_doc_id"),
+            idx.doc_id.alias("index_doc_id"),
+        )
+        .where(F.col("probe_doc_id") != F.col("index_doc_id"))
+        .distinct()
+    )

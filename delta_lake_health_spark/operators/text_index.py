@@ -142,6 +142,62 @@ def _stamp_stats(spark, path: str) -> int:
     return n
 
 
+# --------------------------------------------------------------------------
+# Serve-state cache (VERDICT r11 #7): the probe path used to pay two
+# DeltaLog replays plus two pruning JOBS per query for fixed metadata
+# that only changes when the index version does. One log replay per
+# index version now collects everything a probe needs — the w-intervals
+# of kind=post files, the doc_id-intervals of kind=dl files, and the
+# validated corpus totals — and every subsequent bm25_search against
+# the unchanged index reuses it after a log-DIRECTORY freshness check
+# (an os.listdir, no Spark job). This is the snapshot caching every
+# production Delta reader does; at 100 TB the saved replay is the
+# difference between a metadata-bound and a log-bound serve.
+
+_SERVE_CACHE: dict[str, dict] = {}
+
+
+def _log_token(data_path: str) -> tuple:
+    """Cheap freshness token for a Delta table: (#entries, last entry
+    name/size/mtime_ns) of _delta_log — any commit, or a rebuild at the
+    same path, changes it."""
+    d = os.path.join(data_path, "_delta_log")
+    try:
+        names = sorted(os.listdir(d))
+    except OSError:
+        return ("missing",)
+    if not names:
+        return ("empty",)
+    st = os.stat(os.path.join(d, names[-1]))
+    return (len(names), names[-1], st.st_size, int(st.st_mtime_ns))
+
+
+def _serve_state(spark, path: str) -> dict:
+    data = _data_path(path)
+    token = _log_token(data)
+    hit = _SERVE_CACHE.get(path)
+    if hit is not None and hit["token"] == token:
+        return hit
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(spark, data)
+    w_iv = log.live_file_intervals(
+        "w", partition_filter={"kind": _POST}
+    ).collect()
+    dl_iv = log.live_file_intervals(
+        "doc_id", partition_filter={"kind": _DL}
+    ).collect()
+    n, s = _validated_totals(spark, path, log)
+    state = {
+        "token": token,
+        "w_intervals": [(r.path, r.lo, r.hi) for r in w_iv],
+        "dl_intervals": [(r.path, r.lo, r.hi) for r in dl_iv],
+        "totals": (n, s),
+    }
+    _SERVE_CACHE[path] = state
+    return state
+
+
 def bm25_pruned_paths(spark, log, terms) -> list:
     """Live kind=post files whose [min(w), max(w)] stats interval
     covers at least one query term — ``DeltaLog.pruned_files_for_keys``
@@ -150,6 +206,19 @@ def bm25_pruned_paths(spark, log, terms) -> list:
     keys = spark.createDataFrame([(str(t),) for t in terms], "w string")
     return log.pruned_files_for_keys(
         keys, "w", partition_filter={"kind": _POST}
+    )
+
+
+def _read_paths(spark, table_path: str, paths: list) -> DataFrame:
+    """Read exactly ``paths`` from the index data table (append-only —
+    the pruned file set IS the live data for those keys). Empty paths
+    -> typed empty frame with the index columns."""
+    if not paths:
+        return spark.createDataFrame(
+            [], "doc_id long, w string, tf long, kind string"
+        )
+    return spark.read.option("basePath", table_path).parquet(
+        *[os.path.join(table_path, p) for p in paths]
     )
 
 
@@ -179,15 +248,15 @@ def bm25_search(
     the in-session registry scorer: Okapi BM25 with the
     ``ln(1 + (N - df + .5)/(df + .5))`` idf, 6-dp round BEFORE ranking,
     (score DESC, doc_id) tie-break. Scale shape: the postings scan is
-    term-pruned through the cluster_by layout, doc lengths are read
-    only for the matched docs (kind=dl partition, doc_id-pruned), the
-    corpus totals come from the version-validated stats cache (or a
-    dl-partition recompute when the cache is stale), and the final
-    top-k is TakeOrdered + a rank window over the ``top`` survivors
-    only."""
+    term-pruned through the cluster_by layout (containment evaluated
+    DRIVER-SIDE against the cached intervals — |terms| x |files|, no
+    job), doc lengths are read only for the matched docs (kind=dl
+    partition, doc_id-pruned via a broadcast range join against the
+    cached intervals), the corpus totals come from the serve-state
+    cache (validated against the data version at cache time), and the
+    final top-k is TakeOrdered + a rank window over the ``top``
+    survivors only."""
     from pyspark.sql.window import Window
-
-    from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     terms = [str(t) for t in terms]
     if not terms:
@@ -196,23 +265,53 @@ def bm25_search(
         return spark.createDataFrame(
             [], "doc_id long, bm25 double, rank int"
         )
-    log = DeltaLog(spark, _data_path(path))
+    state = _serve_state(spark, path)
+    post_paths = sorted(
+        p
+        for p, lo, hi in state["w_intervals"]
+        if lo is None or hi is None or any(lo <= t <= hi for t in terms)
+    )
+    if not post_paths:
+        return spark.createDataFrame(
+            [], "doc_id long, bm25 double, rank int"
+        )
     postings = (
-        _pruned_scan(spark, log, bm25_pruned_paths(spark, log, terms))
+        _read_paths(spark, _data_path(path), post_paths)
         .where(F.col("w").isin(*terms))
         .select("doc_id", "w", "tf")
-        .localCheckpoint()
     )
-    dl = _pruned_scan(
-        spark,
-        log,
-        log.pruned_files_for_keys(
-            postings.select("doc_id"),
-            "doc_id",
-            partition_filter={"kind": _DL},
-        ),
-    ).select("doc_id", F.col("tf").alias("dlen"))
-    n_docs, sum_dlen = _validated_totals(spark, path, log)
+    if len(state["dl_intervals"]) > 1:
+        # doc_id pruning of the length sidecar can only pay when there
+        # is more than one file to skip — the range-join decision job
+        # costs more than reading a lone file. Checkpoint the postings
+        # so the decision job and the scoring job share one scan.
+        postings = postings.localCheckpoint()
+        dl_iv = spark.createDataFrame(
+            state["dl_intervals"], "path string, lo long, hi long"
+        )
+        touched = (
+            postings.select("doc_id")
+            .distinct()
+            .join(
+                F.broadcast(dl_iv),
+                F.col("lo").isNull()
+                | F.col("hi").isNull()
+                | (
+                    (F.col("doc_id") >= F.col("lo"))
+                    & (F.col("doc_id") <= F.col("hi"))
+                ),
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        dl_paths = sorted(r.path for r in touched)
+    else:
+        dl_paths = sorted(p for p, _, _ in state["dl_intervals"])
+    dl = _read_paths(spark, _data_path(path), dl_paths).select(
+        "doc_id", F.col("tf").alias("dlen")
+    )
+    n_docs, sum_dlen = state["totals"]
     stats = spark.createDataFrame(
         [(n_docs, sum_dlen)], "n_docs long, sum_dlen long"
     ).select(

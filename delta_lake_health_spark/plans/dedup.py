@@ -241,16 +241,11 @@ SQL_PAIRS_CTES = f"""
 
 # --------------------------------------------------------------------------
 # X3 — MinHash LSH candidate pairs: 4 bands x 4 rows, band-bucket join.
-@query(
-    "dedup_minhash_pairs",
-    f"""
-    WITH {SQL_PAIRS_CTES}
-    SELECT doc_a, doc_b FROM cand_pairs
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band rows — the shared
+    signature→bands stage of X3 and the persisted X17 index
+    (operators/minhash_index.py), extracted so the two can never
+    diverge on the hash family or band layout."""
     sigs = _signatures(docs)
     band_structs = F.array(
         *[
@@ -269,14 +264,86 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `size(bands)>0 AND isnotnull(bands)` filter below the Generate, which
     # re-evaluates the whole (interpreted) signature expression a second
     # time per row — outer explode generates no such filter.
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode_outer(band_structs).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
-    # Buckets are dup clusters, so the in-bucket pair expansion is bounded
-    # (k docs -> k^2/2 pairs — inherent to LSH output, capped by cluster
-    # size not corpus, and hard-bounded at BUCKET_CAP by _posting_pairs).
-    pairs = _posting_pairs(bands, ["band_idx", "band_key"], "doc_id", "doc_a", "doc_b")
+
+
+def candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from band rows — X3's bucket-join stage,
+    shared with the persisted index's serve path. Buckets are dup
+    clusters, so the in-bucket pair expansion is bounded (k docs ->
+    k^2/2 pairs — inherent to LSH output, capped by cluster size not
+    corpus, and hard-bounded at BUCKET_CAP by _posting_pairs)."""
+    pairs = _posting_pairs(
+        bands, ["band_idx", "band_key"], "doc_id", "doc_a", "doc_b"
+    )
     return pairs.distinct().orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {SQL_PAIRS_CTES}
+    SELECT doc_a, doc_b FROM cand_pairs
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return candidate_pairs_from_bands(band_rows(docs))
+
+
+# --------------------------------------------------------------------------
+# X17 — MinHash-LSH candidate pairs SERVED from the persisted index
+# (operators/minhash_index.py, VERDICT r11 #3): same answer as X3, with
+# the per-doc signature pass paid once at build/upsert time instead of
+# per query. The oracle is X3's — served output must be bit-identical.
+def minhash_index_path(sf_dir: str) -> str:
+    """The per-sf_dir /tmp location of the served-LSH artifact — ONE
+    definition, shared with bench.py's force-rebuild so the two can
+    never drift."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"/tmp/delta_lake_health_spark_fixture/minhash_index_{tag}"
+
+
+@query(
+    "dedup_minhash_served",
+    f"""
+    WITH {SQL_PAIRS_CTES}
+    SELECT doc_a, doc_b FROM cand_pairs
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from delta_lake_health_spark.operators import minhash_index as mi
+    from delta_lake_health_spark.sources.fixture import build_once
+
+    path = minhash_index_path(sf_dir)
+    marker = os.path.join(path, "_MINHASHIX_COMPLETE")
+
+    def build() -> None:
+        mi.build_minhash_index(
+            spark,
+            load(spark, sf_dir, "documents").select("doc_id", "text"),
+            path,
+        )
+
+    # deps: the functions whose behavior defines the artifact — editing
+    # the builder, the band layout, or the hash family must rebuild,
+    # not serve stale; salt carries the constants the closures read
+    build_once(
+        marker,
+        build,
+        clean=[path],
+        salt=f"{sf_dir}|{N_HASHES}|{BAND_SIZE}|{N_BANDS}",
+        deps=(mi.build_minhash_index, mi._index_rows, band_rows, _signatures),
+    )
+    return mi.serve_candidate_pairs(spark, path)
 
 
 # --------------------------------------------------------------------------

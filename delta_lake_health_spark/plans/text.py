@@ -2536,3 +2536,301 @@ def text_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# T37 — chunk-granular BM25 retrieval (VERDICT r11 #5: T35's chunker ×
+# T33's scorer — the RAG serving shape): score CHUNKS as the retrieval
+# unit (chunk-level tf/df/length norms), dedup to the best chunk per
+# document, return the global top-k chunks. Spark-first: the chunk
+# table is the same closed-form sequence-explode as the census (one
+# codegen pass, |chunks| rows, no UDF), scoring is the T33 broadcast
+# pipeline over chunk keys, the per-doc dedup is a PARTITIONED window,
+# and only the ≤top survivors see a global rank window.
+@query(
+    "text_chunk_bm25_topk",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), docs AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {_CHUNK_LEN} THEN 1
+                  ELSE 1 + CAST(CEIL((n - {_CHUNK_LEN}) * 1.0
+                                      / {_CHUNK_STRIDE}) AS BIGINT)
+             END AS n_chunks
+      FROM sized
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT)))
+                  AS BIGINT) AS chunk_idx,
+             toks
+      FROM docs
+    ), cdl AS (
+      SELECT doc_id, chunk_idx,
+             len(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                      chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}]) AS dlen
+      FROM chunks
+    ), stats AS (
+      SELECT COUNT(*) AS n_chunks,
+             SUM(dlen) * 1.0 / COUNT(*) AS avgdl
+      FROM cdl
+    ), tf AS (
+      SELECT doc_id, chunk_idx, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, chunk_idx,
+                   UNNEST(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                               chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}])
+                     AS w
+            FROM chunks)
+      WHERE w IN {_BM25_QUERY!r}
+      GROUP BY doc_id, chunk_idx, w
+    ), idf AS (
+      SELECT w, ln(1 + (n_chunks - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT tf.doc_id, tf.chunk_idx,
+             ROUND(SUM(idf.idf * tf.tf * ({_BM25_K1} + 1) /
+                 (tf.tf + {_BM25_K1} * (1 - {_BM25_B} +
+                  {_BM25_B} * cdl.dlen / stats.avgdl))), 6) AS bm25
+      FROM tf
+      JOIN idf USING (w)
+      JOIN cdl USING (doc_id, chunk_idx)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id, tf.chunk_idx
+    ), best AS (
+      SELECT doc_id, chunk_idx, bm25
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY bm25 DESC, chunk_idx) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT doc_id, chunk_idx, bm25,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id, chunk_idx)
+             AS rank
+    FROM best
+    ORDER BY rank LIMIT {_BM25_TOP}
+    """,
+)
+def text_chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = toks()
+    sized = docs.select(
+        "doc_id", t.alias("toks"), F.size(t).cast("long").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= _CHUNK_LEN, F.lit(1)).otherwise(
+        1
+        + F.ceil(
+            (F.col("n") - _CHUNK_LEN) * 1.0 / _CHUNK_STRIDE
+        ).cast("long")
+    )
+    chunks = sized.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+        F.slice(
+            F.col("toks"),
+            (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+            F.lit(_CHUNK_LEN),
+        ).alias("ctoks"),
+    )
+    cdl = chunks.select(
+        "doc_id", "chunk_idx", F.size("ctoks").cast("long").alias("dlen")
+    )
+    stats = cdl.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.sum("dlen") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        chunks.select("doc_id", "chunk_idx", F.explode("ctoks").alias("w"))
+        .where(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "chunk_idx", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.log(
+                1
+                + (F.col("n_chunks") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    part = (
+        F.col("idf")
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(cdl, ["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.round(F.sum(part), 6).alias("bm25"))
+    )
+    per_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("bm25"), "chunk_idx"
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(per_doc))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    top = best.orderBy(F.desc("bm25"), "doc_id", "chunk_idx").limit(
+        _BM25_TOP
+    )
+    w = Window.orderBy(F.desc("bm25"), "doc_id", "chunk_idx")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "chunk_idx", "bm25", "rank")
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# T36 — HTML boilerplate removal census (VERDICT r11 #10): the real
+# first stage of a web-crawl pipeline. The corpus has no raw-HTML
+# column, so each doc is wrapped in a DETERMINISTIC page template
+# (head/style/script, a nav whose link count varies by doc_id, a
+# read-more footer) inside the query itself — identically in both
+# engines — then stripped back to main text with one chain of regexp
+# passes: drop <script>/<style>/<nav> blocks, measure residual link
+# text (the link-density heuristic's signal), strip remaining tags,
+# collapse whitespace. All codegen'd regexp ops, no UDF; the census
+# buckets docs by boilerplate-removed decile (INTEGER permille math —
+# no float decile boundaries), bounded at 11 rows by construction.
+_HTML_WRAP_SQL = (
+    "'<html><head><title>D' || doc_id || '</title>"
+    "<style>p{margin:0}</style>"
+    "<script>var a=' || doc_id || ';</script></head><body>"
+    "<nav>' || repeat('<a href=\"/nav\">section</a>', "
+    "CAST(1 + doc_id % 4 AS INT)) || '</nav>"
+    "<p>' || text || '</p>"
+    "<div><a href=\"/more\">read more</a></div></body></html>'"
+)
+_RE_SCRIPT = "(?s)<script[^>]*>.*?</script>"
+_RE_STYLE = "(?s)<style[^>]*>.*?</style>"
+_RE_NAV = "(?s)<nav[^>]*>.*?</nav>"
+_RE_LINK = "(?s)<a [^>]*>(.*?)</a>"
+_RE_TAG = "<[^>]*>"
+
+
+@query(
+    "text_html_boilerplate",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+    ), stripped AS (
+      SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '{_RE_SCRIPT}', ' ', 'g'),
+               '{_RE_STYLE}', ' ', 'g'),
+               '{_RE_NAV}', ' ', 'g') AS noblocks
+      FROM pages
+    ), main AS (
+      SELECT doc_id,
+             len(html) AS html_len,
+             trim(regexp_replace(regexp_replace(noblocks,
+               '{_RE_TAG}', ' ', 'g'), '\\s+', ' ', 'g')) AS main_text,
+             COALESCE(list_sum(list_transform(
+               regexp_extract_all(noblocks, '{_RE_LINK}', 1),
+               x -> len(x))), 0) AS link_chars
+      FROM stripped
+    ), per_doc AS (
+      SELECT doc_id, html_len, len(main_text) AS main_len, link_chars,
+             html_len - len(main_text) AS removed
+      FROM main
+    )
+    SELECT CAST((10 * removed) // html_len AS BIGINT) AS decile,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(removed * 1.0 / html_len), 6) AS avg_removed,
+           ROUND(AVG(link_chars * 1000.0
+                     / GREATEST(main_len, 1)), 6) AS avg_link_permille,
+           CAST(SUM(main_len) AS BIGINT) AS sum_main_len
+    FROM per_doc
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(
+            "'<html><head><title>D' || doc_id || '</title>"
+            "<style>p{margin:0}</style>"
+            "<script>var a=' || doc_id || ';</script></head><body>"
+            "<nav>' || repeat('<a href=\"/nav\">section</a>', "
+            "CAST(1 + doc_id % 4 AS INT)) || '</nav>"
+            "<p>' || text || '</p>"
+            "<div><a href=\"/more\">read more</a></div></body></html>'"
+        ).alias("html"),
+    )
+    noblocks = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("html"), _RE_SCRIPT, " "),
+            _RE_STYLE,
+            " ",
+        ),
+        _RE_NAV,
+        " ",
+    )
+    stripped = pages.select("doc_id", "html", noblocks.alias("noblocks"))
+    main = stripped.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_len"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("noblocks"), _RE_TAG, " "),
+                r"\s+",
+                " ",
+            )
+        ).alias("main_text"),
+        F.coalesce(
+            F.expr(
+                f"aggregate(regexp_extract_all(noblocks, '{_RE_LINK}', 1),"
+                " 0L, (a, x) -> a + length(x))"
+            ),
+            F.lit(0),
+        ).alias("link_chars"),
+    )
+    per_doc = main.select(
+        "doc_id",
+        "html_len",
+        F.length("main_text").cast("long").alias("main_len"),
+        "link_chars",
+        (F.col("html_len") - F.length("main_text")).alias("removed"),
+    )
+    return (
+        per_doc.groupBy(
+            F.expr("10 * removed div html_len").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(F.col("removed") * 1.0 / F.col("html_len")), 6
+            ).alias("avg_removed"),
+            F.round(
+                F.avg(
+                    F.col("link_chars")
+                    * 1000.0
+                    / F.greatest(F.col("main_len"), F.lit(1))
+                ),
+                6,
+            ).alias("avg_link_permille"),
+            F.sum("main_len").cast("long").alias("sum_main_len"),
+        )
+        .orderBy("decile")
+    )

@@ -749,6 +749,89 @@ def stream_fp_index_maintenance(
     return q
 
 
+def stream_bm25_index_maintenance(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    **source_options,
+) -> Any:
+    """Continuous BM25-index freshness (VERDICT r11 #4 — D46 + the T34
+    upsert composed, same shape as ``stream_fp_index_maintenance``):
+    tail an append-only Delta docs table (doc_id, text) through
+    ``delta_tail`` and fold each micro-batch into the persisted
+    postings index with ``operators/text_index.upsert_bm25_index`` —
+    one tokenize pass per batch, ONE pure-append commit per batch,
+    searches see a doc (with exact idf/avgdl) right after its batch's
+    stats re-stamp.
+
+    Crash-replay safety: the upsert anti-joins the batch's doc_ids
+    against the kind=dl partition, so a replayed batch is an exact
+    no-op; a crash before the stats re-stamp only leaves the totals
+    cache stale, which probes detect and recompute around."""
+    from delta_lake_health_spark.operators import text_index
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        text_index.upsert_bm25_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select("doc_id", "text"),
+        )
+
+    stream = delta_source.read_stream(spark, docs_path, **source_options)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_minhash_index_maintenance(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    **source_options,
+) -> Any:
+    """Continuous LSH-index freshness (VERDICT r11 #3 — D46 + the X17
+    upsert composed): tail an append-only docs table and fold each
+    micro-batch into the persisted band index with
+    ``operators/minhash_index.upsert_minhash_index`` — one signature
+    pass per batch, ONE pure-append commit per batch. Composes with
+    ``stream_dedup_ingest`` (X16): the exact-dedup door feeds the
+    corpus table, this keeps the NEAR-dup index current behind it.
+
+    Crash-replay safety: the upsert anti-joins against the kind=doc
+    partition, so a replayed batch is an exact no-op."""
+    from delta_lake_health_spark.operators import minhash_index
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        minhash_index.upsert_minhash_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select("doc_id", "text"),
+        )
+
+    stream = delta_source.read_stream(spark, docs_path, **source_options)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 # --------------------------------------------------------------------------
 # Streaming CUSUM change-point detection (VERDICT r10 #7 — the E37
 # batch detector's continuous twin). Per event type the state carries

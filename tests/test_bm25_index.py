@@ -111,7 +111,10 @@ def test_stale_stats_cache_recomputes(spark, tmp_path):
     want = _rows(text_index.bm25_search(spark, path, _BM25_QUERY))
     # simulate the crash aftermath: the cache carries GARBAGE totals
     # stamped with a version the data table is not at — the probe must
-    # ignore it and recompute from the kind=dl partition
+    # ignore it and recompute from the kind=dl partition. The serve
+    # cache is cleared between probes: with an UNCHANGED data log the
+    # cached totals would (correctly) mask the stats table entirely,
+    # and this test is about the cold validate-recompute path.
     delta_writer.write(
         spark,
         spark.createDataFrame(
@@ -121,11 +124,13 @@ def test_stale_stats_cache_recomputes(spark, tmp_path):
         os.path.join(path, "stats"),
         mode="overwrite",
     )
+    text_index._SERVE_CACHE.clear()
     assert _rows(
         text_index.bm25_search(spark, path, _BM25_QUERY)
     ) == want
     # and with NO stats table at all
     shutil.rmtree(os.path.join(path, "stats"))
+    text_index._SERVE_CACHE.clear()
     assert _rows(
         text_index.bm25_search(spark, path, _BM25_QUERY)
     ) == want
@@ -261,3 +266,43 @@ def test_search_empty_terms_returns_typed_empty(spark, built):
     assert got.count() == 0
     real = text_index.bm25_search(spark, built, ("the",), top=1)
     assert got.dtypes == real.dtypes
+
+
+@pytest.mark.slow
+def test_stream_bm25_index_maintenance_parity(spark, tmp_path):
+    """VERDICT r11 #4: N micro-batches of new docs folded through the
+    delta_tail maintenance stream must leave served scores bit-equal to
+    a from-scratch build over the full corpus, and replaying the
+    commits through a fresh checkpoint must be an exact no-op."""
+    from delta_lake_health_spark.streaming.jobs import (
+        stream_bm25_index_maintenance,
+    )
+
+    docs = _docs(spark).localCheckpoint()
+    docs_tbl = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    full = str(tmp_path / "full")
+    seed = docs.where(F.col("doc_id") % 3 == 0)
+    delta_writer.write(spark, seed, docs_tbl)
+    text_index.build_bm25_index(spark, seed, idx)
+    # two more commits of new docs arrive
+    delta_writer.write(
+        spark, docs.where(F.col("doc_id") % 3 == 1), docs_tbl, mode="append"
+    )
+    delta_writer.write(
+        spark, docs.where(F.col("doc_id") % 3 == 2), docs_tbl, mode="append"
+    )
+    stream_bm25_index_maintenance(
+        spark, docs_tbl, idx, str(tmp_path / "ckpt")
+    )
+    text_index.build_bm25_index(spark, docs, full)
+    for terms in (_BM25_QUERY, ("the",)):
+        assert _rows(text_index.bm25_search(spark, idx, terms)) == _rows(
+            text_index.bm25_search(spark, full, terms)
+        )
+    # replaying ALL commits through a fresh checkpoint is a no-op
+    v = delta_writer.current_version(os.path.join(idx, "postings"))
+    stream_bm25_index_maintenance(
+        spark, docs_tbl, idx, str(tmp_path / "ckpt2")
+    )
+    assert delta_writer.current_version(os.path.join(idx, "postings")) == v

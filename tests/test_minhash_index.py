@@ -1,0 +1,166 @@
+"""Persisted MinHash-LSH index (operators/minhash_index.py, X17,
+VERDICT r11 #3): served candidate pairs must be bit-identical to the
+in-session X3 query, upserts must be single append-only commits that
+converge to the from-scratch build with exact replay no-ops, and the
+novelty probe must file-prune through the cluster_by(band_key) layout
+and find the indexed near-dups of an incoming doc."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_health_spark.operators import minhash_index as mi
+from delta_lake_health_spark.plans.dedup import QUERIES
+from delta_lake_health_spark.sources import delta_writer
+from delta_lake_health_spark.sources.catalog import load
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return load(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _pairs(df):
+    return sorted((r.doc_a, r.doc_b) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mh") / "idx")
+    m = mi.build_minhash_index(spark, _docs(spark), path)
+    assert m["n_docs"] == _docs(spark).count()
+    return path
+
+
+def test_served_pairs_match_registry_query(spark, built):
+    served = mi.serve_candidate_pairs(spark, built)
+    in_session = QUERIES["dedup_minhash_pairs"](spark, SF_DIR)
+    want = _pairs(in_session)
+    assert want, "fixture corpus has no LSH candidate pairs"
+    assert _pairs(served) == want
+
+
+def test_upsert_converges_and_is_append_only(spark, built, tmp_path):
+    docs = _docs(spark).localCheckpoint()
+    inc = str(tmp_path / "inc")
+    mi.build_minhash_index(spark, docs.where(F.col("doc_id") % 3 != 0), inc)
+    v0 = delta_writer.current_version(mi._data_path(inc))
+    m = mi.upsert_minhash_index(
+        spark, inc, docs.where(F.col("doc_id") % 3 == 0)
+    )
+    assert m["numDocsAdded"] == docs.where("doc_id % 3 = 0").count()
+    v1 = delta_writer.current_version(mi._data_path(inc))
+    assert v1 == v0 + 1
+    acts = delta_writer._version_actions(mi._data_path(inc), v1)
+    kinds = {k for a in acts for k in a}
+    assert "add" in kinds and "remove" not in kinds
+    assert _pairs(mi.serve_candidate_pairs(spark, inc)) == _pairs(
+        mi.serve_candidate_pairs(spark, built)
+    )
+    # replaying the same docs is an exact no-op (crash-replay safety)
+    m2 = mi.upsert_minhash_index(
+        spark, inc, docs.where(F.col("doc_id") % 3 == 0)
+    )
+    assert m2 == {"numDocsAdded": 0}
+    assert delta_writer.current_version(mi._data_path(inc)) == v1
+
+
+def test_upsert_empty_batch_is_noop(spark, built):
+    v = delta_writer.current_version(mi._data_path(built))
+    empty = _docs(spark).where(F.lit(False))
+    assert mi.upsert_minhash_index(spark, built, empty) == {
+        "numDocsAdded": 0
+    }
+    assert delta_writer.current_version(mi._data_path(built)) == v
+
+
+def test_probe_finds_indexed_duplicates(spark, built):
+    """A probe doc whose text EQUALS an indexed doc's shares every band
+    — the probe must surface that doc as a candidate."""
+    sample = _docs(spark).orderBy("doc_id").limit(3).collect()
+    probes = spark.createDataFrame(
+        [(r.doc_id + 1_000_000, r.text) for r in sample],
+        "doc_id long, text string",
+    )
+    got = mi.probe_minhash_index(spark, built, probes)
+    hits = {(r.probe_doc_id, r.index_doc_id) for r in got.collect()}
+    for r in sample:
+        assert (r.doc_id + 1_000_000, r.doc_id) in hits
+
+
+def test_probe_prunes_index_files(spark, tmp_path):
+    """Build with AQE coalescing off to get the multi-file clustered
+    layout a real corpus produces, then prove a narrow probe touches
+    only the files whose band_key range it hits."""
+    from delta_lake_health_spark.plans.dedup import band_rows
+
+    docs = _docs(spark).localCheckpoint()
+    path = str(tmp_path / "idx")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        mi.build_minhash_index(spark, docs, path)
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    log = mi._log(spark, mi._data_path(path))
+    total = log.active_files().count()
+    assert total > 4
+    one = docs.orderBy("doc_id").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(9_999_999, one.text)], "doc_id long, text string"
+    )
+    probe_bands = band_rows(probe).localCheckpoint()
+    paths = log.pruned_files_for_keys(
+        probe_bands.select("band_key"),
+        "band_key",
+        partition_filter={"kind": "band"},
+    )
+    assert 1 <= len(paths) < total, (len(paths), total)
+    got = mi.probe_minhash_index(spark, path, probe)
+    assert (9_999_999, one.doc_id) in {
+        (r.probe_doc_id, r.index_doc_id) for r in got.collect()
+    }
+
+
+def test_registry_served_row(spark):
+    got = QUERIES["dedup_minhash_served"](spark, SF_DIR)
+    want = QUERIES["dedup_minhash_pairs"](spark, SF_DIR)
+    assert _pairs(got) == _pairs(want)
+
+
+@pytest.mark.slow
+def test_stream_minhash_index_maintenance_parity(spark, tmp_path):
+    """X17 freshness path: new-doc commits folded through the
+    delta_tail maintenance stream must leave served candidate pairs
+    bit-equal to a from-scratch build, and replaying the commits
+    through a fresh checkpoint must be an exact no-op."""
+    from delta_lake_health_spark.streaming.jobs import (
+        stream_minhash_index_maintenance,
+    )
+
+    docs = _docs(spark).localCheckpoint()
+    docs_tbl = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    full = str(tmp_path / "full")
+    seed = docs.where(F.col("doc_id") % 3 == 0)
+    delta_writer.write(spark, seed, docs_tbl)
+    mi.build_minhash_index(spark, seed, idx)
+    delta_writer.write(
+        spark, docs.where(F.col("doc_id") % 3 == 1), docs_tbl, mode="append"
+    )
+    delta_writer.write(
+        spark, docs.where(F.col("doc_id") % 3 == 2), docs_tbl, mode="append"
+    )
+    stream_minhash_index_maintenance(
+        spark, docs_tbl, idx, str(tmp_path / "ckpt")
+    )
+    mi.build_minhash_index(spark, docs, full)
+    assert _pairs(mi.serve_candidate_pairs(spark, idx)) == _pairs(
+        mi.serve_candidate_pairs(spark, full)
+    )
+    v = delta_writer.current_version(mi._data_path(idx))
+    stream_minhash_index_maintenance(
+        spark, docs_tbl, idx, str(tmp_path / "ckpt2")
+    )
+    assert delta_writer.current_version(mi._data_path(idx)) == v

@@ -65,3 +65,39 @@ def test_fresh_venv_install_and_import(tmp_path):
         text=True,
     )
     assert "OK" in out.stdout
+
+
+def test_lockfile_pins_reproduce_this_env():
+    """VERDICT r11 #8: requirements.lock pins exact versions for the
+    full pyproject dependency closure, and every pin matches the
+    version installed in the verified working environment — i.e. an
+    offline `pip install --no-deps -r requirements.lock` into a clean
+    env reproduces exactly what the test suite runs against."""
+    from importlib.metadata import version
+
+    pins: dict[str, str] = {}
+    with open(os.path.join(REPO, "requirements.lock")) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, _, ver = line.partition("==")
+            assert ver, f"lockfile line not exact-pinned: {line!r}"
+            pins[name] = ver
+    # the declared (non-transitive) dependency set must all be pinned
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as fh:
+        meta = tomllib.load(fh)
+    import re
+
+    declared = [
+        re.split(r"[<>=!~\[]", d)[0].strip()
+        for d in meta["project"]["dependencies"]
+        + meta["project"]["optional-dependencies"]["test"]
+    ]
+    for name in declared:
+        assert name in pins, f"declared dependency not locked: {name}"
+    for name, ver in pins.items():
+        assert version(name) == ver, (
+            f"lock pin {name}=={ver} does not match the installed "
+            f"{version(name)} — regenerate requirements.lock"
+        )

@@ -168,6 +168,7 @@ _ALLOWED_GLOBAL_WINDOWS = {
     "events_user_bursts": (1, "rank over .limit(25) survivors"),
     "text_bm25_topk": (1, "rank over .limit(20) survivors"),
     "text_bm25_served": (1, "rank over .limit(20) survivors"),
+    "text_chunk_bm25_topk": (1, "rank over .limit(20) survivors"),
 }
 
 
