@@ -792,6 +792,38 @@ def stream_bm25_index_maintenance(
     return q
 
 
+def stream_iceberg_export_maintenance(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    **source_options,
+) -> Any:
+    """Continuous UniForm-style Iceberg freshness (D75 + D46 composed):
+    tail the table's own commits through ``delta_tail`` and regenerate
+    the Iceberg metadata tree after each micro-batch — the foreign
+    reader's snapshot lags the Delta head by at most one trigger.
+    ``generate_iceberg_metadata`` is idempotent per Delta version, so
+    replayed batches (and batches that coalesce several commits) are
+    no-ops beyond a version check."""
+    from delta_lake_health_spark.operators import iceberg_uniform
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        iceberg_uniform.generate_iceberg_metadata(
+            batch_df.sparkSession, table_path
+        )
+
+    stream = delta_source.read_stream(spark, table_path, **source_options)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_minhash_index_maintenance(
     spark: SparkSession,
     docs_path: str,

@@ -1,0 +1,199 @@
+"""UniForm-style Iceberg metadata export (operators/iceberg_uniform.py,
+D75, VERDICT r11 #9): the generated metadata tree, walked exactly like
+an Iceberg reader (version-hint → metadata JSON → manifest list →
+manifests), must name the SAME live file set as the Delta snapshot with
+matching record counts, sizes, and typed partition values; exports are
+idempotent per Delta version and refuse tables with live deletion
+vectors; the hand-rolled Avro object-container encoding round-trips."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from delta_lake_health_spark.operators import iceberg_uniform as iu
+from delta_lake_health_spark.sources import delta_writer
+from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+
+def _table(spark, tmp_path, partitioned=False):
+    path = str(tmp_path / ("pt" if partitioned else "t"))
+    df = spark.range(0, 2000).selectExpr(
+        "id", "id % 3 AS k", "CAST(id % 7 AS DOUBLE) AS v"
+    )
+    delta_writer.write(
+        spark,
+        df.repartition(4),
+        path,
+        partition_by=["k"] if partitioned else None,
+    )
+    return path
+
+
+def test_avro_ocf_roundtrip():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "long"], "default": None},
+            {"name": "d", "type": "boolean"},
+            {"name": "e", "type": "double"},
+        ],
+    }
+    rows = [
+        {"a": -1, "b": "x", "c": None, "d": True, "e": 1.5},
+        {"a": 2**40, "b": "", "c": -(2**33), "d": False, "e": -0.25},
+        {"a": 0, "b": "héllo", "c": 7, "d": True, "e": 0.0},
+    ]
+    import tempfile
+
+    p = os.path.join(tempfile.mkdtemp(), "t.avro")
+    n = iu.write_avro_ocf(p, schema, rows, b"0123456789abcdef")
+    assert n == os.path.getsize(p)
+    assert iu.read_avro_ocf(p) == rows
+
+
+def _file_set_from_delta(spark, path):
+    log = DeltaLog(spark, path)
+    out = {}
+    for a in log.live_add_actions():
+        stats = json.loads(a.get("stats") or "{}")
+        out[os.path.join(path, a["path"])] = (
+            int(stats.get("numRecords", -1)),
+            int(a["size"]),
+            a.get("partitionValues") or {},
+        )
+    return out
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_export_matches_delta_snapshot(spark, tmp_path, partitioned):
+    path = _table(spark, tmp_path, partitioned)
+    m = iu.generate_iceberg_metadata(spark, path)
+    assert not m["skipped"] and m["n_files"] >= 1
+    want = _file_set_from_delta(spark, path)
+    got = iu.read_iceberg_file_set(path)
+    assert len(got) == len(want) == m["n_files"]
+    for f in got:
+        rc, size, pv = want[f["file_path"]]
+        assert f["file_format"] == "PARQUET"
+        assert f["record_count"] == rc
+        assert f["file_size_in_bytes"] == size
+        if partitioned:
+            # typed identity-partition values (Delta stores strings)
+            assert f["partition"] == {"k": int(pv["k"])}
+        else:
+            assert f["partition"] == {}
+    # metadata JSON structure an Iceberg reader needs
+    with open(m["metadata_file"]) as fh:
+        meta = json.load(fh)
+    assert meta["format-version"] == 1
+    assert meta["current-snapshot-id"] == m["snapshot_id"]
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    assert names == ["id", "k", "v"]
+    if partitioned:
+        spec = meta["partition-specs"][0]["fields"]
+        assert [
+            (s["name"], s["transform"]) for s in spec
+        ] == [("k", "identity")]
+
+
+def test_export_idempotent_and_tracks_new_commits(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    m1 = iu.generate_iceberg_metadata(spark, path)
+    assert not m1["skipped"]
+    m2 = iu.generate_iceberg_metadata(spark, path)
+    assert m2["skipped"] and m2["delta_version"] == m1["delta_version"]
+    # a new commit refreshes the export: new snapshot, full live set
+    delta_writer.write(
+        spark,
+        spark.range(5000, 5100).selectExpr(
+            "id", "id % 3 AS k", "CAST(id % 7 AS DOUBLE) AS v"
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    m3 = iu.generate_iceberg_metadata(spark, path)
+    assert not m3["skipped"]
+    assert m3["snapshot_id"] > m1["snapshot_id"]
+    got = {f["file_path"] for f in iu.read_iceberg_file_set(path)}
+    assert got == set(_file_set_from_delta(spark, path))
+    # version-hint points at the newest metadata json
+    with open(os.path.join(path, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    assert os.path.exists(
+        os.path.join(path, "metadata", f"v{v}.metadata.json")
+    )
+    assert v == 2
+
+
+def test_export_reflects_deletes_and_optimize(spark, tmp_path):
+    from delta_lake_health_spark.operators import maintenance
+
+    path = _table(spark, tmp_path)
+    delta_writer.delete(spark, path, "k = 1")
+    iu.generate_iceberg_metadata(spark, path)
+    got = {f["file_path"] for f in iu.read_iceberg_file_set(path)}
+    assert got == set(_file_set_from_delta(spark, path))
+    maintenance.compact(
+        spark,
+        path,
+        small_file_size=1 << 30,
+        target_file_size=1 << 30,
+    )
+    iu.generate_iceberg_metadata(spark, path)
+    got = {f["file_path"] for f in iu.read_iceberg_file_set(path)}
+    assert got == set(_file_set_from_delta(spark, path))
+    # record counts survive the rewrite chain
+    total = sum(
+        f["record_count"] for f in iu.read_iceberg_file_set(path)
+    )
+    assert total == DeltaLog(spark, path).snapshot().count()
+
+
+def test_export_refuses_live_deletion_vectors(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    delta_writer.delete_with_dv(spark, path, "k = 2")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        iu.generate_iceberg_metadata(spark, path)
+
+
+def test_export_refuses_nested_schema(spark, tmp_path):
+    path = str(tmp_path / "nested")
+    df = spark.range(5).selectExpr(
+        "id", "named_struct('a', id) AS s"
+    )
+    delta_writer.write(spark, df, path)
+    with pytest.raises(ValueError, match="primitive"):
+        iu.generate_iceberg_metadata(spark, path)
+
+
+@pytest.mark.slow
+def test_stream_export_maintenance(spark, tmp_path):
+    """D75 × D46: commits folded through the delta_tail maintenance
+    stream keep the Iceberg tree current with the Delta head."""
+    from delta_lake_health_spark.streaming.jobs import (
+        stream_iceberg_export_maintenance,
+    )
+
+    path = _table(spark, tmp_path)
+    delta_writer.write(
+        spark,
+        spark.range(9000, 9050).selectExpr(
+            "id", "id % 3 AS k", "CAST(id % 7 AS DOUBLE) AS v"
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    stream_iceberg_export_maintenance(
+        spark, path, str(tmp_path / "ckpt")
+    )
+    assert iu.current_export_version(path) == int(
+        DeltaLog(spark, path).version()
+    )
+    got = {f["file_path"] for f in iu.read_iceberg_file_set(path)}
+    assert got == set(_file_set_from_delta(spark, path))
