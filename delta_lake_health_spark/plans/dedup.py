@@ -309,15 +309,9 @@ def minhash_index_path(sf_dir: str) -> str:
     return f"/tmp/delta_lake_health_spark_fixture/minhash_index_{tag}"
 
 
-@query(
-    "dedup_minhash_served",
-    f"""
-    WITH {SQL_PAIRS_CTES}
-    SELECT doc_a, doc_b FROM cand_pairs
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_minhash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once LSH artifact for this sf_dir; shared by the served
+    and probe registry rows."""
     import os
 
     from delta_lake_health_spark.operators import minhash_index as mi
@@ -343,7 +337,83 @@ def dedup_minhash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=f"{sf_dir}|{N_HASHES}|{BAND_SIZE}|{N_BANDS}",
         deps=(mi.build_minhash_index, mi._index_rows, band_rows, _signatures),
     )
-    return mi.serve_candidate_pairs(spark, path)
+    return path
+
+
+@query(
+    "dedup_minhash_served",
+    f"""
+    WITH {SQL_PAIRS_CTES}
+    SELECT doc_a, doc_b FROM cand_pairs
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators import minhash_index as mi
+
+    return mi.serve_candidate_pairs(
+        spark, _minhash_fixture(spark, sf_dir)
+    )
+
+
+# --------------------------------------------------------------------------
+# X17b — corpus-door novelty probe against the persisted index: which
+# indexed docs share an LSH band bucket with each incoming doc? The
+# probe ids live in a disjoint range (+10M) so the oracle replays the
+# whole composition: band the probe subset, band the corpus, join on
+# the bucket key. The Spark side serves from the artifact with
+# band_key file pruning; the answer must be bit-identical either way.
+_PROBE_MOD = 97
+_PROBE_SHIFT = 10_000_000
+
+
+def _sql_bands_cte(src: str, prefix: str) -> str:
+    key = " || ".join(
+        f"sig[b.range*{BAND_SIZE}+{i + 1}]" for i in range(BAND_SIZE)
+    )
+    return f"""
+    {prefix}sigs AS (
+      SELECT doc_id, {SQL_MINHASH} AS sig
+      FROM (
+        SELECT doc_id, {SQL_DIGESTS} AS digs
+        FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM {src})
+        )
+      )
+    ), {prefix}bands AS (
+      SELECT doc_id, b.range AS band_idx, md5({key}) AS band_key
+      FROM {prefix}sigs, range({N_BANDS}) b
+    )"""
+
+
+@query(
+    "dedup_minhash_probe",
+    f"""
+    WITH {_sql_bands_cte('documents', 'c')},
+    probe_docs AS (
+      SELECT doc_id + {_PROBE_SHIFT} AS doc_id, text
+      FROM documents WHERE doc_id % {_PROBE_MOD} = 0
+    ),
+    {_sql_bands_cte('probe_docs', 'p')}
+    SELECT DISTINCT p.doc_id AS probe_doc_id, c.doc_id AS index_doc_id
+    FROM pbands p JOIN cbands c
+      ON p.band_idx = c.band_idx AND p.band_key = c.band_key
+    ORDER BY probe_doc_id, index_doc_id
+    """,
+)
+def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators import minhash_index as mi
+
+    path = _minhash_fixture(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % _PROBE_MOD == 0).select(
+        (F.col("doc_id") + _PROBE_SHIFT).alias("doc_id"), "text"
+    )
+    return mi.probe_minhash_index(spark, path, probes).orderBy(
+        "probe_doc_id", "index_doc_id"
+    )
 
 
 # --------------------------------------------------------------------------
