@@ -166,7 +166,12 @@ def read_avro_ocf(path: str) -> list:
     schema = None
     n = _read_zigzag(buf)
     while n != 0:
-        for _ in range(abs(n)):
+        if n < 0:
+            # spec: a negative block count is followed by the block's
+            # byte size, then abs(n) items
+            _read_zigzag(buf)
+            n = -n
+        for _ in range(n):
             key = _read_str(buf)
             vlen = _read_zigzag(buf)
             val = buf.read(vlen)
@@ -453,6 +458,17 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
     entries = []
     for add in live:
         pv = add.get("partitionValues") or {}
+        num_records = json.loads(add.get("stats") or "{}").get("numRecords")
+        if num_records is None:
+            # record_count is REQUIRED by the Iceberg spec and readers
+            # answer COUNT(*) from it — exporting a guess would serve
+            # wrong data to the foreign engine; refuse loudly instead
+            # (backfill stats with OPTIMIZE first)
+            raise ValueError(
+                f"iceberg export: live file {add['path']!r} carries no"
+                " numRecords stats — run a stats backfill (OPTIMIZE)"
+                " before exporting"
+            )
         entries.append(
             {
                 "status": 1,  # ADDED (fresh snapshot)
@@ -464,11 +480,7 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
                         c: _coerce_partition(delta_types[c], pv.get(c))
                         for c in part_cols
                     },
-                    "record_count": int(
-                        json.loads(add.get("stats") or "{}").get(
-                            "numRecords", -1
-                        )
-                    ),
+                    "record_count": int(num_records),
                     "file_size_in_bytes": int(add["size"]),
                     "block_size_in_bytes": 67108864,
                 },

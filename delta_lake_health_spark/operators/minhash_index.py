@@ -56,9 +56,14 @@ def _data_path(path: str) -> str:
 def _index_rows(docs: DataFrame) -> DataFrame:
     """Band rows under kind=band plus one seen-set row per doc under
     kind=doc — both halves of a document's state in ONE DataFrame so
-    they land in ONE commit."""
+    they land in ONE commit. The input is deduped by doc_id FIRST
+    (r12 review): the upsert anti-join only screens docs already
+    INDEXED, so a batch carrying the same id twice would otherwise
+    write duplicate band rows, and the posting list [x, x] expands to
+    the self-pair (x, x) — an output X3's a<b oracle can never emit."""
     from delta_lake_health_spark.plans.dedup import band_rows
 
+    docs = docs.dropDuplicates(["doc_id"])
     bands = band_rows(docs).select(
         F.lit(_BAND).alias("kind"), "doc_id", "band_idx", "band_key"
     )
@@ -125,6 +130,7 @@ def upsert_minhash_index(spark, path: str, new_docs: DataFrame) -> dict:
     known = _seen_docs(spark, _log(spark, data))
     fresh = (
         new_docs.select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
         .join(known, "doc_id", "left_anti")
         .localCheckpoint()
     )

@@ -158,18 +158,26 @@ _SERVE_CACHE: dict[str, dict] = {}
 
 
 def _log_token(data_path: str) -> tuple:
-    """Cheap freshness token for a Delta table: (#entries, last entry
-    name/size/mtime_ns) of _delta_log — any commit, or a rebuild at the
-    same path, changes it."""
+    """Cheap freshness token for a Delta table: (#entries, newest
+    COMMIT name/size/mtime_ns) of _delta_log — any commit, or a
+    rebuild at the same path, changes it. The newest commit is the max
+    NUMERIC version file, not sorted()[-1]: '_last_checkpoint' sorts
+    after every digit name, so once a checkpoint exists the lexicographic
+    tail never moves and a cleanup_log + equal-count commit sequence
+    would serve a stale snapshot (r12 review)."""
     d = os.path.join(data_path, "_delta_log")
     try:
-        names = sorted(os.listdir(d))
+        names = os.listdir(d)
     except OSError:
         return ("missing",)
-    if not names:
-        return ("empty",)
-    st = os.stat(os.path.join(d, names[-1]))
-    return (len(names), names[-1], st.st_size, int(st.st_mtime_ns))
+    commits = [
+        n for n in names if n.endswith(".json") and n.split(".")[0].isdigit()
+    ]
+    if not commits:
+        return ("empty", len(names))
+    last = max(commits, key=lambda n: int(n.split(".")[0]))
+    st = os.stat(os.path.join(d, last))
+    return (len(names), last, st.st_size, int(st.st_mtime_ns))
 
 
 def _serve_state(spark, path: str) -> dict:
@@ -222,20 +230,6 @@ def _read_paths(spark, table_path: str, paths: list) -> DataFrame:
     )
 
 
-def _pruned_scan(spark, log, paths: list) -> DataFrame:
-    """Read exactly ``paths`` from the index table (append-only — no
-    deletion vectors to reconcile, so the pruned file set IS the live
-    data for those keys)."""
-    from pyspark.sql.types import StructType
-
-    if not paths:
-        schema = log.metadata().get("schema")
-        return spark.createDataFrame([], StructType.fromJson(schema))
-    return spark.read.option("basePath", log.table_path).parquet(
-        *[os.path.join(log.table_path, p) for p in paths]
-    )
-
-
 def bm25_search(
     spark,
     path: str,
@@ -275,17 +269,19 @@ def bm25_search(
         return spark.createDataFrame(
             [], "doc_id long, bm25 double, rank int"
         )
+    # checkpoint: the postings feed BOTH the idf aggregate and the
+    # scoring join (and the dl decision job when it runs) — without it
+    # every pruned postings file is scanned once per consumer
     postings = (
         _read_paths(spark, _data_path(path), post_paths)
         .where(F.col("w").isin(*terms))
         .select("doc_id", "w", "tf")
+        .localCheckpoint()
     )
     if len(state["dl_intervals"]) > 1:
         # doc_id pruning of the length sidecar can only pay when there
         # is more than one file to skip — the range-join decision job
-        # costs more than reading a lone file. Checkpoint the postings
-        # so the decision job and the scoring job share one scan.
-        postings = postings.localCheckpoint()
+        # costs more than reading a lone file
         dl_iv = spark.createDataFrame(
             state["dl_intervals"], "path string, lo long, hi long"
         )

@@ -306,3 +306,25 @@ def test_stream_bm25_index_maintenance_parity(spark, tmp_path):
         spark, docs_tbl, idx, str(tmp_path / "ckpt2")
     )
     assert delta_writer.current_version(os.path.join(idx, "postings")) == v
+
+
+def test_log_token_tracks_newest_commit_past_checkpoint(tmp_path):
+    """r12 review: the serve-cache freshness token must key on the max
+    NUMERIC commit version — '_last_checkpoint' sorts after every
+    digit-named file, so a lexicographic tail pins once a checkpoint
+    exists and a cleanup+equal-count-commit sequence would serve a
+    stale snapshot."""
+    import os as _os
+
+    d = tmp_path / "t" / "_delta_log"
+    d.mkdir(parents=True)
+    for n in ("00000000000000000000.json", "00000000000000000001.json"):
+        (d / n).write_text("{}")
+    (d / "_last_checkpoint").write_text('{"version": 1}')
+    t1 = text_index._log_token(str(tmp_path / "t"))
+    # cleanup removes the pre-checkpoint commit, a new commit arrives:
+    # same file COUNT, same lexicographic tail (_last_checkpoint)
+    _os.remove(d / "00000000000000000000.json")
+    (d / "00000000000000000002.json").write_text("{}")
+    t2 = text_index._log_token(str(tmp_path / "t"))
+    assert t1 != t2

@@ -197,3 +197,65 @@ def test_stream_export_maintenance(spark, tmp_path):
     )
     got = {f["file_path"] for f in iu.read_iceberg_file_set(path)}
     assert got == set(_file_set_from_delta(spark, path))
+
+
+def test_export_refuses_statless_files(spark, tmp_path):
+    """r12 review: record_count is spec-REQUIRED and foreign readers
+    answer COUNT(*) from it — a live file with no numRecords stats is
+    a loud refusal, never a -1 guess."""
+    path = _table(spark, tmp_path)
+    log_dir = os.path.join(path, "_delta_log")
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(log_dir, name)
+        lines = []
+        with open(p) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "add" in act:
+                    act["add"].pop("stats", None)
+                lines.append(json.dumps(act))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="numRecords"):
+        iu.generate_iceberg_metadata(spark, path)
+
+
+def test_read_avro_ocf_negative_map_block_count():
+    """r12 review: Avro permits map blocks with a NEGATIVE count
+    followed by a byte size; the reader must consume the size long
+    instead of desynchronizing."""
+    import tempfile
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    rows = [{"a": 5}, {"a": -7}]
+    pairs = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    blob = b"".join(
+        iu._enc_str(k) + iu._zigzag(len(v)) + v for k, v in pairs.items()
+    )
+    sync = b"0123456789abcdef"
+    body = b"".join(iu._enc_value(schema, r) for r in rows)
+    out = (
+        b"Obj\x01"
+        + iu._zigzag(-len(pairs))  # negative count ...
+        + iu._zigzag(len(blob))  # ... followed by byte size (spec)
+        + blob
+        + iu._zigzag(0)
+        + sync
+        + iu._zigzag(len(rows))
+        + iu._zigzag(len(body))
+        + body
+        + sync
+    )
+    p = os.path.join(tempfile.mkdtemp(), "neg.avro")
+    with open(p, "wb") as fh:
+        fh.write(out)
+    assert iu.read_avro_ocf(p) == rows

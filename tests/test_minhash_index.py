@@ -164,3 +164,23 @@ def test_stream_minhash_index_maintenance_parity(spark, tmp_path):
         spark, docs_tbl, idx, str(tmp_path / "ckpt2")
     )
     assert delta_writer.current_version(mi._data_path(idx)) == v
+
+
+def test_duplicate_ids_in_batch_never_self_pair(spark, tmp_path):
+    """r12 review: a build or upsert batch carrying the same doc_id
+    twice must not write duplicate band rows — posting list [x, x]
+    would expand to the self-pair (x, x), an output the X3 oracle can
+    never emit."""
+    docs = _docs(spark).limit(10).localCheckpoint()
+    dup = docs.unionByName(docs)  # every id twice
+    path = str(tmp_path / "idx")
+    m = mi.build_minhash_index(spark, dup, path)
+    assert m["n_docs"] == 10
+    pairs = _pairs(mi.serve_candidate_pairs(spark, path))
+    assert all(a < b for a, b in pairs)
+    # upsert with an internally-duplicated batch: count is distinct ids
+    more = _docs(spark).where("doc_id >= 400").limit(5).localCheckpoint()
+    m2 = mi.upsert_minhash_index(spark, path, more.unionByName(more))
+    assert m2["numDocsAdded"] == 5
+    pairs = _pairs(mi.serve_candidate_pairs(spark, path))
+    assert all(a < b for a, b in pairs)
