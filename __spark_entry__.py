@@ -18,101 +18,211 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round, so _VERIFY_FIRST must be rebuilt each round as
 #   (1) queries with NO green driver row yet (newest additions + any red
 #       or stale-schema rows), then
-#   (2) queries whose newest green row is OLDEST (so no query's last
-#       green row ages past ~2 rounds), families whose code changed this
-#       round first,
-#   (3) everything else (freshest green rows) is left unlisted — the
-#       registry appends it in module order past the cap.
-# Round 11: (1) the round's new query (text_bm25_served — the
-# persisted-BM25 serving path), (2) queries whose CODE changed this
-# round: the two-phase bucketed-rank rewrites (customer_balance_
-# quartiles, customer_rfm_scores), the rerank-operator refactor + the
-# served-IVF candidate stage (ann_mmr_rerank, ann_rrf_fusion), the
-# cusum_hourly_series extraction (events_cusum_alerts), the BM25
-# oracle-constant extraction (text_bm25_topk), and four lifecycle rows
-# exercising the new build_once fixture guard's distinct shapes —
-# value-marker (fsck), two-table clean (deep clone), value-returning
-# builds (copy_into, which also carries the legacy-identity fix, and
-# cdc_sync), (3) the ENTIRE r7-aged block (VERDICT r10 task #2 — the
-# 30 rows whose newest green dated to r7), (4) the head of the r8-aged
-# block up to the ~50 cap. Past-cap entries encode round-12 priority:
-# the rest of the r8 rows, then the r9 lifecycle rows. Goal state
-# after r11: no row's newest green predates r8.
+#   (2) queries whose CODE changed this round since their newest green
+#       row, then
+#   (3) everything else by OLDEST newest-green round first (so no
+#       query's last green row ages unboundedly).
+# Round 12 (VERDICT r11 #2): the list below is GENERATED, not
+# hand-curated — `python tools/gen_verify_first.py --changed <names>`
+# computes it from the CORRECTNESS_r*.json history (the r11 hand-curated
+# list missed 11 r7-aged rows); it now enumerates the COMPLETE registry
+# so insertion order is fully determined. This round's --changed set:
+# dedup_minhash_pairs (band_rows extraction), the four
+# bucketed-rank/pack users of the rewritten prefix_rank, and the two
+# BM25 rows over the new serve-state cache. The ~50-row driver cap then
+# lands on: 4 new rows, 7 changed rows, the full 11-row r7-aged block,
+# and the head of the r8-aged block.
 _VERIFY_FIRST = (
-    # (1) NEW this round — no driver row yet
-    "text_bm25_served",
-    "media_audio_fp_served",
-    "text_chunk_census",
-    # (2) code changed this round since newest green row
-    "customer_balance_quartiles",
-    "customer_rfm_scores",
-    "ann_mmr_rerank",
-    "ann_rrf_fusion",
-    "events_cusum_alerts",
-    "text_bm25_topk",
-    "delta_fsck_snapshot",
-    "delta_deep_clone_snapshot",
-    "delta_copy_into_snapshot",
-    "delta_cdc_sync",
-    # (3) the full r7-aged block — front-loaded per VERDICT r10 #2
-    "text_fingerprint",
-    "text_scrub_pii",
-    "text_hash_sample",
-    "text_train_val_test_split",
-    "text_gopher_quality_filter",
-    "text_top_ngrams",
-    "text_split_contamination",
-    "text_language_balance_sample",
-    "text_length_histogram",
-    "text_zipf_slope",
-    "text_hashed_linear_quality",
-    "text_scrub_repeated_spans",
-    "events_tumbling_hourly",
-    "events_sessionization",
-    "events_user_stats",
-    "events_purchase_funnel",
-    "events_purchase_attribution",
-    "events_purchase_sessions",
-    "events_sliding_hourly",
-    "events_props_json",
-    "events_type_pivot",
-    "events_daily_retention",
-    "events_funnel_strict_order",
-    "events_session_window_native",
-    "events_activity_heatmap",
-    "events_markov_transitions",
-    "events_user_decay_scores",
-    "events_weekly_cohort_retention",
-    "events_metronome_census",
-    "events_click_to_purchase",
-    "events_click_purchase_nearest",
-    # (4) head of the r8-aged block, to the ~50 cap
-    "delta_convert_snapshot",
-    "delta_reorg_purge",
-    "dedup_containment",
-    "events_user_streaks",
-    "events_ab_holdout_lift",
-    "events_top_paths",
-    "events_watermark_lateness",
-    "ann_sq_int8_topk",
-    "documents_priority_sample_k",
-    # --- past the ~50 cap: encodes round-12 priority — the rest of the
-    # r8 rows, then the r9 lifecycle rows
-    "text_quality_lr_train",
-    "media_phash_neardup",
-    "media_scene_changes",
-    "ann_ivf_pq_topk",
-    "delta_restore_snapshot",
-    "delta_clone_snapshot",
-    "delta_merge_snapshot",
-    "delta_vacuum_snapshot",
-    "delta_schema_evolution",
-    "delta_generated_columns",
-    "ann_graph_topk",
-    "delta_bloom_point_lookup",
-    "text_tfidf_keywords",
-    "dedup_incremental_bloom",
-    "dedup_graph_pagerank",
+    "dedup_minhash_probe",  # never-green
+    "dedup_minhash_served",  # never-green
+    "text_chunk_bm25_topk",  # never-green
+    "text_html_boilerplate",  # never-green
+    "dedup_minhash_pairs",  # newest green r9, CHANGED this round
+    "customer_balance_quartiles",  # newest green r11, CHANGED this round
+    "customer_rfm_scores",  # newest green r11, CHANGED this round
+    "events_user_value_pareto",  # newest green r8, CHANGED this round
+    "text_pack_sequences",  # newest green r9, CHANGED this round
+    "text_bm25_served",  # newest green r11, CHANGED this round
+    "text_bm25_topk",  # newest green r11, CHANGED this round
+    "ann_filtered_topk",  # newest green r7
+    "ann_ivf_topk",  # newest green r7
+    "ann_lsh_buckets",  # newest green r7
+    "ann_range_search",  # newest green r7
+    "corpus_epoch_shuffle",  # newest green r7
+    "corpus_stats",  # newest green r7
+    "dedup_minhash_calibration",  # newest green r7
+    "delta_identity_series",  # newest green r7
+    "text_lang_id",  # newest green r7
+    "text_quality_scores",  # newest green r7
+    "text_token_counts",  # newest green r7
+    "ann_ivf_pq_topk",  # newest green r8
+    "ann_sq_int8_topk",  # newest green r8
+    "catalog_sql_revenue_by_nation",  # newest green r8
+    "customers_without_orders",  # newest green r8
+    "documents_priority_sample_k",  # newest green r8
+    "embedding_label_centroids",  # newest green r8
+    "events_watermark_lateness",  # newest green r8
+    "media_phash_neardup",  # newest green r8
+    "media_scene_changes",  # newest green r8
+    "nation_coverage_setops",  # newest green r8
+    "order_status_rollup",  # newest green r8
+    "orders_cube",  # newest green r8
+    "orders_rollup",  # newest green r8
+    "part_brand_stats",  # newest green r8
+    "part_name_textops",  # newest green r8
+    "q10_returned_items",  # newest green r8
+    "q12_late_shipments",  # newest green r8
+    "q13_customer_distribution",  # newest green r8
+    "q14_promo_effect",  # newest green r8
+    "q15_top_supplier",  # newest green r8
+    "q17_small_quantity_revenue",  # newest green r8
+    "q18_large_orders",  # newest green r8
+    "q19_discounted_revenue",  # newest green r8
+    "q21_waiting_suppliers",  # newest green r8
+    "q22_idle_customers",  # newest green r8
+    "q5_local_supplier",  # newest green r8
+    "q6_forecast_revenue",  # newest green r8
+    "q7_volume_shipping",  # newest green r8
+    "q8_market_share",  # newest green r8
+    "records_per_partition_orders",  # newest green r8
+    "revenue_7day_moving",  # newest green r8
+    "running_revenue_by_month",  # newest green r8
+    "skew_lineitem_returnflag",  # newest green r8
+    "skew_orders_by_month",  # newest green r8
+    "skew_orders_status_priority",  # newest green r8
+    "text_quality_lr_train",  # newest green r8
+    "topn_orders_per_customer",  # newest green r8
+    "corpus_mixture_weights",  # newest green r9
+    "dedup_clusters",  # newest green r9
+    "dedup_embedding_cosine",  # newest green r9
+    "dedup_exact",  # newest green r9
+    "dedup_exact_stats",  # newest green r9
+    "dedup_graph_pagerank",  # newest green r9
+    "dedup_incremental_bloom",  # newest green r9
+    "dedup_keep_corpus",  # newest green r9
+    "dedup_ngram_jaccard",  # newest green r9
+    "dedup_semantic_prune",  # newest green r9
+    "dedup_shingle_duplication",  # newest green r9
+    "dedup_simhash",  # newest green r9
+    "dedup_source_overlap",  # newest green r9
+    "delta_change_feed",  # newest green r9
+    "delta_clone_snapshot",  # newest green r9
+    "delta_dv_snapshot",  # newest green r9
+    "delta_generated_columns",  # newest green r9
+    "delta_merge_snapshot",  # newest green r9
+    "delta_mv_refresh",  # newest green r9
+    "delta_restore_snapshot",  # newest green r9
+    "delta_row_changes",  # newest green r9
+    "delta_row_ids",  # newest green r9
+    "delta_schema_evolution",  # newest green r9
+    "delta_skipping_conjunction",  # newest green r9
+    "delta_skipping_prune",  # newest green r9
+    "delta_time_travel_v0",  # newest green r9
+    "delta_vacuum_snapshot",  # newest green r9
+    "embedding_scalar_quantize",  # newest green r9
+    "events_anomaly_zscore",  # newest green r9
+    "events_sequence_pattern",  # newest green r9
+    "events_windowed_hll_users",  # newest green r9
+    "health_analyzer_report",  # newest green r9
+    "pipeline_corpus_build",  # newest green r9
+    "profile_table_columns",  # newest green r9
+    "referential_integrity_audit",  # newest green r9
+    "sketch_approx_distinct",  # newest green r9
+    "sketch_approx_percentiles",  # newest green r9
+    "text_bigram_cross_entropy",  # newest green r9
+    "text_bpe_tokenize_fertility",  # newest green r9
+    "text_chunk_dedup",  # newest green r9
+    "text_repetition_census",  # newest green r9
+    "text_tfidf_keywords",  # newest green r9
+    "text_unigram_surprise",  # newest green r9
+    "ann_bruteforce_topk",  # newest green r10
+    "ann_graph_topk",  # newest green r10
+    "ann_pq_adc_topk",  # newest green r10
+    "delta_bloom_point_lookup",  # newest green r10
+    "delta_hilbert_snapshot",  # newest green r10
+    "delta_optimize_zorder_snapshot",  # newest green r10
+    "delta_restore_timestamp_snapshot",  # newest green r10
+    "delta_update_snapshot",  # newest green r10
+    "documents_stratified_sample",  # newest green r10
+    "embedding_matryoshka_census",  # newest green r10
+    "embedding_pca_census",  # newest green r10
+    "events_funnel_latency",  # newest green r10
+    "events_funnel_latency_approx",  # newest green r10
+    "events_hourly_gapfill",  # newest green r10
+    "events_inter_event_gaps",  # newest green r10
+    "events_inter_event_gaps_approx",  # newest green r10
+    "events_props_variant",  # newest green r10
+    "events_user_bursts",  # newest green r10
+    "events_value_percentiles",  # newest green r10
+    "events_value_percentiles_approx",  # newest green r10
+    "knn_label_vote",  # newest green r10
+    "media_audio_fingerprint",  # newest green r10
+    "media_decode_roundtrip",  # newest green r10
+    "media_transform_roundtrip",  # newest green r10
+    "orders_grouping_sets",  # newest green r10
+    "q11_important_values",  # newest green r10
+    "q16_supplier_part_counts",  # newest green r10
+    "q1_pricing_summary",  # newest green r10
+    "q20_excess_shipments",  # newest green r10
+    "q2_min_cost_supplier",  # newest green r10
+    "q3_shipping_priority",  # newest green r10
+    "q4_order_priority",  # newest green r10
+    "q9_product_profit",  # newest green r10
+    "revenue_mom_growth",  # newest green r10
+    "sketch_heavy_hitters",  # newest green r10
+    "sketch_sample_quantiles",  # newest green r10
+    "sketch_user_overlap",  # newest green r10
+    "supplier_fulfillment_rate",  # newest green r10
+    "text_bpe_merge_candidates",  # newest green r10
+    "text_dsir_weights",  # newest green r10
+    "text_filter_funnel_census",  # newest green r10
+    "text_repeated_ngram_spans",  # newest green r10
+    "ann_mmr_rerank",  # newest green r11
+    "ann_rrf_fusion",  # newest green r11
+    "dedup_containment",  # newest green r11
+    "delta_cdc_sync",  # newest green r11
+    "delta_convert_snapshot",  # newest green r11
+    "delta_copy_into_snapshot",  # newest green r11
+    "delta_deep_clone_snapshot",  # newest green r11
+    "delta_fsck_snapshot",  # newest green r11
+    "delta_reorg_purge",  # newest green r11
+    "events_ab_holdout_lift",  # newest green r11
+    "events_activity_heatmap",  # newest green r11
+    "events_click_purchase_nearest",  # newest green r11
+    "events_click_to_purchase",  # newest green r11
+    "events_cusum_alerts",  # newest green r11
+    "events_daily_retention",  # newest green r11
+    "events_funnel_strict_order",  # newest green r11
+    "events_markov_transitions",  # newest green r11
+    "events_metronome_census",  # newest green r11
+    "events_props_json",  # newest green r11
+    "events_purchase_attribution",  # newest green r11
+    "events_purchase_funnel",  # newest green r11
+    "events_purchase_sessions",  # newest green r11
+    "events_session_window_native",  # newest green r11
+    "events_sessionization",  # newest green r11
+    "events_sliding_hourly",  # newest green r11
+    "events_top_paths",  # newest green r11
+    "events_tumbling_hourly",  # newest green r11
+    "events_type_pivot",  # newest green r11
+    "events_user_decay_scores",  # newest green r11
+    "events_user_stats",  # newest green r11
+    "events_user_streaks",  # newest green r11
+    "events_weekly_cohort_retention",  # newest green r11
+    "media_audio_fp_served",  # newest green r11
+    "text_chunk_census",  # newest green r11
+    "text_fingerprint",  # newest green r11
+    "text_gopher_quality_filter",  # newest green r11
+    "text_hash_sample",  # newest green r11
+    "text_hashed_linear_quality",  # newest green r11
+    "text_language_balance_sample",  # newest green r11
+    "text_length_histogram",  # newest green r11
+    "text_scrub_pii",  # newest green r11
+    "text_scrub_repeated_spans",  # newest green r11
+    "text_split_contamination",  # newest green r11
+    "text_top_ngrams",  # newest green r11
+    "text_train_val_test_split",  # newest green r11
+    "text_zipf_slope",  # newest green r11
 )
 
 

@@ -63,7 +63,13 @@ def _index_rows(docs: DataFrame) -> DataFrame:
     """The unified index rows for ``docs``: term postings under
     kind=post plus one doc-length row (w NULL, tf = dlen) under
     kind=dl — both halves of a document's state in ONE DataFrame so
-    they land in ONE commit."""
+    they land in ONE commit. Deduped by doc_id FIRST (r12 review,
+    proven by repro): the upsert anti-join only screens docs already
+    INDEXED, so a batch carrying the same doc twice (e.g. delta_tail
+    coalescing two commits with the same id) would otherwise write
+    duplicate dl rows and doubled tf — permanently wrong scores no
+    replay guard can repair."""
+    docs = docs.dropDuplicates(["doc_id"])
     posts = _doc_terms(docs).select(
         F.lit(_POST).alias("kind"), "doc_id", "w", "tf"
     )
@@ -390,6 +396,7 @@ def upsert_bm25_index(spark, path: str, new_docs: DataFrame) -> dict:
     known = _dl_rows(spark, DeltaLog(spark, data)).select("doc_id")
     fresh = (
         new_docs.select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
         .join(known, "doc_id", "left_anti")
         .localCheckpoint()
     )

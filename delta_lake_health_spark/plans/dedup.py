@@ -329,12 +329,17 @@ def _minhash_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     # deps: the functions whose behavior defines the artifact — editing
     # the builder, the band layout, or the hash family must rebuild,
-    # not serve stale; salt carries the constants the closures read
+    # not serve stale; salt carries the VALUES of every module constant
+    # the closures read (r12 review: the shingle/digest/minhash exprs
+    # too — a 3-gram→5-gram edit changes no dep's source)
     build_once(
         marker,
         build,
         clean=[path],
-        salt=f"{sf_dir}|{N_HASHES}|{BAND_SIZE}|{N_BANDS}",
+        salt=(
+            f"{sf_dir}|{N_HASHES}|{BAND_SIZE}|{N_BANDS}"
+            f"|{SHINGLES_EXPR}|{DIGESTS_EXPR}|{MINHASH_EXPR}"
+        ),
         deps=(mi.build_minhash_index, mi._index_rows, band_rows, _signatures),
     )
     return path
@@ -400,6 +405,10 @@ def _sql_bands_cte(src: str, prefix: str) -> str:
     SELECT DISTINCT p.doc_id AS probe_doc_id, c.doc_id AS index_doc_id
     FROM pbands p JOIN cbands c
       ON p.band_idx = c.band_idx AND p.band_key = c.band_key
+     AND p.doc_id != c.doc_id  -- mirror the operator's self-exclusion:
+                               -- inert under the id shift at test SFs,
+                               -- but keeps the contract bit-identical
+                               -- once corpus ids reach the shift range
     ORDER BY probe_doc_id, index_doc_id
     """,
 )

@@ -809,6 +809,8 @@ def stream_iceberg_export_maintenance(
     from delta_lake_health_spark.streaming import delta_source
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
         iceberg_uniform.generate_iceberg_metadata(
             batch_df.sparkSession, table_path
         )

@@ -328,3 +328,32 @@ def test_log_token_tracks_newest_commit_past_checkpoint(tmp_path):
     (d / "00000000000000000002.json").write_text("{}")
     t2 = text_index._log_token(str(tmp_path / "t"))
     assert t1 != t2
+
+
+def test_upsert_duplicate_ids_in_batch_write_once(spark, tmp_path):
+    """r12 review (confirmed repro): a batch carrying the same doc
+    twice must index it ONCE — duplicate dl rows / doubled tf would
+    permanently corrupt scores with no replay guard able to repair."""
+    docs = _docs(spark).limit(20).localCheckpoint()
+    path = str(tmp_path / "idx")
+    text_index.build_bm25_index(
+        spark, docs.where("doc_id < 10"), path
+    )
+    late = docs.where("doc_id >= 10").localCheckpoint()
+    m = text_index.upsert_bm25_index(
+        spark, path, late.unionByName(late)
+    )
+    assert m["numDocsAdded"] == late.count()
+    full = str(tmp_path / "full")
+    text_index.build_bm25_index(spark, docs, full)
+    for terms in (_BM25_QUERY, ("the",)):
+        assert _rows(text_index.bm25_search(spark, path, terms)) == _rows(
+            text_index.bm25_search(spark, full, terms)
+        )
+    # the dl partition holds exactly one row per doc
+    from delta_lake_health_spark.sources.delta_log import DeltaLog as DL
+
+    dl = text_index._dl_rows(
+        spark, DL(spark, os.path.join(path, "postings"))
+    )
+    assert dl.count() == dl.select("doc_id").distinct().count() == 20

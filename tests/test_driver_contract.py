@@ -50,3 +50,15 @@ def test_entry_is_flagship_q1(spark):
     assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
     rows = df.collect()
     assert len(rows) >= 1
+
+
+def test_verify_first_is_complete_and_duplicate_free():
+    """r12: the rotation list is GENERATED (tools/gen_verify_first.py)
+    and enumerates the complete registry — a query missing from it
+    would fall back to module order, quietly escaping the rotation."""
+    import __spark_entry__ as e
+
+    qs, _ = e._registry()
+    assert len(e._VERIFY_FIRST) == len(set(e._VERIFY_FIRST))
+    missing = [n for n in qs if n not in e._VERIFY_FIRST]
+    assert not missing, f"registry queries not in rotation: {missing}"
