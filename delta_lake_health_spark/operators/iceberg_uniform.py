@@ -416,12 +416,31 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
             "n_files": None,
             "skipped": True,
         }
-    if log.deletion_vector_paths():
+    if log._live_dv_paths(log.active_files()):
+        # LIVE-reconciled DVs only (r12 review): historical dv actions
+        # whose files were since rewritten (REORG PURGE) are no-ops and
+        # must not block the export — the documented remedy has to work
         raise ValueError(
             "iceberg export: table has live deletion vectors — Iceberg v1"
             " cannot express positional deletes; REORG PURGE first"
         )
     meta = log.metadata()
+    if any(
+        logical != physical
+        for logical, physical in log.column_mapping(
+            meta.get("schema")
+        ).items()
+    ):
+        # column mapping is metadata-only: the parquet keeps PHYSICAL
+        # names while the schema shows logical ones; an Iceberg v1
+        # reader resolves by name (no field-ids in the files) and would
+        # silently serve nulls for every renamed column — refuse
+        raise ValueError(
+            "iceberg export: table uses column mapping (renamed columns)"
+            " — parquet physical names diverge from the logical schema"
+            " and a by-name Iceberg reader would serve nulls; not"
+            " exportable as v1"
+        )
     schema, ids = _iceberg_schema(meta.get("schema") or {})
     part_cols = list(meta.get("partition_columns", []))
     delta_types = {

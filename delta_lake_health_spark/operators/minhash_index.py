@@ -63,7 +63,10 @@ def _index_rows(docs: DataFrame) -> DataFrame:
     the self-pair (x, x) — an output X3's a<b oracle can never emit."""
     from delta_lake_health_spark.plans.dedup import band_rows
 
-    docs = docs.dropDuplicates(["doc_id"])
+    # deterministic pick among conflicting duplicates (max text per
+    # id): which VERSION wins is the ingest door's decision; the index
+    # only guarantees build and upsert agree given the same rows
+    docs = docs.groupBy("doc_id").agg(F.max("text").alias("text"))
     bands = band_rows(docs).select(
         F.lit(_BAND).alias("kind"), "doc_id", "band_idx", "band_key"
     )
@@ -130,7 +133,8 @@ def upsert_minhash_index(spark, path: str, new_docs: DataFrame) -> dict:
     known = _seen_docs(spark, _log(spark, data))
     fresh = (
         new_docs.select("doc_id", "text")
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
         .join(known, "doc_id", "left_anti")
         .localCheckpoint()
     )

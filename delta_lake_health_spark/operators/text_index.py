@@ -49,6 +49,12 @@ _POST = "post"
 _DL = "dl"
 
 
+def _one_row_per_doc(docs: DataFrame) -> DataFrame:
+    """One row per doc_id, deterministic under conflicting duplicates
+    (max text per id)."""
+    return docs.groupBy("doc_id").agg(F.max("text").alias("text"))
+
+
 def _doc_terms(docs: DataFrame) -> DataFrame:
     """(doc_id, w, tf) over the FULL vocabulary — whitespace tokens,
     the same split the registry scorer and its oracle use."""
@@ -68,8 +74,13 @@ def _index_rows(docs: DataFrame) -> DataFrame:
     INDEXED, so a batch carrying the same doc twice (e.g. delta_tail
     coalescing two commits with the same id) would otherwise write
     duplicate dl rows and doubled tf — permanently wrong scores no
-    replay guard can repair."""
-    docs = docs.dropDuplicates(["doc_id"])
+    replay guard can repair. The pick among conflicting texts is
+    DETERMINISTIC (max text per id — dropDuplicates keeps an arbitrary
+    partition-order row): which VERSION of a doc should win is the
+    ingest door's decision (stream_dedup_ingest), not the index's; the
+    index only guarantees build and upsert agree given the same
+    rows."""
+    docs = _one_row_per_doc(docs)
     posts = _doc_terms(docs).select(
         F.lit(_POST).alias("kind"), "doc_id", "w", "tf"
     )
@@ -395,8 +406,7 @@ def upsert_bm25_index(spark, path: str, new_docs: DataFrame) -> dict:
     data = _data_path(path)
     known = _dl_rows(spark, DeltaLog(spark, data)).select("doc_id")
     fresh = (
-        new_docs.select("doc_id", "text")
-        .dropDuplicates(["doc_id"])
+        _one_row_per_doc(new_docs.select("doc_id", "text"))
         .join(known, "doc_id", "left_anti")
         .localCheckpoint()
     )

@@ -214,23 +214,34 @@ def _signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-# Shared CTE text: signatures -> bands -> distinct candidate pairs.
-SQL_PAIRS_CTES = f"""
-    sigs AS (
+def _sql_bands_cte(src: str, prefix: str) -> str:
+    """DuckDB CTE text computing ``{prefix}sigs``/``{prefix}bands``
+    over ``src`` — ONE definition of the oracle-side band construction
+    (r12 review: the pairs and probe oracles used to carry separate
+    copies whose band-key concat could drift under a BAND_SIZE edit)."""
+    key = " || ".join(
+        f"sig[b.range*{BAND_SIZE}+{i + 1}]" for i in range(BAND_SIZE)
+    )
+    return f"""
+    {prefix}sigs AS (
       SELECT doc_id, {SQL_MINHASH} AS sig
       FROM (
         SELECT doc_id, {SQL_DIGESTS} AS digs
         FROM (
           SELECT doc_id, {SQL_SHINGLES} AS shingles
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM {src})
         )
       )
-    ), bands AS (
-      SELECT doc_id, b.range AS band_idx,
-             md5(sig[b.range*{BAND_SIZE}+1] || sig[b.range*{BAND_SIZE}+2] ||
-                 sig[b.range*{BAND_SIZE}+3] || sig[b.range*{BAND_SIZE}+4]) AS band_key
-      FROM sigs, range({N_BANDS}) b
-    ), cand_pairs AS (
+    ), {prefix}bands AS (
+      SELECT doc_id, b.range AS band_idx, md5({key}) AS band_key
+      FROM {prefix}sigs, range({N_BANDS}) b
+    )"""
+
+
+# Shared CTE text: signatures -> bands -> distinct candidate pairs.
+SQL_PAIRS_CTES = f"""
+    {_sql_bands_cte('documents', '')}, cand_pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM bands a JOIN bands c
         ON a.band_idx = c.band_idx AND a.band_key = c.band_key
@@ -370,27 +381,6 @@ def dedup_minhash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band_key file pruning; the answer must be bit-identical either way.
 _PROBE_MOD = 97
 _PROBE_SHIFT = 10_000_000
-
-
-def _sql_bands_cte(src: str, prefix: str) -> str:
-    key = " || ".join(
-        f"sig[b.range*{BAND_SIZE}+{i + 1}]" for i in range(BAND_SIZE)
-    )
-    return f"""
-    {prefix}sigs AS (
-      SELECT doc_id, {SQL_MINHASH} AS sig
-      FROM (
-        SELECT doc_id, {SQL_DIGESTS} AS digs
-        FROM (
-          SELECT doc_id, {SQL_SHINGLES} AS shingles
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                FROM {src})
-        )
-      )
-    ), {prefix}bands AS (
-      SELECT doc_id, b.range AS band_idx, md5({key}) AS band_key
-      FROM {prefix}sigs, range({N_BANDS}) b
-    )"""
 
 
 @query(

@@ -2454,7 +2454,12 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         clean=[path],
         salt=sf_dir,
-        deps=(_ti.build_bm25_index, _ti._doc_terms),
+        deps=(
+            _ti.build_bm25_index,
+            _ti._index_rows,
+            _ti._one_row_per_doc,
+            _ti._doc_terms,
+        ),
     )
     return bm25_search(
         spark, path, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B, top=_BM25_TOP

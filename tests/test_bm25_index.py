@@ -357,3 +357,37 @@ def test_upsert_duplicate_ids_in_batch_write_once(spark, tmp_path):
         spark, DL(spark, os.path.join(path, "postings"))
     )
     assert dl.count() == dl.select("doc_id").distinct().count() == 20
+
+
+def test_conflicting_duplicate_texts_pick_deterministically(
+    spark, tmp_path
+):
+    """r12 review: the same doc_id with DIFFERENT texts in one batch
+    must index a deterministic version (max text) so build and upsert
+    always agree — dropDuplicates kept an arbitrary partition-order
+    row."""
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    conflict = spark.createDataFrame(
+        [(3, "old words here"), (3, "zz new words")],
+        "doc_id long, text string",
+    )
+    inc = str(tmp_path / "inc")
+    text_index.build_bm25_index(spark, base, inc)
+    m = text_index.upsert_bm25_index(spark, inc, conflict)
+    assert m["numDocsAdded"] == 1
+    want = str(tmp_path / "want")
+    text_index.build_bm25_index(
+        spark,
+        base.unionByName(
+            spark.createDataFrame(
+                [(3, "zz new words")], "doc_id long, text string"
+            )
+        ),
+        want,
+    )
+    for terms in (("zz",), ("old",), ("alpha",)):
+        assert _rows(text_index.bm25_search(spark, inc, terms)) == _rows(
+            text_index.bm25_search(spark, want, terms)
+        )

@@ -259,3 +259,33 @@ def test_read_avro_ocf_negative_map_block_count():
     with open(p, "wb") as fh:
         fh.write(out)
     assert iu.read_avro_ocf(p) == rows
+
+
+def test_export_allowed_after_reorg_purge(spark, tmp_path):
+    """r12 review: the DV refusal must check LIVE deletion vectors —
+    after REORG PURGE rewrites the files, historical dv actions are
+    no-ops and the documented remedy must actually unblock the
+    export."""
+    from delta_lake_health_spark.operators import maintenance
+
+    path = _table(spark, tmp_path)
+    delta_writer.delete_with_dv(spark, path, "k = 2")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        iu.generate_iceberg_metadata(spark, path)
+    maintenance.reorg_purge(spark, path)
+    m = iu.generate_iceberg_metadata(spark, path)
+    assert not m["skipped"]
+    got = {f["file_path"] for f in iu.read_iceberg_file_set(path)}
+    assert got == set(_file_set_from_delta(spark, path))
+    total = sum(f["record_count"] for f in iu.read_iceberg_file_set(path))
+    assert total == DeltaLog(spark, path).snapshot().count()
+
+
+def test_export_refuses_column_mapping(spark, tmp_path):
+    """r12 review: renamed columns are metadata-only (parquet keeps
+    physical names); a by-name Iceberg v1 reader would serve nulls —
+    refuse instead."""
+    path = _table(spark, tmp_path)
+    delta_writer.rename_column(spark, path, "v", "value")
+    with pytest.raises(ValueError, match="column mapping"):
+        iu.generate_iceberg_metadata(spark, path)

@@ -77,7 +77,14 @@ def rotation(changed: list[str] | None = None) -> list[tuple[str, int]]:
     code by definition)."""
     newest = newest_green_rounds()
     names = registry_names()
-    changed = [c for c in (changed or []) if c in names]
+    unknown = [c for c in (changed or []) if c not in names]
+    if unknown:
+        # a typo here silently demotes a changed query to its aged
+        # rotation slot — exactly the miss this tool exists to prevent
+        raise ValueError(
+            f"--changed names not in the registry: {unknown}"
+        )
+    changed = list(changed or [])
     new = sorted(n for n in names if newest.get(n, 0) == 0)
     chg = [n for n in changed if n not in new]
     rest = sorted(
