@@ -343,6 +343,10 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         # reader+writer feature because the shredded parquet encoding is
         # unreadable to engines without variant support
         "variantType",
+        # allowColumnDefaults: column DEFAULT values (writer feature —
+        # inserts that omit the column get the default; readers see
+        # plain data)
+        "allowColumnDefaults",
     }
 )
 # Legacy minWriterVersion -> the features it implies (Delta spec table);
@@ -539,10 +543,16 @@ def _protocol_upgrade_action(
                 ),
             }
         }
-    if feature in ("rowTracking", "identityColumns", "domainMetadata"):
+    if feature in (
+        "rowTracking",
+        "identityColumns",
+        "domainMetadata",
+        "allowColumnDefaults",
+    ):
         # writer-only table features (readers may ignore row ids;
         # identity values are plain data once written; domain metadata
-        # is writer bookkeeping): the writer
+        # is writer bookkeeping; default values are plain data once
+        # materialized by the writer): the writer
         # protocol moves to table features (7) and enumerates, the
         # reader version is untouched. identityColumns is also legacy
         # minWriterVersion 6, but we always upgrade through features —
@@ -1317,6 +1327,147 @@ def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
     )
 
 
+def _column_defaults(schema: dict | None) -> dict[str, str]:
+    """{column: default expression} from the field-metadata key
+    ``CURRENT_DEFAULT`` (the public delta-spark convention for the
+    ``allowColumnDefaults`` writer feature)."""
+    out: dict[str, str] = {}
+    for f in (schema or {}).get("fields", []):
+        d = (f.get("metadata") or {}).get("CURRENT_DEFAULT")
+        if d:
+            out[f["name"]] = d
+    return out
+
+
+def set_column_default(
+    spark: SparkSession, table_path: str, col: str, expr: str
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN col SET DEFAULT expr (Delta's
+    ``allowColumnDefaults`` writer feature, D76): the default
+    expression lands in the schema field's metadata under
+    ``CURRENT_DEFAULT``; every subsequent INSERT/append that OMITS the
+    column materializes the default (writer-side — readers see plain
+    data, so the protocol upgrade is writer-only). The expression must
+    be constant-foldable per the feature contract: it is validated
+    here by evaluating it once, and a reference to another column
+    refuses loudly instead of materializing garbage."""
+    _require_writable(spark, table_path)
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    schema = meta.get("schema") or {}
+    fields = [dict(f) for f in schema.get("fields", [])]
+    names = {f["name"] for f in fields}
+    if col not in names:
+        raise ValueError(f"column {col!r} not in table schema")
+    try:
+        # zero-table SELECT: any column reference fails to resolve, so
+        # only genuinely constant-foldable expressions pass
+        spark.sql(f"SELECT {expr}").collect()
+    except Exception as ex:
+        raise ValueError(
+            f"default expression for {col!r} must be constant-foldable;"
+            f" ({expr!r}) failed to evaluate standalone: {ex}"
+        ) from ex
+    target_type = next(f["type"] for f in fields if f["name"] == col)
+    for f in fields:
+        if f["name"] == col:
+            md = dict(f.get("metadata") or {})
+            md["CURRENT_DEFAULT"] = expr
+            f["metadata"] = md
+    actions: list[dict] = []
+    upgrade = _protocol_upgrade_action(
+        spark, table_path, "allowColumnDefaults"
+    )
+    if upgrade:
+        actions.append(upgrade)
+    version = current_version(table_path)
+    actions += [
+        {
+            "metaData": {
+                "id": meta["id"],
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": meta.get("partition_columns", []),
+                "configuration": meta.get("configuration", {}),
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+        _commit_info(
+            "ALTER COLUMN SET DEFAULT",
+            {"column": col, "expr": expr, "type": str(target_type)},
+            {},
+        ),
+    ]
+    _commit(table_path, version + 1, actions)
+    return version + 1
+
+
+def clear_column_default(
+    spark: SparkSession, table_path: str, col: str
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN col DROP DEFAULT: remove the
+    ``CURRENT_DEFAULT`` metadata; appends omitting the column go back
+    to the ordinary schema-conformance rules."""
+    _require_writable(spark, table_path)
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    meta = DeltaLog(spark, table_path).metadata()
+    fields = [dict(f) for f in (meta.get("schema") or {}).get("fields", [])]
+    hit = False
+    for f in fields:
+        if f["name"] == col:
+            md = dict(f.get("metadata") or {})
+            hit = md.pop("CURRENT_DEFAULT", None) is not None
+            f["metadata"] = md
+    if not hit:
+        raise ValueError(f"column {col!r} has no default")
+    version = current_version(table_path)
+    _commit(
+        table_path,
+        version + 1,
+        [
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": meta.get("partition_columns", []),
+                    "configuration": meta.get("configuration", {}),
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+            _commit_info("ALTER COLUMN DROP DEFAULT", {"column": col}, {}),
+        ],
+    )
+    return version + 1
+
+
+def _fill_default_columns(
+    spark: SparkSession, df: DataFrame, meta: dict | None
+):
+    """Materialize declared DEFAULTs for columns the batch OMITS
+    (allowColumnDefaults writer behavior — cast to the declared type);
+    columns the batch provides keep their values untouched. Takes the
+    caller's already-loaded metadata — no extra log replay per
+    write."""
+    from pyspark.sql import functions as F
+
+    schema = (meta or {}).get("schema")
+    defaults = _column_defaults(schema)
+    if not defaults:
+        return df
+    types = {f["name"]: f["type"] for f in (schema or {}).get("fields", [])}
+    for c, expr in defaults.items():
+        if c not in df.columns and isinstance(types.get(c), str):
+            df = df.withColumn(c, F.expr(expr).cast(types[c]))
+    return df
+
+
 def _generated_columns(schema: dict | None) -> dict[str, str]:
     """{column: generation expression} from the Delta-spec field metadata
     key ``delta.generationExpression``."""
@@ -1862,6 +2013,9 @@ def write(
                 f"append partitioned by {partition_by}, but the table is "
                 f"partitioned by {logged_parts}"
             )
+        # defaults BEFORE generated columns: a generation expression may
+        # reference a defaulted column the batch omitted
+        df = _fill_default_columns(spark, df, meta_at_validation)
         df = _fill_generated_columns(spark, df, table_path)
         df, hwm_updates = _fill_identity_columns(
             spark, df, table_path, meta_at_validation
