@@ -35,6 +35,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _VERIFY_FIRST = (
     "dedup_minhash_probe",  # never-green
     "dedup_minhash_served",  # never-green
+    "delta_column_defaults",  # never-green
     "text_chunk_bm25_topk",  # never-green
     "text_html_boilerplate",  # never-green
     "dedup_minhash_pairs",  # newest green r9, CHANGED this round

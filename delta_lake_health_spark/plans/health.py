@@ -2199,3 +2199,89 @@ def delta_restore_timestamp_snapshot(
         .withColumn("last_version", F.lit(log.version()).cast("long"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# D76 — column DEFAULT values, oracle-checked: a table declares
+# DEFAULTs for tag ('unknown') and v (2.5); later appends OMIT one or
+# both columns and the writer must materialize the defaults (cast to
+# the declared types). The per-tag snapshot aggregate equals the
+# closed form of which batches carried which columns — proving the
+# fill path end-to-end against an independent engine (refusal paths —
+# non-constant expressions, drop-default conformance — stay
+# pytest-covered in tests/test_column_defaults.py).
+_DEFAULTS_FIXTURE = "/tmp/delta_lake_health_spark_fixture/defaults_table"
+_DEFAULTS_MARKER = os.path.join(
+    _DEFAULTS_FIXTURE, "_DEFAULTS_FIXTURE_COMPLETE"
+)
+
+_DEFAULTS_ORACLE = """
+    WITH rows AS (
+      SELECT id, 'explicit' AS tag, id * 0.5 AS v FROM range(0, 40) t(id)
+      UNION ALL
+      SELECT id, 'unknown' AS tag, 2.5 AS v FROM range(40, 90) t(id)
+      UNION ALL
+      SELECT id, 'late' AS tag, 2.5 AS v FROM range(90, 120) t(id)
+    )
+    SELECT tag, COUNT(*) AS n_rows,
+           ROUND(SUM(v), 6) AS sum_v
+    FROM rows GROUP BY tag ORDER BY tag
+"""
+
+
+def _ensure_defaults_fixture(spark: SparkSession) -> None:
+    from delta_lake_health_spark.sources import delta_writer
+
+    def build() -> None:
+        delta_writer.write(
+            spark,
+            spark.range(0, 40).selectExpr(
+                "id", "'explicit' AS tag", "CAST(id * 0.5 AS DOUBLE) AS v"
+            ),
+            _DEFAULTS_FIXTURE,
+        )
+        delta_writer.set_column_default(
+            spark, _DEFAULTS_FIXTURE, "tag", "'unknown'"
+        )
+        delta_writer.set_column_default(spark, _DEFAULTS_FIXTURE, "v", "2.5")
+        # batch omits BOTH defaulted columns
+        delta_writer.write(
+            spark,
+            spark.range(40, 90).selectExpr("id"),
+            _DEFAULTS_FIXTURE,
+            mode="append",
+        )
+        # batch provides tag but omits v
+        delta_writer.write(
+            spark,
+            spark.range(90, 120).selectExpr("id", "'late' AS tag"),
+            _DEFAULTS_FIXTURE,
+            mode="append",
+        )
+
+    from delta_lake_health_spark.sources import delta_writer as _dw
+
+    build_once(
+        _DEFAULTS_MARKER,
+        build,
+        clean=[_DEFAULTS_FIXTURE],
+        deps=(_dw.set_column_default, _dw._fill_default_columns),
+    )
+
+
+@query("delta_column_defaults", _DEFAULTS_ORACLE)
+def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    _ensure_defaults_fixture(spark)
+    return (
+        DeltaLog(spark, _DEFAULTS_FIXTURE)
+        .snapshot()
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("v"), 6).alias("sum_v"),
+        )
+        .select("tag", "n_rows", "sum_v")
+        .orderBy("tag")
+    )
