@@ -2224,7 +2224,7 @@ _DEFAULTS_ORACLE = """
       SELECT id, 'late' AS tag, 2.5 AS v FROM range(90, 120) t(id)
     )
     SELECT tag, COUNT(*) AS n_rows,
-           ROUND(SUM(v), 6) AS sum_v
+           ROUND(SUM(CAST(v AS DOUBLE)), 6) AS sum_v
     FROM rows GROUP BY tag ORDER BY tag
 """
 
