@@ -270,7 +270,9 @@ def main() -> None:
     print(line)
 
 
-def _drift_vs_prev_round(timings: dict, calib_spark: float) -> dict | None:
+def _drift_vs_prev_round(
+    timings: dict, calib_spark: float, here: str | None = None
+) -> dict | None:
     """Machine-visible round-over-round drift (VERDICT r11 #6): compare
     this run's per-query timings against the NEWEST recorded
     BENCH_r*.json at the same SF, normalized by the fixed-work Spark
@@ -281,11 +283,26 @@ def _drift_vs_prev_round(timings: dict, calib_spark: float) -> dict | None:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    # the round being PRODUCED is VERDICT.md's round + 1 (the judge writes
+    # VERDICT for round N-1 before round N starts); once this round's own
+    # BENCH_r{N}.json lands in the tree, a re-run must still baseline
+    # against the PREVIOUS round, not the current round's own output
+    # (ADVICE r12: self-referential drift). Fallback: newest file.
+    cur_round = None
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as f:
+            m = re.search(r"Round\s+(\d+)", f.read(2000))
+        if m:
+            cur_round = int(m.group(1)) + 1
+    except OSError:
+        pass
     prev_round, prev = 0, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m or int(m.group(1)) <= prev_round:
+            continue
+        if cur_round is not None and int(m.group(1)) >= cur_round:
             continue
         try:
             with open(path) as f:

@@ -554,7 +554,20 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
-        "properties": {"delta.version": str(version)},
+        # the Delta parquet carries no Iceberg field IDs, so a conformant
+        # reader (which projects by field ID) would serve NULL for every
+        # column; the spec's sanctioned fallback is a name mapping
+        # (spec §Column Projection / name-mapping.default) — emit one so
+        # by-name resolution is spec-correct, not reader leniency
+        "properties": {
+            "delta.version": str(version),
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": fid, "names": [name]}
+                    for name, fid in sorted(ids.items())
+                ]
+            ),
+        },
         "current-snapshot-id": snapshot_id,
         "snapshots": [
             {

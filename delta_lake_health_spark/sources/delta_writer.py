@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 import uuid
@@ -1339,6 +1340,18 @@ def _column_defaults(schema: dict | None) -> dict[str, str]:
     return out
 
 
+# evaluation-time-dependent / non-deterministic functions a standalone
+# SELECT happily evaluates but which would make a 'constant' default
+# differ per batch and per replayed write (ADVICE r12)
+_NONDETERMINISTIC_FN = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
+    r"current_timestamp|now|localtimestamp|current_date|curdate|"
+    r"unix_timestamp|current_timezone|current_user|session_user|"
+    r"current_database|current_catalog|input_file_name)\s*\(",
+    re.IGNORECASE,
+)
+
+
 def set_column_default(
     spark: SparkSession, table_path: str, col: str, expr: str
 ) -> int:
@@ -1360,16 +1373,43 @@ def set_column_default(
     names = {f["name"] for f in fields}
     if col not in names:
         raise ValueError(f"column {col!r} not in table schema")
+    target_type = next(f["type"] for f in fields if f["name"] == col)
+    if not isinstance(target_type, str):
+        # _fill_default_columns only materializes primitive (string-typed)
+        # targets; accepting a struct/array/map here would stamp a default
+        # that is silently never applied, surfacing later as a confusing
+        # schema-mismatch on append — refuse at SET DEFAULT time instead
+        raise ValueError(
+            f"default for {col!r} refused: column type is non-primitive"
+            f" ({json.dumps(target_type)[:80]}); defaults are supported"
+            " on primitive columns only"
+        )
+    if _NONDETERMINISTIC_FN.search(expr):
+        # a 'constant' default must evaluate to the SAME value on every
+        # batch and on replay/rebuild; rand()/uuid()/current_timestamp()
+        # pass a standalone SELECT but differ per evaluation — refuse
+        raise ValueError(
+            f"default expression for {col!r} must be deterministic;"
+            f" ({expr!r}) references a non-deterministic or"
+            " evaluation-time-dependent function"
+        )
     try:
         # zero-table SELECT: any column reference fails to resolve, so
         # only genuinely constant-foldable expressions pass
-        spark.sql(f"SELECT {expr}").collect()
+        first = spark.sql(f"SELECT {expr}").collect()
     except Exception as ex:
         raise ValueError(
             f"default expression for {col!r} must be constant-foldable;"
             f" ({expr!r}) failed to evaluate standalone: {ex}"
         ) from ex
-    target_type = next(f["type"] for f in fields if f["name"] == col)
+    # belt-and-braces for functions the name screen misses: two separate
+    # evaluations of a constant-foldable expression must agree
+    second = spark.sql(f"SELECT {expr}").collect()
+    if [tuple(r) for r in first] != [tuple(r) for r in second]:
+        raise ValueError(
+            f"default expression for {col!r} must be deterministic;"
+            f" ({expr!r}) produced different values on two evaluations"
+        )
     for f in fields:
         if f["name"] == col:
             md = dict(f.get("metadata") or {})

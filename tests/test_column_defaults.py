@@ -117,6 +117,51 @@ def test_non_constant_default_refused(spark, tmp_path):
         delta_writer.set_column_default(spark, path, "nope", "'x'")
 
 
+def test_nondeterministic_default_refused(spark, tmp_path):
+    """ADVICE r12: rand()/uuid()/current_timestamp() pass a standalone
+    SELECT but differ per batch and per replayed write — a 'constant'
+    default must be deterministic too."""
+    path = _table(spark, tmp_path)
+    for expr in (
+        "rand()",
+        "uuid()",
+        "current_timestamp()",
+        "cast(rand(42) * 10 as double)",
+        "concat('t-', uuid())",
+    ):
+        with pytest.raises(ValueError, match="deterministic"):
+            delta_writer.set_column_default(spark, path, "tag", expr)
+    # deterministic function CALLS still pass (the screen is not a
+    # blanket function ban)
+    delta_writer.set_column_default(spark, path, "tag", "upper('ab')")
+    field = next(
+        f
+        for f in DeltaLog(spark, path).metadata()["schema"]["fields"]
+        if f["name"] == "tag"
+    )
+    assert field["metadata"]["CURRENT_DEFAULT"] == "upper('ab')"
+
+
+def test_non_primitive_default_refused(spark, tmp_path):
+    """ADVICE r12: _fill_default_columns only materializes primitive
+    targets; stamping a default on a struct column would be accepted
+    then silently never applied — refuse at SET DEFAULT time."""
+    path = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT 1L AS id, named_struct('a', 1, 'b', 'x') AS s,"
+        " array(1, 2) AS arr"
+    )
+    delta_writer.write(spark, df, path)
+    with pytest.raises(ValueError, match="non-primitive"):
+        delta_writer.set_column_default(
+            spark, path, "s", "named_struct('a', 0, 'b', '')"
+        )
+    with pytest.raises(ValueError, match="non-primitive"):
+        delta_writer.set_column_default(spark, path, "arr", "array(0)")
+    # primitive sibling still accepted on the same table
+    delta_writer.set_column_default(spark, path, "id", "0")
+
+
 def test_default_composes_with_generated_columns(spark, tmp_path):
     """A generation expression may reference a defaulted column the
     batch omitted — defaults materialize first."""

@@ -95,6 +95,15 @@ def test_export_matches_delta_snapshot(spark, tmp_path, partitioned):
     assert meta["current-snapshot-id"] == m["snapshot_id"]
     names = [f["name"] for f in meta["schema"]["fields"]]
     assert names == ["id", "k", "v"]
+    # ADVICE r12: the Delta parquet carries no Iceberg field IDs, so a
+    # conformant reader needs schema.name-mapping.default to resolve
+    # columns by name instead of serving NULLs
+    mapping = json.loads(
+        meta["properties"]["schema.name-mapping.default"]
+    )
+    assert {m_["names"][0]: m_["field-id"] for m_ in mapping} == {
+        f["name"]: f["id"] for f in meta["schema"]["fields"]
+    }
     if partitioned:
         spec = meta["partition-specs"][0]["fields"]
         assert [
