@@ -22,67 +22,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #       row, then
 #   (3) everything else by OLDEST newest-green round first (so no
 #       query's last green row ages unboundedly).
-# Round 12 (VERDICT r11 #2): the list below is GENERATED, not
-# hand-curated — `python tools/gen_verify_first.py --changed <names>`
-# computes it from the CORRECTNESS_r*.json history (the r11 hand-curated
-# list missed 11 r7-aged rows); it now enumerates the COMPLETE registry
-# so insertion order is fully determined. This round's --changed set:
-# dedup_minhash_pairs (band_rows extraction), the four
-# bucketed-rank/pack users of the rewritten prefix_rank, and the two
-# BM25 rows over the new serve-state cache. The ~50-row driver cap then
-# lands on: 4 new rows, 7 changed rows, the full 11-row r7-aged block,
-# and the head of the r8-aged block.
+# Round 13: the list below is GENERATED, not hand-curated —
+# `python tools/gen_verify_first.py --changed <names>` computes it from
+# the CORRECTNESS_r*.json history; it enumerates the COMPLETE registry
+# so insertion order is fully determined. The ~50-row driver cap lands
+# on: the new rows, this round's changed set, the full 10-row r8-aged
+# block VERDICT r12 #7 mandates, and the head of the r9-aged block.
 _VERIFY_FIRST = (
-    "dedup_minhash_probe",  # never-green
-    "dedup_minhash_served",  # never-green
-    "delta_column_defaults",  # never-green
-    "text_chunk_bm25_topk",  # never-green
-    "text_html_boilerplate",  # never-green
-    "dedup_minhash_pairs",  # newest green r9, CHANGED this round
-    "customer_balance_quartiles",  # newest green r11, CHANGED this round
-    "customer_rfm_scores",  # newest green r11, CHANGED this round
-    "events_user_value_pareto",  # newest green r8, CHANGED this round
-    "text_pack_sequences",  # newest green r9, CHANGED this round
-    "text_bm25_served",  # newest green r11, CHANGED this round
-    "text_bm25_topk",  # newest green r11, CHANGED this round
-    "ann_filtered_topk",  # newest green r7
-    "ann_ivf_topk",  # newest green r7
-    "ann_lsh_buckets",  # newest green r7
-    "ann_range_search",  # newest green r7
-    "corpus_epoch_shuffle",  # newest green r7
-    "corpus_stats",  # newest green r7
-    "dedup_minhash_calibration",  # newest green r7
-    "delta_identity_series",  # newest green r7
-    "text_lang_id",  # newest green r7
-    "text_quality_scores",  # newest green r7
-    "text_token_counts",  # newest green r7
-    "ann_ivf_pq_topk",  # newest green r8
-    "ann_sq_int8_topk",  # newest green r8
-    "catalog_sql_revenue_by_nation",  # newest green r8
-    "customers_without_orders",  # newest green r8
-    "documents_priority_sample_k",  # newest green r8
-    "embedding_label_centroids",  # newest green r8
-    "events_watermark_lateness",  # newest green r8
-    "media_phash_neardup",  # newest green r8
-    "media_scene_changes",  # newest green r8
-    "nation_coverage_setops",  # newest green r8
-    "order_status_rollup",  # newest green r8
-    "orders_cube",  # newest green r8
-    "orders_rollup",  # newest green r8
-    "part_brand_stats",  # newest green r8
-    "part_name_textops",  # newest green r8
-    "q10_returned_items",  # newest green r8
-    "q12_late_shipments",  # newest green r8
-    "q13_customer_distribution",  # newest green r8
-    "q14_promo_effect",  # newest green r8
-    "q15_top_supplier",  # newest green r8
-    "q17_small_quantity_revenue",  # newest green r8
-    "q18_large_orders",  # newest green r8
-    "q19_discounted_revenue",  # newest green r8
-    "q21_waiting_suppliers",  # newest green r8
-    "q22_idle_customers",  # newest green r8
-    "q5_local_supplier",  # newest green r8
-    "q6_forecast_revenue",  # newest green r8
+    "dedup_minhash_verified",  # never-green, CHANGED this round
     "q7_volume_shipping",  # newest green r8
     "q8_market_share",  # newest green r8
     "records_per_partition_orders",  # newest green r8
@@ -224,6 +171,56 @@ _VERIFY_FIRST = (
     "text_top_ngrams",  # newest green r11
     "text_train_val_test_split",  # newest green r11
     "text_zipf_slope",  # newest green r11
+    "ann_filtered_topk",  # newest green r12
+    "ann_ivf_pq_topk",  # newest green r12
+    "ann_ivf_topk",  # newest green r12
+    "ann_lsh_buckets",  # newest green r12
+    "ann_range_search",  # newest green r12
+    "ann_sq_int8_topk",  # newest green r12
+    "catalog_sql_revenue_by_nation",  # newest green r12
+    "corpus_epoch_shuffle",  # newest green r12
+    "corpus_stats",  # newest green r12
+    "customer_balance_quartiles",  # newest green r12
+    "customer_rfm_scores",  # newest green r12
+    "customers_without_orders",  # newest green r12
+    "dedup_minhash_calibration",  # newest green r12
+    "dedup_minhash_pairs",  # newest green r12
+    "dedup_minhash_probe",  # newest green r12
+    "dedup_minhash_served",  # newest green r12
+    "delta_column_defaults",  # newest green r12
+    "delta_identity_series",  # newest green r12
+    "documents_priority_sample_k",  # newest green r12
+    "embedding_label_centroids",  # newest green r12
+    "events_user_value_pareto",  # newest green r12
+    "events_watermark_lateness",  # newest green r12
+    "media_phash_neardup",  # newest green r12
+    "media_scene_changes",  # newest green r12
+    "nation_coverage_setops",  # newest green r12
+    "order_status_rollup",  # newest green r12
+    "orders_cube",  # newest green r12
+    "orders_rollup",  # newest green r12
+    "part_brand_stats",  # newest green r12
+    "part_name_textops",  # newest green r12
+    "q10_returned_items",  # newest green r12
+    "q12_late_shipments",  # newest green r12
+    "q13_customer_distribution",  # newest green r12
+    "q14_promo_effect",  # newest green r12
+    "q15_top_supplier",  # newest green r12
+    "q17_small_quantity_revenue",  # newest green r12
+    "q18_large_orders",  # newest green r12
+    "q19_discounted_revenue",  # newest green r12
+    "q21_waiting_suppliers",  # newest green r12
+    "q22_idle_customers",  # newest green r12
+    "q5_local_supplier",  # newest green r12
+    "q6_forecast_revenue",  # newest green r12
+    "text_bm25_served",  # newest green r12
+    "text_bm25_topk",  # newest green r12
+    "text_chunk_bm25_topk",  # newest green r12
+    "text_html_boilerplate",  # newest green r12
+    "text_lang_id",  # newest green r12
+    "text_pack_sequences",  # newest green r12
+    "text_quality_scores",  # newest green r12
+    "text_token_counts",  # newest green r12
 )
 
 

@@ -193,3 +193,104 @@ def probe_minhash_index(spark, path: str, docs: DataFrame) -> DataFrame:
         .where(F.col("probe_doc_id") != F.col("index_doc_id"))
         .distinct()
     )
+
+
+def verified_probe(
+    spark,
+    path: str,
+    probes: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """X17c — the thresholded corpus-door DECISION on top of the raw
+    band-collision probe: every candidate pair from
+    ``probe_minhash_index`` is verified with the exact shingle-set
+    Jaccard (X5's form, shared ``plans/dedup.doc_shingles``), then each
+    probe doc gets ONE row: (probe_doc_id, best_match, jaccard,
+    is_dup). ``best_match`` is the highest-Jaccard indexed doc
+    (6-dp-rounded score, ties to the smallest doc_id); novel docs —
+    no band collision, or collisions sharing zero shingles — carry
+    NULL match and ``is_dup = 0``.
+
+    Scale shape: candidates are LSH-bounded (never corpus²); the
+    corpus text scan is pruned to the matched index docs via a
+    broadcast semi-join, so the verify stage pays |probe| + |matched
+    docs| shingle passes and shuffles only candidate-pair rows."""
+    from pyspark.sql import Window
+
+    from delta_lake_health_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+        doc_shingles,
+    )
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+    # small by construction (LSH candidates of the probe batch) and
+    # referenced twice below — materialize once
+    cand = probe_minhash_index(spark, path, probes).localCheckpoint()
+    hit = cand.select(F.col("index_doc_id").alias("doc_id")).distinct()
+    idx_docs = corpus_docs.select("doc_id", "text").join(
+        F.broadcast(hit), "doc_id", "left_semi"
+    )
+    psh = doc_shingles(probes.select("doc_id", "text"))
+    ish = doc_shingles(idx_docs)
+    psz = psh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("np"))
+    isz = ish.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ni"))
+    shared = (
+        cand.join(
+            psh.withColumnRenamed("doc_id", "probe_doc_id"),
+            "probe_doc_id",
+        )
+        .join(
+            ish.withColumnRenamed("doc_id", "index_doc_id"),
+            ["index_doc_id", "shingle"],
+        )
+        .groupBy("probe_doc_id", "index_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    verified = (
+        shared.join(
+            psz.withColumnRenamed("doc_id", "probe_doc_id"),
+            "probe_doc_id",
+        )
+        .join(
+            isz.withColumnRenamed("doc_id", "index_doc_id"),
+            "index_doc_id",
+        )
+        .select(
+            "probe_doc_id",
+            "index_doc_id",
+            # round BEFORE the argmax so the tie-break (and the oracle's)
+            # operates on identical 6-dp values in both engines
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("np") + F.col("ni") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("probe_doc_id").orderBy(
+        F.desc("jaccard"), F.asc("index_doc_id")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_doc_id",
+            F.col("index_doc_id").alias("best_match"),
+            "jaccard",
+        )
+    )
+    return (
+        probes.select(F.col("doc_id").alias("probe_doc_id"))
+        .join(best, "probe_doc_id", "left")
+        .select(
+            "probe_doc_id",
+            "best_match",
+            "jaccard",
+            # NULL jaccard (novel doc) compares NULL -> otherwise(0)
+            F.when(F.col("jaccard") >= thr, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )

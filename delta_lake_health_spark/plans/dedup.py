@@ -416,6 +416,114 @@ def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X17c — the VERIFIED corpus-door decision (VERDICT r12 #2): the raw
+# band-collision probe returns candidates; the door's actual call is
+# thresholded. Every probe candidate pair is verified with the exact
+# shingle-set Jaccard (X5's form), and each probe doc gets one row:
+# its best-scoring index match + the is_dup decision. The oracle
+# replays BOTH stages — the full band-join candidate composition of
+# dedup_minhash_probe, then the Jaccard verify over those pairs.
+# The probes are MUTATED copies so the stage is exercised non-trivially:
+# most drop their last 3 tokens (near-dup, 0 < jaccard < 1); every
+# second one is truncated to 4 tokens (novel -> NULL match, is_dup 0).
+_PROBE_TEXT_EXPR = (
+    "CASE WHEN doc_id % {mod2} = 0"
+    " THEN concat_ws(' ', slice(toks, 1, 4))"
+    " ELSE concat_ws(' ', slice(toks, 1, greatest(1, size(toks) - 3)))"
+    " END"
+)
+_SQL_PROBE_TEXT = (
+    "CASE WHEN doc_id % {mod2} = 0"
+    " THEN array_to_string(toks[1:4], ' ')"
+    " ELSE array_to_string(toks[1:greatest(1, len(toks) - 3)], ' ')"
+    " END"
+)
+
+
+@query(
+    "dedup_minhash_verified",
+    f"""
+    WITH {_sql_bands_cte('documents', 'c')},
+    probe_docs AS (
+      SELECT doc_id + {_PROBE_SHIFT} AS doc_id,
+             {_SQL_PROBE_TEXT.format(mod2=2 * _PROBE_MOD)} AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id % {_PROBE_MOD} = 0)
+    ),
+    {_sql_bands_cte('probe_docs', 'p')},
+    cand AS (
+      SELECT DISTINCT p.doc_id AS probe_doc_id, c.doc_id AS index_doc_id
+      FROM pbands p JOIN cbands c
+        ON p.band_idx = c.band_idx AND p.band_key = c.band_key
+       AND p.doc_id != c.doc_id
+    ),
+    psh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM probe_docs))
+    ),
+    ish AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents))
+    ),
+    psz AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY doc_id),
+    isz AS (SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY doc_id),
+    shared AS (
+      SELECT cand.probe_doc_id, cand.index_doc_id, COUNT(*) AS n_shared
+      FROM cand
+      JOIN psh ON psh.doc_id = cand.probe_doc_id
+      JOIN ish ON ish.doc_id = cand.index_doc_id
+              AND ish.shingle = psh.shingle
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT probe_doc_id, index_doc_id,
+             ROUND(CAST(n_shared AS DOUBLE) / (pz.n + iz.n - n_shared), 6)
+               AS jaccard
+      FROM shared
+      JOIN psz pz ON pz.doc_id = probe_doc_id
+      JOIN isz iz ON iz.doc_id = index_doc_id
+    ),
+    best AS (
+      SELECT probe_doc_id, index_doc_id, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY probe_doc_id
+                                ORDER BY jaccard DESC, index_doc_id) AS rn
+      FROM verified
+    )
+    SELECT pd.doc_id AS probe_doc_id,
+           b.index_doc_id AS best_match,
+           b.jaccard AS jaccard,
+           CAST(CASE WHEN COALESCE(b.jaccard >= {JACCARD_THRESHOLD}, FALSE)
+                THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM probe_docs pd
+    LEFT JOIN best b ON b.probe_doc_id = pd.doc_id AND b.rn = 1
+    ORDER BY probe_doc_id
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators import minhash_index as mi
+
+    path = _minhash_fixture(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    probes = (
+        docs.where(F.col("doc_id") % _PROBE_MOD == 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            (F.col("doc_id") + _PROBE_SHIFT).alias("doc_id"),
+            F.expr(
+                _PROBE_TEXT_EXPR.format(mod2=2 * _PROBE_MOD)
+            ).alias("text"),
+        )
+    )
+    return mi.verified_probe(
+        spark, path, probes, docs.select("doc_id", "text")
+    ).orderBy("probe_doc_id")
+
+
+# --------------------------------------------------------------------------
 # X4 — SimHash (16-bit, md5-nibble derived) + collision-bucket sizes.
 # Spark side hashes each token ONCE (toks_md5 precomputed), then derives
 # the 16 bit-sums from the cached digests — the naive per-bit formulation
@@ -480,6 +588,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.join(F.broadcast(sizes), "simhash")
         .select("doc_id", "simhash", "bucket_size")
         .orderBy("doc_id")
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, shingle) rows — the exact-Jaccard verify unit
+    (X5's shingle-set form), shared with the X17c verified probe
+    (``operators/minhash_index.verified_probe``) so the two can never
+    diverge on the shingle definition."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .distinct()
     )
 
 

@@ -89,6 +89,38 @@ def test_probe_finds_indexed_duplicates(spark, built):
         assert (r.doc_id + 1_000_000, r.doc_id) in hits
 
 
+def test_verified_probe_decision(spark, built):
+    """X17c: exact copies verify at jaccard 1.0 / is_dup 1; a lightly
+    mutated copy still matches its source above threshold with a
+    jaccard the exact shingle-set math produced; unrelated text is
+    novel (NULL match, is_dup 0); the threshold is honored."""
+    sample = _docs(spark).orderBy("doc_id").limit(2).collect()
+    dup = (sample[0].doc_id + 1_000_000, sample[0].text)
+    toks = sample[1].text.split(" ")
+    near = (sample[1].doc_id + 1_000_000, " ".join(toks[:-3]))
+    novel = (9_999_999, "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9")
+    probes = spark.createDataFrame(
+        [dup, near, novel], "doc_id long, text string"
+    )
+    out = mi.verified_probe(spark, built, probes, _docs(spark))
+    got = {r.probe_doc_id: r for r in out.collect()}
+    assert set(got) == {dup[0], near[0], novel[0]}  # one row per probe
+    assert got[dup[0]].best_match == sample[0].doc_id
+    assert got[dup[0]].jaccard == 1.0 and got[dup[0]].is_dup == 1
+    r = got[near[0]]
+    assert r.best_match == sample[1].doc_id
+    assert 0.2 <= r.jaccard <= 1.0 and r.is_dup == 1
+    nv = got[novel[0]]
+    assert nv.best_match is None and nv.jaccard is None and nv.is_dup == 0
+    # threshold honored: nothing reaches an impossible bar, but the
+    # best_match evidence still lands in the quarantine record
+    strict = mi.verified_probe(
+        spark, built, probes, _docs(spark), threshold=1.1
+    ).collect()
+    assert all(row.is_dup == 0 for row in strict)
+    assert any(row.best_match is not None for row in strict)
+
+
 def test_probe_prunes_index_files(spark, tmp_path):
     """Build with AQE coalescing off to get the multi-file clustered
     layout a real corpus produces, then prove a narrow probe touches
