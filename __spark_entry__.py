@@ -30,6 +30,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # block VERDICT r12 #7 mandates, and the head of the r9-aged block.
 _VERIFY_FIRST = (
     "dedup_minhash_verified",  # never-green, CHANGED this round
+    "pipeline_stream_door_census",  # never-green, CHANGED this round
+    "dedup_minhash_served",  # newest green r12, CHANGED this round
+    "dedup_minhash_probe",  # newest green r12, CHANGED this round
     "q7_volume_shipping",  # newest green r8
     "q8_market_share",  # newest green r8
     "records_per_partition_orders",  # newest green r8
@@ -185,8 +188,6 @@ _VERIFY_FIRST = (
     "customers_without_orders",  # newest green r12
     "dedup_minhash_calibration",  # newest green r12
     "dedup_minhash_pairs",  # newest green r12
-    "dedup_minhash_probe",  # newest green r12
-    "dedup_minhash_served",  # newest green r12
     "delta_column_defaults",  # newest green r12
     "delta_identity_series",  # newest green r12
     "documents_priority_sample_k",  # newest green r12

@@ -80,6 +80,12 @@ HEADLINE = [
     # round-12 addition: LSH candidate pairs served from the persisted
     # band index (build split out as its own stderr row)
     "dedup_minhash_served",
+    # round-13 additions: the verified-Jaccard door decision (probes +
+    # exact verify against the cached band index) and the composed
+    # streaming corpus door's census (the 3-micro-batch door run itself
+    # is the door_build stderr row; this times the corpus serve)
+    "dedup_minhash_verified",
+    "pipeline_stream_door_census",
 ]
 
 
@@ -173,6 +179,21 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # same split for the composed streaming corpus door (round 13): the
+    # 3-micro-batch door run (quality gate + exact dedup + LSH novelty
+    # probe + index maintenance) is the build; the headline
+    # `pipeline_stream_door_census` row times the corpus-table serve
+    from delta_lake_health_spark.plans.dedup import corpus_door_path
+
+    _sh.rmtree(corpus_door_path(SF_DIR), ignore_errors=True)
+    t0 = time.perf_counter()
+    qs["pipeline_stream_door_census"](spark, SF_DIR).count()
+    door_build = round(time.perf_counter() - t0, 3)
+    print(
+        f"# door_build (3-batch stream run+first census): {door_build}s",
+        file=sys.stderr,
+    )
+
     # Steady-state timing: each query runs twice and the faster run is
     # reported (standard min-of-N measurement — the first execution still
     # pays codegen/JIT/page-cache residue that isn't a property of the
@@ -213,6 +234,7 @@ def main() -> None:
         "graph_build_sec": graph_build,
         "bm25_build_sec": bm25_build,
         "minhash_build_sec": minhash_build,
+        "door_build_sec": door_build,
         "drift_vs_prev": drift,
         "sf_sweep": sweep,
         # r4->r5 attribution: dedup/text drift A/B'd vs the round-3 tree

@@ -365,6 +365,19 @@ def save_graph_index(spark, index: GraphIndex, path: str) -> dict:
         spark, index.vectors, os.path.join(path, "vectors"),
         mode="overwrite", cluster_by=["vec_id"],
     )
+    # artifact-maintenance contract (D57, r13): declared clustering +
+    # autoCompact on both tables so refresh appends bin-pack themselves
+    # with src/vec_id file pruning preserved by the cluster-aware compact
+    for sub, cols in (("edges", ["src"]), ("vectors", ["vec_id"])):
+        delta_writer.set_cluster_columns(
+            spark, os.path.join(path, sub), cols
+        )
+        delta_writer.set_table_property(
+            spark,
+            os.path.join(path, sub),
+            "delta.autoOptimize.autoCompact",
+            "true",
+        )
     for key, val in (
         ("graph.degree", index.degree),
         ("graph.beamDefault", index.beam_default),

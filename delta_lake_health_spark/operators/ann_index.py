@@ -197,6 +197,18 @@ def save_ivf_index(spark, index: IvfIndex, path: str) -> dict:
         spark, index.lists, os.path.join(path, "lists"),
         mode="overwrite", cluster_by=["cid"],
     )
+    # upsert appends land here: DECLARE the clustering (liquid) and
+    # autoCompact (D57) so small upsert files bin-pack themselves with
+    # cid file pruning preserved by the cluster-aware compact
+    delta_writer.set_cluster_columns(
+        spark, os.path.join(path, "lists"), ["cid"]
+    )
+    delta_writer.set_table_property(
+        spark,
+        os.path.join(path, "lists"),
+        "delta.autoOptimize.autoCompact",
+        "true",
+    )
     delta_writer.write(
         spark, index.subs, os.path.join(path, "subs"), mode="overwrite"
     )

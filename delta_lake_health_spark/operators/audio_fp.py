@@ -222,7 +222,14 @@ def build_fp_index(
     delta_writer.set_table_properties(
         spark,
         path,
-        dict(zip(_FP_PROPS, (str(frame), str(hop), str(fan_out)))),
+        {
+            **dict(zip(_FP_PROPS, (str(frame), str(hop), str(fan_out)))),
+            # upsert-heavy artifact: autoCompact (D57) bin-packs small
+            # upsert files; the cluster-aware compact re-sorts by fp so
+            # probe pruning stays sharp (same atomic commit as the
+            # analysis params)
+            "delta.autoOptimize.autoCompact": "true",
+        },
     )
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 

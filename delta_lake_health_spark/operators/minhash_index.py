@@ -53,21 +53,34 @@ def _data_path(path: str) -> str:
     return os.path.join(path, "bands")
 
 
-def _index_rows(docs: DataFrame) -> DataFrame:
+def _index_rows(docs: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     """Band rows under kind=band plus one seen-set row per doc under
     kind=doc — both halves of a document's state in ONE DataFrame so
     they land in ONE commit. The input is deduped by doc_id FIRST
     (r12 review): the upsert anti-join only screens docs already
     INDEXED, so a batch carrying the same id twice would otherwise
     write duplicate band rows, and the posting list [x, x] expands to
-    the self-pair (x, x) — an output X3's a<b oracle can never emit."""
+    the self-pair (x, x) — an output X3's a<b oracle can never emit.
+
+    ``bands``: optional PRECOMPUTED ``plans/dedup.band_rows`` output for
+    ``docs`` (the streaming corpus door already paid the signature pass
+    for its novelty probe — don't pay it twice). Caller contract: the
+    band rows were computed from exactly these (doc_id, text) rows; they
+    are re-aligned to the deduped doc set by a semi-join, never trusted
+    for ids the doc set doesn't carry."""
     from delta_lake_health_spark.plans.dedup import band_rows
 
     # deterministic pick among conflicting duplicates (max text per
     # id): which VERSION wins is the ingest door's decision; the index
     # only guarantees build and upsert agree given the same rows
     docs = docs.groupBy("doc_id").agg(F.max("text").alias("text"))
-    bands = band_rows(docs).select(
+    if bands is None:
+        bands = band_rows(docs)
+    else:
+        bands = bands.select("doc_id", "band_idx", "band_key").join(
+            docs.select("doc_id"), "doc_id", "left_semi"
+        )
+    band_half = bands.select(
         F.lit(_BAND).alias("kind"), "doc_id", "band_idx", "band_key"
     )
     seen = docs.select(
@@ -76,26 +89,35 @@ def _index_rows(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("band_idx"),
         F.lit(None).cast("string").alias("band_key"),
     )
-    return bands.unionByName(seen)
+    return band_half.unionByName(seen)
 
 
-def build_minhash_index(spark, docs: DataFrame, path: str) -> dict:
+def build_minhash_index(
+    spark, docs: DataFrame, path: str, bands: DataFrame | None = None
+) -> dict:
     """Materialize the LSH artifact from ``docs`` (doc_id, text).
     Clustering by band_key is DECLARED (liquid clustering) so upsert
     appends range-sort their own batches and a bare OPTIMIZE re-narrows
-    the file ranges as the corpus grows."""
+    the file ranges as the corpus grows. ``bands``: optional
+    precomputed band rows for ``docs`` (see ``_index_rows``)."""
     from delta_lake_health_spark.sources import delta_writer
 
     data = _data_path(path)
     delta_writer.write(
         spark,
-        _index_rows(docs),
+        _index_rows(docs, bands=bands),
         data,
         mode="overwrite",
         partition_by=["kind"],
         cluster_by=["band_key", "doc_id"],
     )
     delta_writer.set_cluster_columns(spark, data, ["band_key", "doc_id"])
+    # upsert-heavy artifact: declare autoCompact (D57) so small upsert
+    # files bin-pack themselves — the cluster-aware compact re-sorts by
+    # the declared columns, keeping band_key file pruning sharp
+    delta_writer.set_table_property(
+        spark, data, "delta.autoOptimize.autoCompact", "true"
+    )
     n_docs = _seen_docs(spark, _log(spark, data)).count()
     return {"path": path, "n_docs": int(n_docs)}
 
@@ -121,12 +143,16 @@ def _band_scan(spark, log) -> DataFrame:
     )
 
 
-def upsert_minhash_index(spark, path: str, new_docs: DataFrame) -> dict:
+def upsert_minhash_index(
+    spark, path: str, new_docs: DataFrame, bands: DataFrame | None = None
+) -> dict:
     """Add ``new_docs`` (doc_id, text) without rebuilding: ONE
     pure-append commit carries both the new band rows and the new
     seen-set rows (|new docs| signature + write cost). Docs already
     indexed are skipped by doc_id (anti-join against the kind=doc
-    partition — a crash-replayed batch is an exact no-op)."""
+    partition — a crash-replayed batch is an exact no-op).
+    ``bands``: optional precomputed band rows for ``new_docs`` (see
+    ``_index_rows``) — the corpus door's one-signature-pass path."""
     from delta_lake_health_spark.sources import delta_writer
 
     data = _data_path(path)
@@ -141,7 +167,9 @@ def upsert_minhash_index(spark, path: str, new_docs: DataFrame) -> dict:
     n_new = fresh.count()
     if n_new == 0:
         return {"numDocsAdded": 0}
-    delta_writer.write(spark, _index_rows(fresh), data, mode="append")
+    delta_writer.write(
+        spark, _index_rows(fresh, bands=bands), data, mode="append"
+    )
     return {"numDocsAdded": int(n_new)}
 
 
@@ -159,19 +187,23 @@ def serve_candidate_pairs(spark, path: str) -> DataFrame:
     )
 
 
-def probe_minhash_index(spark, path: str, docs: DataFrame) -> DataFrame:
+def probe_minhash_index(
+    spark, path: str, docs: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
     """Corpus-door novelty probe: which INDEXED docs share an LSH band
     bucket with each incoming doc? Returns (probe_doc_id,
     index_doc_id) distinct pairs. Scale shape: the incoming docs pay
     |new| signature cost; the index scan is file-pruned to the band_key
     ranges the probe bands actually hit (broadcast range join over the
     log's per-file stats — metadata only); the bucket join then runs on
-    |touched files| rows, never the corpus."""
+    |touched files| rows, never the corpus. ``bands``: optional
+    precomputed band rows for ``docs`` (the corpus door shares one
+    signature pass between probe, in-batch pairs, and index upsert)."""
     from delta_lake_health_spark.plans.dedup import band_rows
 
     data = _data_path(path)
     log = _log(spark, data)
-    probe = band_rows(docs).localCheckpoint()
+    probe = (band_rows(docs) if bands is None else bands).localCheckpoint()
     paths = log.pruned_files_for_keys(
         probe.select("band_key"), "band_key", partition_filter={"kind": _BAND}
     )

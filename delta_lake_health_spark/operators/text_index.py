@@ -118,6 +118,12 @@ def build_bm25_index(spark, docs: DataFrame, path: str) -> dict:
         cluster_by=["w", "doc_id"],
     )
     delta_writer.set_cluster_columns(spark, data, ["w", "doc_id"])
+    # upsert-heavy artifact: declare autoCompact (D57) so small upsert
+    # files bin-pack themselves — the cluster-aware compact re-sorts by
+    # the declared columns, keeping per-term file pruning sharp
+    delta_writer.set_table_property(
+        spark, data, "delta.autoOptimize.autoCompact", "true"
+    )
     n_docs = _stamp_stats(spark, path)
     return {"path": path, "n_docs": int(n_docs)}
 

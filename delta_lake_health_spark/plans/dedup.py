@@ -1136,6 +1136,144 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X18 — the composed STREAMING corpus door's census (VERDICT r12 #1):
+# `streaming/jobs.stream_corpus_door` runs quality gate + exact dedup +
+# near-dup novelty probe + index maintenance as ONE foreachBatch job;
+# this row drives it over the sf_dir documents in three id-ordered
+# micro-batches and censuses the accepted corpus table. The oracle
+# replays the door's admission semantics in closed form: a doc is kept
+# iff it passes the Gopher rules AND no SMALLER-id doc shares an LSH
+# band bucket (the greedy order-of-arrival dedup; exact duplicates
+# band-collide with their twin, so one rule covers both stages).
+# tests/test_corpus_door.py separately proves this equals the batch
+# X10 pipeline on the fixture corpus.
+def corpus_door_path(sf_dir: str) -> str:
+    """The per-sf_dir /tmp root of the streaming-door fixture — ONE
+    definition, shared with bench.py's force-rebuild."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"/tmp/delta_lake_health_spark_fixture/corpus_door_{tag}"
+
+
+def _door_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.fixture import build_once
+    from delta_lake_health_spark.streaming.jobs import stream_corpus_door
+
+    root = corpus_door_path(sf_dir)
+    marker = os.path.join(root, "_DOOR_COMPLETE")
+
+    def build() -> None:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        hi = docs.agg(F.max("doc_id")).collect()[0][0]
+        b1, b2 = hi // 3, 2 * hi // 3
+        src = os.path.join(root, "source")
+        slices = [
+            docs.where(F.col("doc_id") <= b1),
+            docs.where((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+            docs.where(F.col("doc_id") > b2),
+        ]
+        # one source commit then one door run per slice: availableNow
+        # drains everything pending, so alternating write/run yields
+        # three true micro-batches in id order
+        for i, part in enumerate(slices):
+            delta_writer.write(
+                spark, part, src, mode="overwrite" if i == 0 else "append"
+            )
+            stream_corpus_door(
+                spark,
+                src,
+                corpus_path=os.path.join(root, "corpus"),
+                quarantine_path=os.path.join(root, "quarantine"),
+                index_path=os.path.join(root, "lsh"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+
+    from delta_lake_health_spark.operators import minhash_index as mi
+    from delta_lake_health_spark.plans.text import gopher_flags
+
+    build_once(
+        marker,
+        build,
+        clean=[root],
+        salt=(
+            f"{sf_dir}|{N_HASHES}|{BAND_SIZE}|{N_BANDS}|{BUCKET_CAP}"
+            f"|{SHINGLES_EXPR}|{DIGESTS_EXPR}|{MINHASH_EXPR}|204|230"
+        ),
+        deps=(
+            stream_corpus_door,
+            mi.upsert_minhash_index,
+            mi.probe_minhash_index,
+            mi._index_rows,
+            band_rows,
+            _signatures,
+            _posting_pairs,
+            gopher_flags,
+        ),
+    )
+    return root
+
+
+@query(
+    "pipeline_stream_door_census",
+    f"""
+    WITH {SQL_PAIRS_CTES},
+    rm AS (SELECT DISTINCT doc_b AS doc_id FROM cand_pairs),
+    base AS (
+      SELECT doc_id, lang, n_chars, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ({_SQL_STOPS}))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
+      FROM documents
+    ),
+    kept AS (
+      SELECT b.lang, b.n_chars,
+             CASE WHEN {_SQL_BUCKET256} < 204 THEN 'train'
+                  WHEN {_SQL_BUCKET256} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM base b LEFT JOIN rm USING (doc_id)
+      WHERE rm.doc_id IS NULL
+        AND b.n_tok >= 20 AND b.n_tok <= 100000
+        AND (b.n - b.n_tok + 1) / b.n_tok >= 2
+        AND (b.n - b.n_tok + 1) / b.n_tok <= 10
+        AND b.n_stop >= 2
+        AND b.n_dist / b.n_tok >= 0.2
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def pipeline_stream_door_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    root = _door_fixture(spark, sf_dir)
+    corpus = DeltaLog(spark, os.path.join(root, "corpus")).snapshot()
+    return (
+        corpus.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# --------------------------------------------------------------------------
 # X11 — incremental dedup against a historical corpus via a Bloom-filter
 # prefilter (operators/bloom.py): the realistic shape of "dedup today's
 # batch against the 100 TB corpus you already ingested". The corpus's

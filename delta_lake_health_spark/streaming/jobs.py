@@ -1065,3 +1065,225 @@ def stream_dedup_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def stream_corpus_door(
+    spark: SparkSession,
+    source_path: str,
+    corpus_path: str,
+    quarantine_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    bm25_path: str | None = None,
+    **source_options,
+) -> Any:
+    """X18 — the COMPOSED streaming corpus door (VERDICT r12 #1): ONE
+    continuous job tying together every admission stage a production
+    training-data pipeline runs 24/7. Per micro-batch of incoming
+    documents (doc_id, text, lang, source, n_chars), in one
+    ``foreachBatch``:
+
+    1. **exact dedup** (X16's shape): in-batch content-fingerprint
+       dedup (keep the smallest doc_id per md5(text)) plus a
+       full-history anti-join against the corpus table's fingerprints —
+       the corpus itself is the seen-set, zero streaming state;
+    2. **quality gate** (T9): the Gopher rule flags
+       (``plans/text.gopher_flags``) — failures are quarantined but
+       still INDEXED (see semantics below);
+    3. **near-dup novelty probe** (X17): ONE signature pass computes
+       the batch's LSH band rows (``plans/dedup.band_rows``), shared by
+       the index probe (file-pruned by band_key), the in-batch
+       candidate pairs (X3's capped posting-list form), and the index
+       upsert. A quality-passing doc is rejected iff it band-collides
+       with a SMALLER doc_id — in the index or earlier in the batch;
+    4. **writes**, index first: the X17 index upsert (all stage-1
+       survivors, accepted or not), the quarantine append (reason +
+       the smallest colliding match_doc_id), the corpus append
+       (accepted docs with the X10 content-hash split column), and the
+       optional BM25 postings upsert over the accepted docs.
+
+    **Semantics** (what makes this equal to the batch X10 pipeline):
+    under id-ordered ingestion, "reject iff a smaller-id doc collides"
+    is the greedy LSH dedup; quality-failed docs still contribute their
+    bands (batch X10 builds its candidate graph over ALL docs, kept or
+    not), and exact duplicates need no bands of their own — their
+    surviving twin's are identical. ``tests/test_corpus_door.py``
+    proves the end-state corpus equals ``pipeline_corpus_build``'s
+    kept-set on the fixture corpus across 3 micro-batches.
+
+    **Crash-replay safety**, per table: the index upsert anti-joins its
+    seen-set partition; quarantine and corpus appends carry ``txn``
+    actions keyed by (checkpoint-derived appId, batch_id); decisions
+    re-derive identically on replay because the probe ignores
+    collisions with ids >= the probe's own (a half-written batch that
+    already reached the index cannot flip its own verdicts). Index
+    first, corpus last: a crash between writes never yields a corpus
+    doc the index doesn't know.
+
+    **Scale shape**: |batch| signature + shingle cost; the corpus
+    fingerprint anti-join prunes to the fingerprint column scan (X11's
+    Bloom sidecar can prefilter at 100 TB); the index probe is
+    file-pruned by band_key; nothing rescans the corpus."""
+    from pyspark.sql import Window
+
+    from delta_lake_health_spark.operators import minhash_index as mi
+    from delta_lake_health_spark.plans.dedup import (
+        _posting_pairs,
+        band_rows,
+    )
+    from delta_lake_health_spark.plans.text import (
+        _spark_bucket256_of,
+        gopher_flags,
+    )
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    carry = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def door(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+
+        # ---- stage 1: exact dedup (in-batch + full corpus history)
+        wmin = Window.partitionBy("content_fp")
+        base = (
+            batch_df.select(*carry)
+            .dropDuplicates(["doc_id"])
+            .withColumn("content_fp", F.md5("text"))
+            .withColumn("fp_min", F.min("doc_id").over(wmin))
+        )
+        if delta_writer.current_version(corpus_path) >= 0:
+            seen_fp = (
+                DeltaLog(sess, corpus_path)
+                .snapshot()
+                .groupBy(F.md5("text").alias("content_fp"))
+                .agg(F.min("doc_id").alias("corpus_match"))
+            )
+            base = base.join(seen_fp, "content_fp", "left")
+        else:
+            base = base.withColumn(
+                "corpus_match", F.lit(None).cast("long")
+            )
+        base = base.localCheckpoint()
+        exact_dup = base.where(
+            (F.col("doc_id") != F.col("fp_min"))
+            | F.col("corpus_match").isNotNull()
+        ).select(
+            *carry,
+            F.lit("exact_dup").alias("reason"),
+            F.coalesce(
+                "corpus_match",
+                F.when(F.col("doc_id") != F.col("fp_min"), F.col("fp_min")),
+            ).alias("match_doc_id"),
+        )
+        survivors = base.where(
+            (F.col("doc_id") == F.col("fp_min"))
+            & F.col("corpus_match").isNull()
+        ).select(*carry)
+
+        # ---- stage 2: quality gate (quarantined but still indexed)
+        keep = (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_stopwords")
+            & F.col("ok_distinct_ratio")
+        )
+        flagged = gopher_flags(survivors, *carry).withColumn(
+            "ok", keep
+        ).localCheckpoint()
+        qfail = flagged.where(~F.col("ok")).select(
+            *carry,
+            F.lit("quality").alias("reason"),
+            F.lit(None).cast("long").alias("match_doc_id"),
+        )
+        qpass = flagged.where(F.col("ok")).select(*carry)
+
+        # ---- stage 3: near-dup novelty — ONE signature pass
+        bands = band_rows(
+            survivors.select("doc_id", "text")
+        ).localCheckpoint()
+        idx_exists = (
+            delta_writer.current_version(mi._data_path(index_path)) >= 0
+        )
+        if idx_exists:
+            idx_hits = mi.probe_minhash_index(
+                sess, index_path, survivors, bands=bands
+            ).where(F.col("index_doc_id") < F.col("probe_doc_id"))
+        else:
+            idx_hits = sess.createDataFrame(
+                [], "probe_doc_id long, index_doc_id long"
+            )
+        batch_hits = _posting_pairs(
+            bands, ["band_idx", "band_key"], "doc_id", "doc_a", "doc_b"
+        ).select(
+            F.col("doc_b").alias("probe_doc_id"),
+            F.col("doc_a").alias("index_doc_id"),
+        )
+        collisions = (
+            idx_hits.unionByName(batch_hits)
+            .groupBy("probe_doc_id")
+            .agg(F.min("index_doc_id").alias("match_doc_id"))
+            .localCheckpoint()
+        )
+        near_rm = collisions.withColumnRenamed("probe_doc_id", "doc_id")
+        near_dup = qpass.join(near_rm, "doc_id").select(
+            *carry,
+            F.lit("near_dup").alias("reason"),
+            "match_doc_id",
+        )
+        accepted = qpass.join(near_rm, "doc_id", "left_anti").select(
+            *carry,
+            F.when(_spark_bucket256_of("text") < 204, "train")
+            .when(_spark_bucket256_of("text") < 230, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+
+        # ---- stage 4: writes — index first, corpus last
+        if idx_exists:
+            mi.upsert_minhash_index(sess, index_path, survivors, bands=bands)
+        else:
+            mi.build_minhash_index(sess, survivors, index_path, bands=bands)
+        quarantined = exact_dup.unionByName(qfail).unionByName(near_dup)
+        delta_writer.write(
+            sess,
+            quarantined,
+            quarantine_path,
+            mode="append",
+            txn_app_id=f"{checkpoint_dir}#quarantine",
+            txn_version=batch_id,
+        )
+        delta_writer.write(
+            sess,
+            accepted,
+            corpus_path,
+            mode="append",
+            txn_app_id=f"{checkpoint_dir}#corpus",
+            txn_version=batch_id,
+        )
+        if bm25_path is not None:
+            from delta_lake_health_spark.operators import text_index
+
+            acc = accepted.select("doc_id", "text")
+            if (
+                delta_writer.current_version(
+                    text_index._data_path(bm25_path)
+                )
+                < 0
+            ):
+                text_index.build_bm25_index(sess, acc, bm25_path)
+            else:
+                text_index.upsert_bm25_index(sess, bm25_path, acc)
+
+    from delta_lake_health_spark.streaming import delta_source
+
+    stream = delta_source.read_stream(spark, source_path, **source_options)
+    q = (
+        stream.writeStream.foreachBatch(door)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

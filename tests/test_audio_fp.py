@@ -301,3 +301,56 @@ def test_unstamped_index_refuses_loudly(spark, tmp_path):
         audio_fp.match_against_index(spark, path, clips)
     with pytest.raises(ValueError, match="missing analysis"):
         audio_fp.upsert_fp_index(spark, path, corpus)
+
+
+def test_auto_compaction_after_track_upserts(spark, tmp_path):
+    """The self-maintaining-artifact contract (VERDICT r12 #3): the
+    build stamps delta.autoOptimize.autoCompact alongside the analysis
+    params, so a run of small track upserts triggers an automatic
+    OPTIMIZE commit (dataChange=false adds) once minNumFiles is
+    crossed — and probes stay bit-identical through it."""
+    from delta_lake_health_spark.sources import delta_writer
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    corpus = _wav_df(spark, list(range(1, 17))).localCheckpoint()
+    path = str(tmp_path / "fpidx")
+    audio_fp.build_fp_index(spark, corpus.where(F.col("media_id") <= 4), path)
+    assert (
+        DeltaLog(spark, path)
+        .metadata()["configuration"]
+        .get("delta.autoOptimize.autoCompact")
+        == "true"
+    )
+    delta_writer.set_table_property(
+        spark, path, "delta.autoOptimize.minNumFiles", "6"
+    )
+    for lo in range(5, 17, 2):
+        audio_fp.upsert_fp_index(
+            spark,
+            path,
+            corpus.where(
+                (F.col("media_id") >= lo) & (F.col("media_id") < lo + 2)
+            ),
+        )
+    log = DeltaLog(spark, path)
+    hist = log.history().collect()
+    assert "OPTIMIZE" in [r.operation for r in hist], (
+        "no automatic compaction fired"
+    )
+    opt_v = next(
+        r.version for r in hist if r.operation == "OPTIMIZE"
+    )
+    acts = delta_writer._version_actions(path, int(opt_v))
+    adds = [a["add"] for a in acts if "add" in a]
+    removed = [a["remove"] for a in acts if "remove" in a]
+    assert adds and all(a.get("dataChange") is False for a in adds)
+    assert len(removed) > len(adds)
+    # probes against the compacted artifact = the in-session match over
+    # the full corpus
+    clips = _clips_from(spark, corpus, [3, 9, 15]).localCheckpoint()
+    served = audio_fp.match_against_index(spark, path, clips)
+    in_session = audio_fp.match_fingerprints(
+        audio_fp.audio_fingerprints(clips),
+        audio_fp.audio_fingerprints(corpus),
+    )
+    assert _match_rows(served) == _match_rows(in_session)
