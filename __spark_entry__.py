@@ -30,9 +30,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # block VERDICT r12 #7 mandates, and the head of the r9-aged block.
 _VERIFY_FIRST = (
     "dedup_minhash_verified",  # never-green, CHANGED this round
+    "media_phash_served",  # never-green, CHANGED this round
     "pipeline_stream_door_census",  # never-green, CHANGED this round
     "dedup_minhash_served",  # newest green r12, CHANGED this round
     "dedup_minhash_probe",  # newest green r12, CHANGED this round
+    "media_phash_neardup",  # newest green r12, CHANGED this round
     "q7_volume_shipping",  # newest green r8
     "q8_market_share",  # newest green r8
     "records_per_partition_orders",  # newest green r8
@@ -194,7 +196,6 @@ _VERIFY_FIRST = (
     "embedding_label_centroids",  # newest green r12
     "events_user_value_pareto",  # newest green r12
     "events_watermark_lateness",  # newest green r12
-    "media_phash_neardup",  # newest green r12
     "media_scene_changes",  # newest green r12
     "nation_coverage_setops",  # newest green r12
     "order_status_rollup",  # newest green r12

@@ -86,6 +86,9 @@ HEADLINE = [
     # is the door_build stderr row; this times the corpus serve)
     "dedup_minhash_verified",
     "pipeline_stream_door_census",
+    # round-13: M6's pairs served from the persisted pHash index
+    # (build split out as its own stderr row)
+    "media_phash_served",
 ]
 
 
@@ -179,6 +182,20 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # same split for the persisted pHash image index (round 13): the
+    # headline `media_phash_served` row times the band-join serve; the
+    # decode+DCT build is its own stderr row
+    from delta_lake_health_spark.plans.media import phash_index_path
+
+    _sh.rmtree(phash_index_path(), ignore_errors=True)
+    t0 = time.perf_counter()
+    qs["media_phash_served"](spark, SF_DIR).count()
+    phash_build = round(time.perf_counter() - t0, 3)
+    print(
+        f"# phash_build (build+first serve): {phash_build}s",
+        file=sys.stderr,
+    )
+
     # same split for the composed streaming corpus door (round 13): the
     # 3-micro-batch door run (quality gate + exact dedup + LSH novelty
     # probe + index maintenance) is the build; the headline
@@ -234,6 +251,7 @@ def main() -> None:
         "graph_build_sec": graph_build,
         "bm25_build_sec": bm25_build,
         "minhash_build_sec": minhash_build,
+        "phash_build_sec": phash_build,
         "door_build_sec": door_build,
         "drift_vs_prev": drift,
         "sf_sweep": sweep,

@@ -214,6 +214,87 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# M10 — M6's near-dup pairs SERVED from the persisted pHash index
+# (operators/phash_index.py, VERDICT r12 #4): the same closed-form
+# oracle — served output must be bit-identical to the in-session
+# decode+DCT+band-join pipeline, with the hash pass paid once at
+# build time instead of per query.
+def phash_index_path() -> str:
+    """The /tmp location of the served-pHash artifact — ONE definition,
+    shared with bench.py's force-rebuild. The M6 corpus is generated
+    (not sf-dependent), so the path carries no sf tag."""
+    return "/tmp/delta_lake_health_spark_fixture/phash_index"
+
+
+def _phash_media_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for s in range(_PHASH_N):
+        rows.append((s, "bmp", _phash_gradient_bmp(s)))
+        rows.append((s + 1000, "bmp", _phash_gradient_bmp(s, up=2)))
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    ).repartition(4)
+
+
+def _phash_fixture(spark: SparkSession) -> str:
+    import os
+
+    from delta_lake_health_spark.operators import phash_index as pi
+    from delta_lake_health_spark.sources.fixture import build_once
+
+    path = phash_index_path()
+    marker = os.path.join(path, "_PHASHIX_COMPLETE")
+
+    def build() -> None:
+        pi.build_phash_index(spark, _phash_media_df(spark), path)
+
+    from delta_lake_health_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_INPUT,
+        PHASH_SIZE,
+        phash64,
+        phash_bands,
+    )
+
+    build_once(
+        marker,
+        build,
+        clean=[path],
+        salt=f"{_PHASH_N}|{PHASH_BANDS}|{PHASH_INPUT}|{PHASH_SIZE}",
+        deps=(
+            pi.build_phash_index,
+            pi._index_rows,
+            pi.hashed_rows,
+            _phash_gradient_bmp,
+            phash64,
+            phash_bands,
+        ),
+    )
+    return path
+
+
+@query(
+    "media_phash_served",
+    f"""
+    SELECT CAST(i AS BIGINT) AS id_a,
+           CAST(i + 1000 AS BIGINT) AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM range({_PHASH_N}) t(i)
+    ORDER BY id_a
+    """,
+)
+def media_phash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_health_spark.operators import phash_index as pi
+
+    path = _phash_fixture(spark)
+    return (
+        pi.serve_neardup_pairs(spark, path, max_distance=4)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
+    )
+
+
+# --------------------------------------------------------------------------
 # M7 — scene-change detection, oracle-checked with a closed-form boundary
 # set: 10 constant-luma Y4M videos where video i cuts luma 50 -> 200 at
 # frame (i % 5) + 3 (plus one cut-free video, id 10), so the detector —

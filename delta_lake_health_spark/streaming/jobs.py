@@ -1287,3 +1287,42 @@ def stream_corpus_door(
     )
     q.awaitTermination()
     return q
+
+
+def stream_phash_index_maintenance(
+    spark: SparkSession,
+    media_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    **source_options,
+) -> Any:
+    """Continuous pHash-index freshness (M10 — D46 + the phash upsert
+    composed): tail an append-only media table and fold each
+    micro-batch into the persisted band index with
+    ``operators/phash_index.upsert_phash_index`` — one decode+DCT pass
+    per batch, ONE pure-append commit per batch, mirroring the other
+    five index families' maintenance streams.
+
+    Crash-replay safety: the upsert anti-joins against the kind=img
+    partition, so a replayed batch is an exact no-op."""
+    from delta_lake_health_spark.operators import phash_index
+    from delta_lake_health_spark.streaming import delta_source
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        phash_index.upsert_phash_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select("media_id", "media_type", "payload"),
+        )
+
+    stream = delta_source.read_stream(spark, media_path, **source_options)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
