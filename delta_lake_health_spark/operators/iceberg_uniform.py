@@ -1,7 +1,11 @@
-"""UniForm-style Iceberg metadata generation (D75, VERDICT r11 #9) —
-emit an Apache Iceberg v1 metadata tree alongside the Delta log so an
-Iceberg reader can scan the CURRENT live file set read-only, the same
-interop shape as D56's symlink manifests but for the Iceberg protocol.
+"""UniForm-style Iceberg metadata generation (D75 + D77) — emit an
+Apache Iceberg metadata tree alongside the Delta log so an Iceberg
+reader can scan the CURRENT live file set read-only, the same interop
+shape as D56's symlink manifests but for the Iceberg protocol.
+DV-free snapshots export as format-version 1; snapshots with LIVE
+deletion vectors export as format-version 2 with position-delete files
+(one per touched partition) referenced from a delete manifest, and
+consecutive exports chain snapshots with sequence-number lineage.
 
 Everything here follows the PUBLIC Iceberg table spec
 (https://iceberg.apache.org/spec/) and Avro 1.11 binary/container spec
@@ -273,7 +277,36 @@ def _coerce_partition(delta_type: str, raw: str | None):
 # fields plus the optional counts readers commonly expect).
 
 
-def _manifest_schema(part_fields: list) -> dict:
+def _manifest_schema(part_fields: list, v2: bool = False) -> dict:
+    entry_extra = (
+        [
+            # v2: sequence numbers are nullable and INHERITED from the
+            # manifest-list row when null (spec "Sequence Number
+            # Inheritance") — we write them explicitly
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+        ]
+        if v2
+        else []
+    )
+    file_extra = (
+        [
+            # v2: 0 = data, 1 = position deletes (spec data_file.content)
+            {"name": "content", "type": "int", "field-id": 134},
+        ]
+        if v2
+        else []
+    )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -285,6 +318,7 @@ def _manifest_schema(part_fields: list) -> dict:
                 "default": None,
                 "field-id": 1,
             },
+            *entry_extra,
             {
                 "name": "data_file",
                 "field-id": 2,
@@ -292,6 +326,7 @@ def _manifest_schema(part_fields: list) -> dict:
                     "type": "record",
                     "name": "r2",
                     "fields": [
+                        *file_extra,
                         {
                             "name": "file_path",
                             "type": "string",
@@ -333,39 +368,59 @@ def _manifest_schema(part_fields: list) -> dict:
     }
 
 
-_MANIFEST_LIST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
-        {"name": "manifest_path", "type": "string", "field-id": 500},
-        {"name": "manifest_length", "type": "long", "field-id": 501},
-        {"name": "partition_spec_id", "type": "int", "field-id": 502},
-        {
-            "name": "added_snapshot_id",
-            "type": ["null", "long"],
-            "default": None,
-            "field-id": 503,
-        },
-        {
-            "name": "added_data_files_count",
-            "type": ["null", "int"],
-            "default": None,
-            "field-id": 504,
-        },
-        {
-            "name": "existing_data_files_count",
-            "type": ["null", "int"],
-            "default": None,
-            "field-id": 505,
-        },
-        {
-            "name": "deleted_data_files_count",
-            "type": ["null", "int"],
-            "default": None,
-            "field-id": 506,
-        },
-    ],
-}
+def _manifest_list_schema(v2: bool = False) -> dict:
+    v2_extra = (
+        [
+            # v2 (spec manifest_file): 0 = data manifest, 1 = delete
+            # manifest, plus the sequence-number lineage columns
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {
+                "name": "min_sequence_number",
+                "type": "long",
+                "field-id": 516,
+            },
+        ]
+        if v2
+        else []
+    )
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            *v2_extra,
+            {
+                "name": "added_snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 503,
+            },
+            {
+                "name": "added_data_files_count",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 504,
+            },
+            {
+                "name": "existing_data_files_count",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 505,
+            },
+            {
+                "name": "deleted_data_files_count",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 506,
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = _manifest_list_schema(False)
 
 
 # --------------------------------------------------------------------------
@@ -416,14 +471,12 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
             "n_files": None,
             "skipped": True,
         }
-    if log._live_dv_paths(log.active_files()):
-        # LIVE-reconciled DVs only (r12 review): historical dv actions
-        # whose files were since rewritten (REORG PURGE) are no-ops and
-        # must not block the export — the documented remedy has to work
-        raise ValueError(
-            "iceberg export: table has live deletion vectors — Iceberg v1"
-            " cannot express positional deletes; REORG PURGE first"
-        )
+    # LIVE-reconciled DVs only (r12 review): historical dv actions whose
+    # files were since rewritten (REORG PURGE) are no-ops. A DV-bearing
+    # snapshot exports as Iceberg FORMAT-VERSION 2 with position-delete
+    # files (D77); a DV-free one stays v1 (the minimal version the
+    # snapshot needs, UniForm-style).
+    has_live_dvs = bool(log._live_dv_paths(log.active_files()))
     meta = log.metadata()
     if any(
         logical != physical
@@ -505,31 +558,101 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
                 },
             }
         )
+    # ---- sequence-number lineage (D77): consecutive exports CHAIN —
+    # the prior tree's snapshot list and sequence counter carry forward
+    # (their manifest lists stay on disk, so older snapshots remain
+    # readable), and each export claims the next sequence number.
+    prior_meta = None
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        try:
+            with open(hint) as fh:
+                pv = int(fh.read().strip())
+            with open(
+                os.path.join(meta_dir, f"v{pv}.metadata.json")
+            ) as fh:
+                prior_meta = json.load(fh)
+        except (OSError, ValueError, KeyError):
+            prior_meta = None
+    seq = int((prior_meta or {}).get("last-sequence-number", 0)) + 1
+    v2 = has_live_dvs
+    fmt = 2 if v2 else 1
+    if v2:
+        for e in entries:
+            e["sequence_number"] = seq
+            e["file_sequence_number"] = seq
+            e["data_file"] = {"content": 0, **e["data_file"]}
+
     manifest_path = os.path.join(
         meta_dir, f"manifest-{snapshot_id}.avro"
     )
     mlen = write_avro_ocf(
-        manifest_path, _manifest_schema(part_avro_fields), entries, sync
+        manifest_path,
+        _manifest_schema(part_avro_fields, v2=v2),
+        entries,
+        sync,
     )
-    mlist_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-manifest-list.avro"
-    )
-    write_avro_ocf(
-        mlist_path,
-        _MANIFEST_LIST_SCHEMA,
-        [
+    mlist_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            **(
+                {
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                }
+                if v2
+                else {}
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+        }
+    ]
+    n_delete_files = 0
+    if v2:
+        delete_entries = _write_position_deletes(
+            spark,
+            log,
+            table_path,
+            meta_dir,
+            snapshot_id,
+            seq,
+            part_cols,
+            delta_types,
+            live,
+        )
+        n_delete_files = len(delete_entries)
+        dman_path = os.path.join(
+            meta_dir, f"manifest-{snapshot_id}-deletes.avro"
+        )
+        dlen = write_avro_ocf(
+            dman_path,
+            _manifest_schema(part_avro_fields, v2=True),
+            delete_entries,
+            sync,
+        )
+        mlist_rows.append(
             {
-                "manifest_path": manifest_path,
-                "manifest_length": mlen,
+                "manifest_path": dman_path,
+                "manifest_length": dlen,
                 "partition_spec_id": 0,
+                "content": 1,  # delete manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
-                "added_data_files_count": len(entries),
+                "added_data_files_count": len(delete_entries),
                 "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
             }
-        ],
-        sync,
+        )
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-manifest-list.avro"
     )
+    write_avro_ocf(mlist_path, _manifest_list_schema(v2), mlist_rows, sync)
     next_v = (
         max(
             (
@@ -542,11 +665,43 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
         + 1
     )
     now_ms = int(time.time() * 1000)
+    snapshots = [
+        s
+        for s in (prior_meta or {}).get("snapshots", [])
+        if s["snapshot-id"] != snapshot_id
+    ]
+    snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            **({"sequence-number": seq} if v2 else {}),
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "overwrite" if v2 else "append",
+                "added-data-files": str(len(entries)),
+                **(
+                    {"added-delete-files": str(n_delete_files)}
+                    if v2
+                    else {}
+                ),
+            },
+        }
+    )
+    snap_log = [
+        e
+        for e in (prior_meta or {}).get("snapshot-log", [])
+        if e["snapshot-id"] != snapshot_id
+    ]
+    snap_log.append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    )
     table_meta = {
-        "format-version": 1,
+        "format-version": fmt,
         "table-uuid": meta["id"],
         "location": table_path,
         "last-updated-ms": now_ms,
+        # chains exports even across v1 rounds (v1 readers ignore it)
+        "last-sequence-number": seq,
         "last-column-id": max(ids.values(), default=0),
         "schema": schema,
         "schemas": [schema],
@@ -569,20 +724,8 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
             ),
         },
         "current-snapshot-id": snapshot_id,
-        "snapshots": [
-            {
-                "snapshot-id": snapshot_id,
-                "timestamp-ms": now_ms,
-                "manifest-list": mlist_path,
-                "summary": {
-                    "operation": "append",
-                    "added-data-files": str(len(entries)),
-                },
-            }
-        ],
-        "snapshot-log": [
-            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-        ],
+        "snapshots": snapshots,
+        "snapshot-log": snap_log,
     }
     metadata_file = os.path.join(meta_dir, f"v{next_v}.metadata.json")
     with open(metadata_file, "w") as fh:
@@ -596,28 +739,178 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
         "snapshot_id": snapshot_id,
         "metadata_file": metadata_file,
         "n_files": len(entries),
+        "n_delete_files": n_delete_files,
+        "format_version": fmt,
+        "sequence_number": seq,
         "skipped": False,
     }
 
 
-def read_iceberg_file_set(table_path: str) -> list[dict]:
-    """Walk the generated tree like an Iceberg reader: version-hint →
-    metadata JSON → current snapshot → manifest list → manifests →
-    data-file entries. Used by the structural tests (and as a
-    reference for what a foreign reader sees)."""
+def _write_position_deletes(
+    spark,
+    log,
+    table_path: str,
+    meta_dir: str,
+    snapshot_id: int,
+    seq: int,
+    part_cols: list,
+    delta_types: dict,
+    live: list,
+) -> list[dict]:
+    """Materialize the live DV positions as Iceberg POSITION-DELETE
+    parquet files — one file per touched PARTITION (the spec scopes a
+    position delete file to a partition), rows (file_path, pos) sorted,
+    all partitions written in ONE Spark job. Returns the delete
+    manifest entries.
+
+    Spec-subset note: the parquet columns are named per spec
+    (file_path, pos) but carry no Iceberg field IDs (2147483546 /
+    2147483545) — same name-resolution caveat as the data files, which
+    the exported name mapping covers for columns; position-delete
+    readers that insist on field IDs need a writer with parquet
+    field-id support."""
+    import shutil
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    dv = log.deletion_vectors()
+    pk_of = lambda a: json.dumps(  # noqa: E731
+        {
+            c: (a.get("partitionValues") or {}).get(c)
+            for c in part_cols
+        },
+        sort_keys=True,
+    )
+    map_df = spark.createDataFrame(
+        [(a["path"], pk_of(a)) for a in live],
+        "rel_path string, _pk string",
+    )
+    deletes = dv.join(F.broadcast(map_df), "rel_path").select(
+        "_pk",
+        F.concat(
+            F.lit(table_path.rstrip("/") + "/"), F.col("rel_path")
+        ).alias("file_path"),
+        F.col("row_index").alias("pos"),
+    )
+    tmp = os.path.join(meta_dir, f".posdel-tmp-{snapshot_id}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        deletes.repartition("_pk")
+        .sortWithinPartitions("file_path", "pos")
+        .write.partitionBy("_pk")
+        .parquet(tmp)
+    )
+    import pyarrow.parquet as pq
+
+    entries: list[dict] = []
+    i = 0
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("_pk="):
+            continue
+        pk = json.loads(unquote(d.split("=", 1)[1]))
+        part = {
+            c: _coerce_partition(delta_types[c], pk.get(c))
+            for c in part_cols
+        }
+        for f in sorted(os.listdir(os.path.join(tmp, d))):
+            if not f.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                meta_dir, f"posdel-{snapshot_id}-{i:05d}.parquet"
+            )
+            os.replace(os.path.join(tmp, d, f), final)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,  # position deletes
+                        "file_path": final,
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "record_count": int(
+                            pq.ParquetFile(final).metadata.num_rows
+                        ),
+                        "file_size_in_bytes": os.path.getsize(final),
+                        "block_size_in_bytes": 67108864,
+                    },
+                }
+            )
+            i += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return entries
+
+
+def _current_snapshot(table_path: str) -> dict:
     meta_dir = _meta_dir(table_path)
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         v = int(fh.read().strip())
     with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
-    snap = next(
+    return next(
         s
         for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
+
+
+def _file_set(table_path: str, content: int) -> list[dict]:
     files: list[dict] = []
-    for mf in read_avro_ocf(snap["manifest-list"]):
+    for mf in read_avro_ocf(_current_snapshot(table_path)["manifest-list"]):
+        if mf.get("content", 0) != content:
+            continue
         for entry in read_avro_ocf(mf["manifest_path"]):
             if entry["status"] != 2:  # not DELETED
                 files.append(entry["data_file"])
     return files
+
+
+def read_iceberg_file_set(table_path: str) -> list[dict]:
+    """Walk the generated tree like an Iceberg reader: version-hint →
+    metadata JSON → current snapshot → manifest list → DATA manifests
+    (manifest-list content 0) → data-file entries. Used by the
+    structural tests (and as a reference for what a foreign reader
+    sees)."""
+    return _file_set(table_path, 0)
+
+
+def read_iceberg_deletes(table_path: str) -> list[dict]:
+    """The current snapshot's position-delete files (v2 delete
+    manifests, manifest-list content 1); empty for a v1 tree."""
+    return _file_set(table_path, 1)
+
+
+def read_iceberg_rows(spark, table_path: str):
+    """Read the exported tree like an Iceberg v2 reader: scan the data
+    files, then ANTI-JOIN the position-delete rows on
+    (file_path, pos) — the spec's position-delete application. Used by
+    the DV parity tests: the result must equal the DV-applied Delta
+    snapshot row-for-row."""
+    from pyspark.sql import functions as F
+
+    files = read_iceberg_file_set(table_path)
+    df = spark.read.option("basePath", table_path).parquet(
+        *[f["file_path"] for f in files]
+    )
+    dels = read_iceberg_deletes(table_path)
+    if not dels:
+        return df
+    ddf = spark.read.parquet(*[d["file_path"] for d in dels]).select(
+        F.col("file_path").alias("_fp"), F.col("pos").alias("_pos")
+    )
+    # _metadata.file_path is a file: URI; the delete rows store plain
+    # absolute paths — normalize the scheme prefix before the join
+    return (
+        df.withColumn(
+            "_fp",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ),
+        )
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(ddf), ["_fp", "_pos"], "left_anti")
+        .drop("_fp", "_pos")
+    )

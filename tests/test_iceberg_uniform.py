@@ -164,11 +164,70 @@ def test_export_reflects_deletes_and_optimize(spark, tmp_path):
     assert total == DeltaLog(spark, path).snapshot().count()
 
 
-def test_export_refuses_live_deletion_vectors(spark, tmp_path):
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_v2_export_applies_position_deletes(spark, tmp_path, partitioned):
+    """D77: a DV-bearing snapshot exports as format-version 2 with a
+    delete manifest carrying position-delete files, and reading the
+    tree (data scan + position-delete anti-join) equals the DV-applied
+    Delta snapshot row-for-row — NO REORG PURGE required."""
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    path = _table(spark, tmp_path, partitioned)
+    delta_writer.delete_with_dv(spark, path, "id % 5 = 2")
+    m = iu.generate_iceberg_metadata(spark, path)
+    assert m["format_version"] == 2 and m["n_delete_files"] >= 1
+    with open(m["metadata_file"]) as fh:
+        meta = json.load(fh)
+    assert meta["format-version"] == 2
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert snap["sequence-number"] == meta["last-sequence-number"] == 1
+    # delete entries are position-delete files scoped per partition
+    dels = iu.read_iceberg_deletes(path)
+    assert dels and all(d["content"] == 1 for d in dels)
+    if partitioned:
+        assert {d["partition"]["k"] for d in dels} <= {0, 1, 2}
+    # row-level parity with the DV-applied Delta snapshot
+    want = DeltaLog(spark, path).snapshot()
+    got = iu.read_iceberg_rows(spark, path).select(*want.columns)
+    assert _rows(got) == _rows(want)
+    assert got.count() == 2000 - 400  # 400 ids hit id % 5 = 2
+    # data-file record counts stay PHYSICAL (deletes subtract at read)
+    assert (
+        sum(f["record_count"] for f in iu.read_iceberg_file_set(path))
+        == 2000
+    )
+
+
+def test_v2_export_chains_sequence_numbers(spark, tmp_path):
+    """Consecutive exports chain: a v1 export, a DV commit, then a v2
+    export — the snapshot list accumulates, sequence numbers increase,
+    and the current snapshot reflects the newest Delta version."""
     path = _table(spark, tmp_path)
-    delta_writer.delete_with_dv(spark, path, "k = 2")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        iu.generate_iceberg_metadata(spark, path)
+    m1 = iu.generate_iceberg_metadata(spark, path)
+    assert m1["format_version"] == 1 and m1["sequence_number"] == 1
+    delta_writer.delete_with_dv(spark, path, "id < 100")
+    m2 = iu.generate_iceberg_metadata(spark, path)
+    assert m2["format_version"] == 2 and m2["sequence_number"] == 2
+    with open(m2["metadata_file"]) as fh:
+        meta = json.load(fh)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [
+        m1["snapshot_id"],
+        m2["snapshot_id"],
+    ]
+    assert len(meta["snapshot-log"]) == 2
+    got = iu.read_iceberg_rows(spark, path)
+    assert got.count() == 1900
+    # idempotence still holds at the new version
+    m3 = iu.generate_iceberg_metadata(spark, path)
+    assert m3["skipped"]
 
 
 def test_export_refuses_nested_schema(spark, tmp_path):
@@ -270,20 +329,24 @@ def test_read_avro_ocf_negative_map_block_count():
     assert iu.read_avro_ocf(p) == rows
 
 
-def test_export_allowed_after_reorg_purge(spark, tmp_path):
-    """r12 review: the DV refusal must check LIVE deletion vectors —
+def test_export_drops_to_v1_after_reorg_purge(spark, tmp_path):
+    """The LIVE-DV distinction (r12 review) now picks the FORMAT
+    version (D77): a DV-bearing snapshot exports v2 with delete files;
     after REORG PURGE rewrites the files, historical dv actions are
-    no-ops and the documented remedy must actually unblock the
-    export."""
+    no-ops and the next export is a plain v1 tree with no deletes —
+    same sequence chain."""
     from delta_lake_health_spark.operators import maintenance
 
     path = _table(spark, tmp_path)
     delta_writer.delete_with_dv(spark, path, "k = 2")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        iu.generate_iceberg_metadata(spark, path)
+    m1 = iu.generate_iceberg_metadata(spark, path)
+    assert m1["format_version"] == 2 and m1["n_delete_files"] >= 1
     maintenance.reorg_purge(spark, path)
     m = iu.generate_iceberg_metadata(spark, path)
     assert not m["skipped"]
+    assert m["format_version"] == 1 and m["n_delete_files"] == 0
+    assert m["sequence_number"] == m1["sequence_number"] + 1
+    assert iu.read_iceberg_deletes(path) == []
     got = {f["file_path"] for f in iu.read_iceberg_file_set(path)}
     assert got == set(_file_set_from_delta(spark, path))
     total = sum(f["record_count"] for f in iu.read_iceberg_file_set(path))
