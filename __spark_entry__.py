@@ -32,9 +32,11 @@ _VERIFY_FIRST = (
     "dedup_minhash_verified",  # never-green, CHANGED this round
     "media_phash_served",  # never-green, CHANGED this round
     "pipeline_stream_door_census",  # never-green, CHANGED this round
+    "text_chunk_hybrid_topk",  # never-green, CHANGED this round
     "dedup_minhash_served",  # newest green r12, CHANGED this round
     "dedup_minhash_probe",  # newest green r12, CHANGED this round
     "media_phash_neardup",  # newest green r12, CHANGED this round
+    "text_chunk_bm25_topk",  # newest green r12, CHANGED this round
     "q7_volume_shipping",  # newest green r8
     "q8_market_share",  # newest green r8
     "records_per_partition_orders",  # newest green r8
@@ -217,7 +219,6 @@ _VERIFY_FIRST = (
     "q6_forecast_revenue",  # newest green r12
     "text_bm25_served",  # newest green r12
     "text_bm25_topk",  # newest green r12
-    "text_chunk_bm25_topk",  # newest green r12
     "text_html_boilerplate",  # newest green r12
     "text_lang_id",  # newest green r12
     "text_pack_sequences",  # newest green r12

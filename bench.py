@@ -89,6 +89,8 @@ HEADLINE = [
     # round-13: M6's pairs served from the persisted pHash index
     # (build split out as its own stderr row)
     "media_phash_served",
+    # round-13: the chunk-granular lexical+dense RRF hybrid (T38)
+    "text_chunk_hybrid_topk",
 ]
 
 

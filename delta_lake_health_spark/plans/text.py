@@ -2552,30 +2552,63 @@ def text_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codegen pass, |chunks| rows, no UDF), scoring is the T33 broadcast
 # pipeline over chunk keys, the per-doc dedup is a PARTITIONED window,
 # and only the ≤top survivors see a global rank window.
-@query(
-    "text_chunk_bm25_topk",
-    f"""
-    WITH sized AS (
+# ONE definition of the oracle-side chunk construction (shared by T37
+# and the T38 hybrid so the chunk layout can never drift between them).
+_SQL_CHUNK_CTES = f"""sized AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n
       FROM documents
-    ), docs AS (
-      SELECT doc_id, toks, n,
+    ), cdocs AS (
+      SELECT doc_id, toks,
              CASE WHEN n <= {_CHUNK_LEN} THEN 1
                   ELSE 1 + CAST(CEIL((n - {_CHUNK_LEN}) * 1.0
                                       / {_CHUNK_STRIDE}) AS BIGINT)
              END AS n_chunks
       FROM sized
     ), chunks AS (
-      SELECT doc_id,
-             CAST(UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT)))
-                  AS BIGINT) AS chunk_idx,
-             toks
-      FROM docs
-    ), cdl AS (
       SELECT doc_id, chunk_idx,
-             len(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
-                      chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}]) AS dlen
+             toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                  chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}] AS ctoks
+      FROM (SELECT doc_id, toks,
+                   CAST(UNNEST(generate_series(0,
+                        CAST(n_chunks - 1 AS BIGINT))) AS BIGINT)
+                     AS chunk_idx
+            FROM cdocs)
+    )"""
+
+
+def _chunk_frames(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, ctoks) — the Spark-side chunk table, ONE
+    closed-form sequence-explode shared by T37 and the T38 hybrid (the
+    same single-definition rule as the oracle CTE above)."""
+    t = toks()
+    sized = docs.select(
+        "doc_id", t.alias("toks"), F.size(t).cast("long").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= _CHUNK_LEN, F.lit(1)).otherwise(
+        1
+        + F.ceil(
+            (F.col("n") - _CHUNK_LEN) * 1.0 / _CHUNK_STRIDE
+        ).cast("long")
+    )
+    return sized.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+        F.slice(
+            F.col("toks"),
+            (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+            F.lit(_CHUNK_LEN),
+        ).alias("ctoks"),
+    )
+
+
+@query(
+    "text_chunk_bm25_topk",
+    f"""
+    WITH {_SQL_CHUNK_CTES}, cdl AS (
+      SELECT doc_id, chunk_idx, len(ctoks) AS dlen
       FROM chunks
     ), stats AS (
       SELECT COUNT(*) AS n_chunks,
@@ -2583,10 +2616,7 @@ def text_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cdl
     ), tf AS (
       SELECT doc_id, chunk_idx, w, COUNT(*) AS tf
-      FROM (SELECT doc_id, chunk_idx,
-                   UNNEST(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
-                               chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}])
-                     AS w
+      FROM (SELECT doc_id, chunk_idx, UNNEST(ctoks) AS w
             FROM chunks)
       WHERE w IN {_BM25_QUERY!r}
       GROUP BY doc_id, chunk_idx, w
@@ -2622,27 +2652,7 @@ def text_chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    t = toks()
-    sized = docs.select(
-        "doc_id", t.alias("toks"), F.size(t).cast("long").alias("n")
-    )
-    n_chunks = F.when(F.col("n") <= _CHUNK_LEN, F.lit(1)).otherwise(
-        1
-        + F.ceil(
-            (F.col("n") - _CHUNK_LEN) * 1.0 / _CHUNK_STRIDE
-        ).cast("long")
-    )
-    chunks = sized.withColumn("n_chunks", n_chunks).select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
-        ).alias("chunk_idx"),
-        F.slice(
-            F.col("toks"),
-            (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
-            F.lit(_CHUNK_LEN),
-        ).alias("ctoks"),
-    )
+    chunks = _chunk_frames(docs)
     cdl = chunks.select(
         "doc_id", "chunk_idx", F.size("ctoks").cast("long").alias("dlen")
     )
@@ -2703,6 +2713,181 @@ def text_chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_idx", "bm25", "rank")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# T38 — chunk-granular HYBRID retrieval (VERDICT r12 #6): T37's
+# chunk-BM25 lexical arm fused with a dense arm over chunk embeddings
+# by S18's reciprocal-rank fusion — the standard RAG hybrid at the
+# chunk granularity production serves. The dense featurizer is a
+# deterministic 16-dim hashed bag-of-words (token dim = first md5 hex
+# nibble — the same md5-derived hash family every dedup oracle uses),
+# so both arms AND the fusion replay exactly in SQL: the oracle nests
+# T37's full oracle as the lexical arm, mirrors the dense arm, and
+# fuses with the ann_rrf_fusion CTE shape. Scale shape: the dense arm
+# is one narrow explode + two bounded groupBys (16-dim vectors, the
+# query side a constant broadcast), each arm dedups per-doc with a
+# PARTITIONED window, and only the <=2*top fused survivors see a
+# global rank window.
+import hashlib as _hashlib  # noqa: E402
+import math as _math  # noqa: E402
+
+_HYBRID_RRF_K = 60
+
+
+def _tok_dim(w: str) -> int:
+    """First md5 hex nibble — matches the SQL/Spark expression
+    ``strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1``."""
+    return int(_hashlib.md5(w.encode()).hexdigest()[0], 16)
+
+
+_QDIMS: dict[int, int] = {}
+for _w in _BM25_QUERY:
+    _QDIMS[_tok_dim(_w)] = _QDIMS.get(_tok_dim(_w), 0) + 1
+_QNORM = _math.sqrt(sum(c * c for c in _QDIMS.values()))
+_SQL_QDIMS = ", ".join(f"({d}, {c})" for d, c in sorted(_QDIMS.items()))
+_DIM_EXPR = "instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1"
+
+
+def _chunk_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense arm: exact cosine between the hashed-BoW chunk vectors
+    and the (constant) hashed query vector, best chunk per doc, global
+    top-k — S1's exact-cosine shape at chunk granularity."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = _chunk_frames(docs)
+    dims = (
+        chunks.select(
+            "doc_id", "chunk_idx", F.explode("ctoks").alias("w")
+        )
+        .withColumn("dim", F.expr(_DIM_EXPR))
+        .groupBy("doc_id", "chunk_idx", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nrm = dims.groupBy("doc_id", "chunk_idx").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    )
+    qd = spark.createDataFrame(
+        sorted(_QDIMS.items()), "dim int, qcnt int"
+    )
+    dot = (
+        dims.join(F.broadcast(qd), "dim")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("dp"))
+    )
+    cos = dot.join(nrm, ["doc_id", "chunk_idx"]).select(
+        "doc_id",
+        "chunk_idx",
+        F.round(
+            F.col("dp") / (F.col("nrm") * F.lit(_QNORM)), 6
+        ).alias("cosine"),
+    )
+    per_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("cosine"), "chunk_idx"
+    )
+    best = (
+        cos.withColumn("rn", F.row_number().over(per_doc))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    top = best.orderBy(F.desc("cosine"), "doc_id", "chunk_idx").limit(
+        _BM25_TOP
+    )
+    w = Window.orderBy(F.desc("cosine"), "doc_id", "chunk_idx")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "chunk_idx", "cosine", "rank")
+    )
+
+
+@query(
+    "text_chunk_hybrid_topk",
+    # assembled below once T37's oracle exists in ORACLE
+    None,
+)
+def text_chunk_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lex = QUERIES["text_chunk_bm25_topk"](spark, sf_dir).select(
+        "doc_id", "chunk_idx", F.col("rank").alias("rn")
+    )
+    den = _chunk_dense_topk(spark, sf_dir).select(
+        "doc_id", "chunk_idx", F.col("rank").alias("rn")
+    )
+    fused = (
+        lex.unionByName(den)
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.round(
+                F.sum(1.0 / (F.lit(_HYBRID_RRF_K) + F.col("rn"))), 6
+            ).alias("rrf")
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), "doc_id", "chunk_idx").limit(
+        _BM25_TOP
+    )
+    w = Window.orderBy(F.desc("rrf"), "doc_id", "chunk_idx")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "chunk_idx", "rrf", "rank")
+        .orderBy("rank")
+    )
+
+
+ORACLE["text_chunk_hybrid_topk"] = f"""
+    WITH r1 AS ({ORACLE["text_chunk_bm25_topk"]}),
+    r2 AS (
+      WITH {_SQL_CHUNK_CTES}, ddims AS (
+        SELECT doc_id, chunk_idx,
+               (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                 AS dim,
+               COUNT(*) AS cnt
+        FROM (SELECT doc_id, chunk_idx, UNNEST(ctoks) AS w FROM chunks)
+        GROUP BY 1, 2, 3
+      ), dnorm AS (
+        SELECT doc_id, chunk_idx, sqrt(SUM(cnt * cnt)) AS nrm
+        FROM ddims GROUP BY 1, 2
+      ), qdims(dim, qcnt) AS (VALUES {_SQL_QDIMS}),
+      dotp AS (
+        SELECT d.doc_id, d.chunk_idx, SUM(d.cnt * q.qcnt) AS dp
+        FROM ddims d JOIN qdims q ON q.dim = d.dim
+        GROUP BY 1, 2
+      ), cosd AS (
+        SELECT dotp.doc_id, dotp.chunk_idx,
+               ROUND(dp / (nrm * CAST({_QNORM!r} AS DOUBLE)), 6)
+                 AS cosine
+        FROM dotp JOIN dnorm USING (doc_id, chunk_idx)
+      ), dbest AS (
+        SELECT doc_id, chunk_idx, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY cosine DESC, chunk_idx) AS rn FROM cosd)
+        WHERE rn = 1
+      )
+      SELECT doc_id, chunk_idx,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id, chunk_idx)
+               AS rank
+      FROM dbest
+      ORDER BY rank LIMIT {_BM25_TOP}
+    ),
+    u AS (
+      SELECT doc_id, chunk_idx, rank AS rn FROM r1
+      UNION ALL
+      SELECT doc_id, chunk_idx, rank AS rn FROM r2
+    ), f AS (
+      SELECT doc_id, chunk_idx,
+             ROUND(SUM(1.0 / ({_HYBRID_RRF_K} + rn)), 6) AS rrf
+      FROM u GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id, chunk_idx)
+               AS rank
+      FROM f
+    )
+    SELECT doc_id, chunk_idx, rrf, rank
+    FROM ranked WHERE rank <= {_BM25_TOP}
+    ORDER BY rank
+    """
 
 
 # --------------------------------------------------------------------------

@@ -169,6 +169,9 @@ _ALLOWED_GLOBAL_WINDOWS = {
     "text_bm25_topk": (1, "rank over .limit(20) survivors"),
     "text_bm25_served": (1, "rank over .limit(20) survivors"),
     "text_chunk_bm25_topk": (1, "rank over .limit(20) survivors"),
+    # the hybrid composes the lex arm (1) + dense arm (1) + fusion (1),
+    # each a rank over a .limit(20)-bounded input
+    "text_chunk_hybrid_topk": (3, "3x rank over .limit(20) survivors"),
 }
 
 
