@@ -420,9 +420,6 @@ def _manifest_list_schema(v2: bool = False) -> dict:
     }
 
 
-_MANIFEST_LIST_SCHEMA = _manifest_list_schema(False)
-
-
 # --------------------------------------------------------------------------
 
 
@@ -665,11 +662,19 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
         + 1
     )
     now_ms = int(time.time() * 1000)
-    snapshots = [
-        s
-        for s in (prior_meta or {}).get("snapshots", [])
-        if s["snapshot-id"] != snapshot_id
-    ]
+    # snapshots chain only WITHIN a format version (r13 review): a v1
+    # snapshot's manifest list lacks the v2-required manifest_file
+    # fields (a conformant v2 reader fails schema resolution on it),
+    # and a v1 reader has no `content` concept and would scan a carried
+    # v2 DELETE manifest as data. A format transition therefore EXPIRES
+    # the prior snapshots (spec-sanctioned snapshot expiration — the
+    # old trees stay on disk under their own metadata versions); the
+    # sequence counter still carries across.
+    prior_fmt = int((prior_meta or {}).get("format-version", fmt))
+    carried = (
+        (prior_meta or {}).get("snapshots", []) if prior_fmt == fmt else []
+    )
+    snapshots = [s for s in carried if s["snapshot-id"] != snapshot_id]
     snapshots.append(
         {
             "snapshot-id": snapshot_id,
@@ -687,10 +692,12 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
             },
         }
     )
+    kept_ids = {s["snapshot-id"] for s in snapshots}
     snap_log = [
         e
         for e in (prior_meta or {}).get("snapshot-log", [])
         if e["snapshot-id"] != snapshot_id
+        and e["snapshot-id"] in kept_ids
     ]
     snap_log.append(
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
@@ -796,8 +803,13 @@ def _write_position_deletes(
     tmp = os.path.join(meta_dir, f".posdel-tmp-{snapshot_id}")
     shutil.rmtree(tmp, ignore_errors=True)
     (
+        # _pk leads the sort: the dynamic-partition writer re-sorts each
+        # task by the partition column, and only a sort it finds already
+        # satisfied is guaranteed to survive — leading with _pk makes
+        # the (file_path, pos) order inside every output file provable,
+        # not an implementation accident (r13 review)
         deletes.repartition("_pk")
-        .sortWithinPartitions("file_path", "pos")
+        .sortWithinPartitions("_pk", "file_path", "pos")
         .write.partitionBy("_pk")
         .parquet(tmp)
     )
@@ -901,13 +913,17 @@ def read_iceberg_rows(spark, table_path: str):
     ddf = spark.read.parquet(*[d["file_path"] for d in dels]).select(
         F.col("file_path").alias("_fp"), F.col("pos").alias("_pos")
     )
-    # _metadata.file_path is a file: URI; the delete rows store plain
-    # absolute paths — normalize the scheme prefix before the join
+    # _metadata.file_path is a percent-encoded file: URI; the delete
+    # rows store plain filesystem paths — strip the scheme, shield
+    # literal '+' (url_decode would turn it into a space), then decode
+    # the %XX escapes (hive-escaped partition dirs otherwise never
+    # match, resurrecting soft-deleted rows — r13 review)
     return (
         df.withColumn(
             "_fp",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/*", "/"
+            F.expr(
+                "url_decode(replace(regexp_replace("
+                "_metadata.file_path, '^file:/*', '/'), '+', '%2B'))"
             ),
         )
         .withColumn("_pos", F.col("_metadata.row_index"))

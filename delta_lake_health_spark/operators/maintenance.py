@@ -81,20 +81,23 @@ def compact(
 
     # DV-aware read: compacting raw parquet would resurrect soft-deleted rows
     df = log.read_data_files([r.path for r in small])
-    df = delta_writer._to_physical(spark, df, table_path)
-    before = delta_writer._list_parquet_rel(table_path)
     cluster_cols = delta_writer.clustering_columns(table_path)
     if cluster_cols:
         # liquid-clustered table (r13): a blind repartition would merge
         # narrow key ranges into wide ones and erase the file pruning
         # the clustering exists for — range-sort the compacted subset by
         # the declared columns instead (same cost class, one range
-        # shuffle of the small files only)
+        # shuffle of the small files only). Repartition BEFORE the
+        # physical-name mapping: a column-mapped table's declared
+        # (logical) names would not resolve afterwards (same ordering
+        # rule as delta_writer.write's clustered-ingest path).
         df = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
             *cluster_cols
         )
     else:
         df = df.repartition(n_out)
+    df = delta_writer._to_physical(spark, df, table_path)
+    before = delta_writer._list_parquet_rel(table_path)
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -1195,15 +1195,22 @@ def _door_fixture(spark: SparkSession, sf_dir: str) -> str:
             )
 
     from delta_lake_health_spark.operators import minhash_index as mi
-    from delta_lake_health_spark.plans.text import gopher_flags
+    from delta_lake_health_spark.plans.text import (
+        _spark_bucket256_of,
+        gopher_flags,
+    )
 
     build_once(
         marker,
         build,
         clean=[root],
+        # salt carries the VALUES of every behavior-defining constant
+        # the door reads (r13 review: the split hash + thresholds and
+        # the stopword set shape the corpus, not just the band exprs)
         salt=(
             f"{sf_dir}|{N_HASHES}|{BAND_SIZE}|{N_BANDS}|{BUCKET_CAP}"
             f"|{SHINGLES_EXPR}|{DIGESTS_EXPR}|{MINHASH_EXPR}|204|230"
+            f"|{_SQL_STOPS}"
         ),
         deps=(
             stream_corpus_door,
@@ -1214,6 +1221,7 @@ def _door_fixture(spark: SparkSession, sf_dir: str) -> str:
             _signatures,
             _posting_pairs,
             gopher_flags,
+            _spark_bucket256_of,
         ),
     )
     return root

@@ -198,14 +198,9 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_neardup_pairs,
     )
 
-    rows = []
-    for s in range(_PHASH_N):
-        rows.append((s, "bmp", _phash_gradient_bmp(s)))
-        rows.append((s + 1000, "bmp", _phash_gradient_bmp(s, up=2)))
-    media = spark.createDataFrame(
-        rows, "media_id long, media_type string, payload binary"
-    ).repartition(4)
-    hashed = phash_images(media)
+    # the SAME generated corpus the persisted M10 index builds from
+    # (one definition — M10's contract is bit-identity over it)
+    hashed = phash_images(_phash_media_df(spark))
     return (
         phash_neardup_pairs(hashed, max_distance=4)
         .select("id_a", "id_b", "hamming")
@@ -265,6 +260,7 @@ def _phash_fixture(spark: SparkSession) -> str:
             pi.build_phash_index,
             pi._index_rows,
             pi.hashed_rows,
+            _phash_media_df,
             _phash_gradient_bmp,
             phash64,
             phash_bands,

@@ -1342,12 +1342,17 @@ def _column_defaults(schema: dict | None) -> dict[str, str]:
 
 # evaluation-time-dependent / non-deterministic functions a standalone
 # SELECT happily evaluates but which would make a 'constant' default
-# differ per batch and per replayed write (ADVICE r12)
+# differ per batch and per replayed write (ADVICE r12). Two classes:
+# ordinary functions (require the call parens) and NILADIC builtins
+# Spark accepts bare — `current_date` with no parens parses as the
+# function, not a column, so the word alone must refuse (r13 review:
+# the paren-required form let bare current_date through, and the
+# double-eval check can't catch a value that only changes at midnight).
 _NONDETERMINISTIC_FN = re.compile(
     r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
-    r"current_timestamp|now|localtimestamp|current_date|curdate|"
-    r"unix_timestamp|current_timezone|current_user|session_user|"
-    r"current_database|current_catalog|input_file_name)\s*\(",
+    r"unix_timestamp|input_file_name|now|curdate|current_timezone)\s*\("
+    r"|\b(current_timestamp|current_date|localtimestamp|current_user|"
+    r"session_user|current_database|current_catalog|current_schema)\b",
     re.IGNORECASE,
 )
 

@@ -1096,11 +1096,13 @@ def stream_corpus_door(
        candidate pairs (X3's capped posting-list form), and the index
        upsert. A quality-passing doc is rejected iff it band-collides
        with a SMALLER doc_id — in the index or earlier in the batch;
-    4. **writes**, index first: the X17 index upsert (all stage-1
-       survivors, accepted or not), the quarantine append (reason +
-       the smallest colliding match_doc_id), the corpus append
-       (accepted docs with the X10 content-hash split column), and the
-       optional BM25 postings upsert over the accepted docs.
+    4. **writes**, all indexes first, corpus LAST: the X17 index
+       upsert (all stage-1 survivors, accepted or not), the optional
+       BM25 postings upsert over the accepted docs, the quarantine
+       append (reason + the smallest colliding match_doc_id), then the
+       corpus append (accepted docs with the X10 content-hash split
+       column) — the corpus commit is the batch's finish line, because
+       a replay after it re-derives an empty batch.
 
     **Semantics** (what makes this equal to the batch X10 pipeline):
     under id-ordered ingestion, "reject iff a smaller-id doc collides"
@@ -1240,11 +1242,29 @@ def stream_corpus_door(
             .alias("split"),
         )
 
-        # ---- stage 4: writes — index first, corpus last
+        # ---- stage 4: writes — ALL indexes first, corpus LAST. Once
+        # the corpus append lands, a replay re-derives an EMPTY batch
+        # (its own docs hit the exact-dedup seen-set), so any write
+        # sequenced after the corpus would be skipped forever on a
+        # crash-replay — the corpus commit is the batch's finish line
+        # (r13 review finding).
         if idx_exists:
             mi.upsert_minhash_index(sess, index_path, survivors, bands=bands)
         else:
             mi.build_minhash_index(sess, survivors, index_path, bands=bands)
+        if bm25_path is not None:
+            from delta_lake_health_spark.operators import text_index
+
+            acc = accepted.select("doc_id", "text")
+            if (
+                delta_writer.current_version(
+                    text_index._data_path(bm25_path)
+                )
+                < 0
+            ):
+                text_index.build_bm25_index(sess, acc, bm25_path)
+            else:
+                text_index.upsert_bm25_index(sess, bm25_path, acc)
         quarantined = exact_dup.unionByName(qfail).unionByName(near_dup)
         delta_writer.write(
             sess,
@@ -1262,19 +1282,6 @@ def stream_corpus_door(
             txn_app_id=f"{checkpoint_dir}#corpus",
             txn_version=batch_id,
         )
-        if bm25_path is not None:
-            from delta_lake_health_spark.operators import text_index
-
-            acc = accepted.select("doc_id", "text")
-            if (
-                delta_writer.current_version(
-                    text_index._data_path(bm25_path)
-                )
-                < 0
-            ):
-                text_index.build_bm25_index(sess, acc, bm25_path)
-            else:
-                text_index.upsert_bm25_index(sess, bm25_path, acc)
 
     from delta_lake_health_spark.streaming import delta_source
 

@@ -219,10 +219,24 @@ def test_upsert_append_only_and_converges(spark, tmp_path):
     )
     assert m["numTracksAdded"] == 3 and m["numHashesAdded"] > 0
     v1 = delta_writer.current_version(inc)
-    assert v1 == v0 + 1
-    acts = delta_writer._version_actions(inc, v1)
+    # the upsert itself is ONE pure append at v0+1; since r13 the build
+    # stamps autoCompact, so a dataChange=false OPTIMIZE may follow it
+    acts = delta_writer._version_actions(inc, v0 + 1)
     kinds = {k for a in acts for k in a}
     assert "add" in kinds and "remove" not in kinds
+    for v in range(v0 + 2, v1 + 1):
+        extra = delta_writer._version_actions(inc, v)
+        ops = [
+            a["commitInfo"]["operation"]
+            for a in extra
+            if "commitInfo" in a
+        ]
+        assert ops == ["OPTIMIZE"], ops
+        assert all(
+            a["add"].get("dataChange") is False
+            for a in extra
+            if "add" in a
+        )
     audio_fp.build_fp_index(spark, corpus, full)
     clips = _clips_from(spark, corpus, [1, 6, 8]).localCheckpoint()
     assert _match_rows(
@@ -234,6 +248,7 @@ def test_upsert_append_only_and_converges(spark, tmp_path):
     )
     assert m2 == {"numHashesAdded": 0, "numTracksAdded": 0}
     assert delta_writer.current_version(inc) == v1
+    assert v1 in (v0 + 1, v0 + 2)  # append (+ optional auto-compaction)
 
 
 @pytest.mark.slow

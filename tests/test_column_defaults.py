@@ -128,6 +128,11 @@ def test_nondeterministic_default_refused(spark, tmp_path):
         "current_timestamp()",
         "cast(rand(42) * 10 as double)",
         "concat('t-', uuid())",
+        # niladic forms Spark accepts WITHOUT parens (r13 review: the
+        # paren-required screen let these through, and double-eval
+        # can't catch a value that only changes at midnight)
+        "current_date",
+        "cast(current_timestamp as string)",
     ):
         with pytest.raises(ValueError, match="deterministic"):
             delta_writer.set_column_default(spark, path, "tag", expr)

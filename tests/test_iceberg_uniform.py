@@ -207,9 +207,10 @@ def test_v2_export_applies_position_deletes(spark, tmp_path, partitioned):
 
 
 def test_v2_export_chains_sequence_numbers(spark, tmp_path):
-    """Consecutive exports chain: a v1 export, a DV commit, then a v2
-    export — the snapshot list accumulates, sequence numbers increase,
-    and the current snapshot reflects the newest Delta version."""
+    """Sequence numbers chain across every export; SNAPSHOTS chain only
+    within a format version (r13 review: a v1 snapshot's manifest list
+    is unreadable under v2 schema resolution and vice versa — a format
+    transition expires the prior snapshots, spec-style)."""
     path = _table(spark, tmp_path)
     m1 = iu.generate_iceberg_metadata(spark, path)
     assert m1["format_version"] == 1 and m1["sequence_number"] == 1
@@ -218,16 +219,27 @@ def test_v2_export_chains_sequence_numbers(spark, tmp_path):
     assert m2["format_version"] == 2 and m2["sequence_number"] == 2
     with open(m2["metadata_file"]) as fh:
         meta = json.load(fh)
+    # v1 -> v2 transition: the v1 snapshot is expired, counter carries
     assert [s["snapshot-id"] for s in meta["snapshots"]] == [
-        m1["snapshot_id"],
-        m2["snapshot_id"],
+        m2["snapshot_id"]
     ]
-    assert len(meta["snapshot-log"]) == 2
+    assert len(meta["snapshot-log"]) == 1
     got = iu.read_iceberg_rows(spark, path)
     assert got.count() == 1900
-    # idempotence still holds at the new version
+    # same-format chain: another DV commit -> v2 again -> both listed
+    delta_writer.delete_with_dv(spark, path, "id >= 1900")
     m3 = iu.generate_iceberg_metadata(spark, path)
-    assert m3["skipped"]
+    assert m3["format_version"] == 2 and m3["sequence_number"] == 3
+    with open(m3["metadata_file"]) as fh:
+        meta3 = json.load(fh)
+    assert [s["snapshot-id"] for s in meta3["snapshots"]] == [
+        m2["snapshot_id"],
+        m3["snapshot_id"],
+    ]
+    assert iu.read_iceberg_rows(spark, path).count() == 1800
+    # idempotence still holds at the new version
+    m4 = iu.generate_iceberg_metadata(spark, path)
+    assert m4["skipped"]
 
 
 def test_export_refuses_nested_schema(spark, tmp_path):
