@@ -31,6 +31,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _VERIFY_FIRST = (
     "dedup_minhash_verified",  # never-green, CHANGED this round
     "media_phash_served",  # never-green, CHANGED this round
+    "pipeline_door_quarantine",  # never-green, CHANGED this round
     "pipeline_stream_door_census",  # never-green, CHANGED this round
     "text_chunk_hybrid_topk",  # never-green, CHANGED this round
     "dedup_minhash_served",  # newest green r12, CHANGED this round

@@ -91,6 +91,8 @@ HEADLINE = [
     "media_phash_served",
     # round-13: the chunk-granular lexical+dense RRF hybrid (T38)
     "text_chunk_hybrid_topk",
+    # round-13: the door's quarantine side served from the same fixture
+    "pipeline_door_quarantine",
 ]
 
 

@@ -1282,6 +1282,111 @@ def pipeline_stream_door_census(
 
 
 # --------------------------------------------------------------------------
+# X18b — the door's QUARANTINE side, oracle-checked per doc: every
+# rejected doc's (reason, match_doc_id) routing replayed in closed
+# form. reason mirrors the door's stage order — exact_dup (a same-text
+# twin earlier in the SAME batch, or an ACCEPTED same-text doc in an
+# earlier batch), then quality (Gopher fail), then near_dup (a
+# smaller-id band collision; match = the smallest collider — dropped
+# exact-dups never band in the door, but their smaller identical twin
+# does, so the MIN is unaffected). Batch boundaries are the fixture's
+# doc_id terciles, derivable from MAX(doc_id) in SQL. Only the group
+# MIN of a same-text group can ever be accepted, which closes the
+# recursion the cross-batch exact rule needs. (cand_pairs carries
+# X3's BUCKET_CAP — inert below 1024-doc buckets, true at all
+# driver SFs.)
+@query(
+    "pipeline_door_quarantine",
+    f"""
+    WITH {SQL_PAIRS_CTES},
+    hi AS (SELECT MAX(doc_id) AS hi FROM documents),
+    b AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN doc_id <= hi // 3 THEN 0
+                  WHEN doc_id <= 2 * (hi // 3) THEN 1
+                  ELSE 2 END AS batch
+      FROM documents CROSS JOIN hi
+    ),
+    q AS (
+      SELECT doc_id,
+             (n_tok >= 20 AND n_tok <= 100000
+              AND (n - n_tok + 1) / n_tok >= 2
+              AND (n - n_tok + 1) / n_tok <= 10
+              AND n_stop >= 2
+              AND n_dist / n_tok >= 0.2) AS ok
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_SQL_STOPS}))) AS DOUBLE)
+                 AS n_stop,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                 AS DOUBLE) AS n_dist
+        FROM documents
+      )
+    ),
+    rm AS (SELECT DISTINCT doc_b AS doc_id FROM cand_pairs),
+    near_match AS (
+      SELECT doc_b AS doc_id, MIN(doc_a) AS near_m
+      FROM cand_pairs GROUP BY doc_b
+    ),
+    grp AS (SELECT fp, MIN(doc_id) AS m FROM b GROUP BY fp),
+    macc AS (
+      SELECT g.fp, g.m, mb.batch AS m_batch,
+             (q.ok AND rm.doc_id IS NULL) AS m_accepted
+      FROM grp g
+      JOIN b mb ON mb.doc_id = g.m
+      JOIN q ON q.doc_id = g.m
+      LEFT JOIN rm ON rm.doc_id = g.m
+    ),
+    sb AS (
+      SELECT fp, batch, MIN(doc_id) AS fp_batch_min
+      FROM b GROUP BY fp, batch
+    ),
+    cls AS (
+      SELECT b.doc_id,
+             (b.doc_id > sb.fp_batch_min) AS in_batch_exact,
+             (macc.m_accepted AND macc.m_batch < b.batch)
+               AS corpus_exact,
+             q.ok, macc.m, sb.fp_batch_min,
+             (rm.doc_id IS NOT NULL) AS in_rm,
+             nm.near_m
+      FROM b
+      JOIN q USING (doc_id)
+      JOIN macc ON macc.fp = b.fp
+      JOIN sb ON sb.fp = b.fp AND sb.batch = b.batch
+      LEFT JOIN rm ON rm.doc_id = b.doc_id
+      LEFT JOIN near_match nm ON nm.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN in_batch_exact OR corpus_exact THEN 'exact_dup'
+                WHEN NOT ok THEN 'quality'
+                ELSE 'near_dup' END AS reason,
+           CASE WHEN corpus_exact THEN m
+                WHEN in_batch_exact THEN fp_batch_min
+                WHEN NOT ok THEN NULL
+                ELSE near_m END AS match_doc_id
+    FROM cls
+    WHERE in_batch_exact OR corpus_exact OR NOT ok OR in_rm
+    ORDER BY doc_id
+    """,
+)
+def pipeline_door_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from delta_lake_health_spark.sources.delta_log import DeltaLog
+
+    root = _door_fixture(spark, sf_dir)
+    quar = DeltaLog(spark, os.path.join(root, "quarantine")).snapshot()
+    return quar.select("doc_id", "reason", "match_doc_id").orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # X11 — incremental dedup against a historical corpus via a Bloom-filter
 # prefilter (operators/bloom.py): the realistic shape of "dedup today's
 # batch against the 100 TB corpus you already ingested". The corpus's

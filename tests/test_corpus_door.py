@@ -213,3 +213,64 @@ def test_crash_replay_is_noop(spark, door, tmp_path):
         for r in _table(spark, door, "corpus").collect()
     }
     assert after == before
+
+
+def test_exact_dup_quarantine_paths(spark, tmp_path):
+    """The fixture corpus has no identical texts, so the exact_dup
+    quarantine reason never fires there — drive both exact paths with
+    crafted input: an in-batch twin (match = the batch's same-text
+    min) and a cross-batch twin of an ACCEPTED doc (match = the
+    corpus doc)."""
+    t1 = (
+        "the quick brown fox jumps over and under the lazy dog while "
+        "seven other animals watch from nearby hills during early "
+        "morning light"
+    )
+    t3 = (
+        "completely different prose about database engines and the "
+        "way vectorized execution pipelines process columnar batches "
+        "with late materialization strategies everywhere"
+    )
+    root = str(tmp_path / "door")
+    src = os.path.join(root, "source")
+    kw = dict(
+        corpus_path=os.path.join(root, "corpus"),
+        quarantine_path=os.path.join(root, "quarantine"),
+        index_path=os.path.join(root, "lsh"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, t1, "en", "web", len(t1)),
+            (2, t1, "en", "web", len(t1)),  # in-batch exact twin
+            (3, t3, "en", "web", len(t3)),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    delta_writer.write(spark, batch1, src, mode="overwrite")
+    stream_corpus_door(spark, src, **kw)
+    batch2 = spark.createDataFrame(
+        [(4, t1, "en", "web", len(t1))],  # cross-batch twin of doc 1
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    delta_writer.write(spark, batch2, src, mode="append")
+    stream_corpus_door(spark, src, **kw)
+    quar = {
+        r.doc_id: (r.reason, r.match_doc_id)
+        for r in _table(spark, root, "quarantine").collect()
+    }
+    assert quar[2] == ("exact_dup", 1)
+    assert quar[4] == ("exact_dup", 1)
+    corpus_ids = {r.doc_id for r in _table(spark, root, "corpus").collect()}
+    assert corpus_ids == {1, 3}
+    # exact twins never enter the LSH index (their twin's bands are
+    # identical — indexing them would only add self-noise)
+    seen = {
+        r.doc_id
+        for r in mi._seen_docs(
+            spark, mi._log(spark, mi._data_path(os.path.join(root, "lsh")))
+        ).collect()
+    }
+    assert seen == {1, 3}
