@@ -459,13 +459,22 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
     if prior == version:
         with open(os.path.join(meta_dir, "version-hint.text")) as fh:
             n = int(fh.read().strip())
+        mfile = os.path.join(meta_dir, f"v{n}.metadata.json")
+        with open(mfile) as fh:
+            existing = json.load(fh)
         return {
             "delta_version": version,
             "snapshot_id": version + 1,
-            "metadata_file": os.path.join(
-                meta_dir, f"v{n}.metadata.json"
-            ),
+            "metadata_file": mfile,
             "n_files": None,
+            "n_delete_files": None,
+            # same keys as the fresh-export return (r13 review: a
+            # caller branching on the format version must not crash on
+            # the idempotent second call)
+            "format_version": int(existing.get("format-version", 1)),
+            "sequence_number": int(
+                existing.get("last-sequence-number", 0)
+            ),
             "skipped": True,
         }
     # LIVE-reconciled DVs only (r12 review): historical dv actions whose
@@ -543,7 +552,9 @@ def generate_iceberg_metadata(spark, table_path: str) -> dict:
                 "status": 1,  # ADDED (fresh snapshot)
                 "snapshot_id": snapshot_id,
                 "data_file": {
-                    "file_path": os.path.join(table_path, add["path"]),
+                    "file_path": os.path.abspath(
+                        os.path.join(table_path, add["path"])
+                    ),
                     "file_format": "PARQUET",
                     "partition": {
                         c: _coerce_partition(delta_types[c], pv.get(c))
@@ -793,10 +804,15 @@ def _write_position_deletes(
         [(a["path"], pk_of(a)) for a in live],
         "rel_path string, _pk string",
     )
+    # ABSOLUTE paths (r13 review): the position-delete anti-join in
+    # read_iceberg_rows compares against the decoded absolute
+    # _metadata.file_path — a relative table_path would silently match
+    # nothing and resurrect every deleted row
+    abs_table = os.path.abspath(table_path)
     deletes = dv.join(F.broadcast(map_df), "rel_path").select(
         "_pk",
         F.concat(
-            F.lit(table_path.rstrip("/") + "/"), F.col("rel_path")
+            F.lit(abs_table.rstrip("/") + "/"), F.col("rel_path")
         ).alias("file_path"),
         F.col("row_index").alias("pos"),
     )

@@ -73,12 +73,26 @@ def _index_rows(docs: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     # deterministic pick among conflicting duplicates (max text per
     # id): which VERSION wins is the ingest door's decision; the index
     # only guarantees build and upsert agree given the same rows
-    docs = docs.groupBy("doc_id").agg(F.max("text").alias("text"))
+    stats = docs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.max("text").alias("text")
+    )
+    docs = stats.select("doc_id", "text")
     if bands is None:
         bands = band_rows(docs)
     else:
-        bands = bands.select("doc_id", "band_idx", "band_key").join(
-            docs.select("doc_id"), "doc_id", "left_semi"
+        # r13 review: for ids the batch carried MORE THAN ONCE the
+        # precomputed bands are ambiguous (they may mix two texts'
+        # rows — the r12 self-pair bug through the fast path) —
+        # recompute bands for exactly those ids from the chosen text;
+        # the clean side is a pure semi-join re-alignment
+        clean = stats.where(F.col("_n") == 1).select("doc_id")
+        conflicted = stats.where(F.col("_n") > 1).select(
+            "doc_id", "text"
+        )
+        bands = (
+            bands.select("doc_id", "band_idx", "band_key")
+            .join(clean, "doc_id", "left_semi")
+            .unionByName(band_rows(conflicted))
         )
     band_half = bands.select(
         F.lit(_BAND).alias("kind"), "doc_id", "band_idx", "band_key"

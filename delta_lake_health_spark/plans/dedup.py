@@ -1302,8 +1302,11 @@ def pipeline_stream_door_census(
     hi AS (SELECT MAX(doc_id) AS hi FROM documents),
     b AS (
       SELECT doc_id, md5(text) AS fp,
+             -- the fixture's boundaries are hi//3 and (2*hi)//3 (Python
+             -- `2 * hi // 3` binds as floor(2*hi / 3), NOT 2*(hi//3) —
+             -- they differ whenever hi % 3 == 2; r13 review)
              CASE WHEN doc_id <= hi // 3 THEN 0
-                  WHEN doc_id <= 2 * (hi // 3) THEN 1
+                  WHEN doc_id <= (2 * hi) // 3 THEN 1
                   ELSE 2 END AS batch
       FROM documents CROSS JOIN hi
     ),

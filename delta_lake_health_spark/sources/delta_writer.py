@@ -1389,7 +1389,10 @@ def set_column_default(
             f" ({json.dumps(target_type)[:80]}); defaults are supported"
             " on primitive columns only"
         )
-    if _NONDETERMINISTIC_FN.search(expr):
+    # screen the expression with string literals blanked out: the words
+    # only matter as FUNCTION references, not inside quoted constants
+    # (r13 review: "concat('current_date: ', 'x')" is a pure constant)
+    if _NONDETERMINISTIC_FN.search(re.sub(r"'[^']*'", "''", expr)):
         # a 'constant' default must evaluate to the SAME value on every
         # batch and on replay/rebuild; rand()/uuid()/current_timestamp()
         # pass a standalone SELECT but differ per evaluation — refuse

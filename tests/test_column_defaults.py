@@ -137,7 +137,11 @@ def test_nondeterministic_default_refused(spark, tmp_path):
         with pytest.raises(ValueError, match="deterministic"):
             delta_writer.set_column_default(spark, path, "tag", expr)
     # deterministic function CALLS still pass (the screen is not a
-    # blanket function ban)
+    # blanket function ban), and the words inside STRING LITERALS are
+    # ignored (r13 review: literals are blanked before the screen)
+    delta_writer.set_column_default(
+        spark, path, "tag", "concat('current_date: ', 'now()')"
+    )
     delta_writer.set_column_default(spark, path, "tag", "upper('ab')")
     field = next(
         f

@@ -117,6 +117,9 @@ def test_export_idempotent_and_tracks_new_commits(spark, tmp_path):
     assert not m1["skipped"]
     m2 = iu.generate_iceberg_metadata(spark, path)
     assert m2["skipped"] and m2["delta_version"] == m1["delta_version"]
+    # the idempotent return carries the same D77 keys as a fresh export
+    assert m2["format_version"] == m1["format_version"] == 1
+    assert m2["sequence_number"] == m1["sequence_number"]
     # a new commit refreshes the export: new snapshot, full live set
     delta_writer.write(
         spark,

@@ -275,3 +275,37 @@ def test_duplicate_ids_in_batch_never_self_pair(spark, tmp_path):
     assert m2["numDocsAdded"] == 5
     pairs = _pairs(mi.serve_candidate_pairs(spark, path))
     assert all(a < b for a, b in pairs)
+
+
+def test_precomputed_bands_with_conflicting_duplicate_ids(spark, tmp_path):
+    """r13 review: the precomputed-bands fast path must not bypass the
+    r12 duplicate-id guard — a batch carrying the same doc_id with TWO
+    texts gets its bands recomputed from the chosen (max) text, never a
+    mix of both."""
+    from delta_lake_health_spark.plans.dedup import band_rows
+
+    rows = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (1, "zz yy xx ww vv uu tt ss"),  # conflicting duplicate
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    mi.build_minhash_index(spark, rows, path, bands=band_rows(rows))
+    stored = (
+        mi._band_scan(spark, mi._log(spark, mi._data_path(path)))
+        .collect()
+    )
+    got = {(r.doc_id, r.band_idx, r.band_key) for r in stored}
+    chosen = spark.createDataFrame(
+        [(1, "zz yy xx ww vv uu tt ss"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in band_rows(chosen).collect()
+    }
+    assert got == want  # exactly the chosen texts' bands, no mixing
