@@ -224,6 +224,18 @@ def test_optimize_restores_pruning_after_upserts(spark, tmp_path):
         text_index.build_bm25_index(
             spark, docs.where(F.col("doc_id") < 250), path
         )
+        # this test exercises the MANUAL recluster contract — switch
+        # off the (r13) autoCompact declaration so the automatic
+        # bin-pack doesn't compact the small files away first (that
+        # path has its own test in test_minhash_index/test_audio_fp)
+        from delta_lake_health_spark.sources import delta_writer
+
+        delta_writer.set_table_property(
+            spark,
+            os.path.join(path, "postings"),
+            "delta.autoOptimize.autoCompact",
+            "false",
+        )
         # five upsert batches: each appends its own term-sorted files,
         # multiplying the per-term file count
         for lo in range(250, 500, 50):
