@@ -287,10 +287,23 @@ def main() -> None:
             "0.641s vs HEAD 0.700s (1.09x, and HEAD's rank now uses "
             "row_number over the in-bucket window), bruteforce 0.536 "
             "vs 0.499 (0.93x), ivf_pq 0.850 vs 0.873 (1.03x); the r11 "
-            "recorded 1.4-2.2s values reproduce on NEITHER tree."
+            "recorded 1.4-2.2s values reproduce on NEITHER tree. "
+            "r13 A/B (3 interleaved cold pairs vs the r12 tree, "
+            "min-of-3 over q1/quality/health/clusters/tfidf/ivf): HEAD "
+            "8.91s vs r12-tree 9.51s = 0.94x — HEAD is NOT slower; "
+            "any large normalized `regressed` list vs BENCH_r12 is the "
+            "calibration baseline (r12's probes ran on a ~2x slower "
+            "box: numpy 0.708/spark 0.513 vs ~0.25/0.27 healthy "
+            "r13-box runs, while this box swung its own probe "
+            "0.24-2.45s across four same-code runs in one session)."
         ),
     }
     print("# DETAIL " + json.dumps(detail), file=sys.stderr)
+    # a degraded-box run can flag dozens of queries — cap the headline
+    # list (the full set lives in the stderr DETAIL's drift_vs_prev) so
+    # it can never crowd the per-query timings out of the driver's
+    # 2,000-char tail capture (r13: a 36-name list did exactly that)
+    drift_regressed = (drift or {}).get("regressed") or []
     headline = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -301,13 +314,17 @@ def main() -> None:
             "spark_range_sum_sec": calib_spark,
         },
         "superlinear": (sweep or {}).get("superlinear"),
-        "regressed": (drift or {}).get("regressed"),
+        "regressed": drift_regressed[:10],
+        "n_regressed": len(drift_regressed),
         "prev_round": (drift or {}).get("prev_round"),
         "sf": sf_val,
     }
     line = json.dumps(headline)
     # the driver tail-captures 2,000 chars; 1,900 leaves newline margin
     if len(line) > 1900:  # never let the driver's tail capture truncate us
+        headline["regressed"] = []  # count survives; names in DETAIL
+        line = json.dumps(headline)
+    if len(line) > 1900:
         headline.pop("queries")
         headline["n_queries"] = len(timings)
         line = json.dumps(headline)
