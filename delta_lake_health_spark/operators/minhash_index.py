@@ -171,14 +171,18 @@ def upsert_minhash_index(
 
     data = _data_path(path)
     known = _seen_docs(spark, _log(spark, data))
+    # keep the RAW per-row shape through the anti-join: _index_rows
+    # owns the per-id dedup AND the conflicting-duplicate band
+    # recompute for every caller (r13 review: collapsing to one row
+    # per id here made the conflict guard downstream unreachable — a
+    # batch carrying (7, A) and (7, B) with precomputed bands kept
+    # BOTH texts' band rows)
     fresh = (
         new_docs.select("doc_id", "text")
-        .groupBy("doc_id")
-        .agg(F.max("text").alias("text"))
         .join(known, "doc_id", "left_anti")
         .localCheckpoint()
     )
-    n_new = fresh.count()
+    n_new = fresh.select("doc_id").distinct().count()
     if n_new == 0:
         return {"numDocsAdded": 0}
     delta_writer.write(

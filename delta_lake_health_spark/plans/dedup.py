@@ -1041,6 +1041,27 @@ from delta_lake_health_spark.plans.text import (  # noqa: E402
 
 _SQL_STOPS = ", ".join(f"'{w}'" for w in _T_STOPS)
 
+# ONE oracle-side definition of the Gopher quality rule (r13 review:
+# the X10 census, the door census, and the door quarantine oracles had
+# drifted into three hand-copies; a threshold tweak must change exactly
+# one place). Mirrors plans/text.gopher_flags.
+_SQL_GOPHER_BASE = f"""
+      SELECT doc_id, lang, n_chars, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ({_SQL_STOPS}))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
+      FROM documents
+"""
+_SQL_GOPHER_KEEP = (
+    "n_tok >= 20 AND n_tok <= 100000"
+    " AND (n - n_tok + 1) / n_tok >= 2"
+    " AND (n - n_tok + 1) / n_tok <= 10"
+    " AND n_stop >= 2"
+    " AND n_dist / n_tok >= 0.2"
+)
+
 
 @query(
     "pipeline_corpus_build",
@@ -1058,15 +1079,7 @@ _SQL_STOPS = ", ".join(f"'{w}'" for w in _T_STOPS)
     ),
     labels AS (SELECT doc AS doc_id, MIN(r) AS cluster FROM reach GROUP BY doc),
     rem AS (SELECT doc_id FROM labels WHERE doc_id <> cluster),
-    base AS (
-      SELECT doc_id, lang, n_chars, text,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-             CAST(length(text) AS DOUBLE) AS n,
-             CAST(len(list_filter(string_split(text, ' '),
-                                  t -> t IN ({_SQL_STOPS}))) AS DOUBLE) AS n_stop,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
-      FROM documents
-    ),
+    base AS ({_SQL_GOPHER_BASE}),
     kept AS (
       SELECT b.lang, b.n_chars,
              CASE WHEN {_SQL_BUCKET256} < 204 THEN 'train'
@@ -1074,11 +1087,7 @@ _SQL_STOPS = ", ".join(f"'{w}'" for w in _T_STOPS)
                   ELSE 'test' END AS split
       FROM base b LEFT JOIN rem USING (doc_id)
       WHERE rem.doc_id IS NULL
-        AND b.n_tok >= 20 AND b.n_tok <= 100000
-        AND (b.n - b.n_tok + 1) / b.n_tok >= 2
-        AND (b.n - b.n_tok + 1) / b.n_tok <= 10
-        AND b.n_stop >= 2
-        AND b.n_dist / b.n_tok >= 0.2
+        AND {_SQL_GOPHER_KEEP}
     )
     SELECT lang, split,
            COUNT(*) AS n_docs,
@@ -1232,15 +1241,7 @@ def _door_fixture(spark: SparkSession, sf_dir: str) -> str:
     f"""
     WITH {SQL_PAIRS_CTES},
     rm AS (SELECT DISTINCT doc_b AS doc_id FROM cand_pairs),
-    base AS (
-      SELECT doc_id, lang, n_chars, text,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-             CAST(length(text) AS DOUBLE) AS n,
-             CAST(len(list_filter(string_split(text, ' '),
-                                  t -> t IN ({_SQL_STOPS}))) AS DOUBLE) AS n_stop,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
-      FROM documents
-    ),
+    base AS ({_SQL_GOPHER_BASE}),
     kept AS (
       SELECT b.lang, b.n_chars,
              CASE WHEN {_SQL_BUCKET256} < 204 THEN 'train'
@@ -1248,11 +1249,7 @@ def _door_fixture(spark: SparkSession, sf_dir: str) -> str:
                   ELSE 'test' END AS split
       FROM base b LEFT JOIN rm USING (doc_id)
       WHERE rm.doc_id IS NULL
-        AND b.n_tok >= 20 AND b.n_tok <= 100000
-        AND (b.n - b.n_tok + 1) / b.n_tok >= 2
-        AND (b.n - b.n_tok + 1) / b.n_tok <= 10
-        AND b.n_stop >= 2
-        AND b.n_dist / b.n_tok >= 0.2
+        AND {_SQL_GOPHER_KEEP}
     )
     SELECT lang, split,
            COUNT(*) AS n_docs,
@@ -1311,23 +1308,8 @@ def pipeline_stream_door_census(
       FROM documents CROSS JOIN hi
     ),
     q AS (
-      SELECT doc_id,
-             (n_tok >= 20 AND n_tok <= 100000
-              AND (n - n_tok + 1) / n_tok >= 2
-              AND (n - n_tok + 1) / n_tok <= 10
-              AND n_stop >= 2
-              AND n_dist / n_tok >= 0.2) AS ok
-      FROM (
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-               CAST(length(text) AS DOUBLE) AS n,
-               CAST(len(list_filter(string_split(text, ' '),
-                                    t -> t IN ({_SQL_STOPS}))) AS DOUBLE)
-                 AS n_stop,
-               CAST(len(list_distinct(string_split(text, ' ')))
-                 AS DOUBLE) AS n_dist
-        FROM documents
-      )
+      SELECT doc_id, ({_SQL_GOPHER_KEEP}) AS ok
+      FROM ({_SQL_GOPHER_BASE})
     ),
     rm AS (SELECT DISTINCT doc_b AS doc_id FROM cand_pairs),
     near_match AS (

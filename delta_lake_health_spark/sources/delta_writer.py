@@ -1391,8 +1391,15 @@ def set_column_default(
         )
     # screen the expression with string literals blanked out: the words
     # only matter as FUNCTION references, not inside quoted constants
-    # (r13 review: "concat('current_date: ', 'x')" is a pure constant)
-    if _NONDETERMINISTIC_FN.search(re.sub(r"'[^']*'", "''", expr)):
+    # (r13 review: "concat('current_date: ', 'x')" is a pure constant).
+    # The blanking is ESCAPE-aware — backslash escapes and doubled
+    # quotes pair like Spark's parser, in both quote styles — so a
+    # niladic can't hide behind a mis-paired 'literal' and an escaped
+    # apostrophe doesn't falsely refuse a constant.
+    _blanked = re.sub(
+        r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"", "''", expr
+    )
+    if _NONDETERMINISTIC_FN.search(_blanked):
         # a 'constant' default must evaluate to the SAME value on every
         # batch and on replay/rebuild; rand()/uuid()/current_timestamp()
         # pass a standalone SELECT but differ per evaluation — refuse

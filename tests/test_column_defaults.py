@@ -142,6 +142,16 @@ def test_nondeterministic_default_refused(spark, tmp_path):
     delta_writer.set_column_default(
         spark, path, "tag", "concat('current_date: ', 'now()')"
     )
+    # escape-aware blanking (r13 third-pass review): an escaped
+    # apostrophe inside a literal must not unbalance the pairing
+    delta_writer.set_column_default(
+        spark, path, "tag", r"'don\'t use now() here'"
+    )
+    # ...and a genuine niladic BETWEEN literals is still caught
+    with pytest.raises(ValueError, match="deterministic"):
+        delta_writer.set_column_default(
+            spark, path, "tag", "concat('a', current_date, 'b')"
+        )
     delta_writer.set_column_default(spark, path, "tag", "upper('ab')")
     field = next(
         f

@@ -309,3 +309,29 @@ def test_precomputed_bands_with_conflicting_duplicate_ids(spark, tmp_path):
         for r in band_rows(chosen).collect()
     }
     assert got == want  # exactly the chosen texts' bands, no mixing
+    # ...and through the UPSERT path too (r13 third-pass review: an
+    # early per-id collapse upstream had made the guard dead there)
+    batch = spark.createDataFrame(
+        [
+            (9, "aa bb cc dd ee"),
+            (9, "ww xx yy zz aa"),  # conflicting duplicate
+            (10, "pp qq rr ss tt"),
+        ],
+        "doc_id long, text string",
+    )
+    mi.upsert_minhash_index(spark, path, batch, bands=band_rows(batch))
+    stored9 = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in mi._band_scan(
+            spark, mi._log(spark, mi._data_path(path))
+        ).where("doc_id IN (9, 10)").collect()
+    }
+    chosen9 = spark.createDataFrame(
+        [(9, "ww xx yy zz aa"), (10, "pp qq rr ss tt")],
+        "doc_id long, text string",
+    )
+    want9 = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in band_rows(chosen9).collect()
+    }
+    assert stored9 == want9
