@@ -47,17 +47,30 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def hash_strings(values) -> np.ndarray:
     """Vectorized FNV-1a over UTF-8 bytes -> uint64 per string.
     Deterministic across processes/platforms (unlike Python's seeded
-    ``hash``)."""
-    out = np.full(len(values), np.uint64(0xCBF29CE484222325))
+    ``hash``).
+
+    One flat byte buffer + per-position fancy indexing: the byte loop
+    runs max-length times over numpy arrays only (the previous version
+    rebuilt two Python lists per byte position — quadratic Python-level
+    work that dominated the Bloom build/probe batches; optimization
+    guide §4.2). Bit-identical output (same fold, same constants),
+    pinned by the sketch/bloom determinism tests."""
+    n = len(values)
+    out = np.full(n, np.uint64(0xCBF29CE484222325))
     prime = np.uint64(0x100000001B3)
-    arrs = [np.frombuffer(s.encode("utf-8"), dtype=np.uint8) for s in values]
-    maxlen = max((len(a) for a in arrs), default=0)
+    if n == 0:
+        return out
+    bufs = [s.encode("utf-8") for s in values]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return out
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     for i in range(maxlen):
-        has = np.array([len(a) > i for a in arrs])
-        byte = np.array(
-            [a[i] if len(a) > i else 0 for a in arrs], dtype=np.uint64
-        )
-        out[has] = (out[has] ^ byte[has]) * prime
+        has = lens > i
+        byte = flat[starts[has] + i].astype(np.uint64)
+        out[has] = (out[has] ^ byte) * prime
     return out
 
 

@@ -141,15 +141,25 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-shingle digests kept as BINARY (4 x unhex(md5) = 64 bytes) rather
+# than the 128-hex-char concat: the digest array crosses the _signatures
+# materialization exchange, so its width is the pipeline's dominant
+# shuffle cost (guide §2.3, shuffle fewer bytes) — binary halves it.
+# Unsigned byte-wise comparison of the decoded digests is ORDER-IDENTICAL
+# to lexicographic comparison of the lowercase-hex originals (hex digit
+# order == nibble order), so every array_min picks the same element and
+# `lower(hex(...))` restores the exact hex window MINHASH has always
+# produced (and SQL_MINHASH still produces on the oracle side).
 DIGESTS_EXPR = """
   transform(shingles, sh ->
-    concat(md5(concat('0:', sh)), md5(concat('1:', sh)),
-           md5(concat('2:', sh)), md5(concat('3:', sh))))
+    concat(unhex(md5(concat('0:', sh))), unhex(md5(concat('1:', sh))),
+           unhex(md5(concat('2:', sh))), unhex(md5(concat('3:', sh)))))
 """
 
 MINHASH_EXPR = f"""
   transform(sequence(0, {N_HASHES - 1}),
-            s -> array_min(transform(digs, d -> substring(d, s * 8 + 1, 8))))
+            s -> lower(hex(array_min(
+                   transform(digs, d -> substring(d, s * 4 + 1, 4))))))
 """
 
 
@@ -197,8 +207,16 @@ def _signatures(docs: DataFrame) -> DataFrame:
       (interpreted lambdas get no codegen subexpression elimination).
       Everything referenced repeatedly ABOVE the barrier is cheap
       substring/min math; the one md5 pass happens exactly once below it.
-      Cost: one shuffle of |docs| digest rows, which the band groupBy
-      needs shuffled anyway. ~3x faster end-to-end at sf0.1;
+      ~3x faster end-to-end at sf0.1 than no barrier. r13 (guide §2.3,
+      shuffle fewer bytes): the digests now cross that exchange as
+      BINARY (64 B/shingle vs the 128-hex-char strings — see
+      DIGESTS_EXPR), halving the pipeline's dominant shuffle; measured
+      1.67->1.47s on the signature pass at sf0.1 (min-of-3 noop-sink,
+      interleaved), signatures bit-identical. A fold formulation that
+      moved the signature below the barrier entirely (16x8-char rows on
+      the exchange) was ALSO tried and rejected: interpreted
+      aggregate/zip_with per-element allocation cost 2.5x the barrier
+      it saved (3.18s vs 1.23s on the same pass);
     - nested higher-order fns over an explode+groupBy(min) reshape: min
       over md5 strings degenerates to SortAggregate plus a
       |shingles|-row shuffle — ~7x slower than the narrow pass.
