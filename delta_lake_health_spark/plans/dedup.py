@@ -275,7 +275,14 @@ def band_rows(docs: DataFrame) -> DataFrame:
     signature→bands stage of X3 and the persisted X17 index
     (operators/minhash_index.py), extracted so the two can never
     diverge on the hash family or band layout."""
-    sigs = _signatures(docs)
+    return bands_from_sigs(_signatures(docs))
+
+
+def bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """band_rows' banding stage over an existing (doc_id, sig) frame —
+    split out (r13) so consumers that need BOTH the signatures and the
+    bands (X14 calibration) can materialize the signature pass once
+    instead of paying it per derivation."""
     band_structs = F.array(
         *[
             F.struct(
@@ -298,16 +305,24 @@ def band_rows(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_key")
 
 
+def candidate_pairs_unordered(bands: DataFrame) -> DataFrame:
+    """X3's candidate-pair stage WITHOUT the presentation sort — the
+    form graph consumers (clusters, pagerank) build edges from, where
+    the global orderBy would be a wasted range-exchange + sort (guide
+    §2.4: an orderBy used only to make output deterministic)."""
+    pairs = _posting_pairs(
+        bands, ["band_idx", "band_key"], "doc_id", "doc_a", "doc_b"
+    )
+    return pairs.distinct()
+
+
 def candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
     """Distinct candidate pairs from band rows — X3's bucket-join stage,
     shared with the persisted index's serve path. Buckets are dup
     clusters, so the in-bucket pair expansion is bounded (k docs ->
     k^2/2 pairs — inherent to LSH output, capped by cluster size not
     corpus, and hard-bounded at BUCKET_CAP by _posting_pairs)."""
-    pairs = _posting_pairs(
-        bands, ["band_idx", "band_key"], "doc_id", "doc_a", "doc_b"
-    )
-    return pairs.distinct().orderBy("doc_a", "doc_b")
+    return candidate_pairs_unordered(bands).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -811,11 +826,16 @@ def propagate_min_labels(edges: DataFrame) -> DataFrame:
     probe: an old-vs-new join that stops at the first changed row."""
     from pyspark.sql.types import NumericType
 
+    # eager=False throughout this loop (r13): every round ends in an
+    # ACTION anyway (the label-sum collect / changed-row count), so the
+    # lazy checkpoint materializes inside that same job — the eager form
+    # paid one extra no-op job per round just to persist, plus one here
+    # for the init labels. Lineage truncation is identical either way.
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     numeric_ids = isinstance(labels.schema["cluster"].dataType, NumericType)
 
@@ -843,7 +863,7 @@ def propagate_min_labels(edges: DataFrame) -> DataFrame:
             labels.unionByName(neighbor_min)
             .groupBy("doc_id")
             .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if numeric_ids:
             new_sum = _label_sum(labels)
@@ -885,12 +905,20 @@ def propagate_min_labels(edges: DataFrame) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # checkpoint the PAIRS, not the union: the union's two branches each
+    # re-ran the candidate pipeline when the barrier sat above them, and
+    # the registry query's presentation orderBy is dead weight here
+    # (r13, guide §2.4). A/B at sf0.1: 2.37 -> 1.79s.
+    pairs = (
+        candidate_pairs_unordered(band_rows(load(spark, sf_dir, "documents")))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint()  # pairs pipeline runs once; iterations reuse it
+    )  # iterations reuse the checkpointed pairs
     labels = propagate_min_labels(edges)
     # cluster sizes via groupBy + broadcast join, not a window: one giant
     # duplicate cluster would otherwise land whole on a single partition
@@ -1644,19 +1672,36 @@ def _pagerank_oracle() -> str:
 
 @query("dedup_graph_pagerank", _pagerank_oracle())
 def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE materialization of the candidate pipeline, unordered (r13,
+    # guide §2.4): every reference to un-checkpointed pairs re-ran the
+    # whole signature+band pipeline (the union's two branches, then the
+    # wedges join and the nodes checkpoint — 4 runs total), and the
+    # registry query's presentation orderBy added a range exchange no
+    # graph consumer needs. Checkpoint the pairs ONCE; everything else
+    # derives from that tiny edge list. A/B at sf0.1: 4.10 -> 1.76s.
+    pairs = (
+        candidate_pairs_unordered(band_rows(load(spark, sf_dir, "documents")))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
     ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # per-edge degree attached ONCE — iterations only re-join ranks; the
     # contribution is computed as r / deg (NOT r * (1/deg)) so the ulp
     # rounding matches the DuckDB oracle's division exactly — a
     # reciprocal-multiply can flip the 6-dp per-round rounding
+    # wedges/nodes/per-round ranks are checkpointed LAZILY (r13): they
+    # all derive from the one eagerly-materialized pairs table, so the
+    # final collect executes the whole 5-round chain as one job instead
+    # of paying an extra materialization job per checkpoint (7 jobs -> 1).
     wedges = edges.join(deg, "s").select(
         "s", "d", F.col("deg").cast("double").alias("deg")
-    ).localCheckpoint()
-    nodes = deg.select(F.col("s").alias("doc_id")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    nodes = deg.select(F.col("s").alias("doc_id")).localCheckpoint(eager=False)
     ranks = nodes.select("doc_id", F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
         contribs = (
@@ -1675,10 +1720,8 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("r"),
             )
-            # lineage truncation per round; measured neutral at sf0.1
-            # (5.6s with vs 5.9s without — the minhash candidate
-            # pipeline dominates), kept for bounded recovery scope
-            .localCheckpoint()
+            # lineage truncation per round, lazy (see wedges note)
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.select("doc_id", F.col("r").alias("pagerank"))
@@ -1741,8 +1784,15 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sigs = _signatures(docs)
+    # ONE signature pass (r13): the pair generation, the sig_a side and
+    # the sig_b side all read the same materialized (doc_id, sig) rows —
+    # previously each derivation re-ran the shingle+md5 pipeline. The
+    # presentation orderBy of the registry pairs query is dropped too
+    # (guide §2.4); the estimate join doesn't care about pair order.
+    sigs = _signatures(docs).localCheckpoint()
+    pairs = candidate_pairs_unordered(bands_from_sigs(sigs)).select(
+        "doc_a", "doc_b"
+    )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
