@@ -85,7 +85,12 @@ def mmr_rerank(
             F.col("score").alias("mmr_score"),
         )
     )
-    sel = first.localCheckpoint()
+    # lazy checkpoints (r13): no action fires until the caller consumes
+    # the final selection, so the whole k-round chain executes as ONE
+    # job instead of k eager materialization jobs; per-round lineage is
+    # still truncated, and concurrent consumers of a round's output
+    # serialize on the block-manager lock (no duplicate compute).
+    sel = first.localCheckpoint(eager=False)
     for r in range(2, k + 1):
         ms = (
             pairwise.join(
@@ -117,7 +122,7 @@ def mmr_rerank(
                 F.col("score").alias("mmr_score"),
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.orderBy("q_id", "mmr_rank")
 
 

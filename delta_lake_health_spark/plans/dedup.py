@@ -1480,8 +1480,9 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
-        # consumed by the filter build AND the exact verify — one pass
-        .localCheckpoint()
+        # consumed by the filter build AND the exact verify — one pass,
+        # materialized lazily by the build's collect (r13)
+        .localCheckpoint(eager=False)
     )
     corpus = shingles.where(F.col("doc_id") % 4 < 3).select("h")
     batch = shingles.where(F.col("doc_id") % 4 == 3)

@@ -225,7 +225,11 @@ def _kmeans_centroids(
                 ).alias("cent")
             )
             # tiny table: materialize per round so the next round's plan
-            # doesn't replay every previous round
+            # doesn't replay every previous round; kept EAGER (r13
+            # measured the lazy form ~0.3s slower on ann_ivf_topk:
+            # assign and qprobe each broadcast the final centroids, and
+            # the two broadcast builds then race through the un-
+            # materialized Lloyd chain inside the timed job)
             .localCheckpoint()
         )
     return cents
@@ -1508,9 +1512,12 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("srn", F.row_number().over(sw))
         .where(F.col("srn") <= _MMR_M)
         .select("q_id", "vec_id", "rel")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    pw = pairwise_sims(sl, emb).localCheckpoint()
+    # lazy like the rounds (see operators/rerank.mmr_rerank): the final
+    # consumer materializes shortlist + pairwise sims + all k rounds in
+    # one job instead of three eager jobs plus the rounds
+    pw = pairwise_sims(sl, emb).localCheckpoint(eager=False)
     return mmr_rerank(sl, pw, _MMR_LAMBDA, _MMR_K)
 
 

@@ -2113,7 +2113,9 @@ def text_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f2"),
         F.round(n_stop.cast("double") / n_tok, 6).alias("f3"),
-    ).localCheckpoint()  # one materialization; 3 passes re-read it
+    ).localCheckpoint(eager=False)  # materialized by the first gradient
+    # collect; every later pass re-reads the persisted rows (lazy saves
+    # the standalone materialization job, r13)
 
     w = [0.0, 0.0, 0.0, 0.0]
     fcols = ["f0", "f1", "f2", "f3"]
