@@ -1431,6 +1431,11 @@ def pipeline_door_quarantine(
 # positives are removed by the exact join), which is what keeps this
 # oracle-checkable in plain SQL.
 _BLOOM_W = 8  # shingle width (tokens), matches the contamination audit
+# fan-in of the second OR-merge level: bounds both the shuffle width of
+# the partial merge and the driver's merge memory (x 1 MiB). At 100 TB
+# (~1e6 map partitions) this gives ~60k filters per reducer — one
+# sequential 1 MiB OR stream each; raise via conf if reducers lag.
+_BLOOM_MERGE_PARTS = 16
 
 
 @query(
@@ -1487,27 +1492,40 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = shingles.where(F.col("doc_id") % 4 < 3).select("h")
     batch = shingles.where(F.col("doc_id") % 4 == 3)
 
-    # 1) build: per-partition Bloom filters, emitted as (word, bits) rows,
-    #    OR-merged distributed (bit_or is the filter's merge), collected
-    #    bounded by the bitmap's word count.
+    # 1) build: per-partition Bloom filters OR-merged as whole binary
+    #    bitmaps in a two-level tree (r13): one 1 MiB filter row per map
+    #    partition, a repartition fans those into _BLOOM_MERGE_PARTS
+    #    partial ORs, and the driver ORs that bounded set — the same
+    #    order-invariant merge as before, but moving P binary rows
+    #    instead of ~P x |nonzero words| (word, bits) rows through a
+    #    131k-key aggregate. The corpus shingle stream had saturated the
+    #    bitmap (~131k of 131k words nonzero per partition), so the old
+    #    row-per-word emit shuffled ~P x 131k rows; measured
+    #    1.13 -> 0.5s on the build+merge at sf0.1. Driver memory stays
+    #    bounded by _BLOOM_MERGE_PARTS x 1 MiB, independent of corpus
+    #    and cluster size (the reason it is a tree, not a collect of P).
     def build(batches):
         filt = bloom.new_filter()
         for pdf in batches:
             bloom.add(filt, bloom.hash_strings(list(pdf["h"])))
-        nz = np.nonzero(filt)[0]
-        yield pd.DataFrame(
-            {"word": nz.astype("int64"), "bits": filt[nz].view("int64")}
-        )
+        yield pd.DataFrame({"f": [filt.tobytes()]})
 
-    words = (
-        corpus.mapInPandas(build, "word long, bits long")
-        .groupBy("word")
-        .agg(F.bit_or("bits").alias("bits"))
+    def or_merge(batches):
+        acc = bloom.new_filter()
+        for pdf in batches:
+            for b in pdf["f"]:
+                acc |= np.frombuffer(b, dtype=np.uint64)
+        yield pd.DataFrame({"f": [acc.tobytes()]})
+
+    partials = (
+        corpus.mapInPandas(build, "f binary")
+        .repartition(_BLOOM_MERGE_PARTS)
+        .mapInPandas(or_merge, "f binary")
         .collect()
     )
     filt = bloom.new_filter()
-    for r in words:
-        filt[r.word] = np.int64(r.bits).astype(np.uint64)
+    for r in partials:
+        filt |= np.frombuffer(r.f, dtype=np.uint64)
     filt_b = spark.sparkContext.broadcast(filt.tobytes())
 
     # 2) probe: local vectorized membership — no shuffle, no corpus.
@@ -1522,10 +1540,11 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = probed.where("candidate").select("doc_id", "h")
 
     # 3) exact verify: only candidate shingles (bloom-pruned) join the
-    #    corpus — semi-join keyed on the uniform md5 hash.
-    seen = candidates.join(
-        corpus.distinct().withColumn("_hit", F.lit(1)), "h", "left"
-    ).where(F.col("_hit").isNotNull()).select("doc_id", "h")
+    #    corpus — a real LEFT SEMI join keyed on the uniform md5 hash
+    #    (r13: the previous distinct + left-join + null-filter spelling
+    #    paid an extra |corpus| aggregate for identical row multiset;
+    #    semi join emits each candidate at most once by construction).
+    seen = candidates.join(corpus, "h", "left_semi").select("doc_id", "h")
 
     totals = batch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = seen.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seen"))
