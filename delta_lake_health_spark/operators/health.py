@@ -261,7 +261,7 @@ class HealthAnalyzer:
         # --- live-file stats (log-only) ----------------------------------
         active = log.active_files().cache()
         try:
-            stats_row = active.agg(
+            stats_agg = active.agg(
                 F.count(F.lit(1)).alias("n_files"),
                 F.sum("size").alias("total_size"),
                 F.avg("size").alias("avg_size"),
@@ -274,7 +274,52 @@ class HealthAnalyzer:
                         F.col("size") < int(small_file_size_mb * 1024 * 1024), 1
                     ).otherwise(0)
                 ).alias("small_files"),
-            ).collect()[0]
+            )
+
+            # folder listing: orphan files + folder size (distributed).
+            # One job: the count/size/orphan aggregates share a single
+            # walk (the listing is an RDD; a separate anti-join count
+            # would re-run it).
+            folder = _list_folder_files(self.spark, table_path)
+            live_paths = active.select(
+                F.col("path").alias("rel_path"), F.lit(1).alias("_live")
+            )
+            folder_agg = folder.join(
+                F.broadcast(live_paths), "rel_path", "left"
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("size").alias("total"),
+                F.sum(
+                    F.when(F.col("_live").isNull(), 1).otherwise(0)
+                ).alias("orphans"),
+            )
+
+            def run_skew():
+                partition_cols = log.partition_columns()
+                if not partition_cols:
+                    return None
+                return skew_ops.skew_metrics(
+                    log.snapshot(), partition_cols, skew_threshold,
+                    collect_partitions,
+                )
+
+            # The three metric families are independent jobs over the
+            # already-cached actions; overlap them from a small thread
+            # pool so the folder walk and the skew snapshot scan back-
+            # fill executors the stats aggregate leaves idle (guide
+            # §2.6). The actions cache was primed by the history
+            # aggregate above; concurrent readers of cached blocks
+            # dedupe on the block-manager lock.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_stats = pool.submit(lambda: stats_agg.collect()[0])
+                f_folder = pool.submit(lambda: folder_agg.collect()[0])
+                f_skew = pool.submit(run_skew)
+                stats_row = f_stats.result()
+                folder_row = f_folder.result()
+                skew_result = f_skew.result()
+
             m.data_file_count = int(stats_row.n_files or 0)
             m.table_size_bytes = int(stats_row.total_size or 0)
             m.avg_file_size_bytes = int(stats_row.avg_size or 0)
@@ -306,25 +351,6 @@ class HealthAnalyzer:
             )
             m.is_compacted = not m.needs_optimize
 
-            # --- folder listing: orphan files + folder size (distributed).
-            # One job: the count/size/orphan aggregates share a single
-            # walk (the listing is an RDD; a separate anti-join count
-            # would re-run it).
-            folder = _list_folder_files(self.spark, table_path)
-            live_paths = active.select(
-                F.col("path").alias("rel_path"), F.lit(1).alias("_live")
-            )
-            folder_row = (
-                folder.join(F.broadcast(live_paths), "rel_path", "left")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("size").alias("total"),
-                    F.sum(
-                        F.when(F.col("_live").isNull(), 1).otherwise(0)
-                    ).alias("orphans"),
-                )
-                .collect()[0]
-            )
             m.total_file_count = int(folder_row.n or 0)
             m.folder_size_bytes = int(folder_row.total or 0)
             m.orphan_files_count = int(folder_row.orphans or 0)
@@ -347,13 +373,10 @@ class HealthAnalyzer:
                 1.0, m.avg_file_size_bytes / (128 * 1024 * 1024)
             )
 
-        # --- skewness on the snapshot (one shuffle) ----------------------
-        partition_cols = log.partition_columns()
-        if partition_cols:
-            snap = log.snapshot()
-            m.skew_metrics = skew_ops.skew_metrics(
-                snap, partition_cols, skew_threshold, collect_partitions
-            )
+        # --- skewness on the snapshot (one shuffle; computed in the
+        # overlapped pool above) ------------------------------------------
+        if skew_result is not None:
+            m.skew_metrics = skew_result
             m.skewness_max = m.skew_metrics["skewness_max"]
             m.skewness_average = m.skew_metrics["skewness_average"]
             m.is_skewed = m.skew_metrics["is_skewed"]
