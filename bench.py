@@ -304,6 +304,10 @@ def main() -> None:
     # it can never crowd the per-query timings out of the driver's
     # 2,000-char tail capture (r13: a 36-name list did exactly that)
     drift_regressed = (drift or {}).get("regressed") or []
+    # r14 (VERDICT r13 #9): keep the count consistent with the CAPPED
+    # list the headline actually prints — the full set stays in the
+    # stderr DETAIL block; `n_regressed_total` carries the uncapped
+    # count under an honest name
     headline = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -315,7 +319,7 @@ def main() -> None:
         },
         "superlinear": (sweep or {}).get("superlinear"),
         "regressed": drift_regressed[:10],
-        "n_regressed": len(drift_regressed),
+        "n_regressed_total": len(drift_regressed),
         "prev_round": (drift or {}).get("prev_round"),
         "sf": sf_val,
     }

@@ -45,7 +45,9 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_strings(values) -> np.ndarray:
-    """Vectorized FNV-1a over UTF-8 bytes -> uint64 per string.
+    """Vectorized FNV-1a over UTF-8 bytes -> uint64 per string (r14:
+    ``bytes`` values are folded as-is — binary md5 digests hash in half
+    the loop iterations of their 32-char hex rendering).
     Deterministic across processes/platforms (unlike Python's seeded
     ``hash``).
 
@@ -60,7 +62,7 @@ def hash_strings(values) -> np.ndarray:
     prime = np.uint64(0x100000001B3)
     if n == 0:
         return out
-    bufs = [s.encode("utf-8") for s in values]
+    bufs = [s if isinstance(s, bytes) else s.encode("utf-8") for s in values]
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
     maxlen = int(lens.max()) if n else 0
     if maxlen == 0:

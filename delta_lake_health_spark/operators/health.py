@@ -312,13 +312,22 @@ class HealthAnalyzer:
             # dedupe on the block-manager lock.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            # fail-fast (ADVICE r13): if one pooled action raises, don't
+            # block the with-exit on the still-running siblings —
+            # cancel_futures drops queued work and wait=False lets the
+            # error propagate immediately (an in-flight Spark job may
+            # finish in the background; correctness is unaffected, and
+            # the unpersist below only disables recompute-from-cache)
+            pool = ThreadPoolExecutor(max_workers=3)
+            try:
                 f_stats = pool.submit(lambda: stats_agg.collect()[0])
                 f_folder = pool.submit(lambda: folder_agg.collect()[0])
                 f_skew = pool.submit(run_skew)
                 stats_row = f_stats.result()
                 folder_row = f_folder.result()
                 skew_result = f_skew.result()
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
 
             m.data_file_count = int(stats_row.n_files or 0)
             m.table_size_bytes = int(stats_row.total_size or 0)

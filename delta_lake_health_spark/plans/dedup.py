@@ -550,6 +550,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _PROBE_TEXT_EXPR.format(mod2=2 * _PROBE_MOD)
             ).alias("text"),
         )
+        # the verify path references the probe batch three times (band
+        # rows, probe shingles, final left join) — each was a full
+        # documents scan; one lazy checkpoint = one scan (r14, batch-
+        # bounded rows so the materialization is |docs|/97, never the
+        # corpus)
+        .localCheckpoint(eager=False)
     )
     return mi.verified_probe(
         spark, path, probes, docs.select("doc_id", "text")
@@ -674,6 +680,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shingles", F.expr(SHINGLES_EXPR))
         .select("doc_id", "source", F.explode_outer("shingles").alias("shingle"))
         .distinct()
+        # THREE consumers (posting pairs + the sa/sb size sides): the
+        # before-plan showed three full scan+explode+distinct subtrees
+        # with no exchange reuse — one lazy checkpoint makes the
+        # tokenize/distinct pass run once (r14, guide §2.4/§5)
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Shared-shingle counts WITHOUT a self-join (a self-join of the exploded
@@ -883,6 +894,28 @@ def propagate_min_labels(edges: DataFrame) -> DataFrame:
     return labels
 
 
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster) labels of the LSH candidate graph — X7 WITHOUT
+    the presentation sizes-join/orderBy, for consumers that only need
+    the labels (the corpus-build census and keep-corpus derive their
+    removed set from it; r14, guide §2.4 — same split as r13's
+    candidate_pairs_unordered)."""
+    # checkpoint the PAIRS, not the union: the union's two branches each
+    # re-ran the candidate pipeline when the barrier sat above them
+    # (r13, guide §2.4). A/B at sf0.1: 2.37 -> 1.79s.
+    pairs = (
+        candidate_pairs_unordered(band_rows(load(spark, sf_dir, "documents")))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )  # iterations reuse the checkpointed pairs
+    return propagate_min_labels(edges)
+
+
 @query(
     "dedup_clusters",
     f"""
@@ -905,21 +938,7 @@ def propagate_min_labels(edges: DataFrame) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # checkpoint the PAIRS, not the union: the union's two branches each
-    # re-ran the candidate pipeline when the barrier sat above them, and
-    # the registry query's presentation orderBy is dead weight here
-    # (r13, guide §2.4). A/B at sf0.1: 2.37 -> 1.79s.
-    pairs = (
-        candidate_pairs_unordered(band_rows(load(spark, sf_dir, "documents")))
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    )  # iterations reuse the checkpointed pairs
-    labels = propagate_min_labels(edges)
+    labels = cluster_labels(spark, sf_dir)
     # cluster sizes via groupBy + broadcast join, not a window: one giant
     # duplicate cluster would otherwise land whole on a single partition
     # (labels is already localCheckpointed, so no recompute)
@@ -983,10 +1002,15 @@ def dedup_shingle_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            # BINARY digest key (r14, guide §2.3 — the r13 minhash
+            # treatment): 16 bytes instead of the 32-char hex string on
+            # the distinct shuffle, the checkpoint, the count shuffle,
+            # and the join back; unhex(md5) is bijective with the hex
+            # string so every grouping/join is unchanged
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {SHINGLE_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i, {SHINGLE_W}))))"
+                    f" i -> unhex(md5(concat_ws(' ', slice(toks, i, {SHINGLE_W})))))"
                 )
             ).alias("h"),
         )
@@ -1049,12 +1073,9 @@ def dedup_shingle_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    labels = dedup_clusters(spark, sf_dir)
-    removed = (
-        labels.where(F.col("doc_id") != F.col("cluster"))
-        .select("doc_id")
-        .withColumn("_rm", F.lit(1))
-    )
+    # labels only — X7's presentation sizes-join/orderBy is dead weight
+    # for the removal-set derivation (r14, guide §2.4)
+    removed = _removed_docs(spark, sf_dir)
     return (
         docs.join(F.broadcast(removed), "doc_id", "left")
         .groupBy("source")
@@ -1145,7 +1166,7 @@ _SQL_GOPHER_KEEP = (
 )
 def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        curated_documents(spark, sf_dir)
+        curated_documents(spark, sf_dir, payload=False)
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1155,20 +1176,39 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The kept documents of the corpus pipeline — Gopher-pass,
-    cluster-dedup keep, content-hash split — with full payload columns.
-    The ONE definition of "curated" shared by the oracle-checked
-    ``pipeline_corpus_build`` census and the Delta-landing job
-    (``demos.curate_corpus_to_delta``), so threshold or split-fraction
-    changes can never diverge silently between the two."""
-    docs = load(spark, sf_dir, "documents")
-    labels = dedup_clusters(spark, sf_dir)
-    removed = (
+def _removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-dedup removal set (every doc that is not its
+    component's min) — |docs in clusters| - |clusters| rows, tiny
+    relative to the corpus, derived from ``cluster_labels`` so the
+    decision is always consistent with ``dedup_clusters``."""
+    labels = cluster_labels(spark, sf_dir)
+    return (
         labels.where(F.col("doc_id") != F.col("cluster"))
         .select("doc_id")
         .withColumn("_rm", F.lit(1))
     )
+
+
+def curated_documents(
+    spark: SparkSession, sf_dir: str, *, payload: bool = True
+) -> DataFrame:
+    """The kept documents of the corpus pipeline — Gopher-pass,
+    cluster-dedup keep, content-hash split. The ONE definition of
+    "curated" shared by the oracle-checked ``pipeline_corpus_build``
+    census and the Delta-landing job (``demos.curate_corpus_to_delta``),
+    so threshold or split-fraction changes can never diverge silently
+    between the two.
+
+    ``payload=True`` (the landing job) carries the full payload columns
+    lazily. ``payload=False`` (the census) projects only
+    (doc_id, lang, n_chars, split) and OVERLAPS the Gopher pass with the
+    independent dedup-cluster pipeline (r14, VERDICT r13 #1, guide
+    §2.6): the narrow kept-set is eager-checkpointed from a driver
+    thread while the cluster labels compute, so the census pays
+    max(gopher, dedup) wall instead of their sum. The checkpoint is
+    narrow BY the projection (no text), so the materialization is a few
+    columns per kept doc, never the corpus payload (guide §5)."""
+    docs = load(spark, sf_dir, "documents")
     flags = gopher_flags(docs, "doc_id", "lang", "source", "n_chars", "text")
     keep = (
         F.col("ok_word_count")
@@ -1181,12 +1221,28 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(_spark_bucket256() < 230, "val")
         .otherwise("test")
     )
+    cols = (
+        ["doc_id", "text", "lang", "source", "n_chars"]
+        if payload
+        else ["doc_id", "lang", "n_chars"]
+    )
+    kept = flags.where(keep).select(*cols, split.alias("split"))
+    if payload:
+        removed = _removed_docs(spark, sf_dir)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(kept.localCheckpoint)  # runs during the dedup jobs
+        try:
+            removed = _removed_docs(spark, sf_dir)
+            kept = fut.result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
     return (
-        flags.where(keep)
-        .join(F.broadcast(removed), "doc_id", "left")
+        kept.join(F.broadcast(removed), "doc_id", "left")
         .where(F.col("_rm").isNull())
-        .select("doc_id", "text", "lang", "source", "n_chars",
-                split.alias("split"))
+        .select(*cols, "split")
     )
 
 
@@ -1431,11 +1487,28 @@ def pipeline_door_quarantine(
 # positives are removed by the exact join), which is what keeps this
 # oracle-checkable in plain SQL.
 _BLOOM_W = 8  # shingle width (tokens), matches the contamination audit
-# fan-in of the second OR-merge level: bounds both the shuffle width of
-# the partial merge and the driver's merge memory (x 1 MiB). At 100 TB
-# (~1e6 map partitions) this gives ~60k filters per reducer — one
-# sequential 1 MiB OR stream each; raise via conf if reducers lag.
+# floor for the fan-in of the partial OR-merge level (see
+# _bloom_merge_parts): bounds the driver's merge memory (x 1 MiB)
 _BLOOM_MERGE_PARTS = 16
+
+
+def _bloom_merge_parts(spark) -> int:
+    """Reducer count for the partial OR-merge level of the Bloom build
+    (r14, VERDICT r13 #7 + ADVICE r13: the promised conf now exists).
+    The build emits ONE 1 MiB bitmap per partition of the shuffled
+    shingle frame, so the merge's input width tracks
+    ``spark.sql.shuffle.partitions`` — a fixed 16-way fan-in meant each
+    reducer streamed P/16 bitmaps (~60 GB at a 1e6-partition corpus).
+    Default ``max(16, shuffle_partitions // 4096)`` bounds every
+    reducer's stream at ~4 GiB of bitmaps and keeps the driver's final
+    OR at parts x 1 MiB (244 MiB at 1e6 partitions). Override with
+    ``spark.delta_lake_health.bloom.mergeParts``. Locally (32 shuffle
+    partitions) the default stays 16 — bench numbers stay comparable."""
+    override = spark.conf.get("spark.delta_lake_health.bloom.mergeParts", None)
+    if override:
+        return max(1, int(override))
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(_BLOOM_MERGE_PARTS, sp // 4096)
 
 
 @query(
@@ -1477,10 +1550,17 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", t.alias("toks"))
         .select(
             "doc_id",
+            # BINARY digest key (r14, guide §2.3): 16 bytes instead of
+            # the 32-char hex string through the distinct shuffle, the
+            # checkpoint, and the verify join — and the Python-side FNV
+            # fold (bloom.hash_strings) runs half the byte positions.
+            # The Bloom filter is prefilter-only (exact verify removes
+            # false positives), so the changed bit pattern cannot change
+            # any result
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {_BLOOM_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i, {_BLOOM_W}))))"
+                    f" i -> unhex(md5(concat_ws(' ', slice(toks, i, {_BLOOM_W})))))"
                 )
             ).alias("h"),
         )
@@ -1494,15 +1574,16 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 1) build: per-partition Bloom filters OR-merged as whole binary
     #    bitmaps in a two-level tree (r13): one 1 MiB filter row per map
-    #    partition, a repartition fans those into _BLOOM_MERGE_PARTS
-    #    partial ORs, and the driver ORs that bounded set — the same
+    #    partition, a repartition fans those into _bloom_merge_parts
+    #    partial ORs (scale-adaptive + conf, r14), and the driver ORs
+    #    that bounded set — the same
     #    order-invariant merge as before, but moving P binary rows
     #    instead of ~P x |nonzero words| (word, bits) rows through a
     #    131k-key aggregate. The corpus shingle stream had saturated the
     #    bitmap (~131k of 131k words nonzero per partition), so the old
     #    row-per-word emit shuffled ~P x 131k rows; measured
     #    1.13 -> 0.5s on the build+merge at sf0.1. Driver memory stays
-    #    bounded by _BLOOM_MERGE_PARTS x 1 MiB, independent of corpus
+    #    bounded by _bloom_merge_parts x 1 MiB, independent of corpus
     #    and cluster size (the reason it is a tree, not a collect of P).
     def build(batches):
         filt = bloom.new_filter()
@@ -1519,7 +1600,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = (
         corpus.mapInPandas(build, "f binary")
-        .repartition(_BLOOM_MERGE_PARTS)
+        .repartition(_bloom_merge_parts(spark))
         .mapInPandas(or_merge, "f binary")
         .collect()
     )
@@ -1536,7 +1617,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pdf.assign(candidate=hit)
             yield out
 
-    probed = batch.mapInPandas(probe, "doc_id long, h string, candidate boolean")
+    probed = batch.mapInPandas(probe, "doc_id long, h binary, candidate boolean")
     candidates = probed.where("candidate").select("doc_id", "h")
 
     # 3) exact verify: only candidate shingles (bloom-pruned) join the
@@ -1607,10 +1688,12 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", t.alias("toks"))
         .select(
             "source",
+            # BINARY digest key (r14, guide §2.3) — see
+            # dedup_shingle_duplication
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {_BLOOM_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i, {_BLOOM_W}))))"
+                    f" i -> unhex(md5(concat_ws(' ', slice(toks, i, {_BLOOM_W})))))"
                 )
             ).alias("h"),
         )

@@ -1493,7 +1493,7 @@ def _mmr_oracle_sql() -> str:
 @query("ann_mmr_rerank", _mmr_oracle_sql())
 def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_health_spark.operators.rerank import (
-        mmr_rerank,
+        mmr_select_local,
         pairwise_sims,
     )
 
@@ -1514,11 +1514,14 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "rel")
         .localCheckpoint(eager=False)
     )
-    # lazy like the rounds (see operators/rerank.mmr_rerank): the final
-    # consumer materializes shortlist + pairwise sims + all k rounds in
-    # one job instead of three eager jobs plus the rounds
-    pw = pairwise_sims(sl, emb).localCheckpoint(eager=False)
-    return mmr_rerank(sl, pw, _MMR_LAMBDA, _MMR_K)
+    # r14 (VERDICT r13 #5): the k greedy rounds run DRIVER-side over the
+    # collected shortlist/pairwise rows (constant-bounded at
+    # |Q| x M^2 = 8 x 240 rows — see operators/rerank.mmr_select_local);
+    # the corpus-scale retrieval above stays in Spark. The distributed
+    # k-round form (operators/rerank.mmr_rerank) remains available for
+    # callers whose shortlist bound is not a constant.
+    pw = pairwise_sims(sl, emb)
+    return mmr_select_local(spark, sl, pw, _MMR_LAMBDA, _MMR_K)
 
 
 # --------------------------------------------------------------------------

@@ -607,13 +607,20 @@ def text_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # project the token array ONCE; split(text) inside the lambda
         # would re-split the document per shingle
         .select("source", split.alias("split"), t.alias("toks"))
+        # only the train and test sides are ever consumed — drop the
+        # val docs BEFORE the shingle explode and the distinct shuffle
+        # (r14; ~10% of rows at the 204/230/256 split boundaries)
+        .where(F.col("split") != "val")
         .select(
             "source",
             "split",
+            # BINARY digest key (r14, guide §2.3): 16-byte unhex(md5)
+            # through the distinct shuffle, the checkpoint, and the
+            # contamination join — bijective, groupings unchanged
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {_CONTAM_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i, {_CONTAM_W}))))"
+                    f" i -> unhex(md5(concat_ws(' ', slice(toks, i, {_CONTAM_W})))))"
                 )
             ).alias("h"),
         )
@@ -1289,10 +1296,14 @@ def text_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            # BINARY digest key (r14, guide §2.3): 16-byte unhex(md5)
+            # instead of the hex string across the checkpoint, the
+            # dup-census shuffle, and the join back — bijective, so
+            # every grouping/join is unchanged
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_W}))))"
+                    f" i -> unhex(md5(concat_ws(' ', slice(toks, i, {_SPAN_W})))))"
                 )
             ).alias("p", "h"),
         )
@@ -1416,10 +1427,12 @@ def text_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.size("toks") >= _SPAN_W)
         .select(
             "doc_id",
+            # BINARY digest key (r14, guide §2.3) — see
+            # text_repeated_ngram_spans
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_W}))))"
+                    f" i -> unhex(md5(concat_ws(' ', slice(toks, i, {_SPAN_W})))))"
                 )
             ).alias("p", "h"),
         )
@@ -2651,10 +2664,17 @@ def _chunk_frames(docs: DataFrame) -> DataFrame:
     """,
 )
 def text_chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _chunk_bm25_rank(spark, _chunk_frames(docs))
+
+
+def _chunk_bm25_rank(spark: SparkSession, chunks: DataFrame) -> DataFrame:
+    """T37's ranking from an existing (doc_id, chunk_idx, ctoks) frame —
+    split out (r14) so the T38 hybrid can share ONE materialized chunk
+    table between its two arms instead of re-tokenizing the corpus per
+    arm."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")
-    chunks = _chunk_frames(docs)
     cdl = chunks.select(
         "doc_id", "chunk_idx", F.size("ctoks").cast("long").alias("dlen")
     )
@@ -2752,13 +2772,17 @@ _DIM_EXPR = "instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1"
 
 
 def _chunk_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _chunk_dense_rank(spark, _chunk_frames(docs))
+
+
+def _chunk_dense_rank(spark: SparkSession, chunks: DataFrame) -> DataFrame:
     """The dense arm: exact cosine between the hashed-BoW chunk vectors
     and the (constant) hashed query vector, best chunk per doc, global
-    top-k — S1's exact-cosine shape at chunk granularity."""
+    top-k — S1's exact-cosine shape at chunk granularity. Takes the
+    chunk frame so the hybrid can share it (r14)."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")
-    chunks = _chunk_frames(docs)
     dims = (
         chunks.select(
             "doc_id", "chunk_idx", F.explode("ctoks").alias("w")
@@ -2811,10 +2835,19 @@ def _chunk_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_chunk_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    lex = QUERIES["text_chunk_bm25_topk"](spark, sf_dir).select(
+    # ONE chunk tokenization shared by both arms (r14, VERDICT r13 #4):
+    # each arm used to rebuild _chunk_frames from the raw corpus — two
+    # full split+explode passes for identical rows. The lazy checkpoint
+    # materializes inside the fused action's job; both arms read the
+    # stored partitions (and the plan the optimizer sees is half the
+    # size, cutting planning time for this 700-line plan).
+    chunks = _chunk_frames(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    lex = _chunk_bm25_rank(spark, chunks).select(
         "doc_id", "chunk_idx", F.col("rank").alias("rn")
     )
-    den = _chunk_dense_topk(spark, sf_dir).select(
+    den = _chunk_dense_rank(spark, chunks).select(
         "doc_id", "chunk_idx", F.col("rank").alias("rn")
     )
     fused = (

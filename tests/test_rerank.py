@@ -69,6 +69,63 @@ def test_mmr_bit_identical_over_persisted_candidates(spark, tmp_path):
     assert len(got) == sim.N_QUERIES * sim._MMR_K
 
 
+def test_mmr_local_selection_matches_distributed(spark):
+    """r14: `ann_mmr_rerank` runs the k greedy rounds driver-side
+    (rerank.mmr_select_local) — this pins bit-identical output vs the
+    distributed k-round form over the REGISTRY shortlist (the real
+    rel/sim values, including 6-dp round-before-argmax and tie-breaks),
+    so the unrolled-CTE oracle keeps proving the query."""
+    emb = sim._with_norm(sim._emb(spark, SF_DIR), "emb", "nrm")
+    q = emb.where(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    from pyspark.sql.window import Window
+
+    rel = sim._dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))
+    sw = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.col("vec_id"))
+    sl = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", rel.alias("rel"))
+        .withColumn("srn", F.row_number().over(sw))
+        .where(F.col("srn") <= sim._MMR_M)
+        .select("q_id", "vec_id", "rel")
+        .localCheckpoint()
+    )
+    pw = rerank.pairwise_sims(sl, emb).localCheckpoint()
+    dist = _rows(rerank.mmr_rerank(sl, pw, sim._MMR_LAMBDA, sim._MMR_K))
+    local = _rows(
+        rerank.mmr_select_local(spark, sl, pw, sim._MMR_LAMBDA, sim._MMR_K)
+    )
+    assert local == dist
+    assert len(local) == sim.N_QUERIES * sim._MMR_K
+
+
+def test_round6_matches_spark_round(spark):
+    """_round6 must reproduce Spark's Round(HALF_UP over
+    BigDecimal.valueOf) including the shortest-repr half-boundary cases
+    and NaN/Inf passthrough."""
+    import math
+    import random
+
+    rng = random.Random(14)
+    vals = [rng.uniform(-1.5, 1.5) for _ in range(2000)]
+    vals += [5e-7, -5e-7, 1.5e-6, 0.9999995, -0.9999995, 0.0, -0.0,
+             1e-12, 123.4567895]
+    got = [rerank._round6(v) for v in vals]
+    want = [
+        r.r
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()
+    ]
+    assert got == want
+    assert math.isnan(rerank._round6(float("nan")))
+    assert rerank._round6(float("inf")) == float("inf")
+
+
 def test_rrf_fuse_three_retrievers(spark, tmp_path):
     """rrf_fuse is the production combiner: fusing a third retriever
     (the served IVF under a different nprobe) still ranks by the summed
