@@ -244,7 +244,10 @@ class HealthAnalyzer:
         table_path = log.table_path
 
         # --- history (log-only): op counts + max version in ONE job ------
-        hist = log.actions().agg(
+        # independent of the three pooled families below — runs from the
+        # same pool (r14) so all four jobs overlap; concurrent readers
+        # of the cached actions dedupe on the block-manager lock
+        hist_agg = log.actions().agg(
             F.max("version").alias("v"),
             *[
                 F.sum(
@@ -252,11 +255,7 @@ class HealthAnalyzer:
                 ).alias(f"n_{op}")
                 for op in ("WRITE", "DELETE", "OPTIMIZE")
             ],
-        ).collect()[0]
-        m.number_of_writes = int(hist.n_WRITE or 0)
-        m.number_of_deletes = int(hist.n_DELETE or 0)
-        m.number_of_optimizes = int(hist.n_OPTIMIZE or 0)
-        m.version_count = int(hist.v or 0)
+        )
 
         # --- live-file stats (log-only) ----------------------------------
         active = log.active_files().cache()
@@ -318,16 +317,22 @@ class HealthAnalyzer:
             # error propagate immediately (an in-flight Spark job may
             # finish in the background; correctness is unaffected, and
             # the unpersist below only disables recompute-from-cache)
-            pool = ThreadPoolExecutor(max_workers=3)
+            pool = ThreadPoolExecutor(max_workers=4)
             try:
+                f_hist = pool.submit(lambda: hist_agg.collect()[0])
                 f_stats = pool.submit(lambda: stats_agg.collect()[0])
                 f_folder = pool.submit(lambda: folder_agg.collect()[0])
                 f_skew = pool.submit(run_skew)
+                hist = f_hist.result()
                 stats_row = f_stats.result()
                 folder_row = f_folder.result()
                 skew_result = f_skew.result()
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)
+            m.number_of_writes = int(hist.n_WRITE or 0)
+            m.number_of_deletes = int(hist.n_DELETE or 0)
+            m.number_of_optimizes = int(hist.n_OPTIMIZE or 0)
+            m.version_count = int(hist.v or 0)
 
             m.data_file_count = int(stats_row.n_files or 0)
             m.table_size_bytes = int(stats_row.total_size or 0)

@@ -1279,7 +1279,7 @@ def ann_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     e = emb.select(
         "vec_id", F.posexplode("emb").alias("dim", "x")
-    )
+    ).localCheckpoint(eager=False)  # stats + encode share the explode (r14)
     stats = e.groupBy("dim").agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
     )
@@ -1308,17 +1308,24 @@ def ann_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " s -> s.rv)"
             ).alias("rc")
         )
+        # norms are per-VECTOR: evaluating them inside the pair join
+        # below ran the 64-element fold once per (q, vec) PAIR (r14 —
+        # the _with_norm rule this module already documents); same
+        # doubles, same cosines
+        .withColumn("rnrm", _norm("rc"))
     )
     # asymmetric scan: exact float query vs dequantized corpus cosine
     fq = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        _norm("emb").alias("qnrm"),
     )
     approx = recon.join(
         F.broadcast(fq), F.col("vec_id") != F.col("q_id")
     ).select(
         "q_id",
         "vec_id",
-        (_dot("q_emb", "rc") / (_norm("q_emb") * _norm("rc"))).alias("ad"),
+        (_dot("q_emb", "rc") / (F.col("qnrm") * F.col("rnrm"))).alias("ad"),
     )
     sw = Window.partitionBy("q_id").orderBy(F.desc("ad"), F.col("vec_id"))
     short = (

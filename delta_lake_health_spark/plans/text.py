@@ -1153,8 +1153,16 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        # consumed by the score join AND the df derivation below — one
+        # lazy checkpoint runs the token explode once (r14; the
+        # before-plan showed two full explode subtrees)
+        .localCheckpoint(eager=False)
     )
-    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # df from the tf table: tf has exactly one row per (doc_id, w), so
+    # COUNT(*) per w == COUNT(DISTINCT doc_id) over the raw tokens —
+    # the second corpus explode and its |tokens|-row shuffle disappear
+    # (r14, guide §2.3 aggregate-before-shuffle)
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     scored = (
         _join_vocab_bounded(tf, dfreq, "w", "df")
@@ -2289,9 +2297,24 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     in_target = F.col("source").isin(*_DSIR_TARGET)
-    cnt = grams.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_r"),
-        F.sum(F.when(in_target, 1).otherwise(0)).alias("c_t"),
+    # r14 (guide §2.3/§2.4): aggregate the gram explode ONCE to
+    # per-(doc, bucket) counts — the before-plan showed the full
+    # explode+hash pass running twice (bucket census + per-doc weight
+    # join had no common subtree). dbc is bounded by |docs| x 256 rows;
+    # the census and the weighting both derive from it, and map-side
+    # partial aggregation now happens before the only wide shuffle.
+    # Per-doc sum becomes sum(lr * n) over bucket groups — exact for
+    # n_feats (integer), and dsir_logw's 6-dp rounding absorbs the
+    # ulp-level reassociation exactly as it already absorbs
+    # Spark-vs-DuckDB partial-sum order (oracle hash-match re-proved).
+    dbc = (
+        grams.groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # census + weight join share it
+    )
+    cnt = dbc.groupBy("b").agg(
+        F.sum("n").alias("c_r"),
+        F.sum(F.when(in_target, F.col("n")).otherwise(0)).alias("c_t"),
     )
     tot = cnt.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
@@ -2304,11 +2327,11 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lr"),
     )
     return (
-        grams.join(F.broadcast(lr), "b")
+        dbc.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("lr"), 6).alias("dsir_logw"),
+            F.sum("n").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("lr") * F.col("n")), 6).alias("dsir_logw"),
         )
         .orderBy("doc_id")
     )

@@ -227,6 +227,12 @@ def _conform_column(col, src_type, dst_type):
     return col.cast(dst_type)
 
 
+# cross-instance metadata memo for DeltaLog._metadata_fast, keyed on
+# (log_dir, checkpoint version, newest json version) — every commit
+# changes the key, so a stale entry can never be served
+_META_MEMO: dict[tuple, dict] = {}
+
+
 class DeltaLog:
     """Reader for one table's ``_delta_log``."""
 
@@ -877,9 +883,90 @@ class DeltaLog:
         row = self.actions().agg(F.max("version").alias("v")).collect()[0]
         return int(row.v) if row.v is not None else 0
 
+    def _metadata_fast(self):
+        """Driver-side ``metadata()`` for the current snapshot: the log
+        JSONs are small local files, so scanning them BACKWARD in Python
+        finds the newest metaData action in microseconds, where the
+        Spark path paid a whole JSON-scan job (~0.2 s of scheduler
+        overhead) — and the writer used to pay that job FIVE times per
+        commit (r14 profile: 0.95 s of a 1.1 s small append). Falls back
+        (returns None) for anything unusual — v2 / multi-part
+        checkpoints, parse errors — so the Spark path stays the source
+        of truth for the long tail. Memoized across DeltaLog instances
+        keyed on (log_dir, checkpoint version, newest json version):
+        the key changes with every commit, preserving the
+        snapshot-isolation contract documented on __init__."""
+        try:
+            ckpt_info = self.last_checkpoint_info()
+            ckpt_version = (
+                None if ckpt_info is None else int(ckpt_info["version"])
+            )
+            versions = sorted(
+                int(f[:20])
+                for f in os.listdir(self.log_dir)
+                if f.endswith(".json") and f[:20].isdigit()
+                and (ckpt_version is None or int(f[:20]) > ckpt_version)
+            )
+            key = (self.log_dir, ckpt_version, versions[-1] if versions else -1)
+            hit = _META_MEMO.get(key)
+            if hit is not None:
+                return hit
+
+            def _build(m: dict) -> dict:
+                schema_str = m.get("schemaString")
+                return {
+                    "id": m.get("id"),
+                    "name": m.get("name"),
+                    "partition_columns": list(m.get("partitionColumns") or []),
+                    "schema": json.loads(schema_str) if schema_str else None,
+                    "configuration": dict(m.get("configuration") or {}),
+                }
+
+            out = None
+            for v in reversed(versions):
+                path = os.path.join(self.log_dir, f"{v:020d}.json")
+                found = None
+                with open(path) as f:
+                    for line in f:
+                        if '"metaData"' in line:
+                            act = json.loads(line).get("metaData")
+                            if act is not None:
+                                found = act  # last one in the commit wins
+                if found is not None:
+                    out = _build(found)
+                    break
+            if out is None and ckpt_version is not None:
+                if ckpt_info.get("format") == "v2" or (
+                    ckpt_info.get("parts") or 1
+                ) > 1:
+                    return None  # rare shapes keep the Spark path
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self._checkpoint_paths(ckpt_version, None)[0],
+                    columns=["metaData"],
+                )
+                for m in t.column("metaData").to_pylist():
+                    if m is not None and m.get("schemaString"):
+                        out = _build(m)
+                        break
+            if out is None:
+                out = {}
+            if len(_META_MEMO) > 512:
+                _META_MEMO.clear()
+            _META_MEMO[key] = out
+            return out
+        except Exception:  # noqa: BLE001 — fast path only; Spark is truth
+            return None
+
     def metadata(self, as_of: int | None = None) -> dict:
         if as_of is None and self._meta_cache is not None:
             return self._meta_cache
+        if as_of is None:
+            fast = self._metadata_fast()
+            if fast is not None:
+                self._meta_cache = fast
+                return fast
         use_ckpt = True if as_of is None else self._as_of_source(as_of)
         acts = self.actions(use_checkpoint=use_ckpt)
         if as_of is not None:

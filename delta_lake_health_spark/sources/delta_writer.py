@@ -1900,17 +1900,17 @@ def _fill_identity_columns(
     return df, updates
 
 
-def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
-    """One pass over the batch being written (NOT the table): every CHECK
-    constraint and every non-nullable logged column is folded into a
-    single aggregate of violation counts — map-side partials, one tiny
-    shuffle, regardless of how many constraints exist."""
+def _constraint_aggs(spark: SparkSession, df: DataFrame, table_path: str):
+    """(aggregate columns, checks, not_null, gens) folding every CHECK
+    constraint / non-nullable logged column / generated-column equation
+    into one set of violation-count aggregates — or None when the table
+    declares nothing to validate."""
     from pyspark.sql import functions as F
 
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     if current_version(table_path) < 0:
-        return
+        return None
     meta = DeltaLog(spark, table_path).metadata()
     checks = {
         k[len("delta.constraints."):]: v
@@ -1928,7 +1928,7 @@ def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
         if c in df.columns
     }
     if not checks and not not_null and not gens:
-        return
+        return None
     aggs = [
         F.sum(F.when(~F.expr(expr), 1).otherwise(0)).alias(f"c_{name}")
         for name, expr in checks.items()
@@ -1941,23 +1941,44 @@ def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
         ).alias(f"g_{c}")
         for c, expr in gens.items()
     ]
-    row = df.agg(*aggs).collect()[0]
+    return aggs, checks, not_null, gens
+
+
+def _raise_constraint_violations(row, checks, not_null, gens) -> None:
+    """Raise on any nonzero violation count; ``row`` supports both the
+    Row of a standalone aggregate and the dict an Observation yields."""
+    get = row.get if isinstance(row, dict) else row.__getitem__
     for name, expr in checks.items():
-        n = row[f"c_{name}"] or 0
+        n = get(f"c_{name}") or 0
         if n:
             raise ValueError(
                 f"CHECK constraint {name!r} violated by {n} row(s): ({expr})"
             )
     for c in not_null:
-        n = row[f"n_{c}"] or 0
+        n = get(f"n_{c}") or 0
         if n:
             raise ValueError(f"NOT NULL constraint violated: {c} has {n} null(s)")
     for c, expr in gens.items():
-        n = row[f"g_{c}"] or 0
+        n = get(f"g_{c}") or 0
         if n:
             raise ValueError(
                 f"generated column {c!r} has {n} row(s) disagreeing with ({expr})"
             )
+
+
+def _validate_constraints(spark: SparkSession, df: DataFrame, table_path: str):
+    """One pass over the batch being written (NOT the table): every CHECK
+    constraint and every non-nullable logged column is folded into a
+    single aggregate of violation counts — map-side partials, one tiny
+    shuffle, regardless of how many constraints exist. (``write()`` fuses
+    this into the data-write job via Observation instead — r14; the
+    standalone pass remains for the update/merge/copy-into rewrites.)"""
+    agg = _constraint_aggs(spark, df, table_path)
+    if agg is None:
+        return
+    aggs, checks, not_null, gens = agg
+    row = df.agg(*aggs).collect()[0]
+    _raise_constraint_violations(row, checks, not_null, gens)
 
 
 def _schema_has_variant(dt) -> bool:
@@ -2091,7 +2112,20 @@ def write(
                 # partitionColumns or readers keep injecting the old ones
                 schema_changed = True
 
-    _validate_constraints(spark, df, table_path)
+    # constraint validation FUSED into the data-write job (r14, guide
+    # §2.4: remove a whole batch pass): the violation-count aggregates
+    # ride as an Observation on the plan that the parquet write
+    # executes; the counts are checked after the write and BEFORE the
+    # commit, so a violating batch still never commits (its uncommitted
+    # files are unlinked below — same no-debris outcome as the old
+    # standalone pre-pass, one batch scan cheaper).
+    constraint_check = _constraint_aggs(spark, df, table_path)
+    constraint_obs = None
+    if constraint_check is not None:
+        from pyspark.sql import Observation
+
+        constraint_obs = Observation()
+        df = df.observe(constraint_obs, *constraint_check[0])
     if cluster_by is None and version >= 0:
         # liquid clustering: a clustered table's declared columns apply
         # to every ingest that doesn't choose its own layout (skipped
@@ -2165,6 +2199,19 @@ def write(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(table_path)
     new_files = sorted(_list_parquet_rel(table_path) - before)
+    if constraint_obs is not None:
+        _, checks, not_null, gens = constraint_check
+        try:
+            _raise_constraint_violations(
+                constraint_obs.get, checks, not_null, gens
+            )
+        except Exception:
+            for rel in new_files:  # violating batch leaves no debris
+                try:
+                    os.remove(os.path.join(table_path, rel))
+                except OSError:
+                    pass
+            raise
     adds = [_add_action(table_path, rel) for rel in new_files]
     n_records = sum(json.loads(a["add"]["stats"])["numRecords"] for a in adds)
 
