@@ -231,6 +231,17 @@ def _conform_column(col, src_type, dst_type):
 # (log_dir, checkpoint version, newest json version) — every commit
 # changes the key, so a stale entry can never be served
 _META_MEMO: dict[tuple, dict] = {}
+_LIVE_MEMO: dict[tuple, list] = {}
+_COMMIT_CACHE: dict[tuple, list] = {}
+
+
+def _plainify(x):
+    """pyarrow ``to_pylist`` renders map values as (key, value) tuple
+    lists; the add-action consumers expect plain dicts (the JSON path's
+    shape). Non-map values pass through."""
+    if isinstance(x, list):
+        return dict(x)
+    return x
 
 
 class DeltaLog:
@@ -764,9 +775,23 @@ class DeltaLog:
         path needs this exact list, and each collect is a whole job."""
         if as_of is None and self._live_rows_cache is not None:
             return self._live_rows_cache
-        rows = (
-            self.active_files(as_of).select("path", "partitionValues").collect()
-        )
+        rows = None
+        if as_of is None:
+            fast = self._live_adds_fast()
+            if fast is not None:
+                from collections import namedtuple
+
+                LiveFile = namedtuple("LiveFile", ["path", "partitionValues"])
+                rows = [
+                    LiveFile(a["path"], dict(a.get("partitionValues") or {}))
+                    for a in fast
+                ]
+        if rows is None:
+            rows = (
+                self.active_files(as_of)
+                .select("path", "partitionValues")
+                .collect()
+            )
         if as_of is None:
             self._live_rows_cache = rows
         return rows
@@ -775,6 +800,12 @@ class DeltaLog:
         """Full add-action dicts (path, partitionValues, size,
         modificationTime, stats) for every live file — what SHALLOW CLONE
         copies into the new table's log. Metadata-sized collect."""
+        fast = self._live_adds_fast()
+        if fast is not None:
+            return [
+                {k: v for k, v in a.items() if k != "_v" and v is not None}
+                for a in fast
+            ]
         acts = self.actions()
         add_type = acts.schema["add"].dataType
         adds = acts.where(F.col("add").isNotNull()).select(
@@ -880,6 +911,19 @@ class DeltaLog:
         return out.limit(limit) if limit is not None else out
 
     def version(self) -> int:
+        # newest commit version straight from the log listing (every
+        # commit writes a json; after cleanup the checkpoint floor
+        # remains) — the Spark aggregate computed exactly this from the
+        # filename-derived version column (r14)
+        st = self._fast_scan_state()
+        if st is not None:
+            _, ckpt_version, versions, _ = st
+            if versions:
+                return versions[-1]
+            if ckpt_version is not None:
+                return ckpt_version
+            # empty log dir: fall through so the Spark path raises the
+            # same FileNotFoundError it always has
         row = self.actions().agg(F.max("version").alias("v")).collect()[0]
         return int(row.v) if row.v is not None else 0
 
@@ -897,17 +941,12 @@ class DeltaLog:
         the key changes with every commit, preserving the
         snapshot-isolation contract documented on __init__."""
         try:
-            ckpt_info = self.last_checkpoint_info()
-            ckpt_version = (
-                None if ckpt_info is None else int(ckpt_info["version"])
-            )
-            versions = sorted(
-                int(f[:20])
-                for f in os.listdir(self.log_dir)
-                if f.endswith(".json") and f[:20].isdigit()
-                and (ckpt_version is None or int(f[:20]) > ckpt_version)
-            )
-            key = (self.log_dir, ckpt_version, versions[-1] if versions else -1)
+            st = self._fast_scan_state()
+            if st is None:
+                return None
+            ckpt_info, ckpt_version, versions, key = st
+            if not versions and ckpt_version is None:
+                return None  # empty log: Spark path raises, keep that
             hit = _META_MEMO.get(key)
             if hit is not None:
                 return hit
@@ -924,14 +963,10 @@ class DeltaLog:
 
             out = None
             for v in reversed(versions):
-                path = os.path.join(self.log_dir, f"{v:020d}.json")
                 found = None
-                with open(path) as f:
-                    for line in f:
-                        if '"metaData"' in line:
-                            act = json.loads(line).get("metaData")
-                            if act is not None:
-                                found = act  # last one in the commit wins
+                for act in self._parsed_commit(v):
+                    if act.get("metaData") is not None:
+                        found = act["metaData"]  # last in the commit wins
                 if found is not None:
                     out = _build(found)
                     break
@@ -955,6 +990,131 @@ class DeltaLog:
             if len(_META_MEMO) > 512:
                 _META_MEMO.clear()
             _META_MEMO[key] = out
+            return out
+        except Exception:  # noqa: BLE001 — fast path only; Spark is truth
+            return None
+
+    def _fast_scan_state(self):
+        """(ckpt_info, ckpt_version, post-ckpt json versions, memo key)
+        for the driver-side fast paths, or None when the checkpoint has
+        a shape the fast paths don't handle (v2 / multi-part)."""
+        ckpt_info = self.last_checkpoint_info()
+        ckpt_version = None if ckpt_info is None else int(ckpt_info["version"])
+        if ckpt_info is not None and (
+            ckpt_info.get("format") == "v2" or (ckpt_info.get("parts") or 1) > 1
+        ):
+            return None
+        versions = sorted(
+            int(f[:20])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:20].isdigit()
+            and (ckpt_version is None or int(f[:20]) > ckpt_version)
+        )
+        # the newest log file's identity (size + mtime) joins the key:
+        # a table rmtree'd and REBUILT at the same path with the same
+        # version count must never be served the old table's memo
+        # (r14 bench caught exactly that on a force-rebuilt fixture)
+        newest = (
+            os.path.join(self.log_dir, f"{versions[-1]:020d}.json")
+            if versions
+            else (
+                self._checkpoint_paths(ckpt_version, None)[0]
+                if ckpt_version is not None
+                and (ckpt_info.get("parts") or 1) == 1
+                else None
+            )
+        )
+        stamp = None
+        if newest is not None and os.path.exists(newest):
+            st = os.stat(newest)
+            stamp = (st.st_size, st.st_mtime_ns)
+        key = (
+            self.log_dir,
+            ckpt_version,
+            versions[-1] if versions else -1,
+            stamp,
+        )
+        return ckpt_info, ckpt_version, versions, key
+
+    def _parsed_commit(self, v: int) -> list[dict]:
+        """Every action of commit ``v`` parsed with json.loads — a
+        corrupted/truncated line RAISES (the fast paths then fall back
+        to the Spark FAILFAST read, which fails loudly: silent action
+        loss is the one failure mode the log reader must never have).
+        Cached on (path, size, mtime)."""
+        p = os.path.join(self.log_dir, f"{v:020d}.json")
+        st = os.stat(p)
+        key = (p, st.st_size, st.st_mtime_ns)
+        hit = _COMMIT_CACHE.get(key)
+        if hit is None:
+            with open(p) as f:
+                hit = [json.loads(line) for line in f if line.strip()]
+            if len(_COMMIT_CACHE) > 4096:
+                _COMMIT_CACHE.clear()
+            _COMMIT_CACHE[key] = hit
+        return hit
+
+    def _live_adds_fast(self) -> list[dict] | None:
+        """Driver-side last-wins log replay: the live add-action dicts
+        (each with its commit version under ``_v``), or None to fall
+        back to the Spark path. Same reconciliation as
+        ``active_files()`` — rank (version DESC, add-before-remove),
+        live iff top action is an add; replayed here as: checkpoint
+        adds (already reconciled) -> per ascending commit, removes
+        applied before adds (add wins within a commit). The consumers
+        below (live_files_rows, live_add_actions, _active_rel_paths)
+        all COLLECT this list anyway, so driver memory is unchanged —
+        only the per-call Spark log-scan jobs disappear (r14: each was
+        ~0.2-0.7 s of scheduler overhead on small logs; delete_with_dv
+        paid three of them). Memoized like _metadata_fast."""
+        try:
+            st = self._fast_scan_state()
+            if st is None:
+                return None
+            ckpt_info, ckpt_version, versions, key = st
+            if not versions and ckpt_version is None:
+                return None  # empty log: Spark path raises, keep that
+            hit = _LIVE_MEMO.get(key)
+            if hit is not None:
+                return hit
+            live: dict[str, dict] = {}
+            if ckpt_version is not None:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self._checkpoint_paths(ckpt_version, None)[0],
+                    columns=["add", "remove", "version"],
+                )
+                removes = t.column("remove").to_pylist()
+                vers = t.column("version").to_pylist()
+                adds = t.column("add").to_pylist()
+                for r in removes:
+                    if r is not None and r.get("path"):
+                        live.pop(r["path"], None)
+                for a, v in zip(adds, vers):
+                    if a is not None and a.get("path"):
+                        d = {k: _plainify(x) for k, x in a.items() if x is not None}
+                        d["_v"] = int(v if v is not None else ckpt_version)
+                        live[d["path"]] = d
+            for v in versions:
+                adds_j, removes_j = [], []
+                for act in self._parsed_commit(v):
+                    if act.get("add") is not None:
+                        adds_j.append(act["add"])
+                    elif act.get("remove") is not None:
+                        removes_j.append(act["remove"])
+                for r in removes_j:
+                    if r.get("path"):
+                        live.pop(r["path"], None)
+                for a in adds_j:
+                    if a.get("path"):
+                        d = {k: x for k, x in a.items() if x is not None}
+                        d["_v"] = v
+                        live[d["path"]] = d
+            out = sorted(live.values(), key=lambda d: d["path"])
+            if len(_LIVE_MEMO) > 256:
+                _LIVE_MEMO.clear()
+            _LIVE_MEMO[key] = out
             return out
         except Exception:  # noqa: BLE001 — fast path only; Spark is truth
             return None
@@ -1040,12 +1200,56 @@ class DeltaLog:
          "variantType"}
     )
 
+    def _protocol_fast(self) -> dict | None:
+        """Driver-side ``protocol()`` — same backward json scan (then
+        checkpoint) as _metadata_fast; None falls back to Spark."""
+        try:
+            st = self._fast_scan_state()
+            if st is None:
+                return None
+            ckpt_info, ckpt_version, versions, _ = st
+            if not versions and ckpt_version is None:
+                return None  # empty log: Spark path raises, keep that
+            found = None
+            for v in reversed(versions):
+                for act in self._parsed_commit(v):
+                    if act.get("protocol") is not None:
+                        found = act["protocol"]
+                if found is not None:
+                    break
+            if found is None and ckpt_version is not None:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self._checkpoint_paths(ckpt_version, None)[0],
+                    columns=["protocol"],
+                )
+                for p in t.column("protocol").to_pylist():
+                    if p is not None and p.get("minReaderVersion") is not None:
+                        found = p
+                        break
+            if found is None:
+                return {"minReaderVersion": 1, "minWriterVersion": 2,
+                        "readerFeatures": [], "writerFeatures": []}
+            return {
+                "minReaderVersion": int(found["minReaderVersion"]),
+                "minWriterVersion": int(found["minWriterVersion"]),
+                "readerFeatures": list(found.get("readerFeatures") or []),
+                "writerFeatures": list(found.get("writerFeatures") or []),
+            }
+        except Exception:  # noqa: BLE001 — fast path only; Spark is truth
+            return None
+
     def protocol(self) -> dict:
         """Latest protocol action: {minReaderVersion, minWriterVersion,
         readerFeatures, writerFeatures} (feature lists empty for legacy
         version-only protocols)."""
         if getattr(self, "_protocol_cache", None) is not None:
             return self._protocol_cache
+        fast = self._protocol_fast()
+        if fast is not None:
+            self._protocol_cache = fast
+            return fast
         rows = (
             self.actions()
             .where(F.col("protocol").isNotNull())
@@ -1234,9 +1438,47 @@ class DeltaLog:
 
     # -- deletion vectors --------------------------------------------------
 
+    def _dv_paths_fast(self) -> list[str] | None:
+        """Driver-side ``deletion_vector_paths()`` — checkpoint dv rows
+        (pyarrow) then ascending post-checkpoint json dv actions, the
+        same order the Spark union collects; None falls back."""
+        try:
+            st = self._fast_scan_state()
+            if st is None:
+                return None
+            _, ckpt_version, versions, _ = st
+            if not versions and ckpt_version is None:
+                return None
+            out: list[str] = []
+            if ckpt_version is not None:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self._checkpoint_paths(ckpt_version, None)[0],
+                    columns=["dv"],
+                )
+                out.extend(
+                    d["path"]
+                    for d in t.column("dv").to_pylist()
+                    if d is not None and d.get("path")
+                )
+            for v in versions:
+                for act in self._parsed_commit(v):
+                    dv = act.get("dv")
+                    if dv is not None and dv.get("path"):
+                        out.append(dv["path"])
+            return out
+        except Exception:  # noqa: BLE001 — fast path only; Spark is truth
+            return None
+
     def deletion_vector_paths(self, as_of: int | None = None) -> list[str]:
         if as_of is None and self._dv_paths_cache is not None:
             return self._dv_paths_cache
+        if as_of is None:
+            fast = self._dv_paths_fast()
+            if fast is not None:
+                self._dv_paths_cache = fast
+                return fast
         use_ckpt = True if as_of is None else self._as_of_source(as_of)
         acts = self.actions(use_checkpoint=use_ckpt)
         if as_of is not None:

@@ -943,7 +943,7 @@ def _active_rel_paths(spark: SparkSession, table_path: str) -> list[str]:
     from delta_lake_health_spark.sources.delta_log import DeltaLog
 
     return [
-        r.path for r in DeltaLog(spark, table_path).active_files().select("path").collect()
+        r.path for r in DeltaLog(spark, table_path).live_files_rows()
     ]
 
 
