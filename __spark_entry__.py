@@ -22,65 +22,54 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #       row, then
 #   (3) everything else by OLDEST newest-green round first (so no
 #       query's last green row ages unboundedly).
-# Round 13: the list below is GENERATED, not hand-curated —
+# Round 14: the list below is GENERATED, not hand-curated —
 # `python tools/gen_verify_first.py --changed <names>` computes it from
 # the CORRECTNESS_r*.json history; it enumerates the COMPLETE registry
 # so insertion order is fully determined. The ~50-row driver cap lands
 # on: the new rows, this round's changed set, the full 10-row r8-aged
 # block VERDICT r12 #7 mandates, and the head of the r9-aged block.
 _VERIFY_FIRST = (
-    "dedup_minhash_verified",  # never-green, CHANGED this round
-    "media_phash_served",  # never-green, CHANGED this round
-    "pipeline_door_quarantine",  # never-green, CHANGED this round
-    "pipeline_stream_door_census",  # never-green, CHANGED this round
-    "text_chunk_hybrid_topk",  # never-green, CHANGED this round
-    "dedup_minhash_served",  # newest green r12, CHANGED this round
-    "dedup_minhash_probe",  # newest green r12, CHANGED this round
-    "media_phash_neardup",  # newest green r12, CHANGED this round
-    "text_chunk_bm25_topk",  # newest green r12, CHANGED this round
-    "q7_volume_shipping",  # newest green r8
-    "q8_market_share",  # newest green r8
-    "records_per_partition_orders",  # newest green r8
-    "revenue_7day_moving",  # newest green r8
-    "running_revenue_by_month",  # newest green r8
-    "skew_lineitem_returnflag",  # newest green r8
-    "skew_orders_by_month",  # newest green r8
-    "skew_orders_status_priority",  # newest green r8
-    "text_quality_lr_train",  # newest green r8
-    "topn_orders_per_customer",  # newest green r8
-    "corpus_mixture_weights",  # newest green r9
-    "dedup_clusters",  # newest green r9
-    "dedup_embedding_cosine",  # newest green r9
-    "dedup_exact",  # newest green r9
-    "dedup_exact_stats",  # newest green r9
-    "dedup_graph_pagerank",  # newest green r9
-    "dedup_incremental_bloom",  # newest green r9
-    "dedup_keep_corpus",  # newest green r9
-    "dedup_ngram_jaccard",  # newest green r9
-    "dedup_semantic_prune",  # newest green r9
-    "dedup_shingle_duplication",  # newest green r9
-    "dedup_simhash",  # newest green r9
-    "dedup_source_overlap",  # newest green r9
-    "delta_change_feed",  # newest green r9
-    "delta_clone_snapshot",  # newest green r9
-    "delta_dv_snapshot",  # newest green r9
-    "delta_generated_columns",  # newest green r9
-    "delta_merge_snapshot",  # newest green r9
-    "delta_mv_refresh",  # newest green r9
-    "delta_restore_snapshot",  # newest green r9
-    "delta_row_changes",  # newest green r9
-    "delta_row_ids",  # newest green r9
-    "delta_schema_evolution",  # newest green r9
-    "delta_skipping_conjunction",  # newest green r9
-    "delta_skipping_prune",  # newest green r9
-    "delta_time_travel_v0",  # newest green r9
-    "delta_vacuum_snapshot",  # newest green r9
-    "embedding_scalar_quantize",  # newest green r9
-    "events_anomaly_zscore",  # newest green r9
-    "events_sequence_pattern",  # newest green r9
-    "events_windowed_hll_users",  # newest green r9
-    "health_analyzer_report",  # newest green r9
-    "pipeline_corpus_build",  # newest green r9
+    "ann_mmr_rerank",  # newest green r11, CHANGED this round
+    "text_chunk_hybrid_topk",  # newest green r13, CHANGED this round
+    "text_chunk_bm25_topk",  # newest green r13, CHANGED this round
+    "pipeline_corpus_build",  # newest green r9, CHANGED this round
+    "dedup_keep_corpus",  # newest green r13, CHANGED this round
+    "dedup_clusters",  # newest green r13, CHANGED this round
+    "dedup_shingle_duplication",  # newest green r13, CHANGED this round
+    "text_repeated_ngram_spans",  # newest green r10, CHANGED this round
+    "text_scrub_repeated_spans",  # newest green r11, CHANGED this round
+    "dedup_incremental_bloom",  # newest green r13, CHANGED this round
+    "dedup_source_overlap",  # newest green r13, CHANGED this round
+    "text_split_contamination",  # newest green r11, CHANGED this round
+    "dedup_ngram_jaccard",  # newest green r13, CHANGED this round
+    "dedup_minhash_verified",  # newest green r13, CHANGED this round
+    "dedup_minhash_probe",  # newest green r13, CHANGED this round
+    "dedup_minhash_served",  # newest green r13, CHANGED this round
+    "health_analyzer_report",  # newest green r9, CHANGED this round
+    "text_dsir_weights",  # newest green r10, CHANGED this round
+    "text_tfidf_keywords",  # newest green r9, CHANGED this round
+    "ann_sq_int8_topk",  # newest green r12, CHANGED this round
+    "dedup_graph_pagerank",  # newest green r13, CHANGED this round
+    "dedup_simhash",  # newest green r13, CHANGED this round
+    "dedup_exact",  # newest green r13, CHANGED this round
+    "dedup_exact_stats",  # newest green r13, CHANGED this round
+    "pipeline_stream_door_census",  # newest green r13, CHANGED this round
+    "pipeline_door_quarantine",  # newest green r13, CHANGED this round
+    "media_phash_served",  # newest green r13, CHANGED this round
+    "text_bm25_served",  # newest green r12, CHANGED this round
+    "delta_change_feed",  # newest green r13, CHANGED this round
+    "delta_merge_snapshot",  # newest green r13, CHANGED this round
+    "delta_row_ids",  # newest green r13, CHANGED this round
+    "delta_optimize_zorder_snapshot",  # newest green r10, CHANGED this round
+    "delta_hilbert_snapshot",  # newest green r10, CHANGED this round
+    "delta_identity_series",  # newest green r12, CHANGED this round
+    "delta_column_defaults",  # newest green r12, CHANGED this round
+    "delta_update_snapshot",  # newest green r10, CHANGED this round
+    "delta_cdc_sync",  # newest green r11, CHANGED this round
+    "delta_copy_into_snapshot",  # newest green r11, CHANGED this round
+    "delta_vacuum_snapshot",  # newest green r13, CHANGED this round
+    "delta_clone_snapshot",  # newest green r13, CHANGED this round
+    "delta_deep_clone_snapshot",  # newest green r11, CHANGED this round
     "profile_table_columns",  # newest green r9
     "referential_integrity_audit",  # newest green r9
     "sketch_approx_distinct",  # newest green r9
@@ -89,16 +78,12 @@ _VERIFY_FIRST = (
     "text_bpe_tokenize_fertility",  # newest green r9
     "text_chunk_dedup",  # newest green r9
     "text_repetition_census",  # newest green r9
-    "text_tfidf_keywords",  # newest green r9
     "text_unigram_surprise",  # newest green r9
     "ann_bruteforce_topk",  # newest green r10
     "ann_graph_topk",  # newest green r10
     "ann_pq_adc_topk",  # newest green r10
     "delta_bloom_point_lookup",  # newest green r10
-    "delta_hilbert_snapshot",  # newest green r10
-    "delta_optimize_zorder_snapshot",  # newest green r10
     "delta_restore_timestamp_snapshot",  # newest green r10
-    "delta_update_snapshot",  # newest green r10
     "documents_stratified_sample",  # newest green r10
     "embedding_matryoshka_census",  # newest green r10
     "embedding_pca_census",  # newest green r10
@@ -130,16 +115,10 @@ _VERIFY_FIRST = (
     "sketch_user_overlap",  # newest green r10
     "supplier_fulfillment_rate",  # newest green r10
     "text_bpe_merge_candidates",  # newest green r10
-    "text_dsir_weights",  # newest green r10
     "text_filter_funnel_census",  # newest green r10
-    "text_repeated_ngram_spans",  # newest green r10
-    "ann_mmr_rerank",  # newest green r11
     "ann_rrf_fusion",  # newest green r11
     "dedup_containment",  # newest green r11
-    "delta_cdc_sync",  # newest green r11
     "delta_convert_snapshot",  # newest green r11
-    "delta_copy_into_snapshot",  # newest green r11
-    "delta_deep_clone_snapshot",  # newest green r11
     "delta_fsck_snapshot",  # newest green r11
     "delta_reorg_purge",  # newest green r11
     "events_ab_holdout_lift",  # newest green r11
@@ -174,8 +153,6 @@ _VERIFY_FIRST = (
     "text_language_balance_sample",  # newest green r11
     "text_length_histogram",  # newest green r11
     "text_scrub_pii",  # newest green r11
-    "text_scrub_repeated_spans",  # newest green r11
-    "text_split_contamination",  # newest green r11
     "text_top_ngrams",  # newest green r11
     "text_train_val_test_split",  # newest green r11
     "text_zipf_slope",  # newest green r11
@@ -184,7 +161,6 @@ _VERIFY_FIRST = (
     "ann_ivf_topk",  # newest green r12
     "ann_lsh_buckets",  # newest green r12
     "ann_range_search",  # newest green r12
-    "ann_sq_int8_topk",  # newest green r12
     "catalog_sql_revenue_by_nation",  # newest green r12
     "corpus_epoch_shuffle",  # newest green r12
     "corpus_stats",  # newest green r12
@@ -193,8 +169,6 @@ _VERIFY_FIRST = (
     "customers_without_orders",  # newest green r12
     "dedup_minhash_calibration",  # newest green r12
     "dedup_minhash_pairs",  # newest green r12
-    "delta_column_defaults",  # newest green r12
-    "delta_identity_series",  # newest green r12
     "documents_priority_sample_k",  # newest green r12
     "embedding_label_centroids",  # newest green r12
     "events_user_value_pareto",  # newest green r12
@@ -218,13 +192,39 @@ _VERIFY_FIRST = (
     "q22_idle_customers",  # newest green r12
     "q5_local_supplier",  # newest green r12
     "q6_forecast_revenue",  # newest green r12
-    "text_bm25_served",  # newest green r12
     "text_bm25_topk",  # newest green r12
     "text_html_boilerplate",  # newest green r12
     "text_lang_id",  # newest green r12
     "text_pack_sequences",  # newest green r12
     "text_quality_scores",  # newest green r12
     "text_token_counts",  # newest green r12
+    "corpus_mixture_weights",  # newest green r13
+    "dedup_embedding_cosine",  # newest green r13
+    "dedup_semantic_prune",  # newest green r13
+    "delta_dv_snapshot",  # newest green r13
+    "delta_generated_columns",  # newest green r13
+    "delta_mv_refresh",  # newest green r13
+    "delta_restore_snapshot",  # newest green r13
+    "delta_row_changes",  # newest green r13
+    "delta_schema_evolution",  # newest green r13
+    "delta_skipping_conjunction",  # newest green r13
+    "delta_skipping_prune",  # newest green r13
+    "delta_time_travel_v0",  # newest green r13
+    "embedding_scalar_quantize",  # newest green r13
+    "events_anomaly_zscore",  # newest green r13
+    "events_sequence_pattern",  # newest green r13
+    "events_windowed_hll_users",  # newest green r13
+    "media_phash_neardup",  # newest green r13
+    "q7_volume_shipping",  # newest green r13
+    "q8_market_share",  # newest green r13
+    "records_per_partition_orders",  # newest green r13
+    "revenue_7day_moving",  # newest green r13
+    "running_revenue_by_month",  # newest green r13
+    "skew_lineitem_returnflag",  # newest green r13
+    "skew_orders_by_month",  # newest green r13
+    "skew_orders_status_priority",  # newest green r13
+    "text_quality_lr_train",  # newest green r13
+    "topn_orders_per_customer",  # newest green r13
 )
 
 
