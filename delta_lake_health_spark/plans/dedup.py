@@ -1016,8 +1016,9 @@ def dedup_shingle_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # two consumers (the per-shingle count and the join back) — run
-        # the explode+distinct once, not twice
-        .localCheckpoint()
+        # the explode+distinct once, not twice; LAZY (r14): the single
+        # final action materializes it, no standalone job
+        .localCheckpoint(eager=False)
     )
     counts = shingles.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     return (
@@ -1698,7 +1699,8 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
-        .localCheckpoint()  # feeds sizes AND pair generation
+        # feeds sizes AND pair generation; lazy (r14) — see X8
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     pairs = _posting_pairs(sh, ["h"], "source", "source_a", "source_b")

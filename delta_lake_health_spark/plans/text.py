@@ -1318,7 +1318,7 @@ def text_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", (F.col("p") + 1).cast("long").alias("i"),
                 "h")
     )
-    pos = pos.localCheckpoint()  # census side and position side share it
+    pos = pos.localCheckpoint(eager=False)  # census + position side share it (lazy, r14)
     dup_h = (
         pos.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1445,7 +1445,7 @@ def text_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p", "h"),
         )
         .select("doc_id", (F.col("p") + 1).cast("long").alias("i"), "h")
-        .localCheckpoint()  # census side and start side share it
+        .localCheckpoint(eager=False)  # census + start side share it (lazy, r14)
     )
     dup_h = (
         posh.groupBy("h")
